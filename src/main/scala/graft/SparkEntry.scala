@@ -1,13 +1,253 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{toFloatVec, floatVec, array_distance, array_inner_product,
+  array_cosine_similarity}
+import graft.index.Ann
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 exposes a `queries` entry; those whose
+  * semantics are exactly SQL-expressible also carry a DuckDB oracle in
+  * `oracleSql` (ANN-approximate results get the weaker rows-only check).
+  * All float math that is oracle-checked accumulates in double precision so
+  * Spark and DuckDB (over DOUBLE[] casts) produce bit-comparable values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Deterministic 64-dim query vector, exactly representable in f32 & f64. */
+  private[graft] val Q64: Seq[Float] = (0 until 64).map(i => (i % 8) / 8.0f)
+  private[graft] def q64Sql: String =
+    Q64.map(v => f"$v%.3f").mkString("[", ", ", "]::DOUBLE[]")
+  private[graft] def q64Arr: Array[Float] = Q64.toArray
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * ANN top-k over the embeddings table through the DiskANN index path. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val emb = t(spark, dir, "embeddings")
+    Ann.buildIndex(emb, "embedding", "vec_id", "entry_idx",
+      Ann.BuildParams(engine = "diskann", numShards = 2, maxDegree = 32,
+        buildComplexity = 64))
+    Ann.search(emb, "vec_id", "entry_idx", q64Arr, 10, searchComplexity = 100)
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational surface (host-engine capabilities, SURVEY §2.2) ----
+
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "rk")
+        .orderBy("o_custkey", "rk")
+    }),
+
+    "events_agg" -> ((s, dir) => {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as long
+      // (nanosAsLong); group by hour as epoch seconds so the oracle compare is
+      // integer-exact in both engines.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      ev.groupBy(col("event_type"),
+          ((col("ts") - col("ts") % 3600000000000L) / 1000000000L)
+            .cast("long").as("h"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+        .orderBy("event_type", "h")
+    }),
+
+    // ---- brute-force distance + top-k (SURVEY §2.1 #9; the semantic oracle) ----
+
+    "knn_exact_l2" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("_distance"))
+        .orderBy(col("_distance"), col("vec_id"))
+        .limit(10)
+    }),
+
+    "knn_exact_ip" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          array_inner_product(toFloatVec(col("embedding")), floatVec(Q64)).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    }),
+
+    "knn_exact_cos" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          array_cosine_similarity(toFloatVec(col("embedding")), floatVec(Q64)).as("sim"))
+        .orderBy(desc("sim"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // ---- vector_distances (SURVEY §2.1 #15): distance for every row ----
+
+    "vector_distances" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("_distance"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- ANN index paths (approximate → rows-only check) ----
+
+    "ann_diskann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_diskann",
+        Ann.BuildParams(engine = "diskann", numShards = 2))
+      Ann.search(emb, "vec_id", "v_diskann", q64Arr, 10, searchComplexity = 128)
+        .select("vec_id", "_distance")
+    }),
+
+    "ann_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_sq8",
+        Ann.BuildParams(engine = "diskann", numShards = 1, quantization = "sq8"))
+      Ann.search(emb, "vec_id", "v_sq8", q64Arr, 10, searchComplexity = 128)
+        .select("vec_id", "_distance")
+    }),
+
+    "ann_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_batch",
+        Ann.BuildParams(engine = "diskann", numShards = 2))
+      val q2 = Q64.map(v => 1.0f - v).toArray
+      Ann.searchBatch(emb, "vec_id", "v_batch", Seq(q64Arr, q2), 5,
+        searchComplexity = 128)
+        .select("query_idx", "vec_id", "_distance")
+    }),
+
+    // ivfflat with nprobe == nlist scans every cluster → exact; oracle-able
+    // as rank-only output (ordering is metric-monotonic).
+    "ann_ivf_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_ivf_exact",
+        Ann.BuildParams(engine = "ivfflat", nlist = 8, nprobe = 8))
+      Ann.search(emb, "vec_id", "v_ivf_exact", q64Arr, 10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(array_distance(toFloatVec(col("embedding")), floatVec(Q64)),
+            col("vec_id"))).cast("long"))
+        .select("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    "ann_ivf_pruned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_ivf",
+        Ann.BuildParams(engine = "ivfflat", nlist = 8, nprobe = 2))
+      Ann.search(emb, "vec_id", "v_ivf", q64Arr, 10).select("vec_id", "_distance")
+    }),
+
+    "ann_list" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_list",
+        Ann.BuildParams(engine = "flat"))
+      Ann.list(s).where(col("name") === "v_list")
+    }),
+
+    // ---- text / dedup operators (north-star pipeline ops) ----
+
+    "dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .select("keep_id", "n_dups")
+        .orderBy("keep_id")
+    }),
+
+    "token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_join" ->
+      """SELECT o_orderkey,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    "events_agg" ->
+      """SELECT event_type,
+        | CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, count(*) AS n,
+        | round(sum(value), 2) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "knn_exact_l2" ->
+      s"""SELECT vec_id,
+         | list_distance(CAST(embedding AS DOUBLE[]), $q64Sql) AS _distance
+         |FROM embeddings ORDER BY _distance, vec_id LIMIT 10""".stripMargin,
+    "knn_exact_ip" ->
+      s"""SELECT vec_id,
+         | list_inner_product(CAST(embedding AS DOUBLE[]), $q64Sql) AS sim
+         |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "knn_exact_cos" ->
+      s"""SELECT vec_id,
+         | list_cosine_similarity(CAST(embedding AS DOUBLE[]), $q64Sql) AS sim
+         |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "vector_distances" ->
+      s"""SELECT vec_id, label,
+         | list_distance(CAST(embedding AS DOUBLE[]), $q64Sql) AS _distance
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "ann_ivf_exact" ->
+      s"""SELECT vec_id, row_number() OVER (
+         |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
+         |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id, len(str_split(text, ' ')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,424 @@
+package graft.core
+
+import java.util.Arrays
+
+/**
+ * In-memory Vamana (DiskANN) graph index over `Array[Float]` vectors.
+ *
+ * Semantics follow the reference engine's build/search contract:
+ *  - incremental build: each insert = greedy search for candidates, then
+ *    alpha-RNG robust prune, then bidirectional edge repair with overflow
+ *    pruning (reference rust_lib/src/index_manager.rs:263-313, which
+ *    delegates to the public `diskann` crate; algorithm per the DiskANN /
+ *    Vamana paper, Subramanya et al., NeurIPS'19).
+ *  - greedy best-first beam search with a bounded sorted result list
+ *    (reference rust_lib/src/disk_provider.rs:339-462, insert_result
+ *    :656-678); `L = max(k, searchComplexity else buildComplexity)`
+ *    (index_manager.rs:344-350).
+ *  - L2 distances are *squared* L2; IP distances are negated dot products
+ *    (distance.rs:15-25). Cosine = IP over pre-normalized vectors.
+ *
+ * Single-threaded per instance by design — one shard is built/searched inside
+ * one Spark task; cluster parallelism comes from shard-per-partition layout.
+ */
+final class VamanaIndex(
+    val dim: Int,
+    val metric: Metric,
+    val maxDegree: Int = VamanaIndex.DefaultMaxDegree,
+    val buildComplexity: Int = VamanaIndex.DefaultBuildComplexity,
+    val alpha: Float = VamanaIndex.DefaultAlpha,
+    initialCapacity: Int = 1024) extends Serializable {
+
+  require(dim > 0, "dimension must be positive")
+  require(maxDegree > 0 && buildComplexity > 0)
+
+  // Flat row-major vector storage, grown by doubling (reference provider.rs:42-43).
+  private var vecs: Array[Float] = new Array[Float](math.max(initialCapacity, 4) * dim)
+  // Per-node adjacency: ids in adj(i)(0 until degree(i)); slot arrays sized with
+  // slack so back-edge inserts rarely reallocate before the overflow prune fires.
+  private var adj: Array[Array[Int]] = new Array[Array[Int]](math.max(initialCapacity, 4))
+  private var degree: Array[Int] = new Array[Int](math.max(initialCapacity, 4))
+  private var count = 0
+
+  /** Overflow slack before a node's neighbor list is re-pruned (diskann crate
+   *  `MaxDegree::default_slack`). */
+  private val slackDegree: Int = math.max(maxDegree + 1, (maxDegree * 1.3).toInt)
+
+  var entryPoints: Array[Int] = Array.emptyIntArray
+
+  // Optional SQ8 storage (quantize() swaps search reads to dequantized u8).
+  private var sq8: Sq8Data = null
+
+  // Build is single-threaded per shard; reuse one searcher's scratch buffers
+  // across inserts (reference uses thread-local scratch, index_manager.rs:197-224).
+  @transient private lazy val buildBeam = new BeamSearcher(this)
+
+  def size: Int = count
+  def isQuantized: Boolean = sq8 != null
+  def sq8Data: Sq8Data = sq8
+
+  def vector(id: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (sq8 != null) sq8.dequantizeInto(id, out)
+    else System.arraycopy(vecs, id * dim, out, 0, dim)
+    out
+  }
+
+  /** Raw full-precision storage (valid for ids < size); for serialization. */
+  def rawVectors: Array[Float] = vecs
+  def neighbors(id: Int): Array[Int] = Arrays.copyOf(adj(id), degree(id))
+
+  private def ensureCapacity(n: Int): Unit = {
+    if (n * dim > vecs.length) {
+      var cap = math.max(vecs.length / dim, 4)
+      while (cap < n) cap *= 2
+      vecs = Arrays.copyOf(vecs, cap * dim)
+      adj = Arrays.copyOf(adj, cap)
+      degree = Arrays.copyOf(degree, cap)
+    }
+  }
+
+  @inline private def dist(a: Int, q: Array[Float]): Float = {
+    if (sq8 != null) sq8.distance(metric, a, q)
+    else {
+      val off = a * dim
+      var s = 0.0f
+      var i = 0
+      if (metric eq Metric.L2) {
+        while (i < dim) { val d = vecs(off + i) - q(i); s += d * d; i += 1 }
+        s
+      } else {
+        while (i < dim) { s += vecs(off + i) * q(i); i += 1 }
+        -s
+      }
+    }
+  }
+
+  @inline private def distNodes(a: Int, b: Int): Float = {
+    val oa = a * dim; val ob = b * dim
+    var s = 0.0f
+    var i = 0
+    if (metric eq Metric.L2) {
+      while (i < dim) { val d = vecs(oa + i) - vecs(ob + i); s += d * d; i += 1 }
+      s
+    } else {
+      while (i < dim) { s += vecs(oa + i) * vecs(ob + i); i += 1 }
+      -s
+    }
+  }
+
+  /** Insert one vector; returns its label (dense 0..N-1). */
+  def add(v: Array[Float]): Int = {
+    require(v.length == dim, s"expected dimension $dim, got ${v.length}")
+    require(sq8 == null, "cannot insert into a quantized index")
+    val label = count
+    ensureCapacity(count + 1)
+    System.arraycopy(v, 0, vecs, label * dim, dim)
+    adj(label) = new Array[Int](slackDegree)
+    degree(label) = 0
+    count += 1
+
+    if (label == 0) {
+      entryPoints = Array(0)
+      return label
+    }
+
+    // 1. Greedy search from entry points with L=buildComplexity; the visited
+    //    (expanded) set with distances is the prune candidate pool.
+    val beam = buildBeam
+    beam.search(v, buildComplexity, buildComplexity, excludeSelf = label)
+    val candIds = beam.visitedIds
+    val candDists = beam.visitedDists
+    val nCand = beam.visitedCount
+
+    // 2. Robust prune to choose this node's out-neighbors.
+    val chosen = robustPrune(label, candIds, candDists, nCand, maxDegree)
+    var i = 0
+    while (i < chosen.length) {
+      adj(label)(i) = chosen(i); i += 1
+    }
+    degree(label) = chosen.length
+
+    // 3. Bidirectional edge repair: add back-edges, prune overflowing nodes.
+    i = 0
+    while (i < chosen.length) {
+      val q = chosen(i)
+      if (!containsNeighbor(q, label)) {
+        if (degree(q) < adj(q).length) {
+          adj(q)(degree(q)) = label
+          degree(q) += 1
+        }
+        if (degree(q) > maxDegree || degree(q) >= adj(q).length) pruneNode(q)
+      }
+      i += 1
+    }
+    label
+  }
+
+  @inline private def containsNeighbor(node: Int, target: Int): Boolean = {
+    val a = adj(node); val d = degree(node)
+    var i = 0
+    while (i < d) { if (a(i) == target) return true; i += 1 }
+    false
+  }
+
+  /** Re-prune node's neighbor list down to maxDegree with the alpha-RNG rule. */
+  private def pruneNode(node: Int): Unit = {
+    val d = degree(node)
+    val ids = new Array[Int](d)
+    val ds = new Array[Float](d)
+    var i = 0
+    while (i < d) { ids(i) = adj(node)(i); ds(i) = distNodes(node, adj(node)(i)); i += 1 }
+    val chosen = robustPrune(node, ids, ds, d, maxDegree)
+    i = 0
+    while (i < chosen.length) { adj(node)(i) = chosen(i); i += 1 }
+    degree(node) = chosen.length
+  }
+
+  /**
+   * Alpha-RNG robust prune (Vamana paper Algorithm 2): repeatedly take the
+   * closest remaining candidate p*, then drop every candidate v with
+   * `alpha * d(p*, v) <= d(p, v)` — i.e. v is better reached through p*.
+   */
+  private def robustPrune(p: Int, candIds: Array[Int], candDists: Array[Float],
+      n: Int, limit: Int): Array[Int] = {
+    // sort candidate indices by distance to p, dropping self and duplicates
+    val order = (0 until n).filter(i => candIds(i) != p).sortBy(candDists(_)).toArray
+    val chosen = new Array[Int](math.min(limit, order.length))
+    var nChosen = 0
+    val killed = new Array[Boolean](n)
+    // dedup by id (keep first = closest)
+    val seen = new java.util.HashSet[Integer](n * 2)
+    var oi = 0
+    while (oi < order.length && nChosen < limit) {
+      val ci = order(oi)
+      if (!killed(ci) && seen.add(candIds(ci))) {
+        val star = candIds(ci)
+        chosen(nChosen) = star
+        nChosen += 1
+        // occlude candidates dominated by star
+        var oj = oi + 1
+        while (oj < order.length) {
+          val cj = order(oj)
+          if (!killed(cj)) {
+            val dStarV = distNodes(star, candIds(cj))
+            if (alpha * dStarV <= candDists(cj)) killed(cj) = true
+          }
+          oj += 1
+        }
+      }
+      oi += 1
+    }
+    Arrays.copyOf(chosen, nChosen)
+  }
+
+  /**
+   * Top-k beam search. Returns (labels, distances) sorted by distance asc.
+   * `searchComplexity <= 0` means "use buildComplexity" (index_manager.rs:344-350).
+   */
+  def search(query: Array[Float], k: Int, searchComplexity: Int = 0): (Array[Int], Array[Float]) = {
+    if (count == 0 || k <= 0) return (Array.emptyIntArray, Array.emptyFloatArray)
+    require(query.length == dim, s"query dimension ${query.length} != index dimension $dim")
+    val kk = math.min(k, count)
+    val baseL = if (searchComplexity > 0) searchComplexity else buildComplexity
+    val l = math.max(kk, baseL)
+    val beam = new BeamSearcher(this)
+    beam.search(query, kk, l, excludeSelf = -1)
+    beam.topK(kk)
+  }
+
+  /** Bulk-load deserialized state (DiskannFormat.read). */
+  private[core] def load(n: Int, vectors: Array[Float],
+      adjacency: Array[Array[Int]], eps: Array[Int]): Unit = {
+    require(vectors.length >= n * dim)
+    ensureCapacity(math.max(n, 1))
+    System.arraycopy(vectors, 0, vecs, 0, n * dim)
+    var i = 0
+    while (i < n) {
+      val nbrs = adjacency(i)
+      adj(i) = if (nbrs.length >= slackDegree) nbrs
+               else Arrays.copyOf(nbrs, slackDegree)
+      degree(i) = nbrs.length
+      i += 1
+    }
+    count = n
+    entryPoints = eps
+  }
+
+  /** SQ8-quantize all stored vectors (reference provider.rs:161-210).
+   *  Search afterwards reads dequantized values; inserts are frozen. */
+  def quantize(): Unit = {
+    if (count == 0) return
+    sq8 = Sq8Codec.quantize(vecs, count, dim)
+  }
+
+  def loadSq8(data: Sq8Data): Unit = { sq8 = data }
+
+  /** Approximate resident bytes (vectors + adjacency [+ SQ8]). */
+  def memoryBytes: Long = {
+    var b = count.toLong * dim * 4 + count.toLong * slackDegree * 4
+    if (sq8 != null) b += sq8.data.length.toLong + sq8.min.length.toLong * 8
+    b
+  }
+
+  // ---------------------------------------------------------------- internal
+
+  /** Reusable greedy best-first search; exposes the visited pool for builds. */
+  private final class BeamSearcher(ix: VamanaIndex) {
+    // bounded sorted result list (parallel arrays), mirrors insert_result
+    private var resDist: Array[Float] = null
+    private var resId: Array[Int] = null
+    private var resLen = 0
+    // candidate min-heap packed as long: sortableFloatBits(dist) << 32 | id
+    private var heap: Array[Long] = new Array[Long](256)
+    private var heapLen = 0
+    private val visited = new java.util.HashSet[Integer](1024)
+    // visited pool (every node whose distance was computed) for robustPrune
+    var visitedIds: Array[Int] = new Array[Int](1024)
+    var visitedDists: Array[Float] = new Array[Float](1024)
+    var visitedCount = 0
+
+    @inline private def sortableBits(f: Float): Long = {
+      val raw = java.lang.Float.floatToRawIntBits(f)
+      val s = if (raw < 0) ~raw else raw ^ 0x80000000
+      s.toLong & 0xffffffffL
+    }
+
+    @inline private def heapPush(v: Long): Unit = {
+      if (heapLen == heap.length) heap = Arrays.copyOf(heap, heapLen * 2)
+      var i = heapLen; heap(i) = v; heapLen += 1
+      while (i > 0 && heap((i - 1) / 2) > heap(i)) {
+        val p = (i - 1) / 2
+        val t = heap(p); heap(p) = heap(i); heap(i) = t
+        i = p
+      }
+    }
+
+    @inline private def heapPop(): Long = {
+      val top = heap(0)
+      heapLen -= 1
+      heap(0) = heap(heapLen)
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < heapLen && heap(l) < heap(m)) m = l
+        if (r < heapLen && heap(r) < heap(m)) m = r
+        if (m == i) done = true
+        else { val t = heap(m); heap(m) = heap(i); heap(i) = t; i = m }
+      }
+      top
+    }
+
+    @inline private def recordVisited(id: Int, d: Float): Unit = {
+      if (visitedCount == visitedIds.length) {
+        visitedIds = Arrays.copyOf(visitedIds, visitedCount * 2)
+        visitedDists = Arrays.copyOf(visitedDists, visitedCount * 2)
+      }
+      visitedIds(visitedCount) = id
+      visitedDists(visitedCount) = d
+      visitedCount += 1
+    }
+
+    /** Binary-search insert into the bounded result list (disk_provider.rs:656-678). */
+    @inline private def insertResult(l: Int, d: Float, id: Int): Unit = {
+      if (resLen < l || d < resDist(resLen - 1)) {
+        var lo = 0; var hi = resLen
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (resDist(mid) < d) lo = mid + 1 else hi = mid
+        }
+        val insertAt = lo
+        val newLen = math.min(resLen + 1, l)
+        var i = newLen - 1
+        while (i > insertAt) { resDist(i) = resDist(i - 1); resId(i) = resId(i - 1); i -= 1 }
+        if (insertAt < l) { resDist(insertAt) = d; resId(insertAt) = id }
+        resLen = newLen
+        heapPush(sortableBits(d) << 32 | (id.toLong & 0xffffffffL))
+      }
+    }
+
+    def search(query: Array[Float], k: Int, l: Int, excludeSelf: Int): Unit = {
+      resDist = new Array[Float](l)
+      resId = new Array[Int](l)
+      resLen = 0; heapLen = 0; visitedCount = 0; visited.clear()
+      val eps = ix.entryPoints
+      var i = 0
+      while (i < eps.length) {
+        val ep = eps(i)
+        if (ep < ix.count && ep != excludeSelf && visited.add(ep)) {
+          val d = ix.dist(ep, query)
+          recordVisited(ep, d)
+          insertResultSeed(l, d, ep)
+        }
+        i += 1
+      }
+      while (heapLen > 0) {
+        val top = heapPop()
+        val cDist = java.lang.Float.intBitsToFloat {
+          val s = (top >>> 32).toInt
+          if ((s & 0x80000000) != 0) s ^ 0x80000000 else ~s
+        }
+        if (resLen >= l && cDist > resDist(resLen - 1)) {
+          heapLen = 0 // converged
+        } else {
+          val cId = top.toInt
+          val nbrs = ix.adj(cId); val nd = ix.degree(cId)
+          var j = 0
+          while (j < nd) {
+            val nb = nbrs(j)
+            if (nb != excludeSelf && nb < ix.count && visited.add(nb)) {
+              val d = ix.dist(nb, query)
+              recordVisited(nb, d)
+              insertResult(l, d, nb)
+            }
+            j += 1
+          }
+        }
+      }
+    }
+
+    @inline private def insertResultSeed(l: Int, d: Float, id: Int): Unit = {
+      // same as insertResult but always pushes the seed on the heap
+      var lo = 0; var hi = resLen
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (resDist(mid) < d) lo = mid + 1 else hi = mid
+      }
+      if (lo < l) {
+        val newLen = math.min(resLen + 1, l)
+        var i = newLen - 1
+        while (i > lo) { resDist(i) = resDist(i - 1); resId(i) = resId(i - 1); i -= 1 }
+        resDist(lo) = d; resId(lo) = id
+        resLen = newLen
+      }
+      heapPush(sortableBits(d) << 32 | (id.toLong & 0xffffffffL))
+    }
+
+    def topK(k: Int): (Array[Int], Array[Float]) = {
+      val n = math.min(k, resLen)
+      (Arrays.copyOf(resId, n), Arrays.copyOf(resDist, n))
+    }
+  }
+}
+
+object VamanaIndex {
+  // Reference defaults: src/include/diskann_index.hpp:21-25.
+  val DefaultMaxDegree = 64
+  val DefaultBuildComplexity = 128
+  val DefaultAlpha = 1.2f
+
+  /** Build from an iterator (per-shard build inside a Spark task). */
+  def build(vectors: Iterator[Array[Float]], dim: Int, metric: Metric,
+      maxDegree: Int = DefaultMaxDegree,
+      buildComplexity: Int = DefaultBuildComplexity,
+      alpha: Float = DefaultAlpha): VamanaIndex = {
+    val ix = new VamanaIndex(dim, metric, maxDegree, buildComplexity, alpha)
+    val normalize = metric eq Metric.Cosine
+    vectors.foreach { v =>
+      ix.add(if (normalize) VectorOps.normalize(v.clone()) else v)
+    }
+    ix
+  }
+}

@@ -1,0 +1,107 @@
+package graft.core
+
+/**
+ * Scalar distance kernels over `Array[Float]`.
+ *
+ * Semantics mirror the reference engine (rust_lib/src/distance.rs:15-25):
+ *  - `l2Sq` is the *squared* Euclidean distance (the index-internal metric).
+ *  - `ipDistance` is the *negated* dot product, so lower = more similar.
+ *  - `cosineSimilarity` is the raw cosine (higher = more similar).
+ *
+ * Double variants are provided for the SQL-facing expressions where the
+ * oracle (DuckDB `list_distance` on DOUBLE[]) computes in f64; using the
+ * same sequential summation order keeps results bit-comparable.
+ *
+ * Loops are written branch-free over plain arrays so HotSpot auto-vectorizes
+ * them (the JVM replacement for the reference's AVX2/NEON kernels).
+ */
+object VectorOps {
+
+  @inline def l2Sq(a: Array[Float], b: Array[Float]): Float = {
+    var s = 0.0f
+    var i = 0
+    val n = a.length
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  @inline def dot(a: Array[Float], b: Array[Float]): Float = {
+    var s = 0.0f
+    var i = 0
+    val n = a.length
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Negated inner product: lower = closer (reference distance.rs:21-24). */
+  @inline def ipDistance(a: Array[Float], b: Array[Float]): Float = -dot(a, b)
+
+  @inline def norm(a: Array[Float]): Float = math.sqrt(dot(a, a).toDouble).toFloat
+
+  def cosineSimilarity(a: Array[Float], b: Array[Float]): Float = {
+    var ab = 0.0f; var aa = 0.0f; var bb = 0.0f
+    var i = 0
+    val n = a.length
+    while (i < n) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+    val den = math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble)
+    if (den == 0.0) 0.0f else (ab / den).toFloat
+  }
+
+  /** L2-normalize in place; returns the same array. Zero vectors unchanged. */
+  def normalize(a: Array[Float]): Array[Float] = {
+    val n = norm(a)
+    if (n > 0f) { var i = 0; while (i < a.length) { a(i) /= n; i += 1 } }
+    a
+  }
+
+  // ---- double-precision variants (SQL expression surface) ----
+
+  def l2SqD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0; val n = a.length
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  def l2D(a: Array[Double], b: Array[Double]): Double = math.sqrt(l2SqD(a, b))
+
+  def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0; val n = a.length
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def cosineD(a: Array[Double], b: Array[Double]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0; val n = a.length
+    while (i < n) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+    val den = math.sqrt(aa) * math.sqrt(bb)
+    if (den == 0.0) 0.0 else ab / den
+  }
+}
+
+/** Index metric. Matches the reference's on-disk codes (file_format.rs: 0=L2, 1=IP).
+ *  Cosine is realized as IP over L2-normalized vectors (stored code = IP) but kept
+ *  distinct in catalog metadata so optimizer metric-compatibility checks work. */
+sealed abstract class Metric(val code: Int, val name: String) extends Serializable {
+  /** Distance where lower = closer. */
+  def distance(a: Array[Float], b: Array[Float]): Float
+}
+object Metric {
+  case object L2 extends Metric(0, "l2") {
+    def distance(a: Array[Float], b: Array[Float]): Float = VectorOps.l2Sq(a, b)
+  }
+  case object InnerProduct extends Metric(1, "ip") {
+    def distance(a: Array[Float], b: Array[Float]): Float = VectorOps.ipDistance(a, b)
+  }
+  /** Cosine: vectors are normalized at build/query time; distance = -dot = -cos. */
+  case object Cosine extends Metric(1, "cosine") {
+    def distance(a: Array[Float], b: Array[Float]): Float = VectorOps.ipDistance(a, b)
+  }
+  def fromName(s: String): Metric = s.toLowerCase match {
+    case "l2" | "euclidean"            => L2
+    case "ip" | "innerproduct" | "dot" => InnerProduct
+    case "cosine" | "cos"              => Cosine
+    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+  def fromCode(code: Int, cosine: Boolean = false): Metric =
+    if (cosine) Cosine else if (code == 1) InnerProduct else L2
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.{functions => F}
+import graft.expressions._
+
+/**
+ * Column-level surface of the engine's scalar vector functions, mirroring the
+ * function family the reference engine piggybacks on (DuckDB's `array_*` /
+ * `list_*` built-ins; accepted set per reference src/ann_optimizer.cpp:385-391).
+ * `list_*` aliases are registered for SQL alongside `array_*`.
+ */
+object functions {
+
+  private[graft] def mkExpr(c: Column): Expression = GraftShim.expression(c)
+  private[graft] def mkCol(e: Expression): Column = GraftShim.column(e)
+
+  /** Cast any numeric-array column to ARRAY<FLOAT> (the engine's domain type;
+   *  reference coerces LIST of any numeric to f32, src/ann_search.cpp:471-493). */
+  def toFloatVec(c: Column): Column = c.cast(ArrayType(FloatType))
+
+  /** A literal query vector as ARRAY<FLOAT>. */
+  def floatVec(values: Seq[Float]): Column =
+    F.array(values.map(v => F.lit(v)): _*).cast(ArrayType(FloatType))
+
+  def array_distance(a: Column, b: Column): Column = mkCol(ArrayDistance(mkExpr(a), mkExpr(b)))
+  def array_distance_sq(a: Column, b: Column): Column = mkCol(ArrayDistanceSq(mkExpr(a), mkExpr(b)))
+  def array_inner_product(a: Column, b: Column): Column = mkCol(ArrayInnerProduct(mkExpr(a), mkExpr(b)))
+  def array_negative_inner_product(a: Column, b: Column): Column =
+    mkCol(ArrayNegativeInnerProduct(mkExpr(a), mkExpr(b)))
+  def array_cosine_similarity(a: Column, b: Column): Column =
+    mkCol(ArrayCosineSimilarity(mkExpr(a), mkExpr(b)))
+  def array_cosine_distance(a: Column, b: Column): Column =
+    mkCol(ArrayCosineDistance(mkExpr(a), mkExpr(b)))
+
+  /** Register SQL names (array_* + list_* aliases) in the session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def reg2(name: String, builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, exprs => {
+        require(exprs.length == 2, s"$name expects 2 arguments")
+        builder(exprs)
+      }, "built-in")
+    val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      "array_distance" -> (e => ArrayDistance(e(0), e(1))),
+      "array_distance_sq" -> (e => ArrayDistanceSq(e(0), e(1))),
+      "array_inner_product" -> (e => ArrayInnerProduct(e(0), e(1))),
+      "array_negative_inner_product" -> (e => ArrayNegativeInnerProduct(e(0), e(1))),
+      "array_cosine_similarity" -> (e => ArrayCosineSimilarity(e(0), e(1))),
+      "array_cosine_distance" -> (e => ArrayCosineDistance(e(0), e(1))))
+    for ((n, b) <- fns) {
+      reg2(n, b)
+      reg2(n.replace("array_", "list_"), b)
+    }
+  }
+}

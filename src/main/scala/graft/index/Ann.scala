@@ -1,0 +1,633 @@
+package graft.index
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession, Row, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.core.{Metric, VamanaIndex, VectorOps, DiskannFormat}
+import graft.functions.{toFloatVec, array_distance_sq, array_negative_inner_product}
+
+/**
+ * Distributed ANN index build/search — the Spark-native re-expression of the
+ * reference's index lifecycle (CREATE INDEX / ann_search / ann_search_batch /
+ * ann_search_table / deletes / vacuum / merge / persistence; reference
+ * src/diskann_index.cpp, src/ann_search.cpp).
+ *
+ * Architecture (100 TB design; SURVEY.md §7):
+ *  - An index = a directory of `.diskann` shard files (byte-compatible with
+ *    the reference's format) + id-mapping sidecars + metadata.json. One shard
+ *    is built per input partition inside a single task — vectors NEVER
+ *    materialize on the driver.
+ *  - Search fans out shard-parallel tasks (`parallelize(shards)`), each
+ *    over-fetching `k·oversample + |tombstones|` like the reference
+ *    (src/diskann_index.cpp:558-561), then merges with Spark's native top-k.
+ *  - Row fetch-back uses an `isin` pushdown filter on the id column (a k-row
+ *    literal reaches the parquet scan) + a broadcast join for `_distance` —
+ *    the 100 TB-safe analog of the reference's rowid `DataTable::Fetch`.
+ *  - Engines: `diskann` (Vamana graph), `flat` (exact scan, Spark-native
+ *    TakeOrderedAndProject), `ivfflat` (sampled k-means centroids + parquet
+ *    partitioned by cluster id → nprobe partition pruning).
+ *
+ * Distances surfaced follow the reference engine: L2 is *squared* L2, IP is
+ * the negated dot product, cosine is the negated cosine (lower = closer;
+ * rust_lib/src/distance.rs:15-25).
+ */
+object Ann {
+
+  case class BuildParams(
+      engine: String = "diskann",          // diskann | flat | ivfflat
+      metric: String = "l2",               // l2 | ip | cosine
+      maxDegree: Int = VamanaIndex.DefaultMaxDegree,
+      buildComplexity: Int = VamanaIndex.DefaultBuildComplexity,
+      alpha: Float = VamanaIndex.DefaultAlpha,
+      quantization: String = "",           // "" | "sq8"
+      numShards: Int = 0,                  // 0 = auto from targetShardSize
+      targetShardSize: Long = 1000000L,
+      nlist: Int = 100,                    // ivfflat (reference default, faiss_index.hpp:38-43)
+      nprobe: Int = 1,
+      trainSample: Int = 25600)
+
+  def root(spark: SparkSession): String =
+    IndexCatalog.rootDir(k => spark.conf.getOption(k))
+
+  private def sortableVec(c: Column): Column = c
+
+  // ------------------------------------------------------------------ build
+
+  /** Build an ANN index over `df(column)` keyed by `df(idColumn)` (LONG). */
+  def buildIndex(df: DataFrame, column: String, idColumn: String, name: String,
+      params: BuildParams = BuildParams()): IndexMeta = {
+    val spark = df.sparkSession
+    val metric = Metric.fromName(params.metric)
+    val dir = IndexCatalog.indexDir(root(spark), name)
+    IndexCatalog.drop(root(spark), name)
+    new java.io.File(dir).mkdirs()
+
+    val data = df.select(
+      col(idColumn).cast(LongType).as("id"),
+      toFloatVec(col(column)).as("vec"))
+      .where(col(idColumn).isNotNull && col(column).isNotNull)
+
+    params.engine.toLowerCase match {
+      case "diskann" => buildDiskann(data, name, dir, metric, params)
+      case "flat"    => buildFlat(data, name, dir, metric, params)
+      case "ivfflat" => buildIvf(data, name, dir, metric, params)
+      case e => throw new IllegalArgumentException(s"unknown engine: $e")
+    }
+  }
+
+  private def inferDim(data: DataFrame): Int = {
+    val row = data.select(size(col("vec")).as("d")).limit(1).collect()
+    require(row.nonEmpty, "cannot build an index over an empty input")
+    row(0).getInt(0)
+  }
+
+  private def buildDiskann(data: DataFrame, name: String, dir: String,
+      metric: Metric, params: BuildParams): IndexMeta = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val dim = inferDim(data)
+    val n = data.count()
+    val nShards = if (params.numShards > 0) params.numShards
+      else math.max(1, math.ceil(n.toDouble / params.targetShardSize).toInt)
+
+    val ds = data.as[(Long, Array[Float])]
+    val repart = if (nShards == 1) ds.coalesce(1) else ds.repartition(nShards)
+    val maxDeg = params.maxDegree; val bc = params.buildComplexity
+    val alpha = params.alpha; val quant = params.quantization
+    val metricName = metric.name
+    val shardMetas = repart.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val m = Metric.fromName(metricName)
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val ix = new VamanaIndex(dim, m, maxDeg, bc, alpha)
+      val normalize = m eq Metric.Cosine
+      var bad = -1L
+      it.foreach { case (id, v) =>
+        if (v.length != dim) bad = id
+        else {
+          ix.add(if (normalize) VectorOps.normalize(v.clone()) else v)
+          ids += id
+        }
+      }
+      if (bad >= 0) throw new IllegalArgumentException(
+        s"vector for id $bad does not have expected dimension $dim")
+      if (ix.size == 0) Iterator.empty
+      else {
+        if (quant == "sq8") ix.quantize()
+        val f = f"$dir/shard-$pid%05d.diskann"
+        val idsF = f"$dir/shard-$pid%05d.ids"
+        DiskannFormat.writeFile(ix, f)
+        IndexCatalog.writeIds(idsF, ids.toArray)
+        Iterator.single(ShardMeta(f, idsF, ids.length.toLong))
+      }
+    }.collect().toList.sortBy(_.file)
+
+    val meta = IndexMeta(name, "diskann", "vec", "id", dim, metric.name,
+      params.maxDegree, params.buildComplexity, params.alpha,
+      params.quantization == "sq8", shardMetas.map(_.count).sum, 0L, shardMetas)
+    IndexCatalog.save(root(spark), meta)
+    meta
+  }
+
+  private def buildFlat(data: DataFrame, name: String, dir: String,
+      metric: Metric, params: BuildParams): IndexMeta = {
+    val spark = data.sparkSession
+    val dim = inferDim(data)
+    val out = s"$dir/data"
+    val stored =
+      if (metric eq Metric.Cosine) {
+        val normalizeUdf = udf((v: Array[Float]) => VectorOps.normalize(v.clone()))
+        data.withColumn("vec", normalizeUdf(col("vec")))
+      } else data
+    stored.write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).count()
+    val meta = IndexMeta(name, "flat", "vec", "id", dim, metric.name,
+      0, 0, 0f, false, n, 0L, Nil, sourcePath = out)
+    IndexCatalog.save(root(spark), meta)
+    meta
+  }
+
+  private def buildIvf(data: DataFrame, name: String, dir: String,
+      metric: Metric, params: BuildParams): IndexMeta = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val dim = inferDim(data)
+    // deterministic bounded training sample (reference stride-samples to
+    // 25600, faiss_index.cpp:304-319); never more than trainSample vectors
+    // reach the driver regardless of input size.
+    val sample = data.select("vec").as[Array[Float]]
+      .limit(params.trainSample).collect()
+    val prepped = if (metric eq Metric.Cosine) sample.map(v => VectorOps.normalize(v.clone()))
+                  else sample
+    val cents = KMeansLite.train(prepped, params.nlist)
+    val centPath = s"$dir/centroids.bin"
+    IndexCatalog.writeCentroids(centPath, cents, dim)
+
+    val centsB = spark.sparkContext.broadcast(cents)
+    val cosine = metric eq Metric.Cosine
+    val assignUdf = udf((v: Array[Float]) => {
+      val vv = if (cosine) VectorOps.normalize(v.clone()) else v
+      KMeansLite.nearest(centsB.value, vv)
+    })
+    val normUdf = udf((v: Array[Float]) => VectorOps.normalize(v.clone()))
+    val out = s"$dir/data"
+    val withCluster = (if (cosine) data.withColumn("vec", normUdf(col("vec"))) else data)
+      .withColumn("cluster", assignUdf(col("vec")))
+    withCluster.write.mode("overwrite").partitionBy("cluster").parquet(out)
+    val n = spark.read.parquet(out).count()
+    val meta = IndexMeta(name, "ivfflat", "vec", "id", dim, metric.name,
+      0, 0, 0f, false, n, 0L, Nil, sourcePath = out,
+      nlist = params.nlist, nprobe = params.nprobe)
+    IndexCatalog.save(root(spark), meta)
+    meta
+  }
+
+  // ----------------------------------------------------------------- search
+
+  /** Low-level index scan → DataFrame(row_id LONG, _distance FLOAT), sorted,
+   *  ≤ k·oversample rows (reference diskann_index_scan / faiss_index_scan). */
+  def indexScan(spark: SparkSession, name: String, query: Array[Float], k: Int,
+      searchComplexity: Int = 0, oversample: Int = 1): DataFrame = {
+    val meta = IndexCatalog.load(root(spark), name)
+    val tomb = IndexCatalog.readTombstones(root(spark), name)
+    val fetchK = k * math.max(1, oversample)
+    meta.engine match {
+      case "diskann" => diskannScan(spark, meta, query, fetchK, searchComplexity, tomb)
+      case "flat" | "ivfflat" => exactScanIds(spark, meta, query, fetchK, tomb)
+    }
+  }
+
+  private def prepQuery(meta: IndexMeta, query: Array[Float]): Array[Float] = {
+    require(query.length == meta.dim,
+      s"query dimension ${query.length} != index dimension ${meta.dim}")
+    if (meta.metricObj eq Metric.Cosine) VectorOps.normalize(query.clone()) else query
+  }
+
+  private def diskannScan(spark: SparkSession, meta: IndexMeta, query0: Array[Float],
+      fetchK: Int, searchComplexity: Int, tomb: Set[Long]): DataFrame = {
+    import spark.implicits._
+    val query = prepQuery(meta, query0)
+    // over-request k + |tombstones| like the reference (diskann_index.cpp:558-561)
+    val perShardK = fetchK + tomb.size
+    val shards = meta.shards
+    val cosine = meta.metricObj eq Metric.Cosine
+    val tombB = spark.sparkContext.broadcast(tomb)
+    val sc = searchComplexity
+    val rdd = spark.sparkContext.parallelize(shards, math.max(shards.size, 1)).flatMap { sh =>
+      val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
+      val (labels, dists) = loaded.index.search(query, perShardK, sc)
+      val t = tombB.value
+      labels.indices.iterator
+        .map(i => (loaded.ids(labels(i)), dists(i)))
+        .filterNot { case (id, _) => t.contains(id) }
+    }
+    rdd.toDF("row_id", "_distance")
+      .orderBy(col("_distance"), col("row_id")).limit(fetchK)
+  }
+
+  /** Exact scan for flat/ivfflat → (row_id, _distance), sorted, limit fetchK. */
+  private def exactScanIds(spark: SparkSession, meta: IndexMeta, query0: Array[Float],
+      fetchK: Int, tomb: Set[Long]): DataFrame = {
+    val query = prepQuery(meta, query0)
+    val distCol = metricDistanceCol(meta.metricObj, col("vec"), query)
+    val base = scanIvfOrFlat(spark, meta, query)
+    // order in full double precision (near-ties must resolve identically to an
+    // exact oracle); surface the reference's FLOAT _distance afterwards
+    val unfiltered = base
+      .select(col("id").as("row_id"), distCol.as("__dd"))
+    val filtered = if (tomb.isEmpty) unfiltered
+      else unfiltered.where(!col("row_id").isin(tomb.toSeq: _*))
+    filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
+      .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
+  }
+
+  /** flat: full scan; ivfflat: nprobe-pruned partition scan. */
+  private def scanIvfOrFlat(spark: SparkSession, meta: IndexMeta,
+      query: Array[Float]): DataFrame = {
+    val df = spark.read.parquet(meta.sourcePath)
+    if (meta.engine == "ivfflat") {
+      val cents = IndexCatalog.readCentroids(
+        s"${IndexCatalog.indexDir(root(spark), meta.name)}/centroids.bin")
+      val probes = KMeansLite.nearestP(cents, query, meta.nprobe)
+      df.where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
+    } else df
+  }
+
+  /** Engine-semantics distance column: squared L2 / negated IP / negated cos. */
+  private def metricDistanceCol(metric: Metric, vec: Column, query: Array[Float]): Column = {
+    val q = graft.functions.floatVec(query.toSeq)
+    metric match {
+      case Metric.L2 => array_distance_sq(vec, q)
+      case _ => array_negative_inner_product(vec, q) // IP & cosine (vecs normalized)
+    }
+  }
+
+  /**
+   * `ann_search`: index scan + row fetch-back → base columns + `_distance`,
+   * ordered by distance, ≤ k·oversample rows (reference src/ann_search.cpp:55-195).
+   */
+  def search(df: DataFrame, idColumn: String, name: String, query: Array[Float],
+      k: Int, searchComplexity: Int = 0, oversample: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    val hits = indexScan(spark, name, query, k, searchComplexity, oversample)
+      .collect() // bounded: ≤ k·oversample rows
+    val ids = hits.map(_.getLong(0))
+    val distDf = spark.createDataFrame(hits.toSeq.asInstanceOf[Seq[Row]].map(r =>
+        Row(r.getLong(0), r.getFloat(1))).asJava,
+      StructType(Seq(StructField("__ann_id", LongType), StructField("_distance", FloatType))))
+    // isin literal reaches the parquet scan (PushedFilters: In(id, ...)) —
+    // the scale-safe analog of rowid fetch; then a broadcast join attaches
+    // the distance.
+    df.where(col(idColumn).isin(ids.map(java.lang.Long.valueOf).toSeq: _*))
+      .join(broadcast(distDf), col(idColumn) === col("__ann_id"))
+      .drop("__ann_id")
+      .orderBy(col("_distance"), col(idColumn))
+  }
+
+  private implicit class SeqOps[T](s: Seq[T]) {
+    def asJava: java.util.List[T] = {
+      val l = new java.util.ArrayList[T](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
+
+  /**
+   * `ann_search_batch`: nq query vectors at once → query_idx INT + base
+   * columns + `_distance`, k rows per query (reference src/ann_search.cpp:202-388).
+   * Shard-parallel: every task searches its shard for all queries (the Spark
+   * analog of the reference's lock-step batch BFS).
+   */
+  def searchBatch(df: DataFrame, idColumn: String, name: String,
+      queries: Seq[Array[Float]], k: Int, searchComplexity: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meta = IndexCatalog.load(root(spark), name)
+    val tomb = IndexCatalog.readTombstones(root(spark), name)
+    val scored: DataFrame = meta.engine match {
+      case "diskann" =>
+        val qArr = queries.map(prepQuery(meta, _)).toArray
+        val perShardK = k + tomb.size
+        val cosine = meta.metricObj eq Metric.Cosine
+        val tombB = spark.sparkContext.broadcast(tomb)
+        val qB = spark.sparkContext.broadcast(qArr)
+        val sc = searchComplexity
+        spark.sparkContext.parallelize(meta.shards, math.max(meta.shards.size, 1))
+          .flatMap { sh =>
+            val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
+            val t = tombB.value
+            qB.value.iterator.zipWithIndex.flatMap { case (q, qi) =>
+              val (labels, dists) = loaded.index.search(q, perShardK, sc)
+              labels.indices.iterator
+                .map(i => (qi, loaded.ids(labels(i)), dists(i)))
+                .filterNot { case (_, id, _) => t.contains(id) }
+            }
+          }.toDF("query_idx", "row_id", "_distance")
+      case _ =>
+        queries.zipWithIndex.map { case (q, qi) =>
+          exactScanIds(spark, meta, q, k, tomb)
+            .withColumn("query_idx", lit(qi))
+            .select(col("query_idx"), col("row_id"), col("_distance"))
+        }.reduce(_ unionAll _)
+    }
+    val w = Window.partitionBy("query_idx").orderBy(col("_distance"), col("row_id"))
+    val topPerQuery = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+    joinBase(df, idColumn, topPerQuery, Seq("query_idx"))
+      .orderBy(col("query_idx"), col("_distance"), col(idColumn))
+  }
+
+  /**
+   * `ann_search_table`: DataFrame-input batch search — output = input columns
+   * + base columns (collisions prefixed `tbl_`) + `_distance`
+   * (reference src/ann_search.cpp:397-691). Query-parallel: each task loads
+   * the (executor-cached) shards and merges per-query top-k locally.
+   */
+  def searchTable(queriesDf: DataFrame, queryVecColumn: String, baseDf: DataFrame,
+      idColumn: String, name: String, k: Int, searchComplexity: Int = 0): DataFrame = {
+    val spark = queriesDf.sparkSession
+    val meta = IndexCatalog.load(root(spark), name)
+    val tomb = IndexCatalog.readTombstones(root(spark), name)
+    val tombB = spark.sparkContext.broadcast(tomb)
+    val cosine = meta.metricObj eq Metric.Cosine
+    val shards = meta.shards
+    val perShardK = k + tomb.size
+    val sc = searchComplexity
+    val dim = meta.dim
+    val inSchema = queriesDf.schema
+    val vecIdx = inSchema.fieldIndex(queryVecColumn)
+    val outSchema = StructType(inSchema.fields.toSeq :+
+      StructField("row_id", LongType) :+ StructField("_distance", FloatType))
+    val metricName = meta.metric
+
+    val prepped = queriesDf.withColumn(queryVecColumn,
+      toFloatVec(col(queryVecColumn)))
+    val scoredRdd = prepped.rdd.mapPartitions { rows =>
+      val m = Metric.fromName(metricName)
+      val loadedShards = shards.map(sh => ShardCache.get(sh.file, sh.idsFile, cosine))
+      val t = tombB.value
+      rows.flatMap { row =>
+        val raw = row.getSeq[Float](vecIdx).toArray
+        if (raw.length != dim) Iterator.empty
+        else {
+          val q = if (m eq Metric.Cosine) VectorOps.normalize(raw.clone()) else raw
+          // per-query local merge across shards
+          val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Float)]
+          loadedShards.foreach { ls =>
+            val (labels, dists) = ls.index.search(q, perShardK, sc)
+            var i = 0
+            while (i < labels.length) {
+              val id = ls.ids(labels(i))
+              if (!t.contains(id)) merged += ((id, dists(i)))
+              i += 1
+            }
+          }
+          merged.sortBy { case (id, d) => (d, id) }.take(k).iterator.map { case (id, d) =>
+            Row.fromSeq(row.toSeq :+ id :+ d)
+          }
+        }
+      }
+    }
+    val scored = spark.createDataFrame(scoredRdd, outSchema)
+    joinBaseWithPrefix(baseDf, idColumn, scored, inSchema.fieldNames.toSet)
+  }
+
+  /** Join hits (must contain row_id, _distance [+ extra cols]) back to base. */
+  private def joinBase(base: DataFrame, idColumn: String, hits: DataFrame,
+      extraCols: Seq[String]): DataFrame = {
+    base.join(hits, base(idColumn) === hits("row_id"))
+      .drop("row_id")
+  }
+
+  /** Join back to base, prefixing base columns that collide with query-input
+   *  columns with `tbl_` (reference src/ann_search.cpp:521-525). */
+  private def joinBaseWithPrefix(base: DataFrame, idColumn: String, hits: DataFrame,
+      inputCols: Set[String]): DataFrame = {
+    val renamed = base.columns.foldLeft(base) { (b, c) =>
+      if (inputCols.contains(c)) b.withColumnRenamed(c, s"tbl_$c") else b
+    }
+    val joinId = if (inputCols.contains(idColumn)) s"tbl_$idColumn" else idColumn
+    renamed.join(hits, renamed(joinId) === hits("row_id")).drop("row_id")
+  }
+
+  /**
+   * `vector_distances`: distance of query vs every input row — a pure
+   * projection; whole-stage codegen does the batching (reference
+   * src/ann_search.cpp:741-892 needs a GPU one-shot path for this; Spark's
+   * columnar pipeline is the equivalent lever).
+   */
+  def vectorDistances(df: DataFrame, column: String, query: Array[Float],
+      metric: String = "l2"): DataFrame = {
+    val m = Metric.fromName(metric)
+    val q = if (m eq Metric.Cosine) VectorOps.normalize(query.clone()) else query
+    val vec = toFloatVec(col(column))
+    val dist = m match {
+      case Metric.L2 => array_distance_sq(vec, graft.functions.floatVec(q.toSeq))
+      case Metric.Cosine =>
+        // cosine against unnormalized stored vectors: use cosine distance sign
+        graft.functions.array_negative_inner_product(
+          graft.functions.toFloatVec(normalizeCol(vec)), graft.functions.floatVec(q.toSeq))
+      case _ => array_negative_inner_product(vec, graft.functions.floatVec(q.toSeq))
+    }
+    df.withColumn("_distance", dist.cast(FloatType))
+  }
+
+  private def normalizeCol(vec: Column): Column = {
+    val n = sqrt(aggregate(transform(vec, x => x * x), lit(0.0d), (a, x) => a + x))
+    transform(vec, x => when(n > 0, x / n).otherwise(x))
+  }
+
+  // ----------------------------------------------------- maintenance / DML
+
+  /** Tombstone ids (reference Delete, src/diskann_index.cpp:363-385). */
+  def delete(spark: SparkSession, name: String, ids: Seq[Long]): Unit = {
+    val r = root(spark)
+    val meta = IndexCatalog.load(r, name)
+    val tomb = IndexCatalog.readTombstones(r, name) ++ ids
+    IndexCatalog.writeTombstones(r, name, tomb)
+    IndexCatalog.save(r, meta.copy(numDeleted = tomb.size.toLong))
+  }
+
+  /** Append new rows as delta shards (reference Append, diskann_index.cpp:316-357). */
+  def append(df: DataFrame, column: String, idColumn: String, name: String): IndexMeta = {
+    val spark = df.sparkSession
+    val r = root(spark)
+    val meta = IndexCatalog.load(r, name)
+    require(meta.engine == "diskann", s"append supported for diskann (got ${meta.engine})")
+    val dir = IndexCatalog.indexDir(r, name)
+    import spark.implicits._
+    val dim = meta.dim
+    val data = df.select(col(idColumn).cast(LongType), toFloatVec(col(column)))
+      .as[(Long, Array[Float])]
+    val metricName = meta.metric
+    val maxDeg = meta.maxDegree; val bc = meta.buildComplexity; val alpha = meta.alpha
+    val quant = meta.quantized
+    val deltaTag = s"delta-${meta.shards.size}"
+    val newShards = data.coalesce(1).mapPartitions { it =>
+      val m = Metric.fromName(metricName)
+      val ix = new VamanaIndex(dim, m, maxDeg, bc, alpha)
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val normalize = m eq Metric.Cosine
+      it.foreach { case (id, v) =>
+        require(v.length == dim, s"vector for id $id has dimension ${v.length}, expected $dim")
+        ix.add(if (normalize) VectorOps.normalize(v.clone()) else v)
+        ids += id
+      }
+      if (ix.size == 0) Iterator.empty
+      else {
+        if (quant) ix.quantize()
+        val f = s"$dir/shard-$deltaTag.diskann"
+        DiskannFormat.writeFile(ix, f)
+        IndexCatalog.writeIds(s"$dir/shard-$deltaTag.ids", ids.toArray)
+        Iterator.single(ShardMeta(f, s"$dir/shard-$deltaTag.ids", ids.length.toLong))
+      }
+    }.collect().toList
+    val updated = meta.copy(shards = meta.shards ++ newShards,
+      numVectors = meta.numVectors + newShards.map(_.count).sum)
+    IndexCatalog.save(r, updated)
+    updated
+  }
+
+  /** Vacuum: rebuild shards without tombstoned rows, clear tombstones
+   *  (reference src/diskann_index.cpp:701-741). */
+  def vacuum(spark: SparkSession, name: String): IndexMeta = {
+    val r = root(spark)
+    val meta = IndexCatalog.load(r, name)
+    val tomb = IndexCatalog.readTombstones(r, name)
+    if (tomb.isEmpty) return meta
+    require(meta.engine == "diskann", "vacuum currently supports diskann")
+    val dir = IndexCatalog.indexDir(r, name)
+    val tombB = spark.sparkContext.broadcast(tomb)
+    val cosine = meta.metricObj eq Metric.Cosine
+    val ver = meta.version + 1
+    val maxDeg = meta.maxDegree; val bc = meta.buildComplexity; val alpha = meta.alpha
+    val quant = meta.quantized
+    val newShards = spark.sparkContext
+      .parallelize(meta.shards.zipWithIndex, math.max(meta.shards.size, 1))
+      .flatMap { case (sh, i) =>
+        val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
+        val t = tombB.value
+        val keep = loaded.ids.indices.filter(l => !t.contains(loaded.ids(l)))
+        if (keep.isEmpty) Iterator.empty
+        else {
+          val ix = new VamanaIndex(loaded.index.dim, loaded.index.metric, maxDeg, bc, alpha)
+          keep.foreach(l => ix.add(loaded.index.vector(l)))
+          if (quant) ix.quantize()
+          val f = f"$dir/shard-$i%05d-v$ver.diskann"
+          val idsF = f"$dir/shard-$i%05d-v$ver.ids"
+          DiskannFormat.writeFile(ix, f)
+          IndexCatalog.writeIds(idsF, keep.map(loaded.ids(_)).toArray)
+          Iterator.single(ShardMeta(f, idsF, keep.size.toLong))
+        }
+      }.collect().toList
+    meta.shards.foreach { sh =>
+      new java.io.File(sh.file).delete(); new java.io.File(sh.idsFile).delete()
+    }
+    new java.io.File(IndexCatalog.tombstonePath(r, name)).delete()
+    val updated = meta.copy(shards = newShards, version = ver,
+      numVectors = newShards.map(_.count).sum, numDeleted = 0L)
+    IndexCatalog.save(r, updated)
+    updated
+  }
+
+  /** Merge `source` into `target`: adopt its live shards + tombstones
+   *  (reference MergeIndexes re-inserts vectors, src/diskann_index.cpp:655-699;
+   *  the shard model makes adoption sufficient). */
+  def merge(spark: SparkSession, target: String, source: String): IndexMeta = {
+    val r = root(spark)
+    val t = IndexCatalog.load(r, target)
+    val s = IndexCatalog.load(r, source)
+    require(t.engine == "diskann" && s.engine == "diskann", "merge supports diskann")
+    require(t.dim == s.dim && t.metric == s.metric,
+      s"incompatible indexes: ${t.dim}/${t.metric} vs ${s.dim}/${s.metric}")
+    val tDir = new java.io.File(IndexCatalog.indexDir(r, target))
+    val adopted = s.shards.zipWithIndex.map { case (sh, i) =>
+      val nf = new java.io.File(tDir, s"merged-${t.shards.size + i}.diskann")
+      val ni = new java.io.File(tDir, s"merged-${t.shards.size + i}.ids")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(sh.file), nf.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(sh.idsFile), ni.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ShardMeta(nf.getAbsolutePath, ni.getAbsolutePath, sh.count)
+    }
+    val tomb = IndexCatalog.readTombstones(r, target) ++ IndexCatalog.readTombstones(r, source)
+    if (tomb.nonEmpty) IndexCatalog.writeTombstones(r, target, tomb)
+    val updated = t.copy(shards = t.shards ++ adopted,
+      numVectors = t.numVectors + s.numVectors, numDeleted = tomb.size.toLong)
+    IndexCatalog.save(r, updated)
+    updated
+  }
+
+  // ------------------------------------------------------------ diagnostics
+
+  /** `ann_list()` (reference src/ann_list.cpp:35-90). */
+  def list(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    IndexCatalog.list(root(spark))
+      .map(m => (m.name, m.engine, m.metric)).toDF("name", "engine", "metric")
+  }
+
+  /** `ann_index_info()` (reference src/ann_list.cpp:97-221). */
+  def indexInfo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    IndexCatalog.list(root(spark)).map { m =>
+      val memBytes = m.shards.map(s => new java.io.File(s.file).length()).sum
+      (m.name, m.engine, m.metric, m.dim, m.numVectors, m.numDeleted, memBytes, m.quantized)
+    }.toDF("name", "engine", "metric", "dimension", "num_vectors", "num_deleted",
+      "memory_bytes", "quantized")
+  }
+
+  def drop(spark: SparkSession, name: String): Boolean =
+    IndexCatalog.drop(root(spark), name)
+
+  // -------------------------------------------------------- streaming build
+
+  /**
+   * Two-pass build from a raw `[u32 n][u32 dim][f32×N×D]` little-endian binary
+   * file (reference diskann_streaming_build, rust_lib/src/streaming_build.rs:46-122).
+   * Distributed: byte-ranges are read per task; the reference's pilot-sample
+   * idea maps to the shard partitioning itself. Returns (num_vectors,
+   * dimension, sample_size).
+   */
+  def streamingBuild(spark: SparkSession, inPath: String, name: String,
+      params: BuildParams = BuildParams()): (Long, Int, Long) = {
+    import spark.implicits._
+    val f = new java.io.File(inPath)
+    require(f.isFile, s"input file does not exist: $inPath")
+    require(f.length() >= 8, s"input file too small: $inPath")
+    val (n, dim) = {
+      val in = new java.io.DataInputStream(new java.io.FileInputStream(f))
+      try {
+        val b = new Array[Byte](8); in.readFully(b)
+        val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (bb.getInt.toLong & 0xffffffffL, bb.getInt)
+      } finally in.close()
+    }
+    require(dim > 0 && n >= 0, s"corrupt header in $inPath")
+    require(f.length() >= 8 + n * dim * 4, s"file truncated: $inPath")
+    val sampleSize = math.max(math.sqrt(n.toDouble).toLong, 1000L).min(n)
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (n / 10000L).toInt.max(1)))
+    val df = spark.range(0, n, 1, parts).mapPartitions { idxs =>
+      val raf = new java.io.RandomAccessFile(inPath, "r")
+      val buf = new Array[Byte](dim * 4)
+      val it = idxs.map { iBoxed =>
+        val i = iBoxed.longValue()
+        raf.seek(8L + i * dim * 4)
+        raf.readFully(buf)
+        val fb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val v = new Array[Float](dim)
+        fb.asFloatBuffer().get(v)
+        (i, v)
+      }
+      new Iterator[(Long, Array[Float])] {
+        def hasNext = { val h = it.hasNext; if (!h) raf.close(); h }
+        def next() = it.next()
+      }
+    }.toDF("id", "vec")
+    buildIndex(df, "vec", "id", name, params)
+    (n, dim, sampleSize)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.index
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.{ByteBuffer, ByteOrder}
+import org.json4s._
+import org.json4s.jackson.{Serialization, JsonMethods}
+
+/** One index shard: a `.diskann` file plus its label→id mapping file
+ *  (the reference keeps label↔rowid maps beside the engine bytes,
+ *  src/include/diskann_index.hpp:145-146; we keep them as a sidecar so the
+ *  `.diskann` image stays byte-compatible). */
+case class ShardMeta(file: String, idsFile: String, count: Long)
+
+/**
+ * Index catalog entry, persisted as `metadata.json` in the index directory.
+ * Replaces the reference's in-DB catalog + registry (rust_lib/src/ffi.rs
+ * registry; src/ann_list.cpp listing).
+ */
+case class IndexMeta(
+    name: String,
+    engine: String,               // "diskann" | "flat" | "ivfflat"
+    column: String,
+    idColumn: String,
+    dim: Int,
+    metric: String,               // "l2" | "ip" | "cosine"
+    maxDegree: Int,
+    buildComplexity: Int,
+    alpha: Float,
+    quantized: Boolean,
+    numVectors: Long,
+    numDeleted: Long,
+    shards: List[ShardMeta],
+    sourcePath: String = "",      // flat/ivfflat: parquet dir of (id, vec[, cluster])
+    nlist: Int = 0,               // ivfflat
+    nprobe: Int = 1,              // ivfflat
+    version: Int = 1) {
+  def metricObj: graft.core.Metric = graft.core.Metric.fromName(metric)
+}
+
+object IndexCatalog {
+  implicit private val fmts: Formats = Serialization.formats(NoTypeHints)
+
+  def rootDir(conf: String => Option[String]): String =
+    conf("spark.graft.ann.root").getOrElse(
+      sys.props.getOrElse("graft.ann.root", "/tmp/graft-indexes"))
+
+  def indexDir(root: String, name: String): String = s"$root/$name"
+
+  def exists(root: String, name: String): Boolean =
+    new File(s"${indexDir(root, name)}/metadata.json").isFile
+
+  def save(root: String, meta: IndexMeta): Unit = {
+    val dir = new File(indexDir(root, meta.name))
+    dir.mkdirs()
+    val tmp = new File(dir, "metadata.json.tmp")
+    Files.writeString(tmp.toPath, Serialization.writePretty(meta))
+    Files.move(tmp.toPath, new File(dir, "metadata.json").toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def load(root: String, name: String): IndexMeta = {
+    val f = new File(s"${indexDir(root, name)}/metadata.json")
+    require(f.isFile, s"ANN index '$name' not found under $root")
+    JsonMethods.parse(Files.readString(f.toPath)).extract[IndexMeta]
+  }
+
+  def list(root: String): Seq[IndexMeta] = {
+    val d = new File(root)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.filter(f => new File(f, "metadata.json").isFile)
+      .map(f => load(root, f.getName)).sortBy(_.name)
+  }
+
+  def drop(root: String, name: String): Boolean = {
+    val dir = new File(indexDir(root, name))
+    if (!dir.isDirectory) false
+    else {
+      dir.listFiles().foreach(deleteRecursive)
+      dir.delete()
+    }
+  }
+
+  private def deleteRecursive(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursive)
+    f.delete()
+  }
+
+  // ---- tombstones: flat little-endian i64 file beside metadata ----
+  // (reference: deleted_labels_ set serialized with the index,
+  //  src/include/diskann_index.hpp:149)
+
+  def tombstonePath(root: String, name: String): String =
+    s"${indexDir(root, name)}/tombstones.bin"
+
+  def readTombstones(root: String, name: String): Set[Long] = {
+    val p = Paths.get(tombstonePath(root, name))
+    if (!Files.exists(p)) Set.empty
+    else {
+      val bytes = Files.readAllBytes(p)
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val out = Set.newBuilder[Long]
+      while (bb.remaining() >= 8) out += bb.getLong
+      out.result()
+    }
+  }
+
+  def writeTombstones(root: String, name: String, ids: Set[Long]): Unit = {
+    val bb = ByteBuffer.allocate(ids.size * 8).order(ByteOrder.LITTLE_ENDIAN)
+    ids.toSeq.sorted.foreach(bb.putLong)
+    Files.write(Paths.get(tombstonePath(root, name)), bb.array())
+  }
+
+  // ---- shard id-mapping sidecar: flat little-endian i64 per label ----
+
+  def writeIds(path: String, ids: Array[Long]): Unit = {
+    val bb = ByteBuffer.allocate(ids.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    ids.foreach(bb.putLong)
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, bb.array())
+  }
+
+  def readIds(path: String): Array[Long] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  // ---- centroids for ivfflat: [n u32][dim u32][f32 * n * dim] LE ----
+
+  def writeCentroids(path: String, cents: Array[Array[Float]], dim: Int): Unit = {
+    val bb = ByteBuffer.allocate(8 + cents.length * dim * 4).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(cents.length); bb.putInt(dim)
+    cents.foreach(c => c.foreach(bb.putFloat))
+    Files.write(Paths.get(path), bb.array())
+  }
+
+  def readCentroids(path: String): Array[Array[Float]] = {
+    val bb = ByteBuffer.wrap(Files.readAllBytes(Paths.get(path))).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt; val dim = bb.getInt
+    Array.fill(n) { val c = new Array[Float](dim); var d = 0; while (d < dim) { c(d) = bb.getFloat; d += 1 }; c }
+  }
+}

@@ -1,0 +1,37 @@
+package graft.index
+
+import java.io.File
+import java.util.concurrent.ConcurrentHashMap
+import graft.core.{VamanaIndex, DiskannFormat}
+
+/** A loaded shard: the graph plus its label→external-id mapping. */
+final case class LoadedShard(index: VamanaIndex, ids: Array[Long])
+
+/**
+ * Executor-JVM-wide cache of loaded shards, keyed by path+mtime+size.
+ * The reference mmaps `.diskann` files once per process
+ * (rust_lib/src/disk_provider.rs:182-279); on the JVM we cache the decoded
+ * in-memory graph so repeated queries against the same index (the dominant
+ * serving pattern) skip deserialization. Entries are soft-referenced so the
+ * executor can shed them under memory pressure instead of OOMing.
+ */
+object ShardCache {
+  private val cache = new ConcurrentHashMap[String, java.lang.ref.SoftReference[LoadedShard]]()
+
+  def get(diskannPath: String, idsPath: String, cosine: Boolean): LoadedShard = {
+    val f = new File(diskannPath)
+    val key = s"$diskannPath:${f.lastModified}:${f.length}:$cosine"
+    val ref = cache.get(key)
+    val hit = if (ref != null) ref.get() else null
+    if (hit != null) hit
+    else {
+      val loaded = LoadedShard(
+        DiskannFormat.readFile(diskannPath, cosineMetadata = cosine),
+        IndexCatalog.readIds(idsPath))
+      cache.put(key, new java.lang.ref.SoftReference(loaded))
+      loaded
+    }
+  }
+
+  def invalidate(): Unit = cache.clear()
+}

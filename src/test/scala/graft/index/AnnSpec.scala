@@ -1,0 +1,201 @@
+package graft.index
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Metric, VectorOps}
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.graft.ann.root", s"/tmp/graft-test-indexes-${System.nanoTime()}")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private val sf = "/root/testdata/sf0.001"
+  lazy val emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def bruteTop(k: Int, q: Array[Float]): Seq[Long] = {
+    import graft.functions._
+    emb.select(col("vec_id"),
+        array_distance_sq(toFloatVec(col("embedding")), floatVec(q.toSeq)).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  private lazy val q0: Array[Float] = {
+    val r = emb.orderBy("vec_id").limit(1).collect()(0)
+    r.getSeq[Float](r.fieldIndex("embedding")).toArray
+  }
+
+  test("distance expressions: interpreted == codegen == expected") {
+    import graft.functions._
+    val df = spark.sql("SELECT array(1.0f, 0.0f, 0.0f) a, array(0.0f, 1.0f, 0.0f) b")
+    val row = df.select(
+      array_distance(col("a"), col("b")),
+      array_distance_sq(col("a"), col("b")),
+      array_inner_product(col("a"), col("b")),
+      array_cosine_similarity(col("a"), col("b"))).collect()(0)
+    assert(math.abs(row.getDouble(0) - math.sqrt(2)) < 1e-12)
+    assert(row.getDouble(1) == 2.0)
+    assert(row.getDouble(2) == 0.0)
+    assert(row.getDouble(3) == 0.0)
+  }
+
+  test("SQL registration works") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT list_distance(array(3.0f, 0.0f), array(0.0f, 4.0f)) d").collect()(0)
+    assert(r.getDouble(0) == 5.0)
+  }
+
+  test("flat index = exact brute force") {
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_flat",
+      Ann.BuildParams(engine = "flat"))
+    val got = Ann.search(emb, "vec_id", "t_flat", q0, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == bruteTop(10, q0))
+  }
+
+  test("diskann index: recall >= 0.9 over sf0.001 embeddings") {
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_disk",
+      Ann.BuildParams(engine = "diskann", numShards = 2, maxDegree = 32,
+        buildComplexity = 64))
+    val truth = bruteTop(10, q0).toSet
+    val got = Ann.search(emb, "vec_id", "t_disk", q0, 10, searchComplexity = 100)
+      .collect().map(_.getLong(0))
+    assert(got.length == 10)
+    assert(got.count(truth) >= 9, s"recall ${got.count(truth)}/10")
+  }
+
+  test("search returns base columns + _distance ordered") {
+    val res = Ann.search(emb, "vec_id", "t_flat", q0, 5)
+    assert(res.columns.toSeq == Seq("vec_id", "embedding", "label", "_distance"))
+    val d = res.collect().map(_.getFloat(3)).toSeq
+    assert(d == d.sorted)
+    assert(d.head == 0.0f) // q0 is row 0's own vector
+  }
+
+  test("oversample returns k*oversample rows") {
+    val res = Ann.search(emb, "vec_id", "t_flat", q0, 2, oversample = 3)
+    assert(res.count() == 6)
+  }
+
+  test("searchBatch: k rows per query, query_idx grouping") {
+    val q1 = {
+      val r = emb.orderBy(desc("vec_id")).limit(1).collect()(0)
+      r.getSeq[Float](r.fieldIndex("embedding")).toArray
+    }
+    val res = Ann.searchBatch(emb, "vec_id", "t_disk", Seq(q0, q1), 3,
+      searchComplexity = 100).collect()
+    assert(res.length == 6)
+    val byQ = res.groupBy(_.getInt(res(0).fieldIndex("query_idx")))
+    assert(byQ(0).length == 3 && byQ(1).length == 3)
+  }
+
+  test("searchTable: input cols + base cols + _distance, collisions prefixed") {
+    import spark.implicits._
+    val queries = Seq((100L, q0.toSeq)).toDF("vec_id", "qvec") // vec_id collides
+    val res = Ann.searchTable(queries, "qvec", emb, "vec_id", "t_disk", 4,
+      searchComplexity = 100)
+    assert(res.columns.contains("tbl_vec_id"))
+    assert(res.columns.contains("vec_id")) // the query-input one
+    assert(res.count() == 4)
+  }
+
+  test("delete tombstones exclude rows; vacuum compacts") {
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_del",
+      Ann.BuildParams(engine = "diskann", numShards = 1))
+    val before = Ann.search(emb, "vec_id", "t_del", q0, 3, searchComplexity = 100)
+      .collect().map(_.getLong(0))
+    Ann.delete(spark, "t_del", Seq(before.head))
+    val after = Ann.search(emb, "vec_id", "t_del", q0, 3, searchComplexity = 100)
+      .collect().map(_.getLong(0))
+    assert(!after.contains(before.head))
+    assert(after.length == 3)
+    val meta = Ann.vacuum(spark, "t_del")
+    assert(meta.numDeleted == 0 && meta.numVectors == 499)
+    val afterVac = Ann.search(emb, "vec_id", "t_del", q0, 3, searchComplexity = 100)
+      .collect().map(_.getLong(0))
+    assert(!afterVac.contains(before.head))
+  }
+
+  test("append makes new rows searchable") {
+    import spark.implicits._
+    val newVec = Array.fill(64)(9.9f)
+    val extra = Seq((10000L, newVec.toSeq)).toDF("vec_id", "embedding")
+    Ann.append(extra, "embedding", "vec_id", "t_del")
+    val got = Ann.search(emb.unionByName(extra.withColumn("label", lit(0))
+        .select("vec_id", "embedding", "label")),
+      "vec_id", "t_del", newVec, 1, searchComplexity = 100).collect()
+    assert(got(0).getLong(0) == 10000L)
+  }
+
+  test("ivfflat with nprobe recalls well on clustered data") {
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_ivf",
+      Ann.BuildParams(engine = "ivfflat", nlist = 8, nprobe = 3))
+    val got = Ann.search(emb, "vec_id", "t_ivf", q0, 10).collect().map(_.getLong(0))
+    val truth = bruteTop(10, q0).toSet
+    assert(got.count(truth) >= 7, s"ivf recall ${got.count(truth)}/10")
+  }
+
+  test("sq8 quantized index still finds the exact-match row") {
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_sq8",
+      Ann.BuildParams(engine = "diskann", numShards = 1, quantization = "sq8"))
+    val got = Ann.search(emb, "vec_id", "t_sq8", q0, 5, searchComplexity = 100)
+      .collect().map(_.getLong(0))
+    val truth = bruteTop(5, q0)
+    assert(got.count(truth.toSet) >= 3)
+    assert(Ann.indexInfo(spark).where(col("name") === "t_sq8")
+      .collect()(0).getBoolean(7))
+  }
+
+  test("list and indexInfo report catalog state") {
+    val names = Ann.list(spark).collect().map(_.getString(0)).toSet
+    assert(Set("t_flat", "t_disk", "t_ivf").subsetOf(names))
+    val info = Ann.indexInfo(spark).where(col("name") === "t_disk").collect()(0)
+    assert(info.getLong(4) == 500L) // num_vectors
+  }
+
+  test("vectorDistances appends _distance to all rows") {
+    val res = Ann.vectorDistances(emb, "embedding", q0)
+    assert(res.count() == 500)
+    assert(res.columns.last == "_distance")
+    val minD = res.agg(min("_distance")).collect()(0).getFloat(0)
+    assert(minD == 0.0f)
+  }
+
+  test("streaming build from raw binary file") {
+    val tmp = java.io.File.createTempFile("vecs", ".bin")
+    val n = 500; val dim = 8
+    val bb = java.nio.ByteBuffer.allocate(8 + n * dim * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(n); bb.putInt(dim)
+    val rnd = new scala.util.Random(42)
+    val all = Array.fill(n)(Array.fill(dim)(rnd.nextFloat()))
+    all.foreach(_.foreach(bb.putFloat))
+    java.nio.file.Files.write(tmp.toPath, bb.array())
+    try {
+      val (nv, d, samp) = Ann.streamingBuild(spark, tmp.getAbsolutePath, "t_stream",
+        Ann.BuildParams(numShards = 2))
+      assert(nv == 500 && d == 8 && samp == 500) // sample = max(√N,1000) capped at N
+      val truth = all.zipWithIndex
+        .map { case (v, i) => (VectorOps.l2Sq(v, all(7)), i.toLong) }
+        .sortBy(x => (x._1, x._2)).take(5).map(_._2).toSet
+      val hits = Ann.indexScan(spark, "t_stream", all(7), 5, searchComplexity = 100)
+        .collect().map(_.getLong(0))
+      assert(hits.count(truth) >= 4)
+    } finally tmp.delete()
+    intercept[IllegalArgumentException](
+      Ann.streamingBuild(spark, "/nonexistent/path.bin", "t_bad"))
+  }
+
+  test("error cases: missing index, dimension mismatch") {
+    intercept[IllegalArgumentException](
+      Ann.indexScan(spark, "no_such_index", q0, 5))
+    intercept[IllegalArgumentException](
+      Ann.indexScan(spark, "t_disk", Array(1.0f), 5))
+  }
+}
