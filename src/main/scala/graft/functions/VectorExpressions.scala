@@ -88,31 +88,37 @@ abstract class VectorBinaryExpression extends BinaryExpression {
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
-    val getA = if (lf) (i: String) => s"(double) a.getFloat($i)" else (i: String) => s"a.getDouble($i)"
-    val getB = if (rf) (i: String) => s"(double) b.getFloat($i)" else (i: String) => s"b.getDouble($i)"
+    // all locals fresh-named: sort/join codegen may inline this expression
+    // several times into one generated method
+    val a = ctx.freshName("arrA"); val b = ctx.freshName("arrB")
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val anyNull = ctx.freshName("anyNull")
+    val av = ctx.freshName("av"); val bv = ctx.freshName("bv")
+    val getA = if (lf) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+    val getB = if (rf) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
     val nullElemCheck =
       if (containsNull(left) || containsNull(right))
-        s"if (a.isNullAt(i) || b.isNullAt(i)) { anyNull = true; break; }"
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }"
       else ""
     nullSafeCodeGen(ctx, ev, (leftCode, rightCode) => {
-      val (decls, step, result) = genLoop("av", "bv")
+      val (decls, step, result) = genLoop(av, bv, ctx)
       s"""
-        org.apache.spark.sql.catalyst.util.ArrayData a = $leftCode;
-        org.apache.spark.sql.catalyst.util.ArrayData b = $rightCode;
-        int n = a.numElements();
-        if (n != b.numElements()) {
+        org.apache.spark.sql.catalyst.util.ArrayData $a = $leftCode;
+        org.apache.spark.sql.catalyst.util.ArrayData $b = $rightCode;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
           throw new IllegalArgumentException(
-            "$prettyName: array lengths differ (" + n + " vs " + b.numElements() + ")");
+            "$prettyName: array lengths differ (" + $n + " vs " + $b.numElements() + ")");
         }
-        boolean anyNull = false;
+        boolean $anyNull = false;
         $decls
-        for (int i = 0; i < n; i++) {
+        for (int $i = 0; $i < $n; $i++) {
           $nullElemCheck
-          double av = ${getA("i")};
-          double bv = ${getB("i")};
+          double $av = $getA;
+          double $bv = $getB;
           $step
         }
-        if (anyNull) {
+        if ($anyNull) {
           ${ev.isNull} = true;
         } else {
           ${ev.value} = $result;

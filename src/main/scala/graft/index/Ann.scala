@@ -69,11 +69,30 @@ object Ann {
       toFloatVec(col(column)).as("vec"))
       .where(col(idColumn).isNotNull && col(column).isNotNull)
 
-    params.engine.toLowerCase match {
+    val srcFiles = sourceRootPaths(df)
+    val built = params.engine.toLowerCase match {
       case "diskann" => buildDiskann(data, name, dir, metric, params)
       case "flat"    => buildFlat(data, name, dir, metric, params)
       case "ivfflat" => buildIvf(data, name, dir, metric, params)
       case e => throw new IllegalArgumentException(s"unknown engine: $e")
+    }
+    // record the user-facing binding (original column names + source files)
+    val bound = built.copy(column = column, idColumn = idColumn, sourceFiles = srcFiles)
+    IndexCatalog.save(root(spark), bound)
+    bound
+  }
+
+  /** Root paths of the relation `df` scans, when it is a plain file scan
+   *  (possibly projected/filtered) — used to bind the index for the
+   *  transparent optimizer rewrite. Empty when the input is derived. */
+  private def sourceRootPaths(df: DataFrame): List[String] = {
+    import org.apache.spark.sql.execution.datasources.{LogicalRelation, HadoopFsRelation}
+    val rels = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation
+    }
+    rels match {
+      case Seq(fs: HadoopFsRelation) => fs.location.rootPaths.map(_.toString).toList
+      case _ => Nil
     }
   }
 
@@ -199,6 +218,42 @@ object Ann {
     }
   }
 
+  /** Max shard count for which a diskann search runs driver-local instead of
+   *  as a Spark job. The reference serves every query single-node; for small
+   *  shard counts the job-launch overhead dominates, so the driver searches
+   *  the (cached) shards directly. Large indexes fan out as tasks. */
+  def localSearchMaxShards(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.ann.localSearchMaxShards").map(_.toInt).getOrElse(64)
+
+  /** Driver-local diskann search across shards → (id, distance) sorted, ≤ fetchK. */
+  private[graft] def searchShardsLocal(meta: IndexMeta, tomb: Set[Long],
+      query0: Array[Float], fetchK: Int, searchComplexity: Int): Array[(Long, Float)] = {
+    val query = prepQuery(meta, query0)
+    val cosine = meta.metricObj eq Metric.Cosine
+    val perShardK = fetchK + tomb.size
+    meta.shards.toArray.flatMap { sh =>
+      val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
+      val (labels, dists) = loaded.index.search(query, perShardK, searchComplexity)
+      labels.indices.iterator
+        .map(i => (loaded.ids(labels(i)), dists(i)))
+        .filterNot { case (id, _) => tomb.contains(id) }
+    }.sortBy { case (id, d) => (d, id) }.take(fetchK)
+  }
+
+  /** Collected (id, distance) hits for k·oversample results — uses the
+   *  driver-local path when the index is small enough, else a shard job. */
+  private[graft] def collectHits(spark: SparkSession, name: String, query: Array[Float],
+      k: Int, searchComplexity: Int, oversample: Int): Array[(Long, Float)] = {
+    val meta = IndexCatalog.load(root(spark), name)
+    val tomb = IndexCatalog.readTombstones(root(spark), name)
+    val fetchK = k * math.max(1, oversample)
+    if (meta.engine == "diskann" && meta.shards.size <= localSearchMaxShards(spark))
+      searchShardsLocal(meta, tomb, query, fetchK, searchComplexity)
+    else
+      indexScan(spark, name, query, k, searchComplexity, oversample)
+        .collect().map(r => (r.getLong(0), r.getFloat(1)))
+  }
+
   private def prepQuery(meta: IndexMeta, query: Array[Float]): Array[Float] = {
     require(query.length == meta.dim,
       s"query dimension ${query.length} != index dimension ${meta.dim}")
@@ -271,11 +326,10 @@ object Ann {
   def search(df: DataFrame, idColumn: String, name: String, query: Array[Float],
       k: Int, searchComplexity: Int = 0, oversample: Int = 1): DataFrame = {
     val spark = df.sparkSession
-    val hits = indexScan(spark, name, query, k, searchComplexity, oversample)
-      .collect() // bounded: ≤ k·oversample rows
-    val ids = hits.map(_.getLong(0))
-    val distDf = spark.createDataFrame(hits.toSeq.asInstanceOf[Seq[Row]].map(r =>
-        Row(r.getLong(0), r.getFloat(1))).asJava,
+    val hits = collectHits(spark, name, query, k, searchComplexity, oversample)
+    val ids = hits.map(_._1)
+    val distDf = spark.createDataFrame(hits.toSeq.map(h =>
+        Row(h._1, h._2)).asJava,
       StructType(Seq(StructField("__ann_id", LongType), StructField("_distance", FloatType))))
     // isin literal reaches the parquet scan (PushedFilters: In(id, ...)) —
     // the scale-safe analog of rowid fetch; then a broadcast join attaches

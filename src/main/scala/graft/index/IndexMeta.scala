@@ -34,7 +34,12 @@ case class IndexMeta(
     sourcePath: String = "",      // flat/ivfflat: parquet dir of (id, vec[, cluster])
     nlist: Int = 0,               // ivfflat
     nprobe: Int = 1,              // ivfflat
-    version: Int = 1) {
+    version: Int = 1,
+    // root paths of the source relation the index was built over (when the
+    // build input was a plain file scan) — the binding the transparent
+    // optimizer rewrite matches on (reference binds indexes to tables via
+    // the catalog; we bind to file paths)
+    sourceFiles: List[String] = Nil) {
   def metricObj: graft.core.Metric = graft.core.Metric.fromName(metric)
 }
 
