@@ -47,7 +47,17 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   @inline protected final def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
   @inline protected final def containsNull(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].containsNull
+    e.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true // unresolved: be conservative
+    }
+
+  /** Nullable when an input can be null OR an element can be null (a null
+    * element makes the whole result null — see nullSafeEval). Without this
+    * override, two non-nullable inputs would make `ev.isNull` the literal
+    * `false` in codegen, and emitting `false = true;` breaks janino. */
+  override def nullable: Boolean =
+    left.nullable || right.nullable || containsNull(left) || containsNull(right)
 
   @inline protected final def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
@@ -101,8 +111,21 @@ abstract class VectorBinaryExpression extends BinaryExpression {
         s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }"
       else ""
     nullSafeCodeGen(ctx, ev, (leftCode, rightCode) => {
-      val (decls, step, result) = genLoop(av, bv, ctx)
+      val (decls, step, result) = genLoop(av, bv)
+      // only reference ev.isNull when the expression is nullable — otherwise
+      // nullSafeCodeGen makes it the literal `false` and assignment is invalid
+      val assignOut =
+        if (containsNull(left) || containsNull(right))
+          s"""if ($anyNull) {
+                ${ev.isNull} = true;
+              } else {
+                ${ev.value} = $result;
+              }"""
+        else s"${ev.value} = $result;"
+      // the outer `{ }` block scopes the fixed-name accumulators from genLoop
+      // (s/ab/aa/bb), so repeated inlining into one method can't collide
       s"""
+      {
         org.apache.spark.sql.catalyst.util.ArrayData $a = $leftCode;
         org.apache.spark.sql.catalyst.util.ArrayData $b = $rightCode;
         int $n = $a.numElements();
@@ -118,11 +141,8 @@ abstract class VectorBinaryExpression extends BinaryExpression {
           double $bv = $getB;
           $step
         }
-        if ($anyNull) {
-          ${ev.isNull} = true;
-        } else {
-          ${ev.value} = $result;
-        }
+        $assignOut
+      }
       """
     })
   }

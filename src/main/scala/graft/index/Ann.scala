@@ -173,11 +173,17 @@ object Ann {
     val spark = data.sparkSession
     import spark.implicits._
     val dim = inferDim(data)
-    // deterministic bounded training sample (reference stride-samples to
-    // 25600, faiss_index.cpp:304-319); never more than trainSample vectors
-    // reach the driver regardless of input size.
-    val sample = data.select("vec").as[Array[Float]]
-      .limit(params.trainSample).collect()
+    // deterministic stride sample across the WHOLE dataset (reference
+    // stride-samples to 25600, faiss_index.cpp:304-319) — a prefix limit()
+    // would train centroids on a biased slice of sorted/clustered input;
+    // never more than trainSample vectors reach the driver.
+    val nTotal = data.count()
+    val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
+    val sample = data.select("vec").as[Array[Float]].rdd
+      .zipWithIndex()
+      .filter { case (_, i) => i % stride == 0 }
+      .map(_._1)
+      .take(params.trainSample)
     val prepped = if (metric eq Metric.Cosine) sample.map(v => VectorOps.normalize(v.clone()))
                   else sample
     val cents = KMeansLite.train(prepped, params.nlist)
@@ -380,11 +386,16 @@ object Ann {
             }
           }.toDF("query_idx", "row_id", "_distance")
       case _ =>
-        queries.zipWithIndex.map { case (q, qi) =>
+        val perQuery = queries.zipWithIndex.map { case (q, qi) =>
           exactScanIds(spark, meta, q, k, tomb)
             .withColumn("query_idx", lit(qi))
             .select(col("query_idx"), col("row_id"), col("_distance"))
-        }.reduce(_ unionAll _)
+        }
+        perQuery.reduceOption(_ unionAll _).getOrElse {
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+            StructField("query_idx", IntegerType), StructField("row_id", LongType),
+            StructField("_distance", FloatType))))
+        }
     }
     val w = Window.partitionBy("query_idx").orderBy(col("_distance"), col("row_id"))
     val topPerQuery = scored.withColumn("__rn", row_number().over(w))

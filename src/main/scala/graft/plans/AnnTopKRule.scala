@@ -64,6 +64,36 @@ case class AnnRewrittenMarker(indexName: String) extends LeafExpression {
  * `spark.graft.ann.overfetchMultiplier`, default 3) and let the retained
  * Filter re-filter.
  */
+object AnnTopKRule {
+  /** Planning-time search results, cached per (index, catalog mtime, query, k)
+   *  so repeated optimizations of one plan (explain → count → collect, AQE
+   *  re-planning) don't re-run the ANN search. Every index mutation (build,
+   *  append, delete, vacuum, merge) rewrites metadata.json, so its mtime keys
+   *  results consistently across mutations. Bounded LRU. */
+  private val MaxCached = 128
+  private val hitsCache =
+    new java.util.LinkedHashMap[(String, Long, Seq[Float], Int), Array[(Long, Float)]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Seq[Float], Int), Array[(Long, Float)]]) =
+        size() > MaxCached
+    }
+
+  private[plans] def cachedHits(name: String, version: Long, query: Array[Float],
+      fetchK: Int)(compute: => Array[(Long, Float)]): Array[(Long, Float)] = {
+    val key = (name, version, query.toSeq, fetchK)
+    hitsCache.synchronized {
+      val hit = hitsCache.get(key)
+      if (hit != null) return hit
+    }
+    val computed = compute
+    hitsCache.synchronized { hitsCache.put(key, computed) }
+    computed
+  }
+
+  private[graft] def clearCache(): Unit = hitsCache.synchronized(hitsCache.clear())
+}
+
 case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def overfetchMultiplier: Int =
@@ -75,12 +105,24 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
+      // ORDER BY dist LIMIT k — with an optional Project between the limit and
+      // the sort (the SQL path leaves one: SELECT id FROM t ORDER BY expr)
       case gl @ GlobalLimit(IntegerLiteral(k),
           ll @ LocalLimit(_, sort @ Sort(Seq(order), true, sortChild, _)))
           if k > 0 && !alreadyRewritten(sortChild) =>
         tryRewrite(k, order, sortChild) match {
           case Some(newChild) =>
             gl.copy(child = ll.copy(child = sort.copy(child = newChild)))
+          case None => gl
+        }
+      case gl @ GlobalLimit(IntegerLiteral(k),
+          ll @ LocalLimit(_, proj @ Project(_,
+            sort @ Sort(Seq(order), true, sortChild, _))))
+          if k > 0 && !alreadyRewritten(sortChild) =>
+        tryRewrite(k, order, sortChild) match {
+          case Some(newChild) =>
+            gl.copy(child = ll.copy(child =
+              proj.copy(child = sort.copy(child = newChild))))
           case None => gl
         }
     }
@@ -172,13 +214,24 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // fetch size: plain k, or k·mult + 100 when a filter must re-filter
     // (README.md:164)
     val fetchK = if (hasFilter) k * overfetchMultiplier + 100 else k
-    val hits = Ann.collectHits(spark, meta.name, query, fetchK,
-      searchComplexity = 0, oversample = 1)
+    val metaMtime = new java.io.File(
+      s"${IndexCatalog.indexDir(rootDir, meta.name)}/metadata.json").lastModified()
+    val hits = AnnTopKRule.cachedHits(meta.name, metaMtime, query, fetchK) {
+      Ann.collectHits(spark, meta.name, query, fetchK,
+        searchComplexity = 0, oversample = 1)
+    }
     val idAttr = lr.output.find(_.name == meta.idColumn).getOrElse(return None)
 
-    val inList = hits.map(h => Literal(h._1, LongType).asInstanceOf[Expression]).toSeq
+    // literals in the id column's own type, so the In predicate reaches the
+    // parquet scan as a pushed filter (a Cast around the attribute blocks it)
+    val inList: Seq[Expression] = idAttr.dataType match {
+      case LongType    => hits.map(h => Literal(h._1, LongType)).toSeq
+      case IntegerType => hits.map(h => Literal(h._1.toInt, IntegerType)).toSeq
+      case _ => hits.map(h =>
+        Cast(Literal(h._1, LongType), idAttr.dataType).asInstanceOf[Expression]).toSeq
+    }
     val cond = And(
-      In(Cast(idAttr, LongType), inList),
+      In(idAttr, inList),
       AnnRewrittenMarker(meta.name))
     // graft the filter directly above the relation, under any existing ops
     def inject(p: LogicalPlan): LogicalPlan = p match {
