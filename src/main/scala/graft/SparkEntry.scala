@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.functions.{toFloatVec, floatVec, array_distance, array_inner_product,
   array_cosine_similarity}
 import graft.index.Ann
+import graft.text.{TextOps, TextSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -194,6 +195,74 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // ---- text analysis (north-star pipeline ops; all codegen'd, no UDFs) ----
+
+    "token_count_regex" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCountRegex(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.rollingHash(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "quality_score" -> ((s, dir) => {
+      val cols = TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents")
+        .select(col("doc_id") +: cols: _*)
+        .orderBy("doc_id")
+    }),
+
+    "simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.simhash(TextOps.tokens(col("text"))).as("sh"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- near-duplicate detection (MinHash+LSH / Jaccard / embedding) ----
+
+    "minhash_bands" -> ((s, dir) => {
+      TextOps.bandTable(TextOps.signatures(t(s, dir, "documents"), "text", "doc_id"))
+        .orderBy("id", "band_idx")
+    }),
+
+    "neardup_minhash" -> ((s, dir) => {
+      TextOps.candidatePairs(TextOps.signatures(t(s, dir, "documents"), "text", "doc_id"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "neardup_jaccard" -> ((s, dir) => {
+      TextOps.jaccardPairs(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "neardup_cos_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), toFloatVec(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("sim", array_cosine_similarity(col("va"), col("vb")))
+        .where(col("sim") >= 0.4)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_minhash_keep" -> ((s, dir) => {
+      TextOps.dedupByMinhash(t(s, dir, "documents"), "text", "doc_id",
+          minJaccard = 0.6)
+        .select(col("doc_id")).orderBy("doc_id")
     })
   )
 
@@ -248,6 +317,61 @@ object SparkEntry {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "token_count" ->
       """SELECT doc_id, len(str_split(text, ' ')) AS n_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count_regex" ->
+      s"""SELECT doc_id, ${TextSql.tokenCountRegex("text")} AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${TextSql.rollingHash("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""SELECT doc_id, ${TextSql.langId(TextSql.tokens("text"))} AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" -> {
+      val cols = TextSql.qualityColumns("text")
+        .map { case (n, e) => s"($e) AS $n" }.mkString(",\n  ")
+      s"SELECT doc_id,\n  $cols\nFROM documents ORDER BY doc_id"
+    },
+    "simhash" ->
+      s"""SELECT doc_id, ${TextSql.simhash(TextSql.tokens("text"))} AS sh
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "minhash_bands" ->
+      s"""WITH ${TextSql.signaturesCte()}
+         |SELECT id, band_idx, band_hash FROM __bt ORDER BY id, band_idx""".stripMargin,
+    "neardup_minhash" ->
+      s"""WITH ${TextSql.signaturesCte()}
+         |SELECT id_a, id_b, n_bands FROM __cands ORDER BY id_a, id_b""".stripMargin,
+    "neardup_jaccard" ->
+      s"""WITH ${TextSql.signaturesCte()}
+         |SELECT c.id_a, c.id_b, c.n_bands,
+         |  len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::DOUBLE
+         |   / (len(a.shingles) + len(b.shingles)
+         |      - len(list_filter(a.shingles, x -> list_contains(b.shingles, x))))::DOUBLE
+         |   AS jaccard
+         |FROM __cands c
+         |JOIN __sigs a ON c.id_a = a.id
+         |JOIN __sigs b ON c.id_b = b.id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "neardup_cos_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_keep" ->
+      s"""WITH ${TextSql.signaturesCte()},
+         |__jac AS (
+         |  SELECT c.id_b,
+         |    len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::DOUBLE
+         |     / (len(a.shingles) + len(b.shingles)
+         |        - len(list_filter(a.shingles, x -> list_contains(b.shingles, x))))::DOUBLE
+         |     AS jaccard
+         |  FROM __cands c
+         |  JOIN __sigs a ON c.id_a = a.id
+         |  JOIN __sigs b ON c.id_b = b.id
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM __jac WHERE jaccard >= 0.6)
+         |ORDER BY doc_id""".stripMargin
   )
 }

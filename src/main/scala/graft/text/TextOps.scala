@@ -1,0 +1,227 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis + near-duplicate operators for large-scale training-data
+ * pipelines, layered over the same engine as the ANN core (north-star ops
+ * per BASELINE.md; the reference itself delegates all text work to its host
+ * engine, so these are Spark-native designs, not ports).
+ *
+ * Everything here is a composition of `org.apache.spark.sql.functions`
+ * higher-order array functions — whole-stage-codegen'd, no UDFs, no driver
+ * materialization. The only shuffles are the LSH band-bucket joins, which is
+ * the 100 TB-safe shape for near-dup detection (candidates per band bucket,
+ * never an all-pairs product).
+ *
+ * All hashing is modular integer arithmetic (base/mod constants below), so
+ * results are engine-independent and bit-exactly reproducible in the DuckDB
+ * oracle (see [[TextSql]] which generates the equivalent SQL from the SAME
+ * constants).
+ */
+object TextOps {
+
+  /** Rolling-hash modulus (prime, < 2^30 so a*h fits in a signed 64-bit). */
+  val HashMod = 1000000007L
+  /** Char-level rolling hash base. */
+  val HashBase = 31L
+  /** Band-combine base for minhash band signatures. */
+  val BandBase = 1000003L
+
+  /** MinHash signature size / LSH banding (8 bands × 4 rows ⇒ candidate
+   *  threshold ≈ (1/8)^(1/4) ≈ 0.6 Jaccard). */
+  val NumHashes = 32
+  val BandRows = 4
+  val NumBands: Int = NumHashes / BandRows
+
+  /** Deterministic per-hash-function affine params (a_j, b_j), j = 0..n-1. */
+  def hashParams(n: Int): Seq[(Long, Long)] =
+    (0 until n).map { j =>
+      ((1299721L * (j + 1)) % HashMod, (104729L * (j + 1) + 12345L) % HashMod)
+    }
+
+  /** SimHash width in bits (< 31 so per-bit sums stay in int range and the
+   *  token hash, < HashMod < 2^30, covers every bit). */
+  val SimHashBits = 30
+
+  // ------------------------------------------------------------- tokenizing
+
+  /** Lowercase word tokens (`[a-z0-9]+`). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** BPE-ish token count: alphanumeric runs + individual punctuation marks. */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast(LongType)
+
+  // ---------------------------------------------------------- fingerprinting
+
+  /** Char-level polynomial rolling hash of a string: h ← (h·B + code) mod P.
+   *  The document-fingerprint primitive; also the shingle hash. */
+  def rollingHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), ch => ascii(ch).cast(LongType)),
+      lit(0L),
+      (h, c) => (h * HashBase + c) % HashMod)
+
+  // ------------------------------------------------------------------ lang id
+
+  /** Stopword sets for the language-ID heuristic (function words that are
+   *  near-unique per language). Checked in fixed order; first max wins. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"),
+    "es" -> Seq("el", "los", "las", "una", "es", "y", "que", "por", "con"),
+    "fr" -> Seq("le", "les", "des", "est", "et", "que", "pour", "dans", "une"))
+
+  /** n-gram/stopword language ID: count stopword hits per language over the
+   *  token stream (with multiplicity); predict the first language (in
+   *  [[LangStopwords]] order) achieving the max count, or "und" when no
+   *  stopword matched at all. */
+  def langId(toks: Column): Column = {
+    val counts = LangStopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words))).cast(LongType)
+    }
+    val maxCount = greatest(counts.map(_._2): _*)
+    val chain = counts.foldRight(lit("und")) { case ((lang, c), els) =>
+      when(c === maxCount, lit(lang)).otherwise(els)
+    }
+    when(maxCount === 0L, lit("und")).otherwise(chain)
+  }
+
+  // ------------------------------------------------------------ quality score
+
+  /** Document quality heuristics → (n_chars, n_tokens, mean_token_len,
+   *  stopword_ratio, punct_ratio, score). Fixed-order double arithmetic so
+   *  the oracle reproduces bit-identical values. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text).cast(LongType)
+    val nToks = size(toks).cast(LongType)
+    val sumTokLen = aggregate(transform(toks, t => length(t).cast(LongType)),
+      lit(0L), (a, x) => a + x)
+    val meanLen = when(nToks > 0, sumTokLen.cast(DoubleType) / nToks.cast(DoubleType))
+      .otherwise(lit(0.0))
+    val enStop = LangStopwords.head._2
+    val stopRatio = when(nToks > 0,
+      size(filter(toks, t => t.isInCollection(enStop))).cast(DoubleType)
+        / nToks.cast(DoubleType)).otherwise(lit(0.0))
+    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+      .cast(LongType)
+    val punctRatio = when(nChars > 0,
+      nPunct.cast(DoubleType) / nChars.cast(DoubleType)).otherwise(lit(0.0))
+    val score =
+      least(nToks.cast(DoubleType) / lit(100.0), lit(1.0)) * 0.25 +
+      stopRatio * 0.25 +
+      (lit(1.0) - punctRatio) * 0.25 +
+      least(meanLen / lit(8.0), lit(1.0)) * 0.25
+    Seq(
+      "n_chars" -> nChars, "n_tokens" -> nToks, "mean_token_len" -> meanLen,
+      "stopword_ratio" -> stopRatio, "punct_ratio" -> punctRatio,
+      "quality" -> score)
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** SimHash over token hashes: per bit b, sum ±1 across tokens (with
+   *  multiplicity) by bit b of the token's rolling hash; bit set iff sum>0. */
+  def simhash(toks: Column): Column = {
+    val hashes = transform(toks, t => rollingHash(t))
+    val bits = (0 until SimHashBits).map { b =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  // ------------------------------------------------------- minhash + LSH
+
+  /** k-token shingle strings (space-joined); whole doc when < k tokens. */
+  def shingles(toks: Column, k: Int = 3): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+    .otherwise(array(array_join(toks, " ")))
+
+  /** Distinct shingle hashes for a document. */
+  def shingleHashes(toks: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(toks, k), s => rollingHash(s)))
+
+  /** MinHash signature (array of NumHashes longs) over distinct shingle
+   *  hashes: min_j over shingles of (a_j·h + b_j) mod P. */
+  def minhashSignature(shingleHs: Column): Column =
+    array(hashParams(NumHashes).map { case (a, b) =>
+      array_min(transform(shingleHs, h => (h * a + b) % HashMod))
+    }: _*)
+
+  /** LSH band hashes: fold each band's rows with the band base, mod P. */
+  def bandHashes(sig: Column): Column =
+    array((0 until NumBands).map { band =>
+      (0 until BandRows).foldLeft(lit(0L): Column) { (acc, r) =>
+        (acc * BandBase + element_at(sig, band * BandRows + r + 1)) % HashMod
+      }
+    }: _*)
+
+  // -------------------------------------------------- DataFrame-level ops
+
+  /** Per-doc signature table: (id, shingle hashes, minhash sig, band hashes).
+   *  One narrow projection — codegen end to end, no shuffle. */
+  def signatures(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val toks = tokens(col(textCol))
+    val sh = shingleHashes(toks, shingleK)
+    df.select(col(idCol).as("id"), sh.as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles")))
+      .withColumn("bands", bandHashes(col("sig")))
+  }
+
+  /** Exploded band table (id, band_idx, band_hash) — the LSH join key. */
+  def bandTable(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+
+  /** Candidate near-dup pairs (id_a < id_b) sharing ≥ 1 LSH band, with the
+   *  number of matching bands. The shuffle is on (band_idx, band_hash) —
+   *  bucket sizes stay bounded for non-degenerate corpora, and the join is
+   *  shuffle-hash-joinable at any scale (never a cross product). */
+  def candidatePairs(sigs: DataFrame): DataFrame = {
+    val bt = bandTable(sigs)
+    val a = bt.as("a"); val b = bt.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Candidate pairs with exact n-gram Jaccard (|A∩B| / |A∪B| over distinct
+   *  shingle hashes), keeping pairs ≥ minJaccard. */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val sigs = signatures(df, textCol, idCol, shingleK).cache()
+    val cands = candidatePairs(sigs)
+    val sa = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = sigs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
+    val joined = cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("n_inter", inter)
+      .withColumn("jaccard", col("n_inter").cast(DoubleType) /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast(DoubleType))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_bands", "jaccard")
+    joined
+  }
+
+  /** MinHash near-dup groups → rows to KEEP after dropping near-duplicates:
+   *  connected-candidates collapse to min-id representative (single-link over
+   *  candidate pairs, one iteration — adequate for dedup where candidate
+   *  graphs are tiny cliques; iterate to fixpoint for long chains). */
+  def dedupByMinhash(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, minJaccard: Double = 0.6): DataFrame = {
+    val pairs = jaccardPairs(df, textCol, idCol, shingleK, minJaccard)
+    val drop = pairs.select(col("id_b").as("drop_id")).distinct()
+    df.join(drop, col(idCol) === col("drop_id"), "left_anti")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("rolling hash: deterministic, order-sensitive, mod-bounded") {
+    val df = docs((1L, "abc"), (2L, "abc"), (3L, "acb"))
+    val got = df.select(col("doc_id"), TextOps.rollingHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+    // h("abc") = ((97*31+98)*31+99) % P
+    assert(got(1L) == ((97L * 31 + 98) * 31 + 99) % TextOps.HashMod)
+    assert(got.values.forall(h => h >= 0 && h < TextOps.HashMod))
+  }
+
+  test("token count regex counts words and punctuation marks") {
+    val df = docs((1L, "Hello, world! x2"))
+    val n = df.select(TextOps.tokenCountRegex(col("text"))).head().getLong(0)
+    assert(n == 5) // Hello , world ! x2
+  }
+
+  test("langId picks stopword-majority language; und when no hits") {
+    val df = docs(
+      (1L, "the cat sat on the mat and it is happy"),
+      (2L, "der Hund ist nicht auf die Katze und das Haus"),
+      (3L, "el perro es una casa y los gatos por que"),
+      (4L, "xyzzy plugh qwerty"))
+    val got = df.select(col("doc_id"), TextOps.langId(TextOps.tokens(col("text"))).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en"); assert(got(2L) == "de")
+    assert(got(3L) == "es"); assert(got(4L) == "und")
+  }
+
+  test("quality columns: ratios in [0,1], score in [0,1]") {
+    val df = docs((1L, "The quick brown fox, it jumps over the lazy dog!"))
+    val cols = TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+    val r = df.select(cols: _*).head()
+    val score = r.getAs[Double]("quality")
+    assert(score > 0 && score <= 1.0)
+    assert(r.getAs[Double]("stopword_ratio") > 0)
+    assert(r.getAs[Double]("punct_ratio") > 0 && r.getAs[Double]("punct_ratio") < 0.1)
+  }
+
+  test("simhash: identical docs equal; near-identical docs close in hamming") {
+    val base = "spark shuffle partition join aggregate filter scan window sort merge " * 5
+    val df = docs((1L, base), (2L, base), (3L, base + " extra tail words here"),
+      (4L, "completely different content about bananas apples oranges fruit"))
+    val got = df.select(col("doc_id"), TextOps.simhash(TextOps.tokens(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(got(1L) == got(2L))
+    assert(ham(got(1L), got(3L)) <= 6, s"near-dup hamming ${ham(got(1L), got(3L))}")
+    assert(ham(got(1L), got(4L)) > ham(got(1L), got(3L)))
+  }
+
+  test("minhash LSH finds near-dup pair; jaccard quantifies; dedup drops it") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"word$i").mkString(" ") + " tail other"
+    val other = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val df = docs((1L, base), (2L, nearDup), (3L, other))
+    val pairs = TextOps.jaccardPairs(df, "text", "doc_id").collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getAs[Double]("jaccard") > 0.7))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+    val kept = TextOps.dedupByMinhash(df, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("signature shapes: NumHashes minhashes, NumBands bands") {
+    val df = docs((1L, "one two three four five six seven"))
+    val r = TextOps.signatures(df, "text", "doc_id").head()
+    assert(r.getAs[scala.collection.Seq[Long]]("sig").length == TextOps.NumHashes)
+    assert(r.getAs[scala.collection.Seq[Long]]("bands").length == TextOps.NumBands)
+  }
+}
