@@ -174,6 +174,79 @@ object SparkEntry {
       Ann.search(emb, "vec_id", "v_ivf", q64Arr, 10).select("vec_id", "_distance")
     }),
 
+    "ann_search_table" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_table",
+        Ann.BuildParams(engine = "flat"))
+      val queries = emb.where(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+      Ann.searchTable(queries, "embedding", emb, "vec_id", "v_table", 5)
+        .select(col("vec_id").as("qid"), col("tbl_vec_id").as("rid"), col("_distance"))
+        .orderBy("qid", "_distance", "rid")
+    }),
+
+    "ann_oversample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_over",
+        Ann.BuildParams(engine = "flat"))
+      Ann.search(emb, "vec_id", "v_over", q64Arr, 5, oversample = 3)
+        .select("vec_id", "_distance")
+    }),
+
+    "ann_delete_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_delq",
+        Ann.BuildParams(engine = "flat"))
+      Ann.delete(s, "v_delq", Seq(3L, 7L, 11L))
+      Ann.search(emb, "vec_id", "v_delq", q64Arr, 10).select("vec_id", "_distance")
+    }),
+
+    "ann_vacuum_info" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_vac",
+        Ann.BuildParams(engine = "diskann", numShards = 2))
+      Ann.delete(s, "v_vac", Seq(1L, 2L, 3L, 4L, 5L))
+      Ann.vacuum(s, "v_vac")
+      Ann.indexInfo(s).where(col("name") === "v_vac")
+        .select("num_vectors", "num_deleted")
+    }),
+
+    "ann_merge_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb.where(col("vec_id") % 2 === 0), "embedding", "vec_id",
+        "v_m1", Ann.BuildParams(engine = "diskann", numShards = 1))
+      Ann.buildIndex(emb.where(col("vec_id") % 2 === 1), "embedding", "vec_id",
+        "v_m2", Ann.BuildParams(engine = "diskann", numShards = 1))
+      Ann.merge(s, "v_m1", "v_m2")
+      Ann.search(emb, "vec_id", "v_m1", q64Arr, 10, searchComplexity = 128)
+        .select("vec_id", "_distance")
+    }),
+
+    "ann_gpu_info" -> ((s, dir) => Ann.gpuInfo(s)),
+
+    "ann_index_info" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_info",
+        Ann.BuildParams(engine = "flat"))
+      Ann.indexInfo(s).where(col("name") === "v_info")
+        .select("name", "engine", "metric", "dimension", "num_vectors", "quantized")
+    }),
+
+    "streaming_build_info" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "embeddings").select("vec_id", "embedding")
+        .orderBy("vec_id").collect()
+      val dim = rows(0).getSeq[Float](1).length
+      val path = s"/tmp/graft_stream_build.bin"
+      val bb = java.nio.ByteBuffer.allocate(8 + rows.length * dim * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(rows.length); bb.putInt(dim)
+      rows.foreach(r => r.getSeq[Float](1).foreach(bb.putFloat))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), bb.array())
+      val (n, d, sample) = Ann.streamingBuild(s, path, "v_stream",
+        Ann.BuildParams(engine = "diskann", numShards = 2))
+      Seq((n, d, sample)).toDF("num_vectors", "dimension", "sample_size")
+    }),
+
     "ann_list" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_list",
@@ -266,6 +339,13 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB squared-L2 (the index-internal metric) between a vector column
+    * and a query expression, accumulated sequentially in double — bit-equal
+    * to graft's ArrayDistanceSq (verified: DuckDB list_sum is a sequential
+    * fold). */
+  private def d2Sql(vecExpr: String, qExpr: String): String =
+    s"list_sum(list_transform($vecExpr::DOUBLE[], (x, i) -> (x - ($qExpr)[i]) * (x - ($qExpr)[i])))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -312,6 +392,45 @@ object SparkEntry {
       s"""SELECT vec_id, row_number() OVER (
          |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
          |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
+    "ann_search_table" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id AS rid,
+         |    ${d2Sql("e.embedding", "q.qv::DOUBLE[]")} AS __dd
+         |  FROM q CROSS JOIN embeddings e
+         |)
+         |SELECT qid, rid, CAST(__dd AS FLOAT) AS _distance FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY __dd, rid) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5
+         |ORDER BY qid, _distance, rid""".stripMargin,
+    "ann_oversample" ->
+      s"""SELECT vec_id, _distance FROM (
+         |  SELECT vec_id, CAST(${d2Sql("embedding", q64Sql)} AS FLOAT) AS _distance,
+         |         ${d2Sql("embedding", q64Sql)} AS __dd
+         |  FROM embeddings ORDER BY __dd, vec_id LIMIT 15
+         |) ORDER BY _distance, vec_id""".stripMargin,
+    "ann_delete_search" ->
+      s"""SELECT vec_id, _distance FROM (
+         |  SELECT vec_id, CAST(${d2Sql("embedding", q64Sql)} AS FLOAT) AS _distance,
+         |         ${d2Sql("embedding", q64Sql)} AS __dd
+         |  FROM embeddings WHERE vec_id NOT IN (3, 7, 11)
+         |  ORDER BY __dd, vec_id LIMIT 10
+         |) ORDER BY _distance, vec_id""".stripMargin,
+    "ann_vacuum_info" ->
+      """SELECT (count(*) - 5)::BIGINT AS num_vectors, 0::BIGINT AS num_deleted
+        |FROM embeddings""".stripMargin,
+    "ann_gpu_info" ->
+      "SELECT false AS available, 'cpu' AS device",
+    "ann_index_info" ->
+      """SELECT 'v_info' AS name, 'flat' AS engine, 'l2' AS metric,
+        | 64 AS dimension, count(*)::BIGINT AS num_vectors, false AS quantized
+        |FROM embeddings""".stripMargin,
+    "streaming_build_info" ->
+      """SELECT count(*)::BIGINT AS num_vectors, 64 AS dimension,
+        | least(greatest(CAST(floor(sqrt(count(*))) AS BIGINT), 1000),
+        |       count(*))::BIGINT AS sample_size
+        |FROM embeddings""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

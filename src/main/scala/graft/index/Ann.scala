@@ -414,6 +414,8 @@ object Ann {
       idColumn: String, name: String, k: Int, searchComplexity: Int = 0): DataFrame = {
     val spark = queriesDf.sparkSession
     val meta = IndexCatalog.load(root(spark), name)
+    if (meta.engine != "diskann")
+      return searchTableExact(queriesDf, queryVecColumn, baseDf, idColumn, meta, k)
     val tomb = IndexCatalog.readTombstones(root(spark), name)
     val tombB = spark.sparkContext.broadcast(tomb)
     val cosine = meta.metricObj eq Metric.Cosine
@@ -457,6 +459,58 @@ object Ann {
     }
     val scored = spark.createDataFrame(scoredRdd, outSchema)
     joinBaseWithPrefix(baseDf, idColumn, scored, inSchema.fieldNames.toSet)
+  }
+
+  /**
+   * Exact (flat/ivfflat) DataFrame-input batch search: broadcast the query
+   * table against the index data scan — the gemm-shaped plan (each base
+   * partition scores all queries locally, then a per-query window top-k).
+   * At 100 TB the base side stays partition-parallel and only the (small)
+   * query table is replicated; ivfflat additionally prunes each query's scan
+   * to its nprobe clusters via an explode-join on the cluster id.
+   */
+  private def searchTableExact(queriesDf: DataFrame, queryVecColumn: String,
+      baseDf: DataFrame, idColumn: String, meta: IndexMeta, k: Int): DataFrame = {
+    val spark = queriesDf.sparkSession
+    val tomb = IndexCatalog.readTombstones(root(spark), meta.name)
+    val cosine = meta.metricObj eq Metric.Cosine
+    val inSchema = queriesDf.schema
+    val prepped = queriesDf
+      .withColumn(queryVecColumn, toFloatVec(col(queryVecColumn)))
+      .withColumn("__q",
+        if (cosine) toFloatVec(normalizeCol(col(queryVecColumn))) else col(queryVecColumn))
+      .withColumn("__qid", monotonically_increasing_id())
+    val base = spark.read.parquet(meta.sourcePath)
+    val joined = meta.engine match {
+      case "ivfflat" if meta.nprobe < meta.nlist =>
+        val cents = IndexCatalog.readCentroids(
+          s"${IndexCatalog.indexDir(root(spark), meta.name)}/centroids.bin")
+        val centsB = spark.sparkContext.broadcast(cents)
+        val nprobe = meta.nprobe
+        val probeUdf = udf((v: Array[Float]) => KMeansLite.nearestP(centsB.value, v, nprobe))
+        base.join(broadcast(prepped.withColumn("__probe", explode(probeUdf(col("__q"))))),
+          col("cluster") === col("__probe"))
+      case _ => base.crossJoin(broadcast(prepped))
+    }
+    val dd = meta.metricObj match {
+      case Metric.L2 => array_distance_sq(col("vec"), col("__q"))
+      case _ => array_negative_inner_product(col("vec"), col("__q"))
+    }
+    val unfiltered = joined.withColumn("__dd", dd)
+    val live = if (tomb.isEmpty) unfiltered
+      else unfiltered.where(!col("id").isin(tomb.toSeq: _*))
+    val w = Window.partitionBy("__qid").orderBy(col("__dd"), col("id"))
+    val scored = live.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .select(inSchema.fieldNames.map(col).toSeq :+
+        col("id").as("row_id") :+ col("__dd").cast(FloatType).as("_distance"): _*)
+    joinBaseWithPrefix(baseDf, idColumn, scored, inSchema.fieldNames.toSet)
+  }
+
+  /** `faiss_gpu_info()` analog: the JVM engine has no GPU backend; cluster
+   *  parallelism is the replacement lever (reference src/faiss_fn_gpu.cpp). */
+  def gpuInfo(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((false, "cpu")).toDF("available", "device")
   }
 
   /** Join hits (must contain row_id, _distance [+ extra cols]) back to base. */
