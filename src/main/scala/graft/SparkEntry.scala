@@ -221,6 +221,14 @@ object SparkEntry {
         .select("vec_id", "_distance")
     }),
 
+    "ann_hnsw_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_hnsw",
+        Ann.BuildParams(engine = "hnsw", numShards = 2))
+      Ann.search(emb, "vec_id", "v_hnsw", q64Arr, 10, searchComplexity = 128)
+        .select("vec_id", "_distance")
+    }),
+
     "ann_gpu_info" -> ((s, dir) => Ann.gpuInfo(s)),
 
     "ann_index_info" -> ((s, dir) => {

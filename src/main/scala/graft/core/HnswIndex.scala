@@ -1,0 +1,413 @@
+package graft.core
+
+import java.util.Arrays
+
+/**
+ * In-memory HNSW graph index over `Array[Float]` vectors — the FAISS-parity
+ * engine (reference registers HNSW via its FAISS wrapper,
+ * src/faiss_index.cpp:39-60 with default hnsw_m=32,
+ * src/include/faiss_index.hpp:38-43). Algorithm per Malkov & Yashunin,
+ * "Efficient and robust approximate nearest neighbor search using
+ * Hierarchical Navigable Small World graphs" (TPAMI 2018):
+ *
+ *  - level assignment: floor(-ln(U) · 1/ln(M)), deterministic per label via
+ *    a SplitMix64 stream (seeded builds reproduce exactly across runs — the
+ *    analog of FAISS's deterministic stride sampling ethos)
+ *  - insert: greedy descent to level l+1, then per-layer efConstruction
+ *    search + heuristic neighbor selection (paper Alg. 4) + bidirectional
+ *    links with overflow re-selection
+ *  - search: greedy descent to layer 1, then layer-0 search with
+ *    ef = max(k, searchComplexity | efConstruction)
+ *
+ * Single-threaded per instance; one shard per Spark task.
+ */
+final class HnswIndex(
+    val dim: Int,
+    val metric: Metric,
+    val m: Int = HnswIndex.DefaultM,
+    val efConstruction: Int = HnswIndex.DefaultEfConstruction,
+    seed: Long = 42L,
+    initialCapacity: Int = 1024) extends GraphIndex {
+
+  require(dim > 0 && m > 1 && efConstruction > 0)
+
+  private val maxM0 = 2 * m
+  private val levelMult = 1.0 / math.log(m.toDouble)
+
+  private var vecs: Array[Float] = new Array[Float](math.max(initialCapacity, 4) * dim)
+  /** levels(i) = top layer of node i. */
+  private var levels: Array[Int] = new Array[Int](math.max(initialCapacity, 4))
+  /** links(i)(l) = packed neighbor ids of node i at layer l (exact length). */
+  private var links: Array[Array[Array[Int]]] =
+    new Array[Array[Array[Int]]](math.max(initialCapacity, 4))
+  private var count = 0
+  private var entryPoint = -1
+  private var maxLevel = -1
+
+  def size: Int = count
+
+  def vector(id: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    System.arraycopy(vecs, id * dim, out, 0, dim)
+    out
+  }
+
+  private def ensureCapacity(n: Int): Unit = {
+    if (n * dim > vecs.length) {
+      var cap = math.max(vecs.length / dim, 4)
+      while (cap < n) cap *= 2
+      vecs = Arrays.copyOf(vecs, cap * dim)
+      levels = Arrays.copyOf(levels, cap)
+      links = Arrays.copyOf(links, cap)
+    }
+  }
+
+  @inline private def dist(a: Int, q: Array[Float]): Float = {
+    val off = a * dim
+    var s = 0.0f; var i = 0
+    if (metric eq Metric.L2) {
+      while (i < dim) { val d = vecs(off + i) - q(i); s += d * d; i += 1 }
+      s
+    } else {
+      while (i < dim) { s += vecs(off + i) * q(i); i += 1 }
+      -s
+    }
+  }
+
+  @inline private def distNodes(a: Int, b: Int): Float = {
+    val oa = a * dim; val ob = b * dim
+    var s = 0.0f; var i = 0
+    if (metric eq Metric.L2) {
+      while (i < dim) { val d = vecs(oa + i) - vecs(ob + i); s += d * d; i += 1 }
+      s
+    } else {
+      while (i < dim) { s += vecs(oa + i) * vecs(ob + i); i += 1 }
+      -s
+    }
+  }
+
+  /** Deterministic level for a label: SplitMix64(seed + label) → U(0,1). */
+  private def randomLevel(label: Int): Int = {
+    var z = seed + label * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    val u = ((z >>> 11).toDouble + 0.5) / 9007199254740992.0 // (0,1)
+    math.min((-math.log(u) * levelMult).toInt, HnswIndex.MaxLevelCap)
+  }
+
+  def add(v: Array[Float]): Int = {
+    require(v.length == dim, s"expected dimension $dim, got ${v.length}")
+    val label = count
+    ensureCapacity(count + 1)
+    System.arraycopy(v, 0, vecs, label * dim, dim)
+    val level = randomLevel(label)
+    levels(label) = level
+    links(label) = Array.fill(level + 1)(Array.emptyIntArray)
+    count += 1
+
+    if (entryPoint < 0) {
+      entryPoint = label; maxLevel = level
+      return label
+    }
+
+    var ep = entryPoint
+    // 1. greedy descent through layers above the node's level
+    var lc = maxLevel
+    while (lc > level) {
+      ep = greedyClosest(v, ep, lc)
+      lc -= 1
+    }
+    // 2. per-layer efConstruction search + heuristic selection + linking
+    lc = math.min(level, maxLevel)
+    while (lc >= 0) {
+      val (candIds, candDists, nCand) = searchLayer(v, Array(ep), efConstruction, lc)
+      val cap = if (lc == 0) maxM0 else m
+      val chosen = selectHeuristic(candIds, candDists, nCand, m)
+      links(label)(lc) = chosen
+      var i = 0
+      while (i < chosen.length) {
+        val nb = chosen(i)
+        val nbLinks = links(nb)(lc)
+        if (!nbLinks.contains(label)) {
+          if (nbLinks.length < cap) {
+            val grown = Arrays.copyOf(nbLinks, nbLinks.length + 1)
+            grown(nbLinks.length) = label
+            links(nb)(lc) = grown
+          } else {
+            // overflow: re-select among existing + new by the same heuristic
+            val ids = new Array[Int](nbLinks.length + 1)
+            val ds = new Array[Float](nbLinks.length + 1)
+            System.arraycopy(nbLinks, 0, ids, 0, nbLinks.length)
+            ids(nbLinks.length) = label
+            var j = 0
+            while (j < ids.length) { ds(j) = distNodes(nb, ids(j)); j += 1 }
+            links(nb)(lc) = selectHeuristic(ids, ds, ids.length, cap)
+          }
+        }
+        i += 1
+      }
+      if (chosen.nonEmpty) ep = chosen(0)
+      lc -= 1
+    }
+    if (level > maxLevel) { maxLevel = level; entryPoint = label }
+    label
+  }
+
+  /** Greedy single-step descent at a layer: move to the closest neighbor
+   *  until no improvement. */
+  private def greedyClosest(q: Array[Float], start: Int, layer: Int): Int = {
+    var cur = start
+    var curDist = dist(cur, q)
+    var improved = true
+    while (improved) {
+      improved = false
+      val nbrs = links(cur)(layer)
+      var i = 0
+      while (i < nbrs.length) {
+        val d = dist(nbrs(i), q)
+        if (d < curDist) { curDist = d; cur = nbrs(i); improved = true }
+        i += 1
+      }
+    }
+    cur
+  }
+
+  /** Beam search at one layer → candidates sorted ascending (paper Alg. 2).
+   *  Returns parallel arrays + count (ids, dists, n). */
+  private def searchLayer(q: Array[Float], eps: Array[Int], ef: Int,
+      layer: Int): (Array[Int], Array[Float], Int) = {
+    val visited = new java.util.HashSet[Integer](ef * 8)
+    // result: bounded sorted list (asc); candidates: min-heap packed long
+    val resId = new Array[Int](ef)
+    val resDist = new Array[Float](ef)
+    var resLen = 0
+    var heap = new Array[Long](math.max(ef * 2, 64))
+    var heapLen = 0
+
+    @inline def heapPush(v: Long): Unit = {
+      if (heapLen == heap.length) heap = Arrays.copyOf(heap, heapLen * 2)
+      var i = heapLen; heap(i) = v; heapLen += 1
+      while (i > 0 && heap((i - 1) / 2) > heap(i)) {
+        val p = (i - 1) / 2; val t = heap(p); heap(p) = heap(i); heap(i) = t; i = p
+      }
+    }
+    @inline def heapPop(): Long = {
+      val top = heap(0); heapLen -= 1; heap(0) = heap(heapLen)
+      var i = 0; var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = l + 1; var mm = i
+        if (l < heapLen && heap(l) < heap(mm)) mm = l
+        if (r < heapLen && heap(r) < heap(mm)) mm = r
+        if (mm == i) done = true
+        else { val t = heap(mm); heap(mm) = heap(i); heap(i) = t; i = mm }
+      }
+      top
+    }
+    @inline def insertResult(d: Float, id: Int): Unit = {
+      if (resLen < ef || d < resDist(resLen - 1)) {
+        var lo = 0; var hi = resLen
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (resDist(mid) < d) lo = mid + 1 else hi = mid
+        }
+        if (lo < ef) {
+          val newLen = math.min(resLen + 1, ef)
+          var i = newLen - 1
+          while (i > lo) { resDist(i) = resDist(i - 1); resId(i) = resId(i - 1); i -= 1 }
+          resDist(lo) = d; resId(lo) = id
+          resLen = newLen
+        }
+        heapPush(SortableF32.pack(d, id))
+      }
+    }
+
+    var i = 0
+    while (i < eps.length) {
+      val ep = eps(i)
+      if (visited.add(ep)) insertResult(dist(ep, q), ep)
+      i += 1
+    }
+    while (heapLen > 0) {
+      val top = heapPop()
+      if (resLen >= ef && SortableF32.distOf(top) > resDist(resLen - 1)) heapLen = 0
+      else {
+        val nbrs = links(SortableF32.idOf(top))(layer)
+        var j = 0
+        while (j < nbrs.length) {
+          val nb = nbrs(j)
+          if (visited.add(nb)) insertResult(dist(nb, q), nb)
+          j += 1
+        }
+      }
+    }
+    (resId, resDist, resLen)
+  }
+
+  /** Occlusion neighbor selection (paper Alg. 4): keep e iff it is closer to
+   *  the query node than to every already-selected neighbor. For cosine over
+   *  normalized vectors this is monotone-equivalent to the L2 test (|a-b|² =
+   *  2-2·a·b), so it applies to every metric — matching FAISS's
+   *  shrink_neighbor_list, which the reference wraps. (Raw-IP recall on
+   *  adversarial data is weak in FAISS for the same reason.) */
+  private def selectHeuristic(ids: Array[Int], ds: Array[Float], n: Int,
+      limit: Int): Array[Int] = {
+    // sort candidate order by distance (inputs from searchLayer are sorted;
+    // overflow re-selection passes unsorted arrays)
+    val order = (0 until n).sortBy(ds(_)).toArray
+    val out = new Array[Int](math.min(limit, n))
+    var nOut = 0
+    var oi = 0
+    while (oi < order.length && nOut < limit) {
+      val ci = order(oi)
+      val e = ids(ci)
+      var ok = true
+      var j = 0
+      while (ok && j < nOut) {
+        if (distNodes(e, out(j)) < ds(ci)) ok = false
+        j += 1
+      }
+      if (ok) { out(nOut) = e; nOut += 1 }
+      oi += 1
+    }
+    Arrays.copyOf(out, nOut)
+  }
+
+  def search(query: Array[Float], k: Int, searchComplexity: Int): (Array[Int], Array[Float]) = {
+    if (count == 0 || k <= 0) return (Array.emptyIntArray, Array.emptyFloatArray)
+    require(query.length == dim, s"query dimension ${query.length} != index dimension $dim")
+    val kk = math.min(k, count)
+    val ef = math.max(kk, if (searchComplexity > 0) searchComplexity else efConstruction)
+    var ep = entryPoint
+    var lc = maxLevel
+    while (lc > 0) { ep = greedyClosest(query, ep, lc); lc -= 1 }
+    val (ids, ds, n) = searchLayer(query, Array(ep), ef, 0)
+    val take = math.min(kk, n)
+    (Arrays.copyOf(ids, take), Arrays.copyOf(ds, take))
+  }
+
+  def memoryBytes: Long = {
+    var b = count.toLong * dim * 4
+    var i = 0
+    while (i < count) {
+      var l = 0
+      while (l < links(i).length) { b += links(i)(l).length.toLong * 4 + 16; l += 1 }
+      i += 1
+    }
+    b
+  }
+
+  // ------------------------------------------------------------- serialization
+
+  private[core] def internalState: (Int, Array[Float], Array[Int],
+      Array[Array[Array[Int]]], Int, Int) =
+    (count, vecs, levels, links, entryPoint, maxLevel)
+
+  private[core] def load(n: Int, vectors: Array[Float], lv: Array[Int],
+      lk: Array[Array[Array[Int]]], ep: Int, ml: Int): Unit = {
+    ensureCapacity(math.max(n, 1))
+    System.arraycopy(vectors, 0, vecs, 0, n * dim)
+    System.arraycopy(lv, 0, levels, 0, n)
+    System.arraycopy(lk, 0, links, 0, n)
+    count = n; entryPoint = ep; maxLevel = ml
+  }
+}
+
+object HnswIndex {
+  // Reference FAISS defaults: hnsw_m=32 (src/include/faiss_index.hpp:38-43).
+  val DefaultM = 32
+  val DefaultEfConstruction = 200
+  val MaxLevelCap = 16
+}
+
+/**
+ * `.hnsw` shard file: `"GHNW"` magic, u32 version=1, u32 dim, u8 metric,
+ * u32 m, u32 efConstruction, u32 n, i32 entryPoint, i32 maxLevel,
+ * per node: u8 level, per layer u16 degree + i32 neighbor ids;
+ * then flat f32 vectors. Little-endian, mirroring the `.diskann` style
+ * (reference rust_lib/src/file_format.rs:1-27).
+ */
+object HnswFormat {
+  import java.io._
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  val Magic = 0x474E4857 // "GHNW" big-endianly-irrelevant tag
+
+  def writeFile(ix: HnswIndex, path: String): Unit = {
+    val (n, vecs, levels, links, ep, ml) = ix.internalState
+    var linkBytes = 0L
+    var i = 0
+    while (i < n) {
+      linkBytes += 1
+      var l = 0
+      while (l < links(i).length) { linkBytes += 2 + 4L * links(i)(l).length; l += 1 }
+      i += 1
+    }
+    val total = 4 + 4 + 4 + 1 + 4 + 4 + 4 + 4 + 4 + linkBytes + 4L * n * ix.dim
+    require(total < Int.MaxValue, "shard too large for a single file buffer")
+    val bb = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(Magic); bb.putInt(1); bb.putInt(ix.dim)
+    // metric byte: on-disk code + a cosine flag bit (cosine shares code 1
+    // with IP, Metric.fromCode style)
+    bb.put(((if (ix.metric eq Metric.Cosine) 0x10 else 0) | ix.metric.code).toByte)
+    bb.putInt(ix.m); bb.putInt(ix.efConstruction)
+    bb.putInt(n); bb.putInt(ep); bb.putInt(ml)
+    i = 0
+    while (i < n) {
+      bb.put(levels(i).toByte)
+      var l = 0
+      while (l <= levels(i)) {
+        val nbrs = links(i)(l)
+        bb.putShort(nbrs.length.toShort)
+        var j = 0
+        while (j < nbrs.length) { bb.putInt(nbrs(j)); j += 1 }
+        l += 1
+      }
+      i += 1
+    }
+    var v = 0
+    while (v < n * ix.dim) { bb.putFloat(vecs(v)); v += 1 }
+    val tmp = new File(path + ".tmp")
+    val out = new FileOutputStream(tmp)
+    try out.write(bb.array(), 0, bb.position()) finally out.close()
+    java.nio.file.Files.move(tmp.toPath, new File(path).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readFile(path: String): HnswIndex = {
+    val bytes = java.nio.file.Files.readAllBytes(new File(path).toPath)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.getInt() == Magic, s"not a .hnsw file: $path")
+    val ver = bb.getInt(); require(ver == 1, s"unsupported .hnsw version $ver")
+    val dim = bb.getInt()
+    val mByte = bb.get().toInt
+    val metric = Metric.fromCode(mByte & 0x0f, cosine = (mByte & 0x10) != 0)
+    val m = bb.getInt(); val efc = bb.getInt()
+    val n = bb.getInt(); val ep = bb.getInt(); val ml = bb.getInt()
+    val levels = new Array[Int](math.max(n, 4))
+    val links = new Array[Array[Array[Int]]](math.max(n, 4))
+    var i = 0
+    while (i < n) {
+      val lvl = bb.get().toInt
+      levels(i) = lvl
+      links(i) = new Array[Array[Int]](lvl + 1)
+      var l = 0
+      while (l <= lvl) {
+        val d = bb.getShort().toInt
+        val nbrs = new Array[Int](d)
+        var j = 0
+        while (j < d) { nbrs(j) = bb.getInt(); j += 1 }
+        links(i)(l) = nbrs
+        l += 1
+      }
+      i += 1
+    }
+    val vecs = new Array[Float](n * dim)
+    var v = 0
+    while (v < n * dim) { vecs(v) = bb.getFloat(); v += 1 }
+    val ix = new HnswIndex(dim, metric, m, efc)
+    ix.load(n, vecs, levels, links, ep, ml)
+    ix
+  }
+}

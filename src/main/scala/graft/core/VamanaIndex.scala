@@ -27,7 +27,7 @@ final class VamanaIndex(
     val maxDegree: Int = VamanaIndex.DefaultMaxDegree,
     val buildComplexity: Int = VamanaIndex.DefaultBuildComplexity,
     val alpha: Float = VamanaIndex.DefaultAlpha,
-    initialCapacity: Int = 1024) extends Serializable {
+    initialCapacity: Int = 1024) extends GraphIndex {
 
   require(dim > 0, "dimension must be positive")
   require(maxDegree > 0 && buildComplexity > 0)
@@ -216,7 +216,7 @@ final class VamanaIndex(
    * Top-k beam search. Returns (labels, distances) sorted by distance asc.
    * `searchComplexity <= 0` means "use buildComplexity" (index_manager.rs:344-350).
    */
-  def search(query: Array[Float], k: Int, searchComplexity: Int = 0): (Array[Int], Array[Float]) = {
+  def search(query: Array[Float], k: Int, searchComplexity: Int): (Array[Int], Array[Float]) = {
     if (count == 0 || k <= 0) return (Array.emptyIntArray, Array.emptyFloatArray)
     require(query.length == dim, s"query dimension ${query.length} != index dimension $dim")
     val kk = math.min(k, count)
@@ -278,12 +278,6 @@ final class VamanaIndex(
     var visitedDists: Array[Float] = new Array[Float](1024)
     var visitedCount = 0
 
-    @inline private def sortableBits(f: Float): Long = {
-      val raw = java.lang.Float.floatToRawIntBits(f)
-      val s = if (raw < 0) ~raw else raw ^ 0x80000000
-      s.toLong & 0xffffffffL
-    }
-
     @inline private def heapPush(v: Long): Unit = {
       if (heapLen == heap.length) heap = Arrays.copyOf(heap, heapLen * 2)
       var i = heapLen; heap(i) = v; heapLen += 1
@@ -335,7 +329,7 @@ final class VamanaIndex(
         while (i > insertAt) { resDist(i) = resDist(i - 1); resId(i) = resId(i - 1); i -= 1 }
         if (insertAt < l) { resDist(insertAt) = d; resId(insertAt) = id }
         resLen = newLen
-        heapPush(sortableBits(d) << 32 | (id.toLong & 0xffffffffL))
+        heapPush(SortableF32.pack(d, id))
       }
     }
 
@@ -356,14 +350,11 @@ final class VamanaIndex(
       }
       while (heapLen > 0) {
         val top = heapPop()
-        val cDist = java.lang.Float.intBitsToFloat {
-          val s = (top >>> 32).toInt
-          if ((s & 0x80000000) != 0) s ^ 0x80000000 else ~s
-        }
+        val cDist = SortableF32.distOf(top)
         if (resLen >= l && cDist > resDist(resLen - 1)) {
           heapLen = 0 // converged
         } else {
-          val cId = top.toInt
+          val cId = SortableF32.idOf(top)
           val nbrs = ix.adj(cId); val nd = ix.degree(cId)
           var j = 0
           while (j < nd) {
@@ -393,7 +384,7 @@ final class VamanaIndex(
         resDist(lo) = d; resId(lo) = id
         resLen = newLen
       }
-      heapPush(sortableBits(d) << 32 | (id.toLong & 0xffffffffL))
+      heapPush(SortableF32.pack(d, id))
     }
 
     def topK(k: Int): (Array[Int], Array[Float]) = {

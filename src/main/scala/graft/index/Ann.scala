@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession, Row, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
-import graft.core.{Metric, VamanaIndex, VectorOps, DiskannFormat}
+import graft.core.{Metric, GraphIndex, VamanaIndex, HnswIndex, VectorOps,
+  DiskannFormat, HnswFormat}
 import graft.functions.{toFloatVec, array_distance_sq, array_negative_inner_product}
 
 /**
@@ -36,17 +37,25 @@ import graft.functions.{toFloatVec, array_distance_sq, array_negative_inner_prod
 object Ann {
 
   case class BuildParams(
-      engine: String = "diskann",          // diskann | flat | ivfflat
+      engine: String = "diskann",          // diskann | hnsw | flat | ivfflat
       metric: String = "l2",               // l2 | ip | cosine
       maxDegree: Int = VamanaIndex.DefaultMaxDegree,
       buildComplexity: Int = VamanaIndex.DefaultBuildComplexity,
       alpha: Float = VamanaIndex.DefaultAlpha,
-      quantization: String = "",           // "" | "sq8"
+      quantization: String = "",           // "" | "sq8" (diskann only)
       numShards: Int = 0,                  // 0 = auto from targetShardSize
       targetShardSize: Long = 1000000L,
       nlist: Int = 100,                    // ivfflat (reference default, faiss_index.hpp:38-43)
       nprobe: Int = 1,
-      trainSample: Int = 25600)
+      trainSample: Int = 25600,
+      hnswM: Int = HnswIndex.DefaultM,     // hnsw (reference hnsw_m=32)
+      efConstruction: Int = HnswIndex.DefaultEfConstruction)
+
+  /** Engines whose shards are graph files searched via ShardCache (hnsw
+   *  reuses the diskann shard lifecycle; its IndexMeta stores m in
+   *  `maxDegree` and efConstruction in `buildComplexity`). */
+  private[graft] def isGraphEngine(engine: String): Boolean =
+    engine == "diskann" || engine == "hnsw"
 
   def root(spark: SparkSession): String =
     IndexCatalog.rootDir(k => spark.conf.getOption(k))
@@ -71,7 +80,8 @@ object Ann {
 
     val srcFiles = sourceRootPaths(df)
     val built = params.engine.toLowerCase match {
-      case "diskann" => buildDiskann(data, name, dir, metric, params)
+      case "diskann" => buildGraph(data, name, dir, metric, params, "diskann")
+      case "hnsw"    => buildGraph(data, name, dir, metric, params, "hnsw")
       case "flat"    => buildFlat(data, name, dir, metric, params)
       case "ivfflat" => buildIvf(data, name, dir, metric, params)
       case e => throw new IllegalArgumentException(s"unknown engine: $e")
@@ -102,10 +112,12 @@ object Ann {
     row(0).getInt(0)
   }
 
-  private def buildDiskann(data: DataFrame, name: String, dir: String,
-      metric: Metric, params: BuildParams): IndexMeta = {
+  private def buildGraph(data: DataFrame, name: String, dir: String,
+      metric: Metric, params: BuildParams, engine: String): IndexMeta = {
     val spark = data.sparkSession
     import spark.implicits._
+    require(engine == "diskann" || params.quantization.isEmpty,
+      "sq8 quantization is supported for the diskann engine only")
     val dim = inferDim(data)
     val n = data.count()
     val nShards = if (params.numShards > 0) params.numShards
@@ -115,12 +127,16 @@ object Ann {
     val repart = if (nShards == 1) ds.coalesce(1) else ds.repartition(nShards)
     val maxDeg = params.maxDegree; val bc = params.buildComplexity
     val alpha = params.alpha; val quant = params.quantization
+    val hnswM = params.hnswM; val efc = params.efConstruction
     val metricName = metric.name
+    val ext = if (engine == "hnsw") "hnsw" else "diskann"
     val shardMetas = repart.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       val m = Metric.fromName(metricName)
       val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val ix = new VamanaIndex(dim, m, maxDeg, bc, alpha)
+      val ix: GraphIndex =
+        if (engine == "hnsw") new HnswIndex(dim, m, hnswM, efc)
+        else new VamanaIndex(dim, m, maxDeg, bc, alpha)
       val normalize = m eq Metric.Cosine
       var bad = -1L
       it.foreach { case (id, v) =>
@@ -134,17 +150,26 @@ object Ann {
         s"vector for id $bad does not have expected dimension $dim")
       if (ix.size == 0) Iterator.empty
       else {
-        if (quant == "sq8") ix.quantize()
-        val f = f"$dir/shard-$pid%05d.diskann"
+        val f = f"$dir/shard-$pid%05d.$ext"
         val idsF = f"$dir/shard-$pid%05d.ids"
-        DiskannFormat.writeFile(ix, f)
+        ix match {
+          case v: VamanaIndex =>
+            if (quant == "sq8") v.quantize()
+            DiskannFormat.writeFile(v, f)
+          case h: HnswIndex => HnswFormat.writeFile(h, f)
+        }
         IndexCatalog.writeIds(idsF, ids.toArray)
         Iterator.single(ShardMeta(f, idsF, ids.length.toLong))
       }
     }.collect().toList.sortBy(_.file)
 
-    val meta = IndexMeta(name, "diskann", "vec", "id", dim, metric.name,
-      params.maxDegree, params.buildComplexity, params.alpha,
+    // hnsw reuses the (maxDegree, buildComplexity) metadata slots for (m,
+    // efConstruction) — keeps metadata.json schema-stable across engines
+    val (md, bcMeta) =
+      if (engine == "hnsw") (params.hnswM, params.efConstruction)
+      else (params.maxDegree, params.buildComplexity)
+    val meta = IndexMeta(name, engine, "vec", "id", dim, metric.name,
+      md, bcMeta, params.alpha,
       params.quantization == "sq8", shardMetas.map(_.count).sum, 0L, shardMetas)
     IndexCatalog.save(root(spark), meta)
     meta
@@ -219,7 +244,8 @@ object Ann {
     val tomb = IndexCatalog.readTombstones(root(spark), name)
     val fetchK = k * math.max(1, oversample)
     meta.engine match {
-      case "diskann" => diskannScan(spark, meta, query, fetchK, searchComplexity, tomb)
+      case e if isGraphEngine(e) =>
+        diskannScan(spark, meta, query, fetchK, searchComplexity, tomb)
       case "flat" | "ivfflat" => exactScanIds(spark, meta, query, fetchK, tomb)
     }
   }
@@ -253,7 +279,7 @@ object Ann {
     val meta = IndexCatalog.load(root(spark), name)
     val tomb = IndexCatalog.readTombstones(root(spark), name)
     val fetchK = k * math.max(1, oversample)
-    if (meta.engine == "diskann" && meta.shards.size <= localSearchMaxShards(spark))
+    if (isGraphEngine(meta.engine) && meta.shards.size <= localSearchMaxShards(spark))
       searchShardsLocal(meta, tomb, query, fetchK, searchComplexity)
     else
       indexScan(spark, name, query, k, searchComplexity, oversample)
@@ -367,7 +393,7 @@ object Ann {
     val meta = IndexCatalog.load(root(spark), name)
     val tomb = IndexCatalog.readTombstones(root(spark), name)
     val scored: DataFrame = meta.engine match {
-      case "diskann" =>
+      case e if isGraphEngine(e) =>
         val qArr = queries.map(prepQuery(meta, _)).toArray
         val perShardK = k + tomb.size
         val cosine = meta.metricObj eq Metric.Cosine
@@ -414,7 +440,7 @@ object Ann {
       idColumn: String, name: String, k: Int, searchComplexity: Int = 0): DataFrame = {
     val spark = queriesDf.sparkSession
     val meta = IndexCatalog.load(root(spark), name)
-    if (meta.engine != "diskann")
+    if (!isGraphEngine(meta.engine))
       return searchTableExact(queriesDf, queryVecColumn, baseDf, idColumn, meta, k)
     val tomb = IndexCatalog.readTombstones(root(spark), name)
     val tombB = spark.sparkContext.broadcast(tomb)
@@ -574,19 +600,24 @@ object Ann {
     val spark = df.sparkSession
     val r = root(spark)
     val meta = IndexCatalog.load(r, name)
-    require(meta.engine == "diskann", s"append supported for diskann (got ${meta.engine})")
+    require(isGraphEngine(meta.engine),
+      s"append supported for graph engines (got ${meta.engine})")
     val dir = IndexCatalog.indexDir(r, name)
     import spark.implicits._
     val dim = meta.dim
     val data = df.select(col(idColumn).cast(LongType), toFloatVec(col(column)))
       .as[(Long, Array[Float])]
     val metricName = meta.metric
+    val engine = meta.engine
     val maxDeg = meta.maxDegree; val bc = meta.buildComplexity; val alpha = meta.alpha
     val quant = meta.quantized
+    val ext = if (engine == "hnsw") "hnsw" else "diskann"
     val deltaTag = s"delta-${meta.shards.size}"
     val newShards = data.coalesce(1).mapPartitions { it =>
       val m = Metric.fromName(metricName)
-      val ix = new VamanaIndex(dim, m, maxDeg, bc, alpha)
+      val ix: GraphIndex =
+        if (engine == "hnsw") new HnswIndex(dim, m, maxDeg, bc)
+        else new VamanaIndex(dim, m, maxDeg, bc, alpha)
       val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
       val normalize = m eq Metric.Cosine
       it.foreach { case (id, v) =>
@@ -596,9 +627,13 @@ object Ann {
       }
       if (ix.size == 0) Iterator.empty
       else {
-        if (quant) ix.quantize()
-        val f = s"$dir/shard-$deltaTag.diskann"
-        DiskannFormat.writeFile(ix, f)
+        val f = s"$dir/shard-$deltaTag.$ext"
+        ix match {
+          case vx: VamanaIndex =>
+            if (quant) vx.quantize()
+            DiskannFormat.writeFile(vx, f)
+          case h: HnswIndex => HnswFormat.writeFile(h, f)
+        }
         IndexCatalog.writeIds(s"$dir/shard-$deltaTag.ids", ids.toArray)
         Iterator.single(ShardMeta(f, s"$dir/shard-$deltaTag.ids", ids.length.toLong))
       }
@@ -616,13 +651,15 @@ object Ann {
     val meta = IndexCatalog.load(r, name)
     val tomb = IndexCatalog.readTombstones(r, name)
     if (tomb.isEmpty) return meta
-    require(meta.engine == "diskann", "vacuum currently supports diskann")
+    require(isGraphEngine(meta.engine), "vacuum supports graph engines")
     val dir = IndexCatalog.indexDir(r, name)
     val tombB = spark.sparkContext.broadcast(tomb)
     val cosine = meta.metricObj eq Metric.Cosine
     val ver = meta.version + 1
+    val engine = meta.engine
     val maxDeg = meta.maxDegree; val bc = meta.buildComplexity; val alpha = meta.alpha
     val quant = meta.quantized
+    val ext = if (engine == "hnsw") "hnsw" else "diskann"
     val newShards = spark.sparkContext
       .parallelize(meta.shards.zipWithIndex, math.max(meta.shards.size, 1))
       .flatMap { case (sh, i) =>
@@ -631,12 +668,20 @@ object Ann {
         val keep = loaded.ids.indices.filter(l => !t.contains(loaded.ids(l)))
         if (keep.isEmpty) Iterator.empty
         else {
-          val ix = new VamanaIndex(loaded.index.dim, loaded.index.metric, maxDeg, bc, alpha)
+          val ix: GraphIndex =
+            if (engine == "hnsw")
+              new HnswIndex(loaded.index.dim, loaded.index.metric, maxDeg, bc)
+            else
+              new VamanaIndex(loaded.index.dim, loaded.index.metric, maxDeg, bc, alpha)
           keep.foreach(l => ix.add(loaded.index.vector(l)))
-          if (quant) ix.quantize()
-          val f = f"$dir/shard-$i%05d-v$ver.diskann"
+          val f = f"$dir/shard-$i%05d-v$ver.$ext"
           val idsF = f"$dir/shard-$i%05d-v$ver.ids"
-          DiskannFormat.writeFile(ix, f)
+          ix match {
+            case vx: VamanaIndex =>
+              if (quant) vx.quantize()
+              DiskannFormat.writeFile(vx, f)
+            case h: HnswIndex => HnswFormat.writeFile(h, f)
+          }
           IndexCatalog.writeIds(idsF, keep.map(loaded.ids(_)).toArray)
           Iterator.single(ShardMeta(f, idsF, keep.size.toLong))
         }
@@ -658,12 +703,14 @@ object Ann {
     val r = root(spark)
     val t = IndexCatalog.load(r, target)
     val s = IndexCatalog.load(r, source)
-    require(t.engine == "diskann" && s.engine == "diskann", "merge supports diskann")
+    require(isGraphEngine(t.engine) && s.engine == t.engine,
+      s"merge supports graph engines of matching type (got ${t.engine}/${s.engine})")
     require(t.dim == s.dim && t.metric == s.metric,
       s"incompatible indexes: ${t.dim}/${t.metric} vs ${s.dim}/${s.metric}")
     val tDir = new java.io.File(IndexCatalog.indexDir(r, target))
     val adopted = s.shards.zipWithIndex.map { case (sh, i) =>
-      val nf = new java.io.File(tDir, s"merged-${t.shards.size + i}.diskann")
+      val srcExt = sh.file.substring(sh.file.lastIndexOf('.') + 1)
+      val nf = new java.io.File(tDir, s"merged-${t.shards.size + i}.$srcExt")
       val ni = new java.io.File(tDir, s"merged-${t.shards.size + i}.ids")
       java.nio.file.Files.copy(java.nio.file.Paths.get(sh.file), nf.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

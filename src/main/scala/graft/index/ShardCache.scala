@@ -2,10 +2,10 @@ package graft.index
 
 import java.io.File
 import java.util.concurrent.ConcurrentHashMap
-import graft.core.{VamanaIndex, DiskannFormat}
+import graft.core.{GraphIndex, DiskannFormat, HnswFormat}
 
 /** A loaded shard: the graph plus its label→external-id mapping. */
-final case class LoadedShard(index: VamanaIndex, ids: Array[Long])
+final case class LoadedShard(index: GraphIndex, ids: Array[Long])
 
 /**
  * Executor-JVM-wide cache of loaded shards, keyed by path+mtime+size.
@@ -25,9 +25,10 @@ object ShardCache {
     val hit = if (ref != null) ref.get() else null
     if (hit != null) hit
     else {
-      val loaded = LoadedShard(
-        DiskannFormat.readFile(diskannPath, cosineMetadata = cosine),
-        IndexCatalog.readIds(idsPath))
+      val graph: GraphIndex =
+        if (diskannPath.endsWith(".hnsw")) HnswFormat.readFile(diskannPath)
+        else DiskannFormat.readFile(diskannPath, cosineMetadata = cosine)
+      val loaded = LoadedShard(graph, IndexCatalog.readIds(idsPath))
       cache.put(key, new java.lang.ref.SoftReference(loaded))
       loaded
     }

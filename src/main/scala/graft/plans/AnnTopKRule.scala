@@ -208,7 +208,7 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // cost gates (reference src/ann_optimizer.cpp:459-472)
     val rows = meta.numVectors
     if (rows < 50) return None
-    val frac = if (meta.engine == "diskann") 0.30 else 0.10
+    val frac = if (Ann.isGraphEngine(meta.engine)) 0.30 else 0.10
     if (k > rows * frac) return None
 
     // fetch size: plain k, or k·mult + 100 when a filter must re-filter

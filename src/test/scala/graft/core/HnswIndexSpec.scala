@@ -1,0 +1,99 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+class HnswIndexSpec extends AnyFunSuite {
+
+  private def randVecs(n: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val r = new Random(seed)
+    Array.fill(n)(Array.fill(dim)(r.nextFloat() * 2 - 1))
+  }
+
+  private def bruteTopK(vecs: Array[Array[Float]], q: Array[Float], k: Int,
+      metric: Metric): Array[Int] =
+    vecs.indices.sortBy(i => (metric.distance(vecs(i), q), i)).take(k).toArray
+
+  test("exact match returned first; squared-L2 distances") {
+    val ix = new HnswIndex(4, Metric.L2, m = 8, efConstruction = 50)
+    val vs = Array(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    vs.foreach(ix.add)
+    val (ids, ds) = ix.search(Array(1f, 0f, 0f, 0f), 2, 0)
+    assert(ids(0) == 0 && ds(0) == 0.0f)
+    assert(ds(1) == 2.0f) // orthogonal unit vectors, squared L2
+  }
+
+  test("recall >= 0.9 vs brute force on 1000 random vectors (L2, cosine, IP)") {
+    def normalize(v: Array[Float]): Array[Float] = VectorOps.normalize(v.clone())
+    for ((metric, prep) <- Seq[(Metric, Array[Float] => Array[Float])](
+        (Metric.L2, identity _), (Metric.Cosine, normalize _),
+        (Metric.InnerProduct, identity _))) {
+      val vecs = randVecs(1000, 16, seed = 7).map(prep)
+      val ix = new HnswIndex(16, metric, m = 16, efConstruction = 100)
+      vecs.foreach(ix.add)
+      val queries = randVecs(20, 16, seed = 99).map(prep)
+      val recalls = queries.map { q =>
+        val truth = bruteTopK(vecs, q, 10, metric).toSet
+        val (got, _) = ix.search(q, 10, 100)
+        got.count(truth) / 10.0
+      }
+      val mean = recalls.sum / recalls.length
+      assert(mean >= 0.9, s"$metric mean recall $mean")
+    }
+  }
+
+  test("vamana recall >= 0.9 with mixed-sign IP distances") {
+    // regression for the signed-packing heap-key bug: negated-dot distances
+    // straddle zero, which used to invert beam ordering
+    val vecs = randVecs(1000, 16, seed = 21)
+    val ix = new VamanaIndex(16, Metric.InnerProduct, 32, 64)
+    vecs.foreach(ix.add)
+    val queries = randVecs(20, 16, seed = 5)
+    val recalls = queries.map { q =>
+      val truth = bruteTopK(vecs, q, 10, Metric.InnerProduct).toSet
+      val (got, _) = ix.search(q, 10, 100)
+      got.count(truth) / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"vamana IP mean recall $mean")
+  }
+
+  test("deterministic build: same input → same graph → same results") {
+    val vecs = randVecs(300, 8, seed = 3)
+    def build() = {
+      val ix = new HnswIndex(8, Metric.L2, m = 8, efConstruction = 60)
+      vecs.foreach(ix.add); ix
+    }
+    val q = Array.fill(8)(0.25f)
+    val (a1, d1) = build().search(q, 10, 80)
+    val (a2, d2) = build().search(q, 10, 80)
+    assert(a1.toSeq == a2.toSeq && d1.toSeq == d2.toSeq)
+  }
+
+  test("serialization round-trip preserves search results") {
+    val vecs = randVecs(500, 12, seed = 11)
+    val ix = new HnswIndex(12, Metric.L2, m = 12, efConstruction = 80)
+    vecs.foreach(ix.add)
+    val path = s"/tmp/graft-hnsw-test-${System.nanoTime()}.hnsw"
+    HnswFormat.writeFile(ix, path)
+    val loaded = HnswFormat.readFile(path)
+    assert(loaded.size == ix.size && loaded.dim == ix.dim)
+    val q = vecs(123)
+    val (a1, d1) = ix.search(q, 10, 100)
+    val (a2, d2) = loaded.search(q, 10, 100)
+    assert(a1.toSeq == a2.toSeq && d1.toSeq == d2.toSeq)
+    assert(loaded.vector(42).toSeq == vecs(42).toSeq)
+    new java.io.File(path).delete()
+  }
+
+  test("k > N returns all; empty index returns none") {
+    val ix = new HnswIndex(3, Metric.L2)
+    assert(ix.search(Array(0f, 0f, 0f), 5, 0)._1.isEmpty)
+    ix.add(Array(1f, 2f, 3f))
+    ix.add(Array(4f, 5f, 6f))
+    val (ids, _) = ix.search(Array(0f, 0f, 0f), 10, 0)
+    assert(ids.length == 2)
+  }
+}
