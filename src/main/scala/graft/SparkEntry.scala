@@ -7,6 +7,7 @@ import graft.functions.{toFloatVec, floatVec, array_distance, array_inner_produc
   array_cosine_similarity}
 import graft.index.Ann
 import graft.text.{TextOps, TextSql}
+import graft.search.Hybrid
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -340,6 +341,29 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- hybrid BM25 + vector search with RRF fusion (SURVEY §2.1 #16) ----
+
+    "hybrid_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), docs("text"), emb("embedding"))
+      Hybrid.hybridSearch(joined, "text", "embedding", "doc_id",
+        "spark join filter", q64Arr, 10)
+    }),
+
+    "hybrid_search_ann" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_hybrid",
+        Ann.BuildParams(engine = "diskann", numShards = 2))
+      val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), docs("text"), emb("embedding"))
+      Hybrid.hybridSearch(joined, "text", "embedding", "doc_id",
+        "spark join filter", q64Arr, 10, indexName = "v_hybrid",
+        searchComplexity = 128)
+    }),
+
     "dedup_minhash_keep" -> ((s, dir) => {
       TextOps.dedupByMinhash(t(s, dir, "documents"), "text", "doc_id",
           minJaccard = 0.6)
@@ -485,6 +509,7 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "hybrid_search" -> Hybrid.oracleSql("spark join filter", q64Sql, 10),
     "dedup_minhash_keep" ->
       s"""WITH ${TextSql.signaturesCte()},
          |__jac AS (
