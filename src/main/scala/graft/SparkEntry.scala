@@ -341,6 +341,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- multimodal: binary payload → stub-decoded feature histogram ----
+
+    "multimodal_featurize" -> ((s, dir) => {
+      val hUdf = udf((p: Array[Byte]) => graft.multimodal.Multimodal.byteHistogram(p, 16))
+      t(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"), hUdf(col("payload")).as("h"))
+        .select(col("doc_id"), posexplode(col("h")).as(Seq("bin", "cnt")))
+        .select(col("doc_id"), col("bin").cast("long").as("bin"), col("cnt"))
+        .orderBy("doc_id", "bin")
+    }),
+
     // ---- hybrid BM25 + vector search with RRF fusion (SURVEY §2.1 #16) ----
 
     "hybrid_search" -> ((s, dir) => {
@@ -509,6 +521,12 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "multimodal_featurize" ->
+      """SELECT d.doc_id, b.bin,
+        |  len(list_filter(list_transform(string_split(d.text, ''), ch -> unicode(ch)),
+        |      c -> c % 16 = b.bin))::BIGINT AS cnt
+        |FROM documents d, (SELECT unnest(range(0, 16)) AS bin) b
+        |ORDER BY doc_id, bin""".stripMargin,
     "hybrid_search" -> Hybrid.oracleSql("spark join filter", q64Sql, 10),
     "dedup_minhash_keep" ->
       s"""WITH ${TextSql.signaturesCte()},
