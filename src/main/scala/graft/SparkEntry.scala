@@ -131,7 +131,7 @@ object SparkEntry {
     "ann_diskann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_diskann",
-        Ann.BuildParams(engine = "diskann", numShards = 2))
+        Ann.BuildParams(engine = "diskann", numShards = 8))
       Ann.search(emb, "vec_id", "v_diskann", q64Arr, 10, searchComplexity = 128)
         .select("vec_id", "_distance")
     }),
@@ -139,7 +139,7 @@ object SparkEntry {
     "ann_sq8_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_sq8",
-        Ann.BuildParams(engine = "diskann", numShards = 1, quantization = "sq8"))
+        Ann.BuildParams(engine = "diskann", numShards = 4, quantization = "sq8"))
       Ann.search(emb, "vec_id", "v_sq8", q64Arr, 10, searchComplexity = 128)
         .select("vec_id", "_distance")
     }),
@@ -147,7 +147,7 @@ object SparkEntry {
     "ann_batch" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_batch",
-        Ann.BuildParams(engine = "diskann", numShards = 2))
+        Ann.BuildParams(engine = "diskann", numShards = 8))
       val q2 = Q64.map(v => 1.0f - v).toArray
       Ann.searchBatch(emb, "vec_id", "v_batch", Seq(q64Arr, q2), 5,
         searchComplexity = 128)
@@ -204,7 +204,7 @@ object SparkEntry {
     "ann_vacuum_info" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_vac",
-        Ann.BuildParams(engine = "diskann", numShards = 2))
+        Ann.BuildParams(engine = "diskann", numShards = 8))
       Ann.delete(s, "v_vac", Seq(1L, 2L, 3L, 4L, 5L))
       Ann.vacuum(s, "v_vac")
       Ann.indexInfo(s).where(col("name") === "v_vac")
@@ -214,9 +214,9 @@ object SparkEntry {
     "ann_merge_search" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb.where(col("vec_id") % 2 === 0), "embedding", "vec_id",
-        "v_m1", Ann.BuildParams(engine = "diskann", numShards = 1))
+        "v_m1", Ann.BuildParams(engine = "diskann", numShards = 4))
       Ann.buildIndex(emb.where(col("vec_id") % 2 === 1), "embedding", "vec_id",
-        "v_m2", Ann.BuildParams(engine = "diskann", numShards = 1))
+        "v_m2", Ann.BuildParams(engine = "diskann", numShards = 4))
       Ann.merge(s, "v_m1", "v_m2")
       Ann.search(emb, "vec_id", "v_m1", q64Arr, 10, searchComplexity = 128)
         .select("vec_id", "_distance")
@@ -225,7 +225,7 @@ object SparkEntry {
     "ann_hnsw_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_hnsw",
-        Ann.BuildParams(engine = "hnsw", numShards = 2))
+        Ann.BuildParams(engine = "hnsw", numShards = 8))
       Ann.search(emb, "vec_id", "v_hnsw", q64Arr, 10, searchComplexity = 128)
         .select("vec_id", "_distance")
     }),
@@ -252,7 +252,7 @@ object SparkEntry {
       rows.foreach(r => r.getSeq[Float](1).foreach(bb.putFloat))
       java.nio.file.Files.write(java.nio.file.Paths.get(path), bb.array())
       val (n, d, sample) = Ann.streamingBuild(s, path, "v_stream",
-        Ann.BuildParams(engine = "diskann", numShards = 2))
+        Ann.BuildParams(engine = "diskann", numShards = 8))
       Seq((n, d, sample)).toDF("num_vectors", "dimension", "sample_size")
     }),
 
@@ -368,7 +368,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_hybrid",
-        Ann.BuildParams(engine = "diskann", numShards = 2))
+        Ann.BuildParams(engine = "diskann", numShards = 8))
       val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
         .select(docs("doc_id"), docs("text"), emb("embedding"))
       Hybrid.hybridSearch(joined, "text", "embedding", "doc_id",

@@ -177,7 +177,7 @@ final class HnswIndex(
    *  Returns parallel arrays + count (ids, dists, n). */
   private def searchLayer(q: Array[Float], eps: Array[Int], ef: Int,
       layer: Int): (Array[Int], Array[Float], Int) = {
-    val visited = new java.util.HashSet[Integer](ef * 8)
+    val visited = new IntSet(ef * 8)
     // result: bounded sorted list (asc); candidates: min-heap packed long
     val resId = new Array[Int](ef)
     val resDist = new Array[Float](ef)

@@ -182,29 +182,43 @@ final class VamanaIndex(
    */
   private def robustPrune(p: Int, candIds: Array[Int], candDists: Array[Float],
       n: Int, limit: Int): Array[Int] = {
-    // sort candidate indices by distance to p, dropping self and duplicates
-    val order = (0 until n).filter(i => candIds(i) != p).sortBy(candDists(_)).toArray
-    val chosen = new Array[Int](math.min(limit, order.length))
+    // pack (dist, candidate-slot) and sort — primitive, no boxing
+    val packed = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (candIds(i) != p) { packed(m) = SortableF32.pack(candDists(i), i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(packed, 0, m)
+    // cap the occlusion pool to the closest candidates: the diskann crate
+    // prunes from the L-bounded search pool, not every visited node —
+    // bounds build cost at O(limit · pool · dim) instead of O(limit ·
+    // |visited| · dim), which dominated large builds
+    val poolCap = math.max(buildComplexity, 2 * limit)
+    if (m > poolCap) m = poolCap
+    val chosen = new Array[Int](math.min(limit, m))
     var nChosen = 0
-    val killed = new Array[Boolean](n)
+    val killed = new Array[Boolean](m)
     // dedup by id (keep first = closest)
-    val seen = new java.util.HashSet[Integer](n * 2)
+    val seen = new IntSet(m * 2)
     var oi = 0
-    while (oi < order.length && nChosen < limit) {
-      val ci = order(oi)
-      if (!killed(ci) && seen.add(candIds(ci))) {
-        val star = candIds(ci)
-        chosen(nChosen) = star
-        nChosen += 1
-        // occlude candidates dominated by star
-        var oj = oi + 1
-        while (oj < order.length) {
-          val cj = order(oj)
-          if (!killed(cj)) {
-            val dStarV = distNodes(star, candIds(cj))
-            if (alpha * dStarV <= candDists(cj)) killed(cj) = true
+    while (oi < m && nChosen < limit) {
+      if (!killed(oi)) {
+        val star = candIds(SortableF32.idOf(packed(oi)))
+        if (seen.add(star)) {
+          chosen(nChosen) = star
+          nChosen += 1
+          // occlude candidates dominated by star
+          var oj = oi + 1
+          while (oj < m) {
+            if (!killed(oj)) {
+              val cj = SortableF32.idOf(packed(oj))
+              val dStarV = distNodes(star, candIds(cj))
+              if (alpha * dStarV <= candDists(cj)) killed(oj) = true
+            }
+            oj += 1
           }
-          oj += 1
         }
       }
       oi += 1
@@ -272,7 +286,7 @@ final class VamanaIndex(
     // candidate min-heap packed as long: sortableFloatBits(dist) << 32 | id
     private var heap: Array[Long] = new Array[Long](256)
     private var heapLen = 0
-    private val visited = new java.util.HashSet[Integer](1024)
+    private val visited = new IntSet(1024)
     // visited pool (every node whose distance was computed) for robustPrune
     var visitedIds: Array[Int] = new Array[Int](1024)
     var visitedDists: Array[Float] = new Array[Float](1024)

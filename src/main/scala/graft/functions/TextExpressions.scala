@@ -1,0 +1,142 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Compiled text-hashing kernels. The pure-`functions._` formulations of
+ * these (aggregate ∘ transform ∘ split) are semantically identical but run
+ * interpreted — Spark's higher-order array functions are CodegenFallback,
+ * and per-element Expression.eval dispatch made shingle hashing the
+ * dominant cost of the dedup pipeline (~10s at sf0.1). These expressions
+ * compute the same modular integer hashes (same constants as
+ * graft.text.TextOps / TextSql, so DuckDB oracle parity is unchanged) in
+ * one compiled pass per row.
+ */
+object TextHash {
+  val Mod = 1000000007L
+  val Base = 31L
+
+  /** Char-level polynomial rolling hash over codepoints: h ← (h·B + cp) % P.
+   *  Matches aggregate(transform(split(s,''), ascii), ...) and DuckDB
+   *  list_reduce over unicode(ch). */
+  def rollingHash(s: UTF8String): Long = rollingHashString(s.toString)
+
+  def rollingHashString(str: String): Long = {
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * Base + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Continue a rolling hash across a string (for shingle windows). */
+  @inline private def extend(h0: Long, str: String): Long = {
+    var h = h0
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * Base + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Distinct rolling hashes of the k-token shingle strings (space-joined),
+   *  exactly matching hash(array_join(slice(toks,i,k),' ')) + distinct. */
+  def shingleHashes(toks: Array[String], k: Int): Array[Long] = {
+    val n = toks.length
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n < k) {
+      // single shingle = all tokens joined (empty token list hashes "")
+      var h = 0L
+      var i = 0
+      while (i < n) {
+        if (i > 0) h = (h * Base + ' '.toInt) % Mod
+        h = extend(h, toks(i))
+        i += 1
+      }
+      seen.add(h)
+    } else {
+      var start = 0
+      while (start + k <= n) {
+        var h = 0L
+        var j = start
+        while (j < start + k) {
+          if (j > start) h = (h * Base + ' '.toInt) % Mod
+          h = extend(h, toks(j))
+          j += 1
+        }
+        seen.add(h)
+        start += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+}
+
+/** `rolling_hash(str)` — codegen'd document fingerprint. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextHash.rollingHash(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextHash.rollingHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
+/**
+ * `shingle_hashes(tokens, k)` — distinct rolling hashes of k-token shingles
+ * in one compiled pass (the eval body is compiled Scala; the expression
+ * itself is CodegenFallback, which costs one virtual call per row instead
+ * of per character).
+ */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0, "shingle size must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = s"shingle_hashes"
+
+  override protected def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (a.isNullAt(i)) "" else a.getUTF8String(i).toString
+      i += 1
+    }
+    new GenericArrayData(TextHash.shingleHashes(toks, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -60,12 +60,12 @@ object TextOps {
   // ---------------------------------------------------------- fingerprinting
 
   /** Char-level polynomial rolling hash of a string: h ← (h·B + code) mod P.
-   *  The document-fingerprint primitive; also the shingle hash. */
+   *  The document-fingerprint primitive; also the shingle hash. Backed by a
+   *  codegen'd expression (graft.expressions.RollingHash) — the equivalent
+   *  aggregate∘transform∘split formulation runs interpreted and dominated
+   *  profiles. */
   def rollingHash(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), ch => ascii(ch).cast(LongType)),
-      lit(0L),
-      (h, c) => (h * HashBase + c) % HashMod)
+    graft.functions.mkCol(graft.expressions.RollingHash(graft.functions.mkExpr(s)))
 
   // ------------------------------------------------------------------ lang id
 
@@ -147,9 +147,11 @@ object TextOps {
         i => array_join(slice(toks, i, lit(k)), " ")))
     .otherwise(array(array_join(toks, " ")))
 
-  /** Distinct shingle hashes for a document. */
+  /** Distinct shingle hashes for a document — one compiled pass
+   *  (graft.expressions.ShingleHashes), identical values to
+   *  array_distinct(transform(shingles(toks,k), rollingHash)). */
   def shingleHashes(toks: Column, k: Int = 3): Column =
-    array_distinct(transform(shingles(toks, k), s => rollingHash(s)))
+    graft.functions.mkCol(graft.expressions.ShingleHashes(graft.functions.mkExpr(toks), k))
 
   /** MinHash signature (array of NumHashes longs) over distinct shingle
    *  hashes: min_j over shingles of (a_j·h + b_j) mod P. */
@@ -169,13 +171,29 @@ object TextOps {
   // -------------------------------------------------- DataFrame-level ops
 
   /** Per-doc signature table: (id, shingle hashes, minhash sig, band hashes).
-   *  One narrow projection — codegen end to end, no shuffle. */
+   *
+   *  The shingle hashes are computed ONCE, exploded, and min-aggregated per
+   *  hash function — a single-column expression for all 32 minhashes would
+   *  tempt Catalyst's project-collapse into inlining the tokenize→shingle→
+   *  hash pipeline into every lambda (32× recompute). The explode/agg shape
+   *  also scales: map-side partial aggregation collapses a doc's shingles
+   *  back to one row before the shuffle, so shuffle volume is one row per
+   *  (doc, 32 longs) regardless of document size. */
   def signatures(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3): DataFrame = {
     val toks = tokens(col(textCol))
     val sh = shingleHashes(toks, shingleK)
-    df.select(col(idCol).as("id"), sh.as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles")))
+    val base = df.select(col(idCol).as("id"), sh.as("shingles"))
+    val exploded = base.select(col("id"), explode(col("shingles")).as("h"))
+    val minCols = hashParams(NumHashes).zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * a + b) % HashMod).as(s"__m$j")
+    }
+    val sigTbl = exploded.groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id").as("__sid"),
+        array((0 until NumHashes).map(j => col(s"__m$j")): _*).as("sig"))
+    base.join(sigTbl, col("id") === col("__sid"))
+      .drop("__sid")
       .withColumn("bands", bandHashes(col("sig")))
   }
 
