@@ -154,6 +154,20 @@ object SparkEntry {
         .select("query_idx", "vec_id", "_distance")
     }),
 
+    // the reference's SQL bench shape (bench/metal_diskann_bench.sql:31-39):
+    // 50 top-k=10 queries against a DiskANN index, batch-searched
+    "ann_batch50" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_b50",
+        Ann.BuildParams(engine = "diskann", numShards = 8, maxDegree = 64,
+          buildComplexity = 100))
+      val qs = emb.where(col("vec_id") < 50).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      Ann.searchBatch(emb, "vec_id", "v_b50", qs, 10, searchComplexity = 100)
+        .select("query_idx", "vec_id", "_distance")
+    }),
+
     // ivfflat with nprobe == nlist scans every cluster → exact; oracle-able
     // as rank-only output (ordering is metric-monotonic).
     "ann_ivf_exact" -> ((s, dir) => {

@@ -55,5 +55,19 @@ object functions {
       reg2(n, b)
       reg2(n.replace("array_", "list_"), b)
     }
+    // text-hashing kernels (dedup/fingerprint surface)
+    reg.createOrReplaceTempFunction("rolling_hash", exprs => {
+      require(exprs.length == 1, "rolling_hash expects 1 argument")
+      RollingHash(exprs.head)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes", exprs => {
+      require(exprs.length == 2, "shingle_hashes expects (tokens, k)")
+      val k = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes k must be an integer literal, got $other")
+      }
+      ShingleHashes(exprs.head, k)
+    }, "built-in")
   }
 }

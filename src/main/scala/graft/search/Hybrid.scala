@@ -64,11 +64,14 @@ object Hybrid {
         (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast(DoubleType) / lit(avgdl))) *
         lit(idf)
     }.reduce(_ + _)
-    val w = Window.orderBy(col("__score").desc, col("id"))
-    base.withColumn("__score", score)
+    // distributed top-N first (TakeOrderedAndProject — no global sort), then
+    // rank the ≤topN survivors with a window over the tiny result
+    val top = base.withColumn("__score", score)
       .where(col("__score") > 0)
-      .withColumn("_bm25_rank", row_number().over(w))
-      .where(col("_bm25_rank") <= topN)
+      .orderBy(col("__score").desc, col("id"))
+      .limit(topN)
+    val w = Window.orderBy(col("__score").desc, col("id"))
+    top.withColumn("_bm25_rank", row_number().over(w))
       .select("id", "_bm25_rank")
   }
 
@@ -77,10 +80,11 @@ object Hybrid {
   def exactVectorRanks(df: DataFrame, vecCol: String, idCol: String,
       qVec: Array[Float], topN: Int): DataFrame = {
     val dd = array_distance_sq(toFloatVec(col(vecCol)), floatVec(qVec.toSeq))
+    val top = df.select(col(idCol).cast(LongType).as("id"), dd.as("__dd"))
+      .orderBy(col("__dd"), col("id"))
+      .limit(topN)
     val w = Window.orderBy(col("__dd"), col("id"))
-    df.select(col(idCol).cast(LongType).as("id"), dd.as("__dd"))
-      .withColumn("_vector_rank", row_number().over(w))
-      .where(col("_vector_rank") <= topN)
+    top.withColumn("_vector_rank", row_number().over(w))
       .select("id", "_vector_rank")
   }
 

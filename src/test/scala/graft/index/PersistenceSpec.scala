@@ -1,0 +1,80 @@
+package graft.index
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{toFloatVec, floatVec, array_distance}
+
+/** Restart tests (reference test/sql/diskann_persist.test,
+ *  faiss_bind_after_restart.test): index written by one session is fully
+ *  usable from a fresh session (and fresh shard cache) via the on-disk
+ *  catalog alone. */
+class PersistenceSpec extends AnyFunSuite {
+  private val root = s"/tmp/graft-persist-${System.nanoTime()}"
+
+  private def newSession(): SparkSession = {
+    // fully restart the JVM-local session so nothing carries over but disk
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.graft.ann.root", root)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def emb(s: SparkSession): DataFrame =
+    s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private val q: Array[Float] = (0 until 64).map(i => (i % 8) / 8.0f).toArray
+
+  test("diskann + sq8 + hnsw + flat indexes survive a session restart") {
+    val s1 = newSession()
+    val df1 = emb(s1)
+    Ann.buildIndex(df1, "embedding", "vec_id", "p_diskann",
+      Ann.BuildParams(engine = "diskann", numShards = 2))
+    Ann.buildIndex(df1, "embedding", "vec_id", "p_sq8",
+      Ann.BuildParams(engine = "diskann", numShards = 1, quantization = "sq8"))
+    Ann.buildIndex(df1, "embedding", "vec_id", "p_hnsw",
+      Ann.BuildParams(engine = "hnsw", numShards = 2))
+    Ann.buildIndex(df1, "embedding", "vec_id", "p_flat",
+      Ann.BuildParams(engine = "flat"))
+    Ann.delete(s1, "p_diskann", Seq(5L, 6L))
+    val before = Ann.search(df1, "vec_id", "p_diskann", q, 10, searchComplexity = 128)
+      .collect().map(_.getLong(0)).toSeq
+
+    // restart: new session, cold shard cache
+    val s2 = newSession()
+    ShardCache.invalidate()
+    val df2 = emb(s2)
+
+    val after = Ann.search(df2, "vec_id", "p_diskann", q, 10, searchComplexity = 128)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == before, "diskann results differ after restart")
+    assert(!after.contains(5L) && !after.contains(6L), "tombstones lost on restart")
+
+    val sq8Hit = Ann.search(df2, "vec_id", "p_sq8", df2.where(col("vec_id") === 7)
+      .select(toFloatVec(col("embedding"))).head().getSeq[Float](0).toArray, 1,
+      searchComplexity = 128).head().getLong(0)
+    assert(sq8Hit == 7L, "sq8 index should find the exact row after restart")
+
+    val hnswHits = Ann.search(df2, "vec_id", "p_hnsw", q, 5, searchComplexity = 128).collect()
+    assert(hnswHits.length == 5)
+    val brute = df2.orderBy(array_distance(toFloatVec(col("embedding")), floatVec(q.toSeq)))
+      .limit(5).collect().map(_.getLong(0)).toSet
+    assert(hnswHits.map(_.getLong(0)).count(brute) >= 4, "hnsw recall after restart")
+
+    val flatTop = Ann.search(df2, "vec_id", "p_flat", q, 3).collect().map(_.getLong(0)).toSet
+    val bruteTop = df2.orderBy(array_distance(toFloatVec(col("embedding")), floatVec(q.toSeq)))
+      .limit(3).collect().map(_.getLong(0)).toSet
+    assert(flatTop == bruteTop, "flat index must stay exact after restart")
+
+    // catalog listing intact
+    val names = Ann.list(s2).collect().map(_.getString(0)).toSet
+    assert(Set("p_diskann", "p_sq8", "p_hnsw", "p_flat").subsetOf(names))
+  }
+}
