@@ -343,6 +343,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "simhash_pairs" -> ((s, dir) => {
+      TextOps.simhashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "neardup_cos_lsh" -> ((s, dir) => {
+      TextOps.cosineLshPairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+          dim = 64, threshold = 0.4, nTables = 8, bitsPerTable = 6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "ann_index_scan" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_scan",
+        Ann.BuildParams(engine = "flat"))
+      Ann.indexScan(s, "v_scan", q64Arr, 10)
+        .orderBy("_distance", "row_id")
+    }),
+
     "neardup_cos_exact" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), toFloatVec(col("embedding")).as("v"))
@@ -529,6 +548,21 @@ object SparkEntry {
          |JOIN __sigs a ON c.id_a = a.id
          |JOIN __sigs b ON c.id_b = b.id
          |ORDER BY id_a, id_b""".stripMargin,
+    "simhash_pairs" ->
+      s"""WITH sh AS (SELECT doc_id AS id,
+         |  ${TextSql.simhash(TextSql.tokens("text"))} AS sh FROM documents)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+         |FROM sh a JOIN sh b ON a.id < b.id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ann_index_scan" ->
+      s"""SELECT row_id, _distance FROM (
+         |  SELECT vec_id AS row_id,
+         |    CAST(${d2Sql("embedding", q64Sql)} AS FLOAT) AS _distance,
+         |    ${d2Sql("embedding", q64Sql)} AS __dd
+         |  FROM embeddings ORDER BY __dd, vec_id LIMIT 10
+         |) ORDER BY _distance, row_id""".stripMargin,
     "neardup_cos_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim

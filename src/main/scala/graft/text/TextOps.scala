@@ -232,6 +232,70 @@ object TextOps {
     joined
   }
 
+  /**
+   * SimHash near-dup pairs with hamming distance ≤ maxHamming, via the
+   * pigeonhole block join: split the SimHashBits into (maxHamming+1)
+   * blocks — any pair within the hamming budget must agree EXACTLY on at
+   * least one block, so the block-bucket join has perfect recall while
+   * joining on equality (never an all-pairs product). Candidates are then
+   * verified with the exact popcount. Output: (id_a, id_b, hamming).
+   */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimHashBits)
+    val nBlocks = maxHamming + 1
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      simhash(tokens(col(textCol))).as("sh"))
+    // block boundaries: distribute SimHashBits as evenly as possible
+    val bounds = (0 to nBlocks).map(i => i * SimHashBits / nBlocks)
+    val blockCols = (0 until nBlocks).map { i =>
+      val lo = bounds(i); val width = bounds(i + 1) - lo
+      val mask = (1L << width) - 1
+      struct(lit(i).as("bi"), (shiftright(col("sh"), lo).bitwiseAND(mask)).as("bv"))
+    }
+    val blocks = base.select(col("id"), col("sh"),
+      explode(array(blockCols: _*)).as("blk"))
+    val a = blocks.as("a"); val b = blocks.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast(LongType).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Embedding-cosine near-dup via random-hyperplane LSH — the 100 TB scale
+   * path (the exact variant is a broadcast self-join): each vector gets
+   * `nTables` bucket keys of `bitsPerTable` sign bits; pairs sharing a
+   * bucket in any table are verified with the exact cosine. Recall < 1 by
+   * construction (pairs split across all tables' buckets are missed);
+   * increase nTables for recall, bitsPerTable for precision.
+   */
+  def cosineLshPairs(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+      threshold: Double, nTables: Int = 4, bitsPerTable: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    import graft.functions.{toFloatVec, floatVec, array_inner_product,
+      array_cosine_similarity}
+    val rnd = new scala.util.Random(seed)
+    val v = toFloatVec(col(vecCol))
+    val tableCols = (0 until nTables).map { t =>
+      val bucket = (0 until bitsPerTable).map { i =>
+        val plane = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+        when(array_inner_product(v, floatVec(plane.toSeq)) > 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("ti"), bucket.as("bv"))
+    }
+    val base = df.select(col(idCol).cast(LongType).as("id"), v.as("__v"),
+      explode(array(tableCols: _*)).as("tb"))
+    val a = base.as("a"); val b = base.as("b")
+    a.join(b, col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        array_cosine_similarity(col("a.__v"), col("b.__v")).as("sim"))
+      .distinct()
+      .where(col("sim") >= threshold)
+  }
+
   /** MinHash near-dup groups → rows to KEEP after dropping near-duplicates:
    *  connected-candidates collapse to min-id representative (single-link over
    *  candidate pairs, one iteration — adequate for dedup where candidate
