@@ -141,6 +141,25 @@ class AnnSpec extends AnyFunSuite {
     assert(got.count(truth) >= 7, s"ivf recall ${got.count(truth)}/10")
   }
 
+  test("searchTable on exact engines: flat matches brute force; ivf prunes") {
+    import spark.implicits._
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_flat_st",
+      Ann.BuildParams(engine = "flat"))
+    val queries = Seq((900L, q0.toSeq)).toDF("qid", "qvec")
+    val res = Ann.searchTable(queries, "qvec", emb, "vec_id", "t_flat_st", 5)
+      .orderBy("_distance", "vec_id").collect()
+    assert(res.length == 5)
+    assert(res.map(_.getAs[Long]("vec_id")).toSeq == bruteTop(5, q0).toSeq,
+      "flat searchTable must be exact")
+    // ivf path: nprobe < nlist goes through the probe-explode join
+    val resIvf = Ann.searchTable(queries, "qvec", emb, "vec_id", "t_ivf", 10)
+      .collect()
+    assert(resIvf.length == 10)
+    val truth = bruteTop(10, q0).toSet
+    assert(resIvf.map(_.getAs[Long]("vec_id")).count(truth) >= 7,
+      "ivf searchTable recall")
+  }
+
   test("sq8 quantized index still finds the exact-match row") {
     Ann.buildIndex(emb, "embedding", "vec_id", "t_sq8",
       Ann.BuildParams(engine = "diskann", numShards = 1, quantization = "sq8"))

@@ -1,0 +1,73 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{toFloatVec, floatVec, array_distance}
+
+/** Physical-plan assertions for the 100 TB contract: columns prune to the
+ *  scan, filters push to parquet, small dimensions broadcast, aggregates
+ *  partial-aggregate map-side, and exact top-k uses TakeOrderedAndProject
+ *  (never a global sort). */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("projection prunes the parquet scan to referenced columns") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"expected 2-column ReadSchema:\n$p")
+  }
+
+  test("filters push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_custkey") === 42L).select("o_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,42)]"),
+      s"expected pushed EqualTo:\n$p")
+  }
+
+  test("exact top-k by distance is TakeOrderedAndProject, not a global sort") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = (0 until 64).map(i => (i % 8) / 8.0f)
+    spark.conf.set("spark.graft.ann.rewriteEnabled", "false")
+    val df = emb.orderBy(array_distance(toFloatVec(col("embedding")), floatVec(q)))
+      .limit(10)
+    val p = plan(df)
+    spark.conf.set("spark.graft.ann.rewriteEnabled", "true")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked:\n$p")
+  }
+
+  test("small dimension joins broadcast; aggregates partial-aggregate") {
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .where(col("c_mktsegment") === "BUILDING")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val j = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderdate").agg(sum("o_totalprice").as("t"))
+    val p = plan(j)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(p.contains("partial_sum"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("distance expressions stay inside whole-stage codegen") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = (0 until 64).map(i => (i % 8) / 8.0f)
+    val df = emb.select(col("vec_id"),
+      array_distance(toFloatVec(col("embedding")), floatVec(q)).as("d"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"), s"expected WholeStageCodegen stage:\n$p")
+  }
+}
