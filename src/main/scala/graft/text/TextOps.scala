@@ -246,6 +246,11 @@ object TextOps {
     val nBlocks = maxHamming + 1
     val base = df.select(col(idCol).cast(LongType).as("id"),
       simhash(tokens(col(textCol))).as("sh"))
+    // pair over DISTINCT hashes, not docs: clustered corpora have many
+    // identical simhashes, and the block join cost is quadratic in bucket
+    // population — grouping first makes it quadratic in distinct hashes.
+    // sort_array keeps group identity deterministic across recomputation.
+    val groups = base.groupBy("sh").agg(sort_array(collect_list(col("id"))).as("ids"))
     // block boundaries: distribute SimHashBits as evenly as possible
     val bounds = (0 to nBlocks).map(i => i * SimHashBits / nBlocks)
     val blockCols = (0 until nBlocks).map { i =>
@@ -253,14 +258,27 @@ object TextOps {
       val mask = (1L << width) - 1
       struct(lit(i).as("bi"), (shiftright(col("sh"), lo).bitwiseAND(mask)).as("bv"))
     }
-    val blocks = base.select(col("id"), col("sh"),
+    val blocks = groups.select(col("sh"), col("ids"),
       explode(array(blockCols: _*)).as("blk"))
     val a = blocks.as("a"); val b = blocks.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast(LongType).as("hamming"))
-      .distinct()
+    val inter = a.join(b, col("a.blk") === col("b.blk") && col("a.sh") < col("b.sh"))
+      .select(col("a.sh").as("sha"), col("b.sh").as("shb"),
+        col("a.ids").as("idsa"), col("b.ids").as("idsb"))
+      .distinct() // a group pair can match on several blocks
+      .withColumn("hamming",
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast(LongType))
       .where(col("hamming") <= maxHamming)
+      .select(explode(col("idsa")).as("x"), col("idsb"), col("hamming"))
+      .select(col("x"), explode(col("idsb")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("hamming"))
+    // identical-hash docs are hamming-0 pairs by definition
+    val intra = groups.where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .where(col("x") < col("y"))
+      .select(col("x").as("id_a"), col("y").as("id_b"), lit(0L).as("hamming"))
+    inter.unionByName(intra)
   }
 
   /**
