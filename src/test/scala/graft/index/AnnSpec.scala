@@ -141,6 +141,22 @@ class AnnSpec extends AnyFunSuite {
     assert(got.count(truth) >= 7, s"ivf recall ${got.count(truth)}/10")
   }
 
+  test("sharded recall: 8-shard diskann fan-out merge stays >= 0.9") {
+    // SURVEY §7.3 hard part: sharded graphs lose global connectivity — but
+    // the per-shard search is near-exhaustive on small shards and the merge
+    // is exact, so recall must hold as shards multiply
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_sharded8",
+      Ann.BuildParams(engine = "diskann", numShards = 8))
+    val qs = Seq(q0, q0.map(v => 1.0f - v), q0.map(v => v * 0.5f))
+    val recalls = qs.map { q =>
+      val truth = bruteTop(10, q).toSet
+      val got = Ann.search(emb, "vec_id", "t_sharded8", q, 10, searchComplexity = 128)
+        .collect().map(_.getLong(0))
+      got.count(truth) / 10.0
+    }
+    assert(recalls.sum / recalls.length >= 0.9, s"sharded recall $recalls")
+  }
+
   test("searchTable on exact engines: flat matches brute force; ivf prunes") {
     import spark.implicits._
     Ann.buildIndex(emb, "embedding", "vec_id", "t_flat_st",
