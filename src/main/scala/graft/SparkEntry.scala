@@ -77,6 +77,50 @@ object SparkEntry {
         .orderBy("o_custkey", "rk")
     }),
 
+    "q_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.where(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val b = o.where(year(col("o_orderdate")) === 1996).select("o_custkey")
+      val c = o.where(col("o_totalprice") > 450000).select("o_custkey")
+      a.intersect(b).except(c).orderBy("o_custkey")
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sq"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_scalar_fns" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("u"),
+        length(col("p_name")).cast("long").as("len"),
+        round(col("p_retailprice") * 1.1, 2).as("priced"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("tag"))
+        .orderBy("p_partkey")
+    }),
+
+    "q_semijoin" -> ((s, dir) => {
+      val l97 = t(s, dir, "lineitem")
+        .where(year(col("l_shipdate")) === 1997).select("l_suppkey")
+      t(s, dir, "supplier")
+        .join(l97, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    "q_case_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_totalprice") > 250000, 1L).otherwise(0L)).as("n_big"),
+          count(lit(1)).as("n"),
+          round(avg("o_totalprice"), 2).as("avg_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     "events_agg" -> ((s, dir) => {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as long
       // (nanosAsLong); group by hour as epoch seconds so the oracle compare is
@@ -444,6 +488,34 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, row_number() OVER (
         |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    "q_setops" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+        |ORDER BY o_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sq
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_scalar_fns" ->
+      """SELECT p_partkey, upper(substr(p_name, 1, 8)) AS u,
+        | length(p_name)::BIGINT AS len,
+        | round(p_retailprice * 1.1, 2) AS priced,
+        | concat_ws('-', p_brand, p_type) AS tag
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_semijoin" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1997)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_case_agg" ->
+      """SELECT o_orderpriority,
+        | sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END)::BIGINT AS n_big,
+        | count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_agg" ->
       """SELECT event_type,
         | CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, count(*) AS n,
