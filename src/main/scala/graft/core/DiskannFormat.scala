@@ -29,6 +29,7 @@ object DiskannFormat {
   val PadSentinel: Int = -1 // u32::MAX
 
   def write(ix: VamanaIndex, out: OutputStream, cosine: Boolean = false): Unit = {
+    ix.finalizePruning() // build leaves slack-buffer overflow; rows are fixed-width
     val n = ix.size
     val dim = ix.dim
     val maxDeg = ix.maxDegree

@@ -139,7 +139,11 @@ final class VamanaIndex(
     }
     degree(label) = chosen.length
 
-    // 3. Bidirectional edge repair: add back-edges, prune overflowing nodes.
+    // 3. Bidirectional edge repair: add back-edges; re-prune only when a
+    //    node's slack buffer fills (pruning on every overflow past maxDegree
+    //    made back-edge maintenance the dominant build cost — the slack
+    //    exists precisely to amortize it, diskann crate MaxDegree slack).
+    //    finalizePruning() restores the maxDegree bound before serialization.
     i = 0
     while (i < chosen.length) {
       val q = chosen(i)
@@ -148,11 +152,22 @@ final class VamanaIndex(
           adj(q)(degree(q)) = label
           degree(q) += 1
         }
-        if (degree(q) > maxDegree || degree(q) >= adj(q).length) pruneNode(q)
+        if (degree(q) >= adj(q).length) pruneNode(q)
       }
       i += 1
     }
     label
+  }
+
+  /** Prune every node back to ≤ maxDegree (slack buffers may be overfull
+   *  after a build); call before serialization or when a strict degree
+   *  bound is needed. */
+  def finalizePruning(): Unit = {
+    var i = 0
+    while (i < count) {
+      if (degree(i) > maxDegree) pruneNode(i)
+      i += 1
+    }
   }
 
   @inline private def containsNeighbor(node: Int, target: Int): Boolean = {
