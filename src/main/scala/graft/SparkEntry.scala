@@ -398,6 +398,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // IP-metric index ordering (reference diskann_metric_ip.test analog;
+    // flat engine → exact → oracled; _distance is the negated dot product)
+    "ann_ip_flat" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_ip_flat",
+        Ann.BuildParams(engine = "flat", metric = "ip"))
+      Ann.search(emb, "vec_id", "v_ip_flat", q64Arr, 10).select("vec_id", "_distance")
+    }),
+
     "ann_index_scan" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_scan",
@@ -628,6 +637,13 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON a.id < b.id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
+    "ann_ip_flat" ->
+      s"""SELECT vec_id, _distance FROM (
+         |  SELECT vec_id,
+         |    CAST(-list_sum(list_transform(embedding::DOUBLE[], (x, i) -> x * ($q64Sql)[i])) AS FLOAT) AS _distance,
+         |    -list_sum(list_transform(embedding::DOUBLE[], (x, i) -> x * ($q64Sql)[i])) AS __dd
+         |  FROM embeddings ORDER BY __dd, vec_id LIMIT 10
+         |) ORDER BY _distance, vec_id""".stripMargin,
     "ann_index_scan" ->
       s"""SELECT row_id, _distance FROM (
          |  SELECT vec_id AS row_id,
