@@ -441,13 +441,18 @@ object SparkEntry {
 
     // ---- hybrid BM25 + vector search with RRF fusion (SURVEY §2.1 #16) ----
 
+    // BM25 ranks over the FULL documents corpus, vector ranks over the FULL
+    // embeddings table, fused — joining the tables first would silently
+    // shrink the BM25 corpus when the tables differ in size (they do at
+    // sf0.1: 5000 docs vs 2000 embeddings), changing idf/avgdl
     "hybrid_search" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
-      val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
-        .select(docs("doc_id"), docs("text"), emb("embedding"))
-      Hybrid.hybridSearch(joined, "text", "embedding", "doc_id",
-        "spark join filter", q64Arr, 10)
+      val qText = "spark join filter"
+      val bm25 = Hybrid.bm25Ranks(docs, "text", "doc_id",
+        Hybrid.queryTerms(qText), 100)
+      val vec = Hybrid.exactVectorRanks(emb, "embedding", "vec_id", q64Arr, 100)
+      Hybrid.rrfFuse(bm25, vec, 10)
     }),
 
     "hybrid_search_ann" -> ((s, dir) => {
@@ -455,11 +460,11 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_hybrid",
         Ann.BuildParams(engine = "diskann", numShards = 8))
-      val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
-        .select(docs("doc_id"), docs("text"), emb("embedding"))
-      Hybrid.hybridSearch(joined, "text", "embedding", "doc_id",
-        "spark join filter", q64Arr, 10, indexName = "v_hybrid",
+      val bm25 = Hybrid.bm25Ranks(docs, "text", "doc_id",
+        Hybrid.queryTerms("spark join filter"), 100)
+      val vec = Hybrid.annVectorRanks(s, "v_hybrid", q64Arr, 100,
         searchComplexity = 128)
+      Hybrid.rrfFuse(bm25, vec, 10)
     }),
 
     "dedup_minhash_keep" -> ((s, dir) => {
