@@ -339,6 +339,15 @@ object SparkEntry {
 
     // ---- text analysis (north-star pipeline ops; all codegen'd, no UDFs) ----
 
+    "corpus_stats" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      toks.agg(
+        count(lit(1)).as("total_tokens"),
+        countDistinct(col("tok")).as("vocab"),
+        sum(length(col("tok"))).cast("long").as("total_chars"))
+    }),
+
     "token_count_regex" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokenCountRegex(col("text")).as("n_tokens"))
@@ -600,6 +609,10 @@ object SparkEntry {
     "token_count" ->
       """SELECT doc_id, len(str_split(text, ' ')) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_stats" ->
+      s"""SELECT count(*) AS total_tokens, count(DISTINCT tok) AS vocab,
+         | sum(length(tok))::BIGINT AS total_chars
+         |FROM (SELECT unnest(${TextSql.tokens("text")}) AS tok FROM documents)""".stripMargin,
     "token_count_regex" ->
       s"""SELECT doc_id, ${TextSql.tokenCountRegex("text")} AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,

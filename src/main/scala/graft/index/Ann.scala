@@ -60,6 +60,47 @@ object Ann {
   def root(spark: SparkSession): String =
     IndexCatalog.rootDir(k => spark.conf.getOption(k))
 
+  /**
+   * FAISS-style `index_factory` description string → BuildParams
+   * (reference passes factory strings through FaissParams,
+   * src/include/faiss_index.hpp:37-113). Supported grammar:
+   * `Flat` | `HNSW[m]` | `IVF<nlist>,Flat` | `DiskANN[degree]`,
+   * each optionally suffixed `,SQ8` (diskann only).
+   */
+  def parseFactory(desc: String, base: BuildParams = BuildParams()): BuildParams = {
+    val parts = desc.trim.split(",").map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty index factory string: '$desc'")
+    val sq8 = parts.exists(_.equalsIgnoreCase("SQ8"))
+    val core = parts.filterNot(_.equalsIgnoreCase("SQ8"))
+    val Ivf = "(?i)IVF(\\d+)".r
+    val Hnsw = "(?i)HNSW(\\d*)".r
+    val Diskann = "(?i)DISKANN(\\d*)".r
+    val p = core.toList match {
+      case ("Flat" | "flat" | "FLAT") :: Nil => base.copy(engine = "flat")
+      case Ivf(nlist) :: rest if rest.isEmpty || rest == List("Flat") =>
+        base.copy(engine = "ivfflat", nlist = nlist.toInt)
+      case Hnsw(m) :: Nil =>
+        base.copy(engine = "hnsw",
+          hnswM = if (m.isEmpty) HnswIndex.DefaultM else m.toInt)
+      case Diskann(deg) :: Nil =>
+        base.copy(engine = "diskann",
+          maxDegree = if (deg.isEmpty) VamanaIndex.DefaultMaxDegree else deg.toInt)
+      case other => throw new IllegalArgumentException(
+        s"unsupported index factory description: '$desc'")
+    }
+    if (sq8) {
+      require(p.engine == "diskann", "SQ8 requires the diskann engine")
+      p.copy(quantization = "sq8")
+    } else p
+  }
+
+  /** Build from a factory description string (`Flat`, `HNSW32`,
+   *  `IVF256,Flat`, `DiskANN64,SQ8`). */
+  def buildIndexFactory(df: DataFrame, column: String, idColumn: String,
+      name: String, factory: String,
+      base: BuildParams = BuildParams()): IndexMeta =
+    buildIndex(df, column, idColumn, name, parseFactory(factory, base))
+
   private def sortableVec(c: Column): Column = c
 
   // ------------------------------------------------------------------ build

@@ -71,6 +71,23 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(res.columns.contains("query_idx") && res.columns.contains("_distance"))
   }
 
+  test("index_factory strings parse to the right engines") {
+    import spark.implicits._
+    assert(Ann.parseFactory("Flat").engine == "flat")
+    assert(Ann.parseFactory("IVF256,Flat") ==
+      Ann.BuildParams(engine = "ivfflat", nlist = 256))
+    assert(Ann.parseFactory("HNSW16").hnswM == 16)
+    assert(Ann.parseFactory("HNSW").engine == "hnsw")
+    val d = Ann.parseFactory("DiskANN32,SQ8")
+    assert(d.engine == "diskann" && d.maxDegree == 32 && d.quantization == "sq8")
+    intercept[IllegalArgumentException](Ann.parseFactory("PQ8"))
+    intercept[IllegalArgumentException](Ann.parseFactory("HNSW16,SQ8"))
+    // end-to-end through the factory entry point
+    val df = (0L until 30L).map(i => (i, Array(i.toFloat, (i % 7).toFloat))).toDF("id", "v")
+    Ann.buildIndexFactory(df, "v", "id", "e_factory", "IVF4,Flat")
+    assert(Ann.search(df, "id", "e_factory", Array(5f, 5f), 3).count() == 3)
+  }
+
   test("ivfflat probe scan prunes parquet partitions to the probed clusters") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, Array((i % 10).toFloat, (i / 10).toFloat)))
