@@ -298,19 +298,42 @@ object Ann {
   def localSearchMaxShards(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.ann.localSearchMaxShards").map(_.toInt).getOrElse(64)
 
-  /** Driver-local diskann search across shards → (id, distance) sorted, ≤ fetchK. */
+  /** Driver-local diskann search across shards → (id, distance) sorted,
+   *  ≤ fetchK. Shards are searched concurrently on a bounded pool (the
+   *  serving-path analog of the executor-side shard fan-out); graph search
+   *  is read-only and per-call-scratch, so shared cached shards are safe. */
   private[graft] def searchShardsLocal(meta: IndexMeta, tomb: Set[Long],
       query0: Array[Float], fetchK: Int, searchComplexity: Int): Array[(Long, Float)] = {
     val query = prepQuery(meta, query0)
     val cosine = meta.metricObj eq Metric.Cosine
     val perShardK = fetchK + tomb.size
-    meta.shards.toArray.flatMap { sh =>
+    val shards = meta.shards.toArray
+    def searchOne(sh: ShardMeta): Array[(Long, Float)] = {
       val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
       val (labels, dists) = loaded.index.search(query, perShardK, searchComplexity)
       labels.indices.iterator
         .map(i => (loaded.ids(labels(i)), dists(i)))
         .filterNot { case (id, _) => tomb.contains(id) }
-    }.sortBy { case (id, d) => (d, id) }.take(fetchK)
+        .toArray
+    }
+    val results: Array[Array[(Long, Float)]] =
+      if (shards.length <= 1) shards.map(searchOne)
+      else {
+        import java.util.concurrent.{Executors, TimeUnit}
+        val pool = Executors.newFixedThreadPool(
+          math.min(shards.length, Runtime.getRuntime.availableProcessors()))
+        try {
+          val futures = shards.map(sh => pool.submit(
+            new java.util.concurrent.Callable[Array[(Long, Float)]] {
+              def call(): Array[(Long, Float)] = searchOne(sh)
+            }))
+          futures.map(_.get())
+        } finally {
+          pool.shutdown()
+          pool.awaitTermination(60, TimeUnit.SECONDS)
+        }
+      }
+    results.flatten.sortBy { case (id, d) => (d, id) }.take(fetchK)
   }
 
   /** Collected (id, distance) hits for k·oversample results — uses the

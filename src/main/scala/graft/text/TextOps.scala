@@ -324,4 +324,51 @@ object TextOps {
     val drop = pairs.select(col("id_b").as("drop_id")).distinct()
     df.join(drop, col(idCol) === col("drop_id"), "left_anti")
   }
+
+  /**
+   * Connected components over near-dup pairs by iterative min-id label
+   * propagation (large-star-ish): every id starts as its own label; each
+   * round joins labels across edges in both directions and keeps the min,
+   * until a fixpoint (or maxIter). Handles CHAINS of near-duplicates
+   * (a~b~c where a≁c) that single-pass dedup misses. Returns
+   * (id, component) where component = min id of the cluster.
+   * Each round is two shuffle joins over the (small) edge set — the
+   * standard scalable CC shape for dedup graphs with tiny components.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct().cache()
+    val ids = edges.select(col("id_a").as("id")).distinct()
+    var labels = ids.withColumn("component", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label for each node: min over neighbors' labels and own
+      val viaEdges = edges
+        .join(labels, edges("id_b") === labels("id"))
+        .select(edges("id_a").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component")).union(viaEdges)
+        .groupBy("id").agg(min("component").as("component")).cache()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .where(col("component") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Fixpoint dedup: keep one representative (min id) per near-dup
+   *  connected component; rows without any near-dup edge always survive. */
+  def dedupByMinhashConverged(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, minJaccard: Double = 0.6): DataFrame = {
+    val pairs = jaccardPairs(df, textCol, idCol, shingleK, minJaccard)
+    val comps = connectedComponents(pairs)
+    val drop = comps.where(col("id") =!= col("component"))
+      .select(col("id").as("drop_id"))
+    df.join(drop, col(idCol) === col("drop_id"), "left_anti")
+  }
 }

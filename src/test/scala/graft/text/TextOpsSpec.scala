@@ -85,6 +85,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("connectedComponents: chains collapse to min-id; fixpoint dedup keeps one per cluster") {
+    import spark.implicits._
+    // chain 1-2-3 (1~2, 2~3 but NOT 1~3 directly) + isolated pair 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val comps = TextOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(7L) == 7L && comps(8L) == 7L)
+
+    // chained near-dup docs: a~b (high overlap), b~c (high overlap), a vs c lower
+    val mid = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docA = (1 to 45).map(i => s"w$i").mkString(" ") + " xa ya za aa ba"
+    val docC = (6 to 50).map(i => s"w$i").mkString(" ") + " xc yc zc cc dc"
+    val other = (100 to 150).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, docA), (2L, mid), (3L, docC), (4L, other)).toDF("doc_id", "text")
+    val kept = TextOps.dedupByMinhashConverged(df, "text", "doc_id", minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L), s"expected one rep per chain cluster, got $kept")
+  }
+
   test("signature shapes: NumHashes minhashes, NumBands bands") {
     val df = docs((1L, "one two three four five six seven"))
     val r = TextOps.signatures(df, "text", "doc_id").head()
