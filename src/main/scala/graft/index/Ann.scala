@@ -499,6 +499,12 @@ object Ann {
    * + base columns (collisions prefixed `tbl_`) + `_distance`
    * (reference src/ann_search.cpp:397-691). Query-parallel: each task loads
    * the (executor-cached) shards and merges per-query top-k locally.
+   *
+   * Scale note: the graph-engine path assumes one executor can hold every
+   * shard (queries are the parallel axis, mirroring the reference's
+   * single-node serving). For indexes larger than executor memory, use
+   * [[searchBatch]] (shards are the parallel axis) or the exact engines,
+   * whose table path broadcasts only the query table.
    */
   def searchTable(queriesDf: DataFrame, queryVecColumn: String, baseDf: DataFrame,
       idColumn: String, name: String, k: Int, searchComplexity: Int = 0): DataFrame = {
