@@ -14,15 +14,6 @@ import graft.core.VectorOps
  */
 object KMeansLite {
 
-  /** Deterministic stride sample: every ceil(n/maxTrain)-th element. */
-  def strideSample[T: scala.reflect.ClassTag](xs: Array[T], maxTrain: Int): Array[T] = {
-    if (xs.length <= maxTrain) xs
-    else {
-      val stride = math.ceil(xs.length.toDouble / maxTrain).toInt
-      xs.indices.by(stride).map(xs(_)).toArray
-    }
-  }
-
   def train(samples: Array[Array[Float]], k: Int, iters: Int = 10): Array[Array[Float]] = {
     require(samples.nonEmpty, "k-means requires a non-empty sample")
     val dim = samples(0).length
