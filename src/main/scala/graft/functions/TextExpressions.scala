@@ -109,6 +109,52 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 }
 
 /**
+ * `simhash(tokens, bits)` — SimHash over token rolling-hashes in one
+ * compiled pass: per bit b, sum ±1 across tokens (with multiplicity) by bit
+ * b of the token's hash; bit set iff sum > 0. Value-identical to the
+ * per-bit aggregate formulation (TextOps.simhash's former shape), which
+ * recomputed the token-hash array once per bit when inlined.
+ */
+case class SimHash(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits > 0 && bits < 63)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override protected def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val sums = new Array[Long](bits)
+    var i = 0
+    while (i < n) {
+      val tok = if (a.isNullAt(i)) "" else a.getUTF8String(i).toString
+      val h = TextHash.rollingHashString(tok)
+      var b = 0
+      while (b < bits) {
+        sums(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (sums(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `shingle_hashes(tokens, k)` — distinct rolling hashes of k-token shingles
  * in one compiled pass (the eval body is compiled Scala; the expression
  * itself is CodegenFallback, which costs one virtual call per row instead

@@ -127,16 +127,11 @@ object TextOps {
   // --------------------------------------------------------------- simhash
 
   /** SimHash over token hashes: per bit b, sum ±1 across tokens (with
-   *  multiplicity) by bit b of the token's rolling hash; bit set iff sum>0. */
-  def simhash(toks: Column): Column = {
-    val hashes = transform(toks, t => rollingHash(t))
-    val bits = (0 until SimHashBits).map { b =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+   *  multiplicity) by bit b of the token's rolling hash; bit set iff sum>0.
+   *  One compiled pass (graft.expressions.SimHash) — the per-bit aggregate
+   *  formulation re-evaluated the token-hash array once per bit. */
+  def simhash(toks: Column): Column =
+    graft.functions.mkCol(graft.expressions.SimHash(graft.functions.mkExpr(toks), SimHashBits))
 
   // ------------------------------------------------------- minhash + LSH
 
