@@ -29,7 +29,8 @@ final class HnswIndex(
     seed: Long = 42L,
     initialCapacity: Int = 1024) extends GraphIndex {
 
-  require(dim > 0 && m > 1 && efConstruction > 0)
+  // m bounded so layer-0 degree (2m) fits the .hnsw format's u16 field
+  require(dim > 0 && m > 1 && m <= 8192 && efConstruction > 0)
 
   private val maxM0 = 2 * m
   private val levelMult = 1.0 / math.log(m.toDouble)
@@ -252,14 +253,18 @@ final class HnswIndex(
    *  adversarial data is weak in FAISS for the same reason.) */
   private def selectHeuristic(ids: Array[Int], ds: Array[Float], n: Int,
       limit: Int): Array[Int] = {
-    // sort candidate order by distance (inputs from searchLayer are sorted;
-    // overflow re-selection passes unsorted arrays)
-    val order = (0 until n).sortBy(ds(_)).toArray
+    // primitive packed sort (inputs from searchLayer are already sorted;
+    // overflow re-selection passes unsorted arrays) — no boxing in the
+    // per-insert hot path
+    val packed = new Array[Long](n)
+    var i = 0
+    while (i < n) { packed(i) = SortableF32.pack(ds(i), i); i += 1 }
+    java.util.Arrays.sort(packed)
     val out = new Array[Int](math.min(limit, n))
     var nOut = 0
     var oi = 0
-    while (oi < order.length && nOut < limit) {
-      val ci = order(oi)
+    while (oi < n && nOut < limit) {
+      val ci = SortableF32.idOf(packed(oi))
       val e = ids(ci)
       var ok = true
       var j = 0

@@ -76,8 +76,9 @@ object Ann {
     val Hnsw = "(?i)HNSW(\\d*)".r
     val Diskann = "(?i)DISKANN(\\d*)".r
     val p = core.toList match {
-      case ("Flat" | "flat" | "FLAT") :: Nil => base.copy(engine = "flat")
-      case Ivf(nlist) :: rest if rest.isEmpty || rest == List("Flat") =>
+      case f :: Nil if f.equalsIgnoreCase("flat") => base.copy(engine = "flat")
+      case Ivf(nlist) :: rest
+          if rest.isEmpty || (rest.lengthCompare(1) == 0 && rest.head.equalsIgnoreCase("flat")) =>
         base.copy(engine = "ivfflat", nlist = nlist.toInt)
       case Hnsw(m) :: Nil =>
         base.copy(engine = "hnsw",
@@ -318,23 +319,26 @@ object Ann {
     }
     val results: Array[Array[(Long, Float)]] =
       if (shards.length <= 1) shards.map(searchOne)
-      else {
-        import java.util.concurrent.{Executors, TimeUnit}
-        val pool = Executors.newFixedThreadPool(
-          math.min(shards.length, Runtime.getRuntime.availableProcessors()))
-        try {
-          val futures = shards.map(sh => pool.submit(
-            new java.util.concurrent.Callable[Array[(Long, Float)]] {
-              def call(): Array[(Long, Float)] = searchOne(sh)
-            }))
-          futures.map(_.get())
-        } finally {
-          pool.shutdown()
-          pool.awaitTermination(60, TimeUnit.SECONDS)
-        }
-      }
+      else shards.map(sh => localSearchPool.submit(
+          new java.util.concurrent.Callable[Array[(Long, Float)]] {
+            def call(): Array[(Long, Float)] = searchOne(sh)
+          })).map(_.get())
     results.flatten.sortBy { case (id, d) => (d, id) }.take(fetchK)
   }
+
+  /** Shared daemon pool for driver-local shard fan-out (per-call pools would
+   *  pay thread creation on every serving query). */
+  private lazy val localSearchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      Runtime.getRuntime.availableProcessors(),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-local-search-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
 
   /** Collected (id, distance) hits for k·oversample results — uses the
    *  driver-local path when the index is small enough, else a shard job. */
@@ -576,6 +580,8 @@ object Ann {
       .withColumn("__q",
         if (cosine) toFloatVec(normalizeCol(col(queryVecColumn))) else col(queryVecColumn))
       .withColumn("__qid", monotonically_increasing_id())
+    // all references to the index scan go through the DataFrame instance so
+    // a query table that also has id/vec/cluster columns can't capture them
     val base = spark.read.parquet(meta.sourcePath)
     val joined = meta.engine match {
       case "ivfflat" if meta.nprobe < meta.nlist =>
@@ -584,21 +590,21 @@ object Ann {
         val centsB = spark.sparkContext.broadcast(cents)
         val nprobe = meta.nprobe
         val probeUdf = udf((v: Array[Float]) => KMeansLite.nearestP(centsB.value, v, nprobe))
-        base.join(broadcast(prepped.withColumn("__probe", explode(probeUdf(col("__q"))))),
-          col("cluster") === col("__probe"))
+        val probed = prepped.withColumn("__probe", explode(probeUdf(col("__q"))))
+        base.join(broadcast(probed), base("cluster") === probed("__probe"))
       case _ => base.crossJoin(broadcast(prepped))
     }
     val dd = meta.metricObj match {
-      case Metric.L2 => array_distance_sq(col("vec"), col("__q"))
-      case _ => array_negative_inner_product(col("vec"), col("__q"))
+      case Metric.L2 => array_distance_sq(base("vec"), col("__q"))
+      case _ => array_negative_inner_product(base("vec"), col("__q"))
     }
     val unfiltered = joined.withColumn("__dd", dd)
     val live = if (tomb.isEmpty) unfiltered
-      else unfiltered.where(!col("id").isin(tomb.toSeq: _*))
-    val w = Window.partitionBy("__qid").orderBy(col("__dd"), col("id"))
+      else unfiltered.where(!base("id").isin(tomb.toSeq: _*))
+    val w = Window.partitionBy("__qid").orderBy(col("__dd"), base("id"))
     val scored = live.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
-      .select(inSchema.fieldNames.map(col).toSeq :+
-        col("id").as("row_id") :+ col("__dd").cast(FloatType).as("_distance"): _*)
+      .select(inSchema.fieldNames.map(f => prepped(f)).toSeq :+
+        base("id").as("row_id") :+ col("__dd").cast(FloatType).as("_distance"): _*)
     joinBaseWithPrefix(baseDf, idColumn, scored, inSchema.fieldNames.toSet)
   }
 

@@ -100,12 +100,4 @@ object Multimodal {
       .drop("__frames")
   }
 
-  /** Histogram as a pure-SQL column path for ASCII-safe payload checks:
-   *  (works on a STRING column whose bytes == chars; used by the oracle
-   *  parity query). */
-  def charHistogramCols(text: Column, bins: Int): Column = {
-    val codes = transform(split(text, ""), ch => ascii(ch))
-    transform(sequence(lit(0), lit(bins - 1)),
-      b => size(filter(codes, c => c % bins === b)).cast(LongType))
-  }
 }

@@ -65,11 +65,13 @@ case class AnnRewrittenMarker(indexName: String) extends LeafExpression {
  * Filter re-filter.
  */
 object AnnTopKRule {
-  /** Planning-time search results, cached per (index, catalog mtime, query, k)
-   *  so repeated optimizations of one plan (explain → count → collect, AQE
-   *  re-planning) don't re-run the ANN search. Every index mutation (build,
-   *  append, delete, vacuum, merge) rewrites metadata.json, so its mtime keys
-   *  results consistently across mutations. Bounded LRU. */
+  /** Planning-time search results, cached per (index path, catalog content
+   *  hash, query, k) so repeated optimizations of one plan (explain → count
+   *  → collect, AQE re-planning) don't re-run the ANN search. Every index
+   *  mutation (build, append, delete, vacuum, merge) rewrites metadata.json
+   *  — keying on its CONTENT hash (not mtime, whose granularity can alias
+   *  rapid mutations) plus the full path (two roots may hold same-named
+   *  indexes) keeps cached hits consistent. Bounded LRU. */
   private val MaxCached = 128
   private val hitsCache =
     new java.util.LinkedHashMap[(String, Long, Seq[Float], Int), Array[(Long, Float)]](
@@ -79,9 +81,9 @@ object AnnTopKRule {
         size() > MaxCached
     }
 
-  private[plans] def cachedHits(name: String, version: Long, query: Array[Float],
+  private[plans] def cachedHits(metaPath: String, contentHash: Long, query: Array[Float],
       fetchK: Int)(compute: => Array[(Long, Float)]): Array[(Long, Float)] = {
-    val key = (name, version, query.toSeq, fetchK)
+    val key = (metaPath, contentHash, query.toSeq, fetchK)
     hitsCache.synchronized {
       val hit = hitsCache.get(key)
       if (hit != null) return hit
@@ -214,9 +216,12 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // fetch size: plain k, or k·mult + 100 when a filter must re-filter
     // (README.md:164)
     val fetchK = if (hasFilter) k * overfetchMultiplier + 100 else k
-    val metaMtime = new java.io.File(
-      s"${IndexCatalog.indexDir(rootDir, meta.name)}/metadata.json").lastModified()
-    val hits = AnnTopKRule.cachedHits(meta.name, metaMtime, query, fetchK) {
+    val metaPath = s"${IndexCatalog.indexDir(rootDir, meta.name)}/metadata.json"
+    val metaHash = try {
+      java.util.Arrays.hashCode(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(metaPath))).toLong
+    } catch { case _: java.io.IOException => System.nanoTime() } // no caching if unreadable
+    val hits = AnnTopKRule.cachedHits(metaPath, metaHash, query, fetchK) {
       Ann.collectHits(spark, meta.name, query, fetchK,
         searchComplexity = 0, oversample = 1)
     }

@@ -50,12 +50,21 @@ object Hybrid {
     val toks = TextOps.tokens(col(textCol))
     val base = df.select(col(idCol).cast(LongType).as("id"), toks.as("toks"))
       .withColumn("dl", size(col("toks")))
-    val nDocs = base.count()
-    val avgdl = base.agg(avg(col("dl"))).head().getDouble(0)
-    // doc frequency of each query term (one tiny aggregate; |terms| rows)
-    val dfCounts: Map[String, Long] = terms.map { t =>
-      t -> base.where(array_contains(col("toks"), t)).count()
-    }.toMap
+    // corpus statistics — ONE aggregate pass: count, avgdl, and every
+    // term's doc frequency together (per-term count() jobs would re-scan
+    // and re-tokenize the corpus once per term)
+    val statAggs = count(lit(1)).as("__n") +: avg(col("dl")).as("__avgdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("toks"), t).cast(LongType)).as(s"__df$i")
+      }
+    val statRow = base.agg(statAggs.head, statAggs.tail: _*).head()
+    val nDocs = statRow.getLong(0)
+    if (nDocs == 0)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType), StructField("_bm25_rank", IntegerType))))
+    val avgdl = statRow.getDouble(1)
+    val dfCounts: Map[String, Long] =
+      terms.zipWithIndex.map { case (t, i) => t -> statRow.getLong(2 + i) }.toMap
     val score: Column = terms.map { t =>
       val dft = dfCounts(t).toDouble
       val idf = math.log((nDocs - dft + 0.5) / (dft + 0.5) + 1.0)

@@ -213,7 +213,11 @@ object TextOps {
    *  shingle hashes), keeping pairs ≥ minJaccard. */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sigs = signatures(df, textCol, idCol, shingleK).cache()
+    // no .cache() here: a library-held cache can never be safely unpersisted
+    // (the returned plan still references it); signatures are one compiled
+    // pass, so recompute beats pinning executor storage — cache at the
+    // call site when iterating
+    val sigs = signatures(df, textCol, idCol, shingleK)
     val cands = candidatePairs(sigs)
     val sa = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val sb = sigs.select(col("id").as("id_b"), col("shingles").as("sh_b"))

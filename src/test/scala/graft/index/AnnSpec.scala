@@ -174,6 +174,14 @@ class AnnSpec extends AnyFunSuite {
     val truth = bruteTop(10, q0).toSet
     assert(resIvf.map(_.getAs[Long]("vec_id")).count(truth) >= 7,
       "ivf searchTable recall")
+    // a query table whose columns collide with the internal scan schema
+    // (id/vec/cluster) must not capture the scan's columns
+    val clash = Seq((7L, Array(9f), 3, q0.toSeq)).toDF("id", "vec", "cluster", "qvec")
+    val resClash = Ann.searchTable(clash, "qvec", emb, "vec_id", "t_flat_st", 5)
+      .orderBy("_distance", "vec_id").collect()
+    assert(resClash.length == 5)
+    assert(resClash.map(_.getAs[Long]("vec_id")).toSeq == bruteTop(5, q0).toSeq)
+    assert(resClash.forall(_.getAs[Long]("id") == 7L), "query-side id preserved")
   }
 
   test("sq8 quantized index still finds the exact-match row") {
