@@ -20,6 +20,15 @@ import java.util.Arrays
  *    ef = max(k, searchComplexity | efConstruction)
  *
  * Single-threaded per instance; one shard per Spark task.
+ *
+ * Inner-product metric uses the MIPS→L2 reduction (Bachrach et al.,
+ * RecSys'14): vectors augment to [v, √(M²−|v|²)] with M = max norm, queries
+ * to [q, 0]; then argmin ‖q'−v'‖² = argmax q·v EXACTLY, so the navigable
+ * graph operates in a true metric space (raw-IP HNSW, as FAISS ships it,
+ * has weak recall because negated dot violates the triangle inequality).
+ * The reduction is per-shard: surfaced distances convert back to −q·v,
+ * which is shard-independent, so cross-shard merges stay correct. IP
+ * builds buffer inserts and freeze on first search/serialization.
  */
 final class HnswIndex(
     val dim: Int,
@@ -45,12 +54,51 @@ final class HnswIndex(
   private var entryPoint = -1
   private var maxLevel = -1
 
-  def size: Int = count
+  // --- MIPS reduction state (metric == InnerProduct only) ---
+  private val mips = metric eq Metric.InnerProduct
+  private var mipsBuf: scala.collection.mutable.ArrayBuffer[Array[Float]] =
+    if (mips) scala.collection.mutable.ArrayBuffer.empty else null
+  private var mipsInner: HnswIndex = null
+  private var mipsNorm: Double = 0.0 // M = max vector norm at freeze time
+
+  def size: Int =
+    if (mips) { if (mipsInner != null) mipsInner.size else mipsBuf.size }
+    else count
 
   def vector(id: Int): Array[Float] = {
+    if (mips) {
+      if (mipsInner == null) return mipsBuf(id).clone()
+      // augmented storage: strip the reduction component (floats preserved)
+      val aug = mipsInner.vector(id)
+      return java.util.Arrays.copyOf(aug, dim)
+    }
     val out = new Array[Float](dim)
     System.arraycopy(vecs, id * dim, out, 0, dim)
     out
+  }
+
+  /** Freeze an IP index: compute M, build the internal (dim+1, L2) graph
+   *  over augmented vectors, drop the raw buffer. */
+  private def ensureMipsBuilt(): Unit = {
+    if (!mips || mipsInner != null) return
+    var m2 = 0.0
+    mipsBuf.foreach { v =>
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
+      if (s > m2) m2 = s
+    }
+    mipsNorm = math.sqrt(m2)
+    val inner = new HnswIndex(dim + 1, Metric.L2, m, efConstruction, seed,
+      math.max(mipsBuf.size, 4))
+    mipsBuf.foreach { v =>
+      val aug = java.util.Arrays.copyOf(v, dim + 1)
+      var s = 0.0; var i = 0
+      while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
+      aug(dim) = math.sqrt(math.max(0.0, m2 - s)).toFloat
+      inner.add(aug)
+    }
+    mipsInner = inner
+    mipsBuf = null
   }
 
   private def ensureCapacity(n: Int): Unit = {
@@ -99,6 +147,12 @@ final class HnswIndex(
 
   def add(v: Array[Float]): Int = {
     require(v.length == dim, s"expected dimension $dim, got ${v.length}")
+    if (mips) {
+      require(mipsInner == null, "cannot insert into a frozen IP index " +
+        "(first search/serialization freezes the MIPS reduction)")
+      mipsBuf += v.clone()
+      return mipsBuf.size - 1
+    }
     val label = count
     ensureCapacity(count + 1)
     System.arraycopy(v, 0, vecs, label * dim, dim)
@@ -279,8 +333,25 @@ final class HnswIndex(
   }
 
   def search(query: Array[Float], k: Int, searchComplexity: Int): (Array[Int], Array[Float]) = {
-    if (count == 0 || k <= 0) return (Array.emptyIntArray, Array.emptyFloatArray)
     require(query.length == dim, s"query dimension ${query.length} != index dimension $dim")
+    if (mips) {
+      ensureMipsBuilt()
+      if (mipsInner.size == 0 || k <= 0) return (Array.emptyIntArray, Array.emptyFloatArray)
+      val (ids, dL2) = mipsInner.search(java.util.Arrays.copyOf(query, dim + 1), k,
+        searchComplexity)
+      // ‖q'−v'‖² = |q|² + M² − 2·q·v  ⇒  −q·v = (dL2 − |q|² − M²) / 2
+      var qn2 = 0.0; var i = 0
+      while (i < dim) { qn2 += query(i).toDouble * query(i); i += 1 }
+      val m2 = mipsNorm * mipsNorm
+      val ds = new Array[Float](dL2.length)
+      i = 0
+      while (i < dL2.length) {
+        ds(i) = ((dL2(i).toDouble - qn2 - m2) / 2.0).toFloat
+        i += 1
+      }
+      return (ids, ds)
+    }
+    if (count == 0 || k <= 0) return (Array.emptyIntArray, Array.emptyFloatArray)
     val kk = math.min(k, count)
     val ef = math.max(kk, if (searchComplexity > 0) searchComplexity else efConstruction)
     var ep = entryPoint
@@ -292,6 +363,9 @@ final class HnswIndex(
   }
 
   def memoryBytes: Long = {
+    if (mips)
+      return if (mipsInner != null) mipsInner.memoryBytes
+             else size.toLong * dim * 4
     var b = count.toLong * dim * 4
     var i = 0
     while (i < count) {
@@ -307,6 +381,20 @@ final class HnswIndex(
   private[core] def internalState: (Int, Array[Float], Array[Int],
       Array[Array[Array[Int]]], Int, Int) =
     (count, vecs, levels, links, entryPoint, maxLevel)
+
+  /** Freeze and expose the MIPS-reduction state for serialization. */
+  private[core] def mipsState: (HnswIndex, Double) = {
+    require(mips, "not an IP index")
+    ensureMipsBuilt()
+    (mipsInner, mipsNorm)
+  }
+
+  private[core] def loadMips(inner: HnswIndex, norm: Double): Unit = {
+    require(mips && inner.dim == dim + 1)
+    mipsInner = inner
+    mipsNorm = norm
+    mipsBuf = null
+  }
 
   private[core] def load(n: Int, vectors: Array[Float], lv: Array[Int],
       lk: Array[Array[Array[Int]]], ep: Int, ml: Int): Unit = {
@@ -326,10 +414,13 @@ object HnswIndex {
 }
 
 /**
- * `.hnsw` shard file: `"GHNW"` magic, u32 version=1, u32 dim, u8 metric,
- * u32 m, u32 efConstruction, u32 n, i32 entryPoint, i32 maxLevel,
- * per node: u8 level, per layer u16 degree + i32 neighbor ids;
- * then flat f32 vectors. Little-endian, mirroring the `.diskann` style
+ * `.hnsw` shard file: `"GHNW"` magic, u32 version=1, u32 dim, u8 metric
+ * (code | 0x10 cosine flag | 0x20 MIPS-augmented flag), u32 m,
+ * u32 efConstruction, u32 n, i32 entryPoint, i32 maxLevel,
+ * [f32 augNorm when MIPS], per node: u8 level, per layer u16 degree +
+ * i32 neighbor ids; then flat f32 vectors (dim+1 wide when MIPS —
+ * augmented storage is persisted so loads skip re-building the reduction).
+ * Little-endian, mirroring the `.diskann` style
  * (reference rust_lib/src/file_format.rs:1-27).
  */
 object HnswFormat {
@@ -339,7 +430,13 @@ object HnswFormat {
   val Magic = 0x474E4857 // "GHNW" big-endianly-irrelevant tag
 
   def writeFile(ix: HnswIndex, path: String): Unit = {
-    val (n, vecs, levels, links, ep, ml) = ix.internalState
+    val mipsAug = ix.metric eq Metric.InnerProduct
+    val (src, augNorm) = if (mipsAug) {
+      val (inner, norm) = ix.mipsState
+      (inner, norm)
+    } else (ix, 0.0)
+    val (n, vecs, levels, links, ep, ml) = src.internalState
+    val storedDim = src.dim // dim+1 for MIPS
     var linkBytes = 0L
     var i = 0
     while (i < n) {
@@ -348,15 +445,18 @@ object HnswFormat {
       while (l < links(i).length) { linkBytes += 2 + 4L * links(i)(l).length; l += 1 }
       i += 1
     }
-    val total = 4 + 4 + 4 + 1 + 4 + 4 + 4 + 4 + 4 + linkBytes + 4L * n * ix.dim
+    val total = 4 + 4 + 4 + 1 + 4 + 4 + 4 + 4 + 4 + (if (mipsAug) 4 else 0) +
+      linkBytes + 4L * n * storedDim
     require(total < Int.MaxValue, "shard too large for a single file buffer")
     val bb = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(Magic); bb.putInt(1); bb.putInt(ix.dim)
-    // metric byte: on-disk code + a cosine flag bit (cosine shares code 1
-    // with IP, Metric.fromCode style)
-    bb.put(((if (ix.metric eq Metric.Cosine) 0x10 else 0) | ix.metric.code).toByte)
+    // metric byte: on-disk code + cosine flag (cosine shares code 1 with
+    // IP, Metric.fromCode style) + MIPS-augmentation flag
+    bb.put((((if (ix.metric eq Metric.Cosine) 0x10 else 0)
+      | (if (mipsAug) 0x20 else 0)) | ix.metric.code).toByte)
     bb.putInt(ix.m); bb.putInt(ix.efConstruction)
     bb.putInt(n); bb.putInt(ep); bb.putInt(ml)
+    if (mipsAug) bb.putFloat(augNorm.toFloat)
     i = 0
     while (i < n) {
       bb.put(levels(i).toByte)
@@ -371,7 +471,7 @@ object HnswFormat {
       i += 1
     }
     var v = 0
-    while (v < n * ix.dim) { bb.putFloat(vecs(v)); v += 1 }
+    while (v < n * storedDim) { bb.putFloat(vecs(v)); v += 1 }
     val tmp = new File(path + ".tmp")
     val out = new FileOutputStream(tmp)
     try out.write(bb.array(), 0, bb.position()) finally out.close()
@@ -387,9 +487,12 @@ object HnswFormat {
     val ver = bb.getInt(); require(ver == 1, s"unsupported .hnsw version $ver")
     val dim = bb.getInt()
     val mByte = bb.get().toInt
+    val mipsAug = (mByte & 0x20) != 0
     val metric = Metric.fromCode(mByte & 0x0f, cosine = (mByte & 0x10) != 0)
     val m = bb.getInt(); val efc = bb.getInt()
     val n = bb.getInt(); val ep = bb.getInt(); val ml = bb.getInt()
+    val augNorm = if (mipsAug) bb.getFloat().toDouble else 0.0
+    val storedDim = if (mipsAug) dim + 1 else dim
     val levels = new Array[Int](math.max(n, 4))
     val links = new Array[Array[Array[Int]]](math.max(n, 4))
     var i = 0
@@ -408,11 +511,19 @@ object HnswFormat {
       }
       i += 1
     }
-    val vecs = new Array[Float](n * dim)
+    val vecs = new Array[Float](n * storedDim)
     var v = 0
-    while (v < n * dim) { vecs(v) = bb.getFloat(); v += 1 }
-    val ix = new HnswIndex(dim, metric, m, efc)
-    ix.load(n, vecs, levels, links, ep, ml)
-    ix
+    while (v < n * storedDim) { vecs(v) = bb.getFloat(); v += 1 }
+    if (mipsAug) {
+      val inner = new HnswIndex(storedDim, Metric.L2, m, efc)
+      inner.load(n, vecs, levels, links, ep, ml)
+      val outer = new HnswIndex(dim, metric, m, efc)
+      outer.loadMips(inner, augNorm)
+      outer
+    } else {
+      val ix = new HnswIndex(dim, metric, m, efc)
+      ix.load(n, vecs, levels, links, ep, ml)
+      ix
+    }
   }
 }

@@ -88,6 +88,32 @@ class HnswIndexSpec extends AnyFunSuite {
     new java.io.File(path).delete()
   }
 
+  test("IP via MIPS reduction: distances are exact negated dots; round-trips") {
+    val vecs = randVecs(400, 12, seed = 31)
+    val ix = new HnswIndex(12, Metric.InnerProduct, m = 12, efConstruction = 80)
+    vecs.foreach(ix.add)
+    val q = randVecs(1, 12, seed = 77).head
+    val (ids, ds) = ix.search(q, 5, 200)
+    // surfaced distance must equal -q·v (within float rounding of the
+    // reduction round-trip)
+    ids.zip(ds).foreach { case (id, d) =>
+      val expect = -vecs(id).zip(q).map { case (a, b) => a.toDouble * b }.sum
+      assert(math.abs(d - expect) < 1e-3, s"id=$id d=$d expect=$expect")
+    }
+    // frozen: further inserts rejected
+    intercept[IllegalArgumentException](ix.add(vecs(0)))
+    // serialization round-trip preserves results and reconstructed vectors
+    val path = s"/tmp/graft-hnsw-ip-${System.nanoTime()}.hnsw"
+    HnswFormat.writeFile(ix, path)
+    val loaded = HnswFormat.readFile(path)
+    assert(loaded.metric eq Metric.InnerProduct)
+    assert(loaded.dim == 12 && loaded.size == 400)
+    val (ids2, ds2) = loaded.search(q, 5, 200)
+    assert(ids2.toSeq == ids.toSeq && ds2.toSeq == ds.toSeq)
+    assert(loaded.vector(42).toSeq == vecs(42).toSeq)
+    new java.io.File(path).delete()
+  }
+
   test("k > N returns all; empty index returns none") {
     val ix = new HnswIndex(3, Metric.L2)
     assert(ix.search(Array(0f, 0f, 0f), 5, 0)._1.isEmpty)
