@@ -38,8 +38,7 @@ final class HnswIndex(
     seed: Long = 42L,
     initialCapacity: Int = 1024) extends GraphIndex {
 
-  // m bounded so layer-0 degree (2m) fits the .hnsw format's u16 field
-  require(dim > 0 && m > 1 && m <= 8192 && efConstruction > 0)
+  require(dim > 0 && m > 1 && efConstruction > 0)
 
   private val maxM0 = 2 * m
   private val levelMult = 1.0 / math.log(m.toDouble)
@@ -335,8 +334,9 @@ final class HnswIndex(
   def search(query: Array[Float], k: Int, searchComplexity: Int): (Array[Int], Array[Float]) = {
     require(query.length == dim, s"query dimension ${query.length} != index dimension $dim")
     if (mips) {
+      // no-op queries must not freeze the index as a side effect
+      if (size == 0 || k <= 0) return (Array.emptyIntArray, Array.emptyFloatArray)
       ensureMipsBuilt()
-      if (mipsInner.size == 0 || k <= 0) return (Array.emptyIntArray, Array.emptyFloatArray)
       val (ids, dL2) = mipsInner.search(java.util.Arrays.copyOf(query, dim + 1), k,
         searchComplexity)
       // ‖q'−v'‖² = |q|² + M² − 2·q·v  ⇒  −q·v = (dL2 − |q|² − M²) / 2
@@ -398,6 +398,7 @@ final class HnswIndex(
 
   private[core] def load(n: Int, vectors: Array[Float], lv: Array[Int],
       lk: Array[Array[Array[Int]]], ep: Int, ml: Int): Unit = {
+    require(!mips, "IP indexes load via loadMips (augmented state), not load()")
     ensureCapacity(math.max(n, 1))
     System.arraycopy(vectors, 0, vecs, 0, n * dim)
     System.arraycopy(lv, 0, levels, 0, n)
@@ -430,6 +431,8 @@ object HnswFormat {
   val Magic = 0x474E4857 // "GHNW" big-endianly-irrelevant tag
 
   def writeFile(ix: HnswIndex, path: String): Unit = {
+    // layer-0 degree (2m) must fit the format's signed-u16 degree field
+    require(ix.m <= 8192, s"hnsw m=${ix.m} too large for the .hnsw format (max 8192)")
     val mipsAug = ix.metric eq Metric.InnerProduct
     val (src, augNorm) = if (mipsAug) {
       val (inner, norm) = ix.mipsState
@@ -520,6 +523,17 @@ object HnswFormat {
       val outer = new HnswIndex(dim, metric, m, efc)
       outer.loadMips(inner, augNorm)
       outer
+    } else if (metric eq Metric.InnerProduct) {
+      // legacy pre-reduction IP shard (no 0x20 flag): its graph was built
+      // on raw negated-dot distances; migrate by re-buffering the raw
+      // vectors — the MIPS graph rebuilds lazily on first search
+      val ix = new HnswIndex(dim, metric, m, efc)
+      var i = 0
+      while (i < n) {
+        ix.add(java.util.Arrays.copyOfRange(vecs, i * dim, (i + 1) * dim))
+        i += 1
+      }
+      ix
     } else {
       val ix = new HnswIndex(dim, metric, m, efc)
       ix.load(n, vecs, levels, links, ep, ml)

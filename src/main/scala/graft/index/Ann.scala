@@ -160,6 +160,8 @@ object Ann {
     import spark.implicits._
     require(engine == "diskann" || params.quantization.isEmpty,
       "sq8 quantization is supported for the diskann engine only")
+    require(engine != "hnsw" || params.hnswM <= 8192,
+      s"hnsw m=${params.hnswM} exceeds the .hnsw format bound (8192)")
     val dim = inferDim(data)
     val n = data.count()
     val nShards = if (params.numShards > 0) params.numShards

@@ -218,8 +218,12 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val fetchK = if (hasFilter) k * overfetchMultiplier + 100 else k
     val metaPath = s"${IndexCatalog.indexDir(rootDir, meta.name)}/metadata.json"
     val metaHash = try {
-      java.util.Arrays.hashCode(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(metaPath))).toLong
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(metaPath))
+      // 64-bit composite (CRC32 + Arrays.hashCode) — a 32-bit key alone
+      // leaves a realistic aliasing window for rapid index mutations
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes)
+      (crc.getValue << 32) ^ (java.util.Arrays.hashCode(bytes).toLong & 0xffffffffL)
     } catch { case _: java.io.IOException => System.nanoTime() } // no caching if unreadable
     val hits = AnnTopKRule.cachedHits(metaPath, metaHash, query, fetchK) {
       Ann.collectHits(spark, meta.name, query, fetchK,

@@ -214,9 +214,10 @@ object TextOps {
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     // no .cache() here: a library-held cache can never be safely unpersisted
-    // (the returned plan still references it); signatures are one compiled
-    // pass, so recompute beats pinning executor storage — cache at the
-    // call site when iterating
+    // (the returned plan still references it). The three references to sigs
+    // below share the aggregation shuffle via ReusedExchange within one
+    // plan (measured: dedup got no slower after removing the cache), and
+    // callers iterating across actions can cache at the call site.
     val sigs = signatures(df, textCol, idCol, shingleK)
     val cands = candidatePairs(sigs)
     val sa = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
