@@ -163,6 +163,19 @@ object SparkEntry {
 
     // ---- vector_distances (SURVEY §2.1 #15): distance for every row ----
 
+    // LATERAL top-k-per-probe shape (reference bench
+    // bench/metal_diskann_bench.sql:31-39): nearest 3 vectors per label group
+    "knn_per_group" -> ((s, dir) => {
+      val dd = array_distance(toFloatVec(col("embedding")), floatVec(Q64))
+      val w = Window.partitionBy("label").orderBy(col("__dd"), col("vec_id"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), dd.as("__dd"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("label"), col("rk"), col("vec_id"), col("__dd").as("_distance"))
+        .orderBy("label", "rk")
+    }),
+
     "vector_distances" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
@@ -556,6 +569,15 @@ object SparkEntry {
       s"""SELECT vec_id,
          | list_cosine_similarity(CAST(embedding AS DOUBLE[]), $q64Sql) AS sim
          |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "knn_per_group" ->
+      s"""SELECT label, rk, vec_id, _distance FROM (
+         |  SELECT label, vec_id,
+         |    list_distance(CAST(embedding AS DOUBLE[]), $q64Sql) AS _distance,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id
+         |    )::BIGINT AS rk
+         |  FROM embeddings)
+         |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
     "vector_distances" ->
       s"""SELECT vec_id, label,
          | list_distance(CAST(embedding AS DOUBLE[]), $q64Sql) AS _distance
