@@ -24,7 +24,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // SIMD distance kernels (graft.core.SimdKernels); Simd falls back to
+  // scalar loops when the module flag is absent (e.g. spark-submit without
+  // extraJavaOptions), so this is a fast path, not a hard requirement.
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")

@@ -1,0 +1,109 @@
+package graft.core;
+
+import jdk.incubator.vector.FloatVector;
+import jdk.incubator.vector.VectorOperators;
+import jdk.incubator.vector.VectorSpecies;
+
+/**
+ * SIMD distance kernels over {@code float[]} via {@code jdk.incubator.vector}
+ * — the JVM replacement for the reference engine's AVX2/NEON kernels
+ * (rust_lib/src/distance.rs:1-25) and its GPU batch-distance backend.
+ *
+ * Offset variants operate directly on the flat shard storage
+ * ({@code vecs[node*dim ..]}) so the beam search never copies a vector to
+ * compute a distance. Requires {@code --add-modules=jdk.incubator.vector} at
+ * runtime; {@link graft.core.Simd} probes availability and falls back to
+ * scalar loops, so the module flag is an optimization, not a requirement.
+ *
+ * NOT used by the SQL-facing double-precision expressions: those keep
+ * sequential summation order to stay bit-comparable with the DuckDB oracle
+ * (SIMD lane reduction reassociates the sum).
+ */
+public final class SimdKernels {
+  private static final VectorSpecies<Float> SP = FloatVector.SPECIES_PREFERRED;
+
+  private SimdKernels() {}
+
+  public static int laneCount() { return SP.length(); }
+
+  /** Dot product of a[ao..ao+len) and b[bo..bo+len). */
+  public static float dot(float[] a, int ao, float[] b, int bo, int len) {
+    int i = 0;
+    FloatVector acc0 = FloatVector.zero(SP);
+    FloatVector acc1 = FloatVector.zero(SP);
+    int step = SP.length();
+    int upper2 = len - 2 * step;
+    for (; i <= upper2; i += 2 * step) {
+      acc0 = FloatVector.fromArray(SP, a, ao + i).fma(FloatVector.fromArray(SP, b, bo + i), acc0);
+      acc1 = FloatVector.fromArray(SP, a, ao + i + step).fma(FloatVector.fromArray(SP, b, bo + i + step), acc1);
+    }
+    int upper = SP.loopBound(len);
+    for (; i < upper; i += step) {
+      acc0 = FloatVector.fromArray(SP, a, ao + i).fma(FloatVector.fromArray(SP, b, bo + i), acc0);
+    }
+    float s = acc0.add(acc1).reduceLanes(VectorOperators.ADD);
+    for (; i < len; i++) s += a[ao + i] * b[bo + i];
+    return s;
+  }
+
+  /** Squared L2 distance of a[ao..ao+len) and b[bo..bo+len). */
+  public static float l2Sq(float[] a, int ao, float[] b, int bo, int len) {
+    int i = 0;
+    FloatVector acc0 = FloatVector.zero(SP);
+    FloatVector acc1 = FloatVector.zero(SP);
+    int step = SP.length();
+    int upper2 = len - 2 * step;
+    for (; i <= upper2; i += 2 * step) {
+      FloatVector d0 = FloatVector.fromArray(SP, a, ao + i).sub(FloatVector.fromArray(SP, b, bo + i));
+      FloatVector d1 = FloatVector.fromArray(SP, a, ao + i + step).sub(FloatVector.fromArray(SP, b, bo + i + step));
+      acc0 = d0.fma(d0, acc0);
+      acc1 = d1.fma(d1, acc1);
+    }
+    int upper = SP.loopBound(len);
+    for (; i < upper; i += step) {
+      FloatVector d = FloatVector.fromArray(SP, a, ao + i).sub(FloatVector.fromArray(SP, b, bo + i));
+      acc0 = d.fma(d, acc0);
+    }
+    float s = acc0.add(acc1).reduceLanes(VectorOperators.ADD);
+    for (; i < len; i++) { float d = a[ao + i] - b[bo + i]; s += d * d; }
+    return s;
+  }
+
+  /** Cosine similarity (raw cosine, higher = closer); 0 when either norm is 0. */
+  public static float cosine(float[] a, int ao, float[] b, int bo, int len) {
+    int i = 0;
+    FloatVector accAb = FloatVector.zero(SP);
+    FloatVector accAa = FloatVector.zero(SP);
+    FloatVector accBb = FloatVector.zero(SP);
+    int step = SP.length();
+    int upper = SP.loopBound(len);
+    for (; i < upper; i += step) {
+      FloatVector va = FloatVector.fromArray(SP, a, ao + i);
+      FloatVector vb = FloatVector.fromArray(SP, b, bo + i);
+      accAb = va.fma(vb, accAb);
+      accAa = va.fma(va, accAa);
+      accBb = vb.fma(vb, accBb);
+    }
+    float ab = accAb.reduceLanes(VectorOperators.ADD);
+    float aa = accAa.reduceLanes(VectorOperators.ADD);
+    float bb = accBb.reduceLanes(VectorOperators.ADD);
+    for (; i < len; i++) {
+      ab += a[ao + i] * b[bo + i];
+      aa += a[ao + i] * a[ao + i];
+      bb += b[bo + i] * b[bo + i];
+    }
+    double den = Math.sqrt(aa) * Math.sqrt(bb);
+    return den == 0.0 ? 0.0f : (float) (ab / den);
+  }
+
+  /**
+   * Block L2: distances from q to {@code n} nodes stored at
+   * {@code offs[0..n)} in the flat array — the lock-step/"gemm" analog of
+   * the reference's per-iteration neighbor batch (rust_lib/src/provider.rs:
+   * 248-440). One call per beam-search expansion keeps the query vector hot
+   * in registers across the whole neighbor list.
+   */
+  public static void l2SqBlock(float[] vecs, int[] offs, int n, float[] q, float[] out) {
+    for (int j = 0; j < n; j++) out[j] = l2Sq(vecs, offs[j], q, 0, q.length);
+  }
+}

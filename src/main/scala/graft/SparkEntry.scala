@@ -334,6 +334,26 @@ object SparkEntry {
       Ann.list(s).where(col("name") === "v_list")
     }),
 
+    // ---- recall telemetry: overlap@10 of the diskann path vs the exact
+    // top-10 (reference asserts >= 7/10, test/sql/diskann_streaming.test:44-48).
+    // Rows-only by nature (approximate), but the single integer lands in
+    // CORRECTNESS_r{N} every round, so recall regressions show up as diffs.
+    "ann_recall_at10" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_recall",
+        Ann.BuildParams(engine = "diskann", numShards = 8))
+      val approx = Ann.search(emb, "vec_id", "v_recall", q64Arr, 10,
+          searchComplexity = 128)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = emb
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__d"))
+        .orderBy(col("__d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      Seq(approx.intersect(exact).size.toLong).toDF("recall_at_10")
+    }),
+
     // ---- text / dedup operators (north-star pipeline ops) ----
 
     "dedup_exact" -> ((s, dir) => {
@@ -616,6 +636,8 @@ object SparkEntry {
         |FROM embeddings""".stripMargin,
     "ann_gpu_info" ->
       "SELECT false AS available, 'cpu' AS device",
+    "ann_list" ->
+      "SELECT 'v_list' AS name, 'flat' AS engine, 'l2' AS metric",
     "ann_index_info" ->
       """SELECT 'v_info' AS name, 'flat' AS engine, 'l2' AS metric,
         | 64 AS dimension, count(*)::BIGINT AS num_vectors, false AS quantized
@@ -697,10 +719,14 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // buckets UTF-8 BYTES (matching Spark's byteHistogram over text::binary):
+    // (b & 0xff) % 16 is exactly the low hex nibble, read out of hex(encode())
     "multimodal_featurize" ->
       """SELECT d.doc_id, b.bin,
-        |  len(list_filter(list_transform(string_split(d.text, ''), ch -> unicode(ch)),
-        |      c -> c % 16 = b.bin))::BIGINT AS cnt
+        |  len(list_filter(range(0, octet_length(encode(d.text))),
+        |      i -> strpos('0123456789ABCDEF',
+        |                  substr(hex(encode(d.text)), (2*i+2)::INT, 1)) - 1 = b.bin
+        |  ))::BIGINT AS cnt
         |FROM documents d, (SELECT unnest(range(0, 16)) AS bin) b
         |ORDER BY doc_id, bin""".stripMargin,
     "hybrid_search" -> Hybrid.oracleSql("spark join filter", q64Sql, 10),

@@ -57,7 +57,7 @@ final class HnswIndex(
   private val mips = metric eq Metric.InnerProduct
   private var mipsBuf: scala.collection.mutable.ArrayBuffer[Array[Float]] =
     if (mips) scala.collection.mutable.ArrayBuffer.empty else null
-  private var mipsInner: HnswIndex = null
+  @volatile private var mipsInner: HnswIndex = null
   private var mipsNorm: Double = 0.0 // M = max vector norm at freeze time
 
   def size: Int =
@@ -77,62 +77,58 @@ final class HnswIndex(
   }
 
   /** Freeze an IP index: compute M, build the internal (dim+1, L2) graph
-   *  over augmented vectors, drop the raw buffer. */
-  private def ensureMipsBuilt(): Unit = {
+   *  over augmented vectors, drop the raw buffer. Idempotent and safe under
+   *  concurrent first-search on a cache-shared index: `mipsInner` is a
+   *  volatile publish guarded by double-checked synchronization. */
+  private[core] def ensureMipsBuilt(): Unit = {
     if (!mips || mipsInner != null) return
-    var m2 = 0.0
-    mipsBuf.foreach { v =>
-      var s = 0.0; var i = 0
-      while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
-      if (s > m2) m2 = s
+    synchronized {
+      if (mipsInner != null) return
+      var m2 = 0.0
+      mipsBuf.foreach { v =>
+        var s = 0.0; var i = 0
+        while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
+        if (s > m2) m2 = s
+      }
+      mipsNorm = math.sqrt(m2)
+      val inner = new HnswIndex(dim + 1, Metric.L2, m, efConstruction, seed,
+        math.max(mipsBuf.size, 4))
+      mipsBuf.foreach { v =>
+        val aug = java.util.Arrays.copyOf(v, dim + 1)
+        var s = 0.0; var i = 0
+        while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
+        aug(dim) = math.sqrt(math.max(0.0, m2 - s)).toFloat
+        inner.add(aug)
+      }
+      mipsInner = inner
+      mipsBuf = null
     }
-    mipsNorm = math.sqrt(m2)
-    val inner = new HnswIndex(dim + 1, Metric.L2, m, efConstruction, seed,
-      math.max(mipsBuf.size, 4))
-    mipsBuf.foreach { v =>
-      val aug = java.util.Arrays.copyOf(v, dim + 1)
-      var s = 0.0; var i = 0
-      while (i < dim) { s += v(i).toDouble * v(i); i += 1 }
-      aug(dim) = math.sqrt(math.max(0.0, m2 - s)).toFloat
-      inner.add(aug)
-    }
-    mipsInner = inner
-    mipsBuf = null
   }
 
   private def ensureCapacity(n: Int): Unit = {
-    if (n * dim > vecs.length) {
-      var cap = math.max(vecs.length / dim, 4)
+    // Long math: n*dim overflows Int at ~33M vectors × dim 64, which would
+    // silently skip the grow and corrupt offsets. Oversized shards fail loud.
+    if (n.toLong * dim > vecs.length) {
+      require(n.toLong * dim <= (Int.MaxValue - 8).toLong,
+        s"HNSW shard too large: $n vectors x dim $dim exceeds a single " +
+        "float[]; raise numShards so each shard holds fewer vectors")
+      var cap = math.max(vecs.length / dim, 4).toLong
       while (cap < n) cap *= 2
-      vecs = Arrays.copyOf(vecs, cap * dim)
-      levels = Arrays.copyOf(levels, cap)
-      links = Arrays.copyOf(links, cap)
+      val capI = math.min(cap, ((Int.MaxValue - 8) / dim).toLong).toInt
+      vecs = Arrays.copyOf(vecs, capI * dim)
+      levels = Arrays.copyOf(levels, capI)
+      links = Arrays.copyOf(links, capI)
     }
   }
 
-  @inline private def dist(a: Int, q: Array[Float]): Float = {
-    val off = a * dim
-    var s = 0.0f; var i = 0
-    if (metric eq Metric.L2) {
-      while (i < dim) { val d = vecs(off + i) - q(i); s += d * d; i += 1 }
-      s
-    } else {
-      while (i < dim) { s += vecs(off + i) * q(i); i += 1 }
-      -s
-    }
-  }
+  // distance kernels route through Simd (jdk.incubator.vector when enabled)
+  @inline private def dist(a: Int, q: Array[Float]): Float =
+    if (metric eq Metric.L2) Simd.l2Sq(vecs, a * dim, q, 0, dim)
+    else -Simd.dot(vecs, a * dim, q, 0, dim)
 
-  @inline private def distNodes(a: Int, b: Int): Float = {
-    val oa = a * dim; val ob = b * dim
-    var s = 0.0f; var i = 0
-    if (metric eq Metric.L2) {
-      while (i < dim) { val d = vecs(oa + i) - vecs(ob + i); s += d * d; i += 1 }
-      s
-    } else {
-      while (i < dim) { s += vecs(oa + i) * vecs(ob + i); i += 1 }
-      -s
-    }
-  }
+  @inline private def distNodes(a: Int, b: Int): Float =
+    if (metric eq Metric.L2) Simd.l2Sq(vecs, a * dim, vecs, b * dim, dim)
+    else -Simd.dot(vecs, a * dim, vecs, b * dim, dim)
 
   /** Deterministic level for a label: SplitMix64(seed + label) → U(0,1). */
   private def randomLevel(label: Int): Int = {
@@ -526,13 +522,15 @@ object HnswFormat {
     } else if (metric eq Metric.InnerProduct) {
       // legacy pre-reduction IP shard (no 0x20 flag): its graph was built
       // on raw negated-dot distances; migrate by re-buffering the raw
-      // vectors — the MIPS graph rebuilds lazily on first search
+      // vectors and freezing EAGERLY — a lazily-frozen index in the
+      // JVM-wide ShardCache would race its first concurrent searches
       val ix = new HnswIndex(dim, metric, m, efc)
       var i = 0
       while (i < n) {
         ix.add(java.util.Arrays.copyOfRange(vecs, i * dim, (i + 1) * dim))
         i += 1
       }
+      ix.ensureMipsBuilt()
       ix
     } else {
       val ix = new HnswIndex(dim, metric, m, efc)

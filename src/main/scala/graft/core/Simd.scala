@@ -1,0 +1,46 @@
+package graft.core
+
+/**
+ * Availability probe + dispatch for [[SimdKernels]] (jdk.incubator.vector).
+ *
+ * The kernels class only links if the JVM was started with
+ * `--add-modules=jdk.incubator.vector` (wired in build.sbt for all forked
+ * runs; a cluster deploy adds it via `spark.executor.extraJavaOptions`).
+ * Without it, class-load throws and every call routes to the scalar loops —
+ * same results, HotSpot auto-vectorized, just slower than explicit
+ * 2×-unrolled FMA lanes.
+ */
+object Simd {
+
+  val enabled: Boolean =
+    try SimdKernels.dot(Array(1f, 2f), 0, Array(3f, 4f), 0, 2) == 11f
+    catch { case _: Throwable => false }
+
+  @inline def dot(a: Array[Float], ao: Int, b: Array[Float], bo: Int, len: Int): Float =
+    if (enabled) SimdKernels.dot(a, ao, b, bo, len)
+    else {
+      var s = 0.0f; var i = 0
+      while (i < len) { s += a(ao + i) * b(bo + i); i += 1 }
+      s
+    }
+
+  @inline def l2Sq(a: Array[Float], ao: Int, b: Array[Float], bo: Int, len: Int): Float =
+    if (enabled) SimdKernels.l2Sq(a, ao, b, bo, len)
+    else {
+      var s = 0.0f; var i = 0
+      while (i < len) { val d = a(ao + i) - b(bo + i); s += d * d; i += 1 }
+      s
+    }
+
+  @inline def cosine(a: Array[Float], ao: Int, b: Array[Float], bo: Int, len: Int): Float =
+    if (enabled) SimdKernels.cosine(a, ao, b, bo, len)
+    else {
+      var ab = 0.0f; var aa = 0.0f; var bb = 0.0f; var i = 0
+      while (i < len) {
+        ab += a(ao + i) * b(bo + i); aa += a(ao + i) * a(ao + i)
+        bb += b(bo + i) * b(bo + i); i += 1
+      }
+      val den = math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble)
+      if (den == 0.0) 0.0f else (ab / den).toFloat
+    }
+}

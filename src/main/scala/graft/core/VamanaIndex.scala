@@ -69,43 +69,31 @@ final class VamanaIndex(
   def neighbors(id: Int): Array[Int] = Arrays.copyOf(adj(id), degree(id))
 
   private def ensureCapacity(n: Int): Unit = {
-    if (n * dim > vecs.length) {
-      var cap = math.max(vecs.length / dim, 4)
+    // Long math: n*dim overflows Int at ~33M vectors × dim 64, which would
+    // silently skip the grow and corrupt offsets. Oversized shards fail loud.
+    if (n.toLong * dim > vecs.length) {
+      require(n.toLong * dim <= (Int.MaxValue - 8).toLong,
+        s"Vamana shard too large: $n vectors x dim $dim exceeds a single " +
+        "float[]; raise numShards so each shard holds fewer vectors")
+      var cap = math.max(vecs.length / dim, 4).toLong
       while (cap < n) cap *= 2
-      vecs = Arrays.copyOf(vecs, cap * dim)
-      adj = Arrays.copyOf(adj, cap)
-      degree = Arrays.copyOf(degree, cap)
+      val capI = math.min(cap, ((Int.MaxValue - 8) / dim).toLong).toInt
+      vecs = Arrays.copyOf(vecs, capI * dim)
+      adj = Arrays.copyOf(adj, capI)
+      degree = Arrays.copyOf(degree, capI)
     }
   }
 
+  // distance kernels route through Simd (jdk.incubator.vector when enabled)
   @inline private def dist(a: Int, q: Array[Float]): Float = {
     if (sq8 != null) sq8.distance(metric, a, q)
-    else {
-      val off = a * dim
-      var s = 0.0f
-      var i = 0
-      if (metric eq Metric.L2) {
-        while (i < dim) { val d = vecs(off + i) - q(i); s += d * d; i += 1 }
-        s
-      } else {
-        while (i < dim) { s += vecs(off + i) * q(i); i += 1 }
-        -s
-      }
-    }
+    else if (metric eq Metric.L2) Simd.l2Sq(vecs, a * dim, q, 0, dim)
+    else -Simd.dot(vecs, a * dim, q, 0, dim)
   }
 
-  @inline private def distNodes(a: Int, b: Int): Float = {
-    val oa = a * dim; val ob = b * dim
-    var s = 0.0f
-    var i = 0
-    if (metric eq Metric.L2) {
-      while (i < dim) { val d = vecs(oa + i) - vecs(ob + i); s += d * d; i += 1 }
-      s
-    } else {
-      while (i < dim) { s += vecs(oa + i) * vecs(ob + i); i += 1 }
-      -s
-    }
-  }
+  @inline private def distNodes(a: Int, b: Int): Float =
+    if (metric eq Metric.L2) Simd.l2Sq(vecs, a * dim, vecs, b * dim, dim)
+    else -Simd.dot(vecs, a * dim, vecs, b * dim, dim)
 
   /** Insert one vector; returns its label (dense 0..N-1). */
   def add(v: Array[Float]): Int = {

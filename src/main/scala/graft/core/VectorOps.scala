@@ -12,40 +12,28 @@ package graft.core
  * oracle (DuckDB `list_distance` on DOUBLE[]) computes in f64; using the
  * same sequential summation order keeps results bit-comparable.
  *
- * Loops are written branch-free over plain arrays so HotSpot auto-vectorizes
- * them (the JVM replacement for the reference's AVX2/NEON kernels).
+ * Float kernels route through [[Simd]] (explicit jdk.incubator.vector lanes
+ * when the module is enabled, HotSpot-auto-vectorized scalar loops
+ * otherwise) — the JVM replacement for the reference's AVX2/NEON kernels.
+ * The double variants stay scalar-sequential ON PURPOSE: SIMD lane
+ * reduction reassociates the sum, which would break bit-parity with the
+ * DuckDB oracle.
  */
 object VectorOps {
 
-  @inline def l2Sq(a: Array[Float], b: Array[Float]): Float = {
-    var s = 0.0f
-    var i = 0
-    val n = a.length
-    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
-    s
-  }
+  @inline def l2Sq(a: Array[Float], b: Array[Float]): Float =
+    Simd.l2Sq(a, 0, b, 0, a.length)
 
-  @inline def dot(a: Array[Float], b: Array[Float]): Float = {
-    var s = 0.0f
-    var i = 0
-    val n = a.length
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  }
+  @inline def dot(a: Array[Float], b: Array[Float]): Float =
+    Simd.dot(a, 0, b, 0, a.length)
 
   /** Negated inner product: lower = closer (reference distance.rs:21-24). */
   @inline def ipDistance(a: Array[Float], b: Array[Float]): Float = -dot(a, b)
 
   @inline def norm(a: Array[Float]): Float = math.sqrt(dot(a, a).toDouble).toFloat
 
-  def cosineSimilarity(a: Array[Float], b: Array[Float]): Float = {
-    var ab = 0.0f; var aa = 0.0f; var bb = 0.0f
-    var i = 0
-    val n = a.length
-    while (i < n) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
-    val den = math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble)
-    if (den == 0.0) 0.0f else (ab / den).toFloat
-  }
+  def cosineSimilarity(a: Array[Float], b: Array[Float]): Float =
+    Simd.cosine(a, 0, b, 0, a.length)
 
   /** L2-normalize in place; returns the same array. Zero vectors unchanged. */
   def normalize(a: Array[Float]): Array[Float] = {

@@ -85,23 +85,35 @@ object StreamingIndex {
     // NOTE: cosine vectors in shards are already normalized; re-normalizing
     // is a no-op, so the rebuild is safe for every metric.
     val rebuilt = Ann.buildIndex(vecsDf, "vec", "id", tmpName, params)
-    // swap: move rebuilt shards under the original name, restore binding
-    val finalMeta = rebuilt.copy(name = name, column = meta.column,
-      idColumn = meta.idColumn, sourceFiles = meta.sourceFiles,
-      version = meta.version + 1)
-    IndexCatalog.drop(r, name)
+    // Crash-safe swap: the old metadata.json stays authoritative until the
+    // new one atomically replaces it. Rebuilt shards move in FIRST under
+    // version-suffixed names (no collision with the live shards), then
+    // IndexCatalog.save atomically publishes the new metadata, and only
+    // then are the superseded shard files / tombstones / tmp dir deleted.
+    // A crash at any point leaves a consistent index (worst case: orphaned
+    // files from the interrupted generation).
+    val ver = meta.version + 1
     val dstDir = new java.io.File(IndexCatalog.indexDir(r, name))
     dstDir.mkdirs()
-    val moved = finalMeta.shards.map { sh =>
-      def mv(p: String): String = {
-        val dst = new java.io.File(dstDir, new java.io.File(p).getName)
+    val moved = rebuilt.shards.zipWithIndex.map { case (sh, i) =>
+      val ext = sh.file.substring(sh.file.lastIndexOf('.') + 1)
+      def mv(p: String, suffix: String): String = {
+        val dst = new java.io.File(dstDir, f"compact-$i%05d-v$ver.$suffix")
         java.nio.file.Files.move(java.nio.file.Paths.get(p), dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         dst.getAbsolutePath
       }
-      ShardMeta(mv(sh.file), mv(sh.idsFile), sh.count)
+      ShardMeta(mv(sh.file, ext), mv(sh.idsFile, "ids"), sh.count)
     }
+    val oldShards = meta.shards
+    IndexCatalog.save(r, rebuilt.copy(name = name, column = meta.column,
+      idColumn = meta.idColumn, sourceFiles = meta.sourceFiles,
+      version = ver, shards = moved))
+    // new metadata is live — clean up the superseded generation
+    oldShards.foreach { sh =>
+      new java.io.File(sh.file).delete(); new java.io.File(sh.idsFile).delete()
+    }
+    new java.io.File(IndexCatalog.tombstonePath(r, name)).delete()
     IndexCatalog.drop(r, tmpName)
-    IndexCatalog.save(r, finalMeta.copy(shards = moved))
   }
 }

@@ -258,16 +258,22 @@ object TextOps {
       val mask = (1L << width) - 1
       struct(lit(i).as("bi"), (shiftright(col("sh"), lo).bitwiseAND(mask)).as("bv"))
     }
-    val blocks = groups.select(col("sh"), col("ids"),
-      explode(array(blockCols: _*)).as("blk"))
+    // the block join and its multi-block dedup run over SCALAR hash pairs
+    // only — distinct() on (sha, shb) longs, not rows dragging id arrays
+    // through the shuffle; the id lists rejoin after the hamming filter,
+    // when only the (few) surviving pairs remain
+    val blocks = groups.select(col("sh"), explode(array(blockCols: _*)).as("blk"))
     val a = blocks.as("a"); val b = blocks.as("b")
-    val inter = a.join(b, col("a.blk") === col("b.blk") && col("a.sh") < col("b.sh"))
-      .select(col("a.sh").as("sha"), col("b.sh").as("shb"),
-        col("a.ids").as("idsa"), col("b.ids").as("idsb"))
+    val hashPairs = a.join(b, col("a.blk") === col("b.blk") && col("a.sh") < col("b.sh"))
+      .select(col("a.sh").as("sha"), col("b.sh").as("shb"))
       .distinct() // a group pair can match on several blocks
       .withColumn("hamming",
         bit_count(col("sha").bitwiseXOR(col("shb"))).cast(LongType))
       .where(col("hamming") <= maxHamming)
+    val idLists = groups.select(col("sh"), col("ids"))
+    val inter = hashPairs
+      .join(idLists.select(col("sh").as("sha"), col("ids").as("idsa")), "sha")
+      .join(idLists.select(col("sh").as("shb"), col("ids").as("idsb")), "shb")
       .select(explode(col("idsa")).as("x"), col("idsb"), col("hamming"))
       .select(col("x"), explode(col("idsb")).as("y"), col("hamming"))
       .select(least(col("x"), col("y")).as("id_a"),

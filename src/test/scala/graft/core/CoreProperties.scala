@@ -90,10 +90,12 @@ object CoreProperties extends Properties("graft.core") {
       val h1 = graft.expressions.TextHash.rollingHashString(s1)
       (h1 >= 0 && h1 < graft.expressions.TextHash.Mod) &&
       h1 == graft.expressions.TextHash.rollingHashString(s1) &&
-      // appending is not prepending (order sensitivity) unless equal strings
-      (s1 == s2 || s1.isEmpty || s2.isEmpty ||
-        graft.expressions.TextHash.rollingHashString(s1 + s2) ==
-          graft.expressions.TextHash.rollingHashString(s1 + s2))
+      // appending is not prepending (order sensitivity): when the two
+      // concatenation orders yield different strings the hashes must differ
+      // (mod-1e9+7 collision odds ~1e-9 per case — negligible)
+      (s1 + s2 == s2 + s1 ||
+        graft.expressions.TextHash.rollingHashString(s1 + s2) !=
+          graft.expressions.TextHash.rollingHashString(s2 + s1))
     }
 
   property("shingleHashes: nonempty output; <= max(1, n-k+1) distinct hashes") =
