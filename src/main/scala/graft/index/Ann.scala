@@ -690,8 +690,18 @@ object Ann {
     val maxDeg = meta.maxDegree; val bc = meta.buildComplexity; val alpha = meta.alpha
     val quant = meta.quantized
     val ext = if (engine == "hnsw") "hnsw" else "diskann"
+    // Parallel delta build: a big batch splits into ceil(n/targetShardSize)
+    // delta shards built concurrently — a single coalesce(1) task was the
+    // streaming-ingest throughput ceiling (one thread serializing every
+    // micro-batch). Small batches still produce exactly one delta shard.
+    val targetShardSize = spark.conf.getOption("spark.graft.ann.append.targetShardSize")
+      .map(_.toLong).getOrElse(BuildParams().targetShardSize)
+    val n = data.count()
+    val nDelta = math.max(1, math.ceil(n.toDouble / targetShardSize).toInt)
     val deltaTag = s"delta-${meta.shards.size}"
-    val newShards = data.coalesce(1).mapPartitions { it =>
+    val repart = if (nDelta == 1) data.coalesce(1) else data.repartition(nDelta)
+    val newShards = repart.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
       val m = Metric.fromName(metricName)
       val ix: GraphIndex =
         if (engine == "hnsw") new HnswIndex(dim, m, maxDeg, bc)
@@ -705,17 +715,17 @@ object Ann {
       }
       if (ix.size == 0) Iterator.empty
       else {
-        val f = s"$dir/shard-$deltaTag.$ext"
+        val f = f"$dir/shard-$deltaTag-$pid%05d.$ext"
         ix match {
           case vx: VamanaIndex =>
             if (quant) vx.quantize()
             DiskannFormat.writeFile(vx, f)
           case h: HnswIndex => HnswFormat.writeFile(h, f)
         }
-        IndexCatalog.writeIds(s"$dir/shard-$deltaTag.ids", ids.toArray)
-        Iterator.single(ShardMeta(f, s"$dir/shard-$deltaTag.ids", ids.length.toLong))
+        IndexCatalog.writeIds(f"$dir/shard-$deltaTag-$pid%05d.ids", ids.toArray)
+        Iterator.single(ShardMeta(f, f"$dir/shard-$deltaTag-$pid%05d.ids", ids.length.toLong))
       }
-    }.collect().toList
+    }.collect().toList.sortBy(_.file)
     val updated = meta.copy(shards = meta.shards ++ newShards,
       numVectors = meta.numVectors + newShards.map(_.count).sum)
     IndexCatalog.save(r, updated)

@@ -68,4 +68,32 @@ class StreamingIndexSpec extends AnyFunSuite {
       assert(hit2.head.getLong(0) == 42L)
     } finally q.stop()
   }
+
+  test("a large append batch splits into multiple parallel delta shards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val name = "par_append_ix"
+    val base = (0L until 30L).map(i => (i, vec(i))).toDF("id", "vec")
+    Ann.buildIndex(base, "vec", "id", name,
+      Ann.BuildParams(engine = "diskann", numShards = 1, maxDegree = 16,
+        buildComplexity = 32))
+    // force tiny delta shards so the 40-row batch splits into >1
+    spark.conf.set("spark.graft.ann.append.targetShardSize", "16")
+    try {
+      val batch = (30L until 70L).map(i => (i, vec(i))).toDF("id", "vec")
+      Ann.append(batch, "vec", "id", name)
+      val m = IndexCatalog.load(Ann.root(spark), name)
+      assert(m.numVectors == 70)
+      assert(m.shards.size > 2,
+        s"40-row batch at targetShardSize=16 should emit >1 delta shard " +
+        s"(got ${m.shards.size - 1})")
+      // every appended row is searchable regardless of which delta holds it
+      val all = (0L until 70L).map(i => (i, vec(i))).toDF("id", "vec")
+      for (probe <- Seq(31L, 45L, 69L)) {
+        val hit = Ann.search(all, "id", name, vec(probe), 1, searchComplexity = 64)
+          .collect()
+        assert(hit.head.getLong(0) == probe, s"probe $probe not found")
+      }
+    } finally spark.conf.unset("spark.graft.ann.append.targetShardSize")
+  }
 }
