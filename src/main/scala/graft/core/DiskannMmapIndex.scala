@@ -1,0 +1,147 @@
+package graft.core
+
+import java.io.{File, IOException, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.channels.FileChannel
+
+/**
+ * Disk-resident `.diskann` shard served zero-copy from an mmap — the Spark
+ * analog of the reference's DiskProvider (rust_lib/src/disk_provider.rs:
+ * 182-279 maps the file once per process; :303-332 does offset arithmetic
+ * into the image). Nothing is decoded up front: vectors and adjacency are
+ * read straight out of the mapped region during the beam search, so serving
+ * an N-GB shard costs ~0 heap and no deserialization latency, and the OS
+ * page cache holds exactly the hot part of the graph.
+ *
+ * Search goes through the same [[BeamSearcher]] as the heap-resident
+ * [[VamanaIndex]], so for identical bytes the two serving modes visit the
+ * same nodes and return bit-identical results (asserted in
+ * PersistenceSpec).
+ *
+ * Read-only by design: appends go to new delta shards (Ann.append), never
+ * into a served image. SQ8-quantized shards keep the heap path — their
+ * search must read dequantized values to preserve quantized semantics,
+ * while this class serves the full-precision region.
+ */
+final class DiskannMmapIndex private (
+    buf: ByteBuffer, // mapped image, little-endian, position 0
+    val dim: Int,
+    n: Int,
+    val maxDegree: Int,
+    val buildComplexity: Int,
+    val metric: Metric,
+    val entryPoints: Array[Int],
+    vecOff: Int,
+    adjOff: Int) extends GraphIndex with NodeStore {
+
+  def size: Int = n
+
+  def add(v: Array[Float]): Int =
+    throw new UnsupportedOperationException(
+      "mmap-served shard is read-only; appends create delta shards")
+
+  def vector(id: Int): Array[Float] = {
+    require(id >= 0 && id < n, s"label $id out of range [0, $n)")
+    val out = new Array[Float](dim)
+    val fb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+    fb.get(vecOff / 4 + id * dim, out, 0, dim)
+    out
+  }
+
+  /** Heap cost of serving is ~0 (entry points + header); report the mapped
+   *  extent so catalog diagnostics still reflect shard weight. */
+  def memoryBytes: Long = buf.capacity().toLong
+
+  def search(query: Array[Float], k: Int, searchComplexity: Int = 0): (Array[Int], Array[Float]) = {
+    if (n == 0 || k <= 0) return (Array.emptyIntArray, Array.emptyFloatArray)
+    require(query.length == dim, s"query dimension ${query.length} != index dimension $dim")
+    val kk = math.min(k, n)
+    val baseL = if (searchComplexity > 0) searchComplexity else buildComplexity
+    val l = math.max(kk, baseL)
+    val beam = new BeamSearcher(this)
+    beam.search(query, kk, l, excludeSelf = -1)
+    beam.topK(kk)
+  }
+
+  // ---- NodeStore
+  def nodeCount: Int = n
+  def entryPointIds: Array[Int] = entryPoints
+  def degreeBound: Int = maxDegree
+
+  /** One cursor per searcher: owns its buffer views (absolute indexed reads
+   *  only) and a copy scratch, so concurrent searches share the map safely. */
+  def newCursor(): NodeCursor = new NodeCursor {
+    private val fb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+    private val ib = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN).asIntBuffer()
+    private val scratch = new Array[Float](dim)
+    private val vecFloatBase = vecOff / 4
+    private val adjIntBase = adjOff / 4
+
+    def dist(id: Int, q: Array[Float]): Float = {
+      fb.get(vecFloatBase + id * dim, scratch, 0, dim)
+      if (metric eq Metric.L2) Simd.l2Sq(scratch, 0, q, 0, dim)
+      else -Simd.dot(scratch, 0, q, 0, dim)
+    }
+
+    def neighborsInto(id: Int, out: Array[Int]): Int = {
+      val base = adjIntBase + id * maxDegree
+      var j = 0
+      var done = false
+      while (j < maxDegree && !done) {
+        val nb = ib.get(base + j)
+        if (nb == DiskannFormat.PadSentinel) done = true
+        else { out(j) = nb; j += 1 }
+      }
+      j
+    }
+  }
+}
+
+object DiskannMmapIndex {
+
+  /**
+   * Map `path` and parse its header. Returns null when the shard carries an
+   * SQ8 appendix (quantized semantics require the heap reader) so callers
+   * fall back without a second header parse.
+   */
+  def open(path: String, cosineMetadata: Boolean = false): DiskannMmapIndex = {
+    val f = new File(path)
+    val len = f.length()
+    if (len > Int.MaxValue)
+      throw new IOException(s".diskann mmap: file exceeds a single map: $len")
+    val raf = new RandomAccessFile(f, "r")
+    val buf = try raf.getChannel.map(FileChannel.MapMode.READ_ONLY, 0, len)
+      finally raf.close()
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    if (len < DiskannFormat.HeaderSize) fail(path, "file too small for header")
+    val magic = new Array[Byte](4)
+    buf.get(0, magic)
+    if (!java.util.Arrays.equals(magic, DiskannFormat.Magic)) fail(path, "invalid magic bytes")
+    if (buf.getInt(4) != DiskannFormat.Version) fail(path, s"unsupported version ${buf.getInt(4)}")
+    val n = buf.getInt(8)
+    val dim = buf.getInt(12)
+    val maxDeg = buf.getInt(16)
+    val nEp = buf.getInt(20)
+    val metricCode = buf.get(24) & 0xff
+    val buildComplexity = buf.getInt(28)
+    if (n < 0 || dim <= 0 || maxDeg <= 0 || nEp < 0) fail(path, "corrupt header")
+    val epOff = DiskannFormat.HeaderSize.toLong
+    val vecOff = epOff + nEp.toLong * 4
+    val adjOff = vecOff + n.toLong * dim * 4
+    val end = adjOff + n.toLong * maxDeg * 4
+    if (end > len) fail(path, s"file truncated: need $end bytes, have $len")
+    if (len > end + 4 && buf.get(end.toInt) == 'S' && buf.get(end.toInt + 1) == 'Q' &&
+        buf.get(end.toInt + 2) == '8' && buf.get(end.toInt + 3) == 0)
+      return null // SQ8 shard: quantized semantics need the heap reader
+    val eps = new Array[Int](nEp)
+    var i = 0
+    while (i < nEp) { eps(i) = buf.getInt(epOff.toInt + i * 4); i += 1 }
+    val metric = Metric.fromCode(metricCode, cosine = cosineMetadata)
+    new DiskannMmapIndex(buf, dim, n, maxDeg,
+      if (buildComplexity > 0) buildComplexity else VamanaIndex.DefaultBuildComplexity,
+      metric, eps, vecOff.toInt, adjOff.toInt)
+  }
+
+  private def fail(path: String, msg: String): Nothing =
+    throw new IOException(s".diskann mmap $path: $msg")
+}

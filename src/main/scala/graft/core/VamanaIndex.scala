@@ -27,7 +27,7 @@ final class VamanaIndex(
     val maxDegree: Int = VamanaIndex.DefaultMaxDegree,
     val buildComplexity: Int = VamanaIndex.DefaultBuildComplexity,
     val alpha: Float = VamanaIndex.DefaultAlpha,
-    initialCapacity: Int = 1024) extends GraphIndex {
+    initialCapacity: Int = 1024) extends GraphIndex with NodeStore with NodeCursor {
 
   require(dim > 0, "dimension must be positive")
   require(maxDegree > 0 && buildComplexity > 0)
@@ -85,7 +85,7 @@ final class VamanaIndex(
   }
 
   // distance kernels route through Simd (jdk.incubator.vector when enabled)
-  @inline private def dist(a: Int, q: Array[Float]): Float = {
+  @inline def dist(a: Int, q: Array[Float]): Float = {
     if (sq8 != null) sq8.distance(metric, a, q)
     else if (metric eq Metric.L2) Simd.l2Sq(vecs, a * dim, q, 0, dim)
     else -Simd.dot(vecs, a * dim, q, 0, dim)
@@ -94,6 +94,19 @@ final class VamanaIndex(
   @inline private def distNodes(a: Int, b: Int): Float =
     if (metric eq Metric.L2) Simd.l2Sq(vecs, a * dim, vecs, b * dim, dim)
     else -Simd.dot(vecs, a * dim, vecs, b * dim, dim)
+
+  // ---- NodeStore / NodeCursor (shared BeamSearcher contract). The index
+  // itself is the cursor: its accessors are stateless, and one instance is
+  // only ever built/searched single-threaded per task.
+  def nodeCount: Int = count
+  def entryPointIds: Array[Int] = entryPoints
+  def degreeBound: Int = slackDegree
+  def newCursor(): NodeCursor = this
+  def neighborsInto(id: Int, buf: Array[Int]): Int = {
+    val d = degree(id)
+    System.arraycopy(adj(id), 0, buf, 0, d)
+    d
+  }
 
   /** Insert one vector; returns its label (dense 0..N-1). */
   def add(v: Array[Float]): Int = {
@@ -280,135 +293,6 @@ final class VamanaIndex(
 
   // ---------------------------------------------------------------- internal
 
-  /** Reusable greedy best-first search; exposes the visited pool for builds. */
-  private final class BeamSearcher(ix: VamanaIndex) {
-    // bounded sorted result list (parallel arrays), mirrors insert_result
-    private var resDist: Array[Float] = null
-    private var resId: Array[Int] = null
-    private var resLen = 0
-    // candidate min-heap packed as long: sortableFloatBits(dist) << 32 | id
-    private var heap: Array[Long] = new Array[Long](256)
-    private var heapLen = 0
-    private val visited = new IntSet(1024)
-    // visited pool (every node whose distance was computed) for robustPrune
-    var visitedIds: Array[Int] = new Array[Int](1024)
-    var visitedDists: Array[Float] = new Array[Float](1024)
-    var visitedCount = 0
-
-    @inline private def heapPush(v: Long): Unit = {
-      if (heapLen == heap.length) heap = Arrays.copyOf(heap, heapLen * 2)
-      var i = heapLen; heap(i) = v; heapLen += 1
-      while (i > 0 && heap((i - 1) / 2) > heap(i)) {
-        val p = (i - 1) / 2
-        val t = heap(p); heap(p) = heap(i); heap(i) = t
-        i = p
-      }
-    }
-
-    @inline private def heapPop(): Long = {
-      val top = heap(0)
-      heapLen -= 1
-      heap(0) = heap(heapLen)
-      var i = 0
-      var done = false
-      while (!done) {
-        val l = 2 * i + 1; val r = l + 1
-        var m = i
-        if (l < heapLen && heap(l) < heap(m)) m = l
-        if (r < heapLen && heap(r) < heap(m)) m = r
-        if (m == i) done = true
-        else { val t = heap(m); heap(m) = heap(i); heap(i) = t; i = m }
-      }
-      top
-    }
-
-    @inline private def recordVisited(id: Int, d: Float): Unit = {
-      if (visitedCount == visitedIds.length) {
-        visitedIds = Arrays.copyOf(visitedIds, visitedCount * 2)
-        visitedDists = Arrays.copyOf(visitedDists, visitedCount * 2)
-      }
-      visitedIds(visitedCount) = id
-      visitedDists(visitedCount) = d
-      visitedCount += 1
-    }
-
-    /** Binary-search insert into the bounded result list (disk_provider.rs:656-678). */
-    @inline private def insertResult(l: Int, d: Float, id: Int): Unit = {
-      if (resLen < l || d < resDist(resLen - 1)) {
-        var lo = 0; var hi = resLen
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (resDist(mid) < d) lo = mid + 1 else hi = mid
-        }
-        val insertAt = lo
-        val newLen = math.min(resLen + 1, l)
-        var i = newLen - 1
-        while (i > insertAt) { resDist(i) = resDist(i - 1); resId(i) = resId(i - 1); i -= 1 }
-        if (insertAt < l) { resDist(insertAt) = d; resId(insertAt) = id }
-        resLen = newLen
-        heapPush(SortableF32.pack(d, id))
-      }
-    }
-
-    def search(query: Array[Float], k: Int, l: Int, excludeSelf: Int): Unit = {
-      resDist = new Array[Float](l)
-      resId = new Array[Int](l)
-      resLen = 0; heapLen = 0; visitedCount = 0; visited.clear()
-      val eps = ix.entryPoints
-      var i = 0
-      while (i < eps.length) {
-        val ep = eps(i)
-        if (ep < ix.count && ep != excludeSelf && visited.add(ep)) {
-          val d = ix.dist(ep, query)
-          recordVisited(ep, d)
-          insertResultSeed(l, d, ep)
-        }
-        i += 1
-      }
-      while (heapLen > 0) {
-        val top = heapPop()
-        val cDist = SortableF32.distOf(top)
-        if (resLen >= l && cDist > resDist(resLen - 1)) {
-          heapLen = 0 // converged
-        } else {
-          val cId = SortableF32.idOf(top)
-          val nbrs = ix.adj(cId); val nd = ix.degree(cId)
-          var j = 0
-          while (j < nd) {
-            val nb = nbrs(j)
-            if (nb != excludeSelf && nb < ix.count && visited.add(nb)) {
-              val d = ix.dist(nb, query)
-              recordVisited(nb, d)
-              insertResult(l, d, nb)
-            }
-            j += 1
-          }
-        }
-      }
-    }
-
-    @inline private def insertResultSeed(l: Int, d: Float, id: Int): Unit = {
-      // same as insertResult but always pushes the seed on the heap
-      var lo = 0; var hi = resLen
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (resDist(mid) < d) lo = mid + 1 else hi = mid
-      }
-      if (lo < l) {
-        val newLen = math.min(resLen + 1, l)
-        var i = newLen - 1
-        while (i > lo) { resDist(i) = resDist(i - 1); resId(i) = resId(i - 1); i -= 1 }
-        resDist(lo) = d; resId(lo) = id
-        resLen = newLen
-      }
-      heapPush(SortableF32.pack(d, id))
-    }
-
-    def topK(k: Int): (Array[Int], Array[Float]) = {
-      val n = math.min(k, resLen)
-      (Arrays.copyOf(resId, n), Arrays.copyOf(resDist, n))
-    }
-  }
 }
 
 object VamanaIndex {

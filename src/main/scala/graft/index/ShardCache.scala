@@ -2,7 +2,7 @@ package graft.index
 
 import java.io.File
 import java.util.concurrent.ConcurrentHashMap
-import graft.core.{GraphIndex, DiskannFormat, HnswFormat}
+import graft.core.{GraphIndex, DiskannFormat, DiskannMmapIndex, HnswFormat}
 
 /** A loaded shard: the graph plus its label→external-id mapping. */
 final case class LoadedShard(index: GraphIndex, ids: Array[Long])
@@ -18,6 +18,15 @@ final case class LoadedShard(index: GraphIndex, ids: Array[Long])
 object ShardCache {
   private val cache = new ConcurrentHashMap[String, java.lang.ref.SoftReference[LoadedShard]]()
 
+  /** Shards at or above this size serve disk-resident via mmap
+   *  (DiskannMmapIndex) instead of decoding into heap — the reference's
+   *  DiskProvider behavior (rust_lib/src/disk_provider.rs:182-279). Small
+   *  shards still decode: heap search has no page-fault jitter and the
+   *  footprint is trivial. Override with -Dgraft.ann.mmapThreshold=<bytes>
+   *  (0 = always mmap). */
+  def mmapThreshold: Long =
+    sys.props.get("graft.ann.mmapThreshold").map(_.toLong).getOrElse(64L << 20)
+
   def get(diskannPath: String, idsPath: String, cosine: Boolean): LoadedShard = {
     val f = new File(diskannPath)
     val key = s"$diskannPath:${f.lastModified}:${f.length}:$cosine"
@@ -27,6 +36,12 @@ object ShardCache {
     else {
       val graph: GraphIndex =
         if (diskannPath.endsWith(".hnsw")) HnswFormat.readFile(diskannPath)
+        else if (f.length() >= mmapThreshold) {
+          // null = SQ8 appendix present (quantized search needs heap decode)
+          val mapped = DiskannMmapIndex.open(diskannPath, cosineMetadata = cosine)
+          if (mapped != null) mapped
+          else DiskannFormat.readFile(diskannPath, cosineMetadata = cosine)
+        }
         else DiskannFormat.readFile(diskannPath, cosineMetadata = cosine)
       val loaded = LoadedShard(graph, IndexCatalog.readIds(idsPath))
       cache.put(key, new java.lang.ref.SoftReference(loaded))

@@ -57,6 +57,42 @@ class PersistenceSpec extends AnyFunSuite {
     assert(after == before, "diskann results differ after restart")
     assert(!after.contains(5L) && !after.contains(6L), "tombstones lost on restart")
 
+    // mmap serving: the same .diskann bytes served disk-resident must search
+    // bit-identically to the heap decode (same BeamSearcher, same kernels)
+    {
+      import graft.core.{DiskannFormat, DiskannMmapIndex}
+      val meta = IndexCatalog.load(root, "p_diskann")
+      for (sh <- meta.shards) {
+        val heap = DiskannFormat.readFile(sh.file)
+        val mm = DiskannMmapIndex.open(sh.file)
+        assert(mm != null, "full-precision shard must open via mmap")
+        assert(mm.size == heap.size && mm.dim == heap.dim)
+        for (probe <- 0 until 5) {
+          val pq = (0 until 64).map(i => ((i * 13 + probe * 7) % 32) / 32.0f).toArray
+          val (hi, hd) = heap.search(pq, 10, 64)
+          val (mi, md) = mm.search(pq, 10, 64)
+          assert(hi.toSeq == mi.toSeq, s"mmap ids differ on shard ${sh.file}")
+          assert(hd.toSeq == md.toSeq, s"mmap distances differ on shard ${sh.file}")
+        }
+        // vector() reconstruction must match too (vacuum/merge path)
+        assert(heap.vector(0).toSeq == mm.vector(0).toSeq)
+      }
+      // SQ8 shards refuse the mmap path (quantized search semantics)
+      val sq8Meta = IndexCatalog.load(root, "p_sq8")
+      assert(DiskannMmapIndex.open(sq8Meta.shards.head.file) == null)
+      // end-to-end: force every shard through mmap serving via the threshold
+      System.setProperty("graft.ann.mmapThreshold", "0")
+      try {
+        ShardCache.invalidate()
+        val viaMmap = Ann.search(df2, "vec_id", "p_diskann", q, 10, searchComplexity = 128)
+          .collect().map(_.getLong(0)).toSeq
+        assert(viaMmap == before, "mmap-served search differs from heap-served")
+      } finally {
+        System.clearProperty("graft.ann.mmapThreshold")
+        ShardCache.invalidate()
+      }
+    }
+
     val sq8Hit = Ann.search(df2, "vec_id", "p_sq8", df2.where(col("vec_id") === 7)
       .select(toFloatVec(col("embedding"))).head().getSeq[Float](0).toArray, 1,
       searchComplexity = 128).head().getLong(0)
