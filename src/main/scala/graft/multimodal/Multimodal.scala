@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
  * analog of `mapInPandas` — one task streams its rows through a reusable
  * kernel, never materializing the partition).
  *
- * The actual image/audio codecs are NOT available in this environment, so
- * the decode kernels are deterministic STUBS (clearly marked) over raw
- * bytes; the Spark-side plumbing — schema, batch shape, partitioning, the
- * feature column feeding the ANN index — is real and tested. Swapping a
- * stub for a JNI/javacpp codec changes one function.
+ * Image decode is REAL (`javax.imageio`: PNG/JPEG/GIF/BMP → luminance
+ * grid-pool features, [[imageFeatures]]). Audio/video codecs are not
+ * available on a bare JVM, so those kernels remain deterministic STUBS
+ * (clearly marked) over raw bytes; the Spark-side plumbing — schema, batch
+ * shape, partitioning, the feature column feeding the ANN index — is real
+ * and tested either way. Swapping a stub for a JNI/javacpp codec changes
+ * one function.
  */
 object Multimodal {
 
@@ -30,6 +32,72 @@ object Multimodal {
     StructField(idCol, LongType),
     StructField("payload", BinaryType),
     StructField("meta", mediaMetaSchema)))
+
+  // ------------------------------------------------------- real image kernel
+
+  /**
+   * REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP — the formats a
+   * bare JVM ships): decode → luminance → `grid`×`grid` mean-pool → flat
+   * feature vector in [0,1], row-major. The multimodal analog of the
+   * reference's embedding columns: the output is shaped like an embedding
+   * and feeds the ANN index directly (tested in MultimodalSpec).
+   *
+   * Returns null when the payload is not a decodable image — callers choose
+   * the fallback (featurizeImages uses the byte-histogram stub so mixed
+   * corpora never fail mid-job).
+   */
+  def imageFeatures(payload: Array[Byte], grid: Int = 4): Array[Float] = {
+    if (payload == null || payload.length == 0) return null
+    val img = try {
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    } catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) return null
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(y * grid / h, grid - 1)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(x * grid / w, grid - 1)
+        val rgb = img.getRGB(x, y)
+        // ITU-R BT.601 luma from sRGB bytes, scaled to [0,1]
+        val lum = (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)) / 255.0
+        val cell = gy * grid + gx
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(grid * grid)(c =>
+      if (counts(c) == 0) 0.0f else (sums(c) / counts(c)).toFloat)
+  }
+
+  /** Batched per-partition image featurization: decode each payload with
+   *  [[imageFeatures]]; non-image payloads fall back to the byte-histogram
+   *  stub so a mixed binary corpus featurizes in one pass. Adds
+   *  `features ARRAY<FLOAT>` (length grid*grid) and `decoded BOOLEAN`. */
+  def featurizeImages(df: DataFrame, payloadCol: String, grid: Int = 4): DataFrame = {
+    val dims = grid * grid
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("features", ArrayType(FloatType, containsNull = false)),
+      StructField("decoded", BooleanType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val img = imageFeatures(payload, grid)
+        val f = if (img != null) img
+          else if (payload == null) new Array[Float](dims)
+          else stubFeatures(payload, dims)
+        Row.fromSeq(r.toSeq ++ Seq(f.toSeq, img != null))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 
   // ------------------------------------------------------------ stub kernels
 

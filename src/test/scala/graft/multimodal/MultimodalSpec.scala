@@ -57,6 +57,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hits.head.getLong(0) == 10L, "identical payload features → top-1")
   }
 
+  /** Render a real PNG in memory: left half dark, right half bright. */
+  private def pngBytes(w: Int, h: Int, leftGray: Int, rightGray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = if (x < w / 2) leftGray else rightGray
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageFeatures decodes a real PNG and pools luminance per grid cell") {
+    val png = pngBytes(64, 64, leftGray = 20, rightGray = 235)
+    val f = Multimodal.imageFeatures(png, grid = 4)
+    assert(f != null && f.length == 16)
+    assert(f.forall(v => v >= 0f && v <= 1f))
+    // left columns dark (~20/255), right columns bright (~235/255)
+    for (row <- 0 until 4) {
+      assert(f(row * 4) < 0.2f, s"left cell of row $row should be dark")
+      assert(f(row * 4 + 3) > 0.8f, s"right cell of row $row should be bright")
+    }
+    // non-image bytes → null (caller falls back)
+    assert(Multimodal.imageFeatures(Array[Byte](1, 2, 3, 4), 4) == null)
+  }
+
+  test("featurizeImages: real decode for images, stub fallback for blobs; " +
+      "features build and search an ANN index") {
+    import spark.implicits._
+    val rows = (0 until 20).map { i =>
+      val gray = 12 * i // 0 (black) .. 228 (near white)
+      (i.toLong, pngBytes(32, 32, gray, gray))
+    } :+ (99L, Array.tabulate(100)(j => (j % 251).toByte)) // non-image blob
+    val df = rows.toDF("media_id", "payload")
+    val out = Multimodal.featurizeImages(df, "payload", grid = 4)
+    val got = out.select("media_id", "features", "decoded").collect()
+      .map(r => r.getLong(0) -> (r.getAs[scala.collection.Seq[Float]](1), r.getBoolean(2)))
+      .toMap
+    assert(got(99L)._2 == false, "blob must report decoded=false")
+    assert((0 until 20).forall(i => got(i.toLong)._2), "all PNGs must decode")
+    // brightness ordering survives decode+pool: darker image → smaller mean
+    val mean0 = got(0L)._1.sum / 16; val mean19 = got(19L)._1.sum / 16
+    assert(mean0 < 0.1f && mean19 > 0.8f)
+
+    // the decoded feature column is a real embedding: index and search it
+    Ann.buildIndex(out, "features", "media_id", "mm_img_ix",
+      Ann.BuildParams(engine = "diskann", numShards = 1))
+    val probe = Multimodal.imageFeatures(pngBytes(32, 32, 120, 120), 4)
+    val hits = Ann.search(out, "media_id", "mm_img_ix", probe, 1,
+      searchComplexity = 64).collect()
+    assert(hits.head.getLong(0) == 10L,
+      "gray level 120 probe should match image 10 (gray 120)")
+  }
+
   test("explodeFrames: stride sampling with frame index") {
     val df = mediaDf().where(col("media_id") === 0L)
     val frames = Multimodal.explodeFrames(df, "payload", frameSize = 50, stride = 2)
