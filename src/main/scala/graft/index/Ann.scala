@@ -342,10 +342,15 @@ object Ann {
         }
       })
 
+  /** Count of ANN search executions (laziness assertions in specs;
+   *  cheap enough to leave on as telemetry). */
+  private[graft] val searchCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Collected (id, distance) hits for k·oversample results — uses the
    *  driver-local path when the index is small enough, else a shard job. */
   private[graft] def collectHits(spark: SparkSession, name: String, query: Array[Float],
       k: Int, searchComplexity: Int, oversample: Int): Array[(Long, Float)] = {
+    searchCount.incrementAndGet()
     val meta = IndexCatalog.load(root(spark), name)
     val tomb = IndexCatalog.readTombstones(root(spark), name)
     val fetchK = k * math.max(1, oversample)

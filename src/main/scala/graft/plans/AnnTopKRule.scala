@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -93,6 +94,17 @@ object AnnTopKRule {
     computed
   }
 
+  /** 64-bit content hash of metadata.json (CRC32 + Arrays.hashCode) — a
+   *  32-bit key alone leaves a realistic aliasing window for rapid index
+   *  mutations. Unreadable file → unique value, i.e. no caching. */
+  private[plans] def metaHashOf(metaPath: String): Long =
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(metaPath))
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes)
+      (crc.getValue << 32) ^ (java.util.Arrays.hashCode(bytes).toLong & 0xffffffffL)
+    } catch { case _: java.io.IOException => System.nanoTime() }
+
   private[graft] def clearCache(): Unit = hitsCache.synchronized(hitsCache.clear())
 }
 
@@ -103,6 +115,14 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
     spark.conf.getOption("spark.graft.ann.rewriteEnabled").forall(_.toBoolean)
+
+  /** "eager" (default): search at planning time, push a literal In into the
+   *  scan (keeps parquet row-group skipping — the 100 TB priority).
+   *  "lazy": graft a LeftSemi join against [[AnnHitsNode]]; the search runs
+   *  at execution, so EXPLAIN / cached plans / AQE never trigger index I/O,
+   *  at the cost of the static scan pushdown. */
+  private def rewriteMode: String =
+    spark.conf.getOption("spark.graft.ann.rewriteMode").getOrElse("eager")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -133,6 +153,7 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def alreadyRewritten(plan: LogicalPlan): Boolean =
     plan.exists {
       case f: Filter => f.condition.exists(_.isInstanceOf[AnnRewrittenMarker])
+      case _: AnnHitsNode => true
       case _ => false
     }
 
@@ -216,20 +237,32 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // fetch size: plain k, or k·mult + 100 when a filter must re-filter
     // (README.md:164)
     val fetchK = if (hasFilter) k * overfetchMultiplier + 100 else k
+    val idAttr0 = lr.output.find(_.name == meta.idColumn).getOrElse(return None)
+
+    if (rewriteMode == "lazy") {
+      // defer the search to execution: LeftSemi against the lazy hits node
+      // (broadcast — its stats report ~fetchK rows)
+      val hitAttr = AttributeReference("__ann_hit_id", LongType, nullable = false)()
+      val hitsNode = AnnHitsNode(meta.name, query.toSeq, fetchK, Seq(hitAttr))
+      val joinKey: Expression =
+        if (idAttr0.dataType == LongType) hitAttr else Cast(hitAttr, idAttr0.dataType)
+      def injectJoin(p: LogicalPlan): LogicalPlan = p match {
+        case rel: LogicalRelation if rel eq lr =>
+          Join(rel, hitsNode, LeftSemi, Some(EqualTo(idAttr0, joinKey)), JoinHint.NONE)
+        case other => other.withNewChildren(other.children.map(injectJoin))
+      }
+      logInfo(s"ANN top-k LAZY rewrite: index=${meta.name} k=$k fetchK=$fetchK " +
+        s"metric=$requiredMetric")
+      return Some(injectJoin(child))
+    }
+
     val metaPath = s"${IndexCatalog.indexDir(rootDir, meta.name)}/metadata.json"
-    val metaHash = try {
-      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(metaPath))
-      // 64-bit composite (CRC32 + Arrays.hashCode) — a 32-bit key alone
-      // leaves a realistic aliasing window for rapid index mutations
-      val crc = new java.util.zip.CRC32
-      crc.update(bytes)
-      (crc.getValue << 32) ^ (java.util.Arrays.hashCode(bytes).toLong & 0xffffffffL)
-    } catch { case _: java.io.IOException => System.nanoTime() } // no caching if unreadable
+    val metaHash = AnnTopKRule.metaHashOf(metaPath)
     val hits = AnnTopKRule.cachedHits(metaPath, metaHash, query, fetchK) {
       Ann.collectHits(spark, meta.name, query, fetchK,
         searchComplexity = 0, oversample = 1)
     }
-    val idAttr = lr.output.find(_.name == meta.idColumn).getOrElse(return None)
+    val idAttr = idAttr0
 
     // literals in the id column's own type, so the In predicate reaches the
     // parquet scan as a pushed filter (a Cast around the attribute blocks it)

@@ -14,6 +14,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(session => AnnTopKRule(session))
+    e.injectPlannerStrategy(_ => AnnHitsStrategy)
   }
 }
 
@@ -25,5 +26,8 @@ object Graft {
     val existing = spark.experimental.extraOptimizations
     if (!existing.exists(_.isInstanceOf[AnnTopKRule]))
       spark.experimental.extraOptimizations = existing :+ AnnTopKRule(spark)
+    if (!spark.experimental.extraStrategies.contains(AnnHitsStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AnnHitsStrategy
   }
 }
