@@ -457,17 +457,9 @@ object SparkEntry {
         .orderBy("_distance", "row_id")
     }),
 
-    "neardup_cos_exact" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), toFloatVec(col("embedding")).as("v"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-      a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("sim", array_cosine_similarity(col("va"), col("vb")))
-        .where(col("sim") >= 0.4)
-        .select("id_a", "id_b", "sim")
-        .orderBy("id_a", "id_b")
-    }),
+    "neardup_cos_exact" -> ((s, dir) =>
+      graft.text.TextOps.cosineExactPairs(
+        t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)),
 
     // ---- multimodal: binary payload → stub-decoded feature histogram ----
 

@@ -475,16 +475,28 @@ object Ann {
         val tombB = spark.sparkContext.broadcast(tomb)
         val qB = spark.sparkContext.broadcast(qArr)
         val sc = searchComplexity
-        spark.sparkContext.parallelize(meta.shards, math.max(meta.shards.size, 1))
-          .flatMap { sh =>
+        // (shard × query-block) task grid: with fewer shards than cores the
+        // shard-only axis strands parallelism (8 shards on 32 cores = 24
+        // idle), so queries split into round-robin blocks until the grid
+        // covers the cluster. Shards are executor-cached, so the extra
+        // shard touches amortize across the batch; at high shard counts
+        // nBlocks collapses to 1 and this reverts to shard-parallel.
+        val nShards = math.max(meta.shards.size, 1)
+        val nBlocks = math.max(1, math.min(qArr.length,
+          spark.sparkContext.defaultParallelism / nShards))
+        val grid = for (sh <- meta.shards; b <- 0 until nBlocks) yield (sh, b)
+        spark.sparkContext.parallelize(grid, math.max(grid.size, 1))
+          .flatMap { case (sh, b) =>
             val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
             val t = tombB.value
-            qB.value.iterator.zipWithIndex.flatMap { case (q, qi) =>
-              val (labels, dists) = loaded.index.search(q, perShardK, sc)
-              labels.indices.iterator
-                .map(i => (qi, loaded.ids(labels(i)), dists(i)))
-                .filterNot { case (_, id, _) => t.contains(id) }
-            }
+            qB.value.iterator.zipWithIndex
+              .filter { case (_, qi) => qi % nBlocks == b }
+              .flatMap { case (q, qi) =>
+                val (labels, dists) = loaded.index.search(q, perShardK, sc)
+                labels.indices.iterator
+                  .map(i => (qi, loaded.ids(labels(i)), dists(i)))
+                  .filterNot { case (_, id, _) => t.contains(id) }
+              }
           }.toDF("query_idx", "row_id", "_distance")
       case _ =>
         val perQuery = queries.zipWithIndex.map { case (q, qi) =>

@@ -320,6 +320,61 @@ object TextOps {
       .where(col("sim") >= threshold)
   }
 
+  /**
+   * Exact embedding-cosine near-dup pairs — the O(N²) small-N baseline
+   * (the 100 TB path is [[cosineLshPairs]]), executed gemm-style: the
+   * vector table broadcasts once as flat arrays, and each task streams its
+   * rows against the whole broadcast side with SIMD float cosine, keeping
+   * the query row hot in registers (the lock-step analog of the reference's
+   * batch distance, rust_lib/src/provider.rs:248-440). Candidate pairs
+   * within `margin` of the threshold are re-verified in double with the
+   * exact per-element accumulation order of `array_cosine_similarity` /
+   * DuckDB `list_cosine_similarity`, so emitted sims stay bit-identical to
+   * the SQL expression while ~all of the N² work runs in float SIMD.
+   * The float error for dim≲1k is <1e-5; margin defaults 100× that.
+   */
+  def cosineExactPairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, margin: Double = 1e-3): DataFrame = {
+    import graft.core.Simd
+    import graft.functions.toFloatVec
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      toFloatVec(col(vecCol)).as("v")).as[(Long, Array[Float])]
+    val side = base.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(side)
+    val cut = threshold - margin
+    base.mapPartitions { it =>
+      val arr = bc.value
+      val ids = arr.map(_._1)
+      val vecs = arr.map(_._2)
+      it.flatMap { case (idA, va) =>
+        val hit = java.util.Arrays.binarySearch(ids, idA)
+        val start = if (hit >= 0) hit + 1 else -hit - 1
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val dim = va.length
+        var j = start
+        while (j < ids.length) {
+          if (Simd.cosine(va, 0, vecs(j), 0, dim) >= cut) {
+            // exact double recompute, same accumulation order as the SQL
+            // expression (VectorExpressions.ArrayCosineSimilarity)
+            val vb = vecs(j)
+            var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+            while (i < dim) {
+              val x = va(i).toDouble; val y = vb(i).toDouble
+              ab += x * y; aa += x * x; bb += y * y; i += 1
+            }
+            val den = math.sqrt(aa) * math.sqrt(bb)
+            val sim = if (den == 0.0) 0.0 else ab / den
+            if (sim >= threshold) out += ((idA, ids(j), sim))
+          }
+          j += 1
+        }
+        out.iterator
+      }
+    }.toDF("id_a", "id_b", "sim").orderBy("id_a", "id_b")
+  }
+
   /** MinHash near-dup groups → rows to KEEP after dropping near-duplicates:
    *  connected-candidates collapse to min-id representative (single-link over
    *  candidate pairs, one iteration — adequate for dedup where candidate

@@ -105,6 +105,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L), s"expected one rep per chain cluster, got $kept")
   }
 
+  test("cosineExactPairs: bit-identical to the expression join, incl. near-threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.{toFloatVec, array_cosine_similarity}
+    val rnd = new scala.util.Random(3)
+    val dim = 64
+    val rows = (0L until 120L).map { i =>
+      // clusters of 3 around 40 centers → plenty of pairs straddling 0.4
+      val center = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val v = center.map(c => c + rnd.nextFloat() * 0.6f - 0.3f)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val fast = graft.text.TextOps.cosineExactPairs(df, "embedding", "vec_id", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val e = df.select(col("vec_id"), toFloatVec(col("embedding")).as("v"))
+    val ref = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      .join(broadcast(e.select(col("vec_id").as("id_b"), col("v").as("vb"))),
+        col("id_a") < col("id_b"))
+      .withColumn("sim", array_cosine_similarity(col("va"), col("vb")))
+      .where(col("sim") >= 0.4)
+      .select("id_a", "id_b", "sim").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fast.nonEmpty, "test data should produce pairs")
+    assert(fast.toSeq == ref.toSeq,
+      s"gemm path diverged: ${fast.length} vs ${ref.length} pairs")
+  }
+
   test("signature shapes: NumHashes minhashes, NumBands bands") {
     val df = docs((1L, "one two three four five six seven"))
     val r = TextOps.signatures(df, "text", "doc_id").head()
