@@ -301,6 +301,14 @@ object SparkEntry {
         .select("vec_id", "_distance")
     }),
 
+    // PQ<m> factory family: 8-byte codes + ADC scan (approximate → rows-only)
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_pq", "PQ8")
+      Ann.search(emb, "vec_id", "v_pq", q64Arr, 10)
+        .select("vec_id", "_distance")
+    }),
+
     "ann_gpu_info" -> ((s, dir) => Ann.gpuInfo(s)),
 
     "ann_index_info" -> ((s, dir) => {

@@ -37,7 +37,7 @@ import graft.functions.{toFloatVec, array_distance_sq, array_negative_inner_prod
 object Ann {
 
   case class BuildParams(
-      engine: String = "diskann",          // diskann | hnsw | flat | ivfflat
+      engine: String = "diskann",          // diskann | hnsw | flat | ivfflat | pq
       metric: String = "l2",               // l2 | ip | cosine
       maxDegree: Int = VamanaIndex.DefaultMaxDegree,
       buildComplexity: Int = VamanaIndex.DefaultBuildComplexity,
@@ -49,7 +49,8 @@ object Ann {
       nprobe: Int = 1,
       trainSample: Int = 25600,
       hnswM: Int = HnswIndex.DefaultM,     // hnsw (reference hnsw_m=32)
-      efConstruction: Int = HnswIndex.DefaultEfConstruction)
+      efConstruction: Int = HnswIndex.DefaultEfConstruction,
+      pqM: Int = 8)                        // pq: subquantizer count (dim % pqM == 0)
 
   /** Engines whose shards are graph files searched via ShardCache (hnsw
    *  reuses the diskann shard lifecycle; its IndexMeta stores m in
@@ -64,7 +65,7 @@ object Ann {
    * FAISS-style `index_factory` description string → BuildParams
    * (reference passes factory strings through FaissParams,
    * src/include/faiss_index.hpp:37-113). Supported grammar:
-   * `Flat` | `HNSW[m]` | `IVF<nlist>,Flat` | `DiskANN[degree]`,
+   * `Flat` | `HNSW[m]` | `IVF<nlist>,Flat` | `DiskANN[degree]` | `PQ<m>`,
    * each optionally suffixed `,SQ8` (diskann only).
    */
   def parseFactory(desc: String, base: BuildParams = BuildParams()): BuildParams = {
@@ -75,6 +76,7 @@ object Ann {
     val Ivf = "(?i)IVF(\\d+)".r
     val Hnsw = "(?i)HNSW(\\d*)".r
     val Diskann = "(?i)DISKANN(\\d*)".r
+    val Pq = "(?i)PQ(\\d+)".r
     val p = core.toList match {
       case f :: Nil if f.equalsIgnoreCase("flat") => base.copy(engine = "flat")
       case Ivf(nlist) :: rest
@@ -86,6 +88,8 @@ object Ann {
       case Diskann(deg) :: Nil =>
         base.copy(engine = "diskann",
           maxDegree = if (deg.isEmpty) VamanaIndex.DefaultMaxDegree else deg.toInt)
+      case Pq(m) :: Nil =>
+        base.copy(engine = "pq", pqM = m.toInt)
       case other => throw new IllegalArgumentException(
         s"unsupported index factory description: '$desc'")
     }
@@ -126,6 +130,7 @@ object Ann {
       case "hnsw"    => buildGraph(data, name, dir, metric, params, "hnsw")
       case "flat"    => buildFlat(data, name, dir, metric, params)
       case "ivfflat" => buildIvf(data, name, dir, metric, params)
+      case "pq"      => buildPq(data, name, dir, metric, params)
       case e => throw new IllegalArgumentException(s"unknown engine: $e")
     }
     // record the user-facing binding (original column names + source files)
@@ -278,6 +283,48 @@ object Ann {
     meta
   }
 
+  /**
+   * PQ<m> build (reference factory passthrough, faiss_index.cpp:39-60):
+   * train per-subspace codebooks on a stride sample, then encode every
+   * vector to m bytes distributed. Compressed codes land in parquet —
+   * the 100 TB story: a billion dim-768 vectors at m=96 is ~96 GB of
+   * codes vs 3 TB of floats, and the ADC scan reads only (id, code).
+   */
+  private def buildPq(data: DataFrame, name: String, dir: String,
+      metric: Metric, params: BuildParams): IndexMeta = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val dim = inferDim(data)
+    require(params.pqM > 0 && dim % params.pqM == 0,
+      s"pq requires dim % m == 0 (dim=$dim, m=${params.pqM})")
+    val cosine = metric eq Metric.Cosine
+    // deterministic stride sample (same rationale as buildIvf)
+    val nTotal = data.count()
+    val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
+    val sample = data.select("vec").as[Array[Float]].rdd
+      .zipWithIndex()
+      .filter { case (_, i) => i % stride == 0 }
+      .map(_._1)
+      .take(params.trainSample)
+    val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
+    val cb = PqCodec.train(prepped, params.pqM)
+    PqCodec.write(s"$dir/pq.bin", cb)
+
+    val cbB = spark.sparkContext.broadcast(cb)
+    val encodeUdf = udf((v: Array[Float]) =>
+      PqCodec.encode(cbB.value, if (cosine) VectorOps.normalize(v.clone()) else v))
+    val out = s"$dir/data"
+    data.select(col("id"), encodeUdf(col("vec")).as("code"))
+      .write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).count()
+    val meta = IndexMeta(name, "pq", "vec", "id", dim, metric.name,
+      maxDegree = params.pqM, // pq reuses the maxDegree slot for m
+      buildComplexity = 0, alpha = 0f, quantized = true, numVectors = n,
+      numDeleted = 0L, shards = Nil, sourcePath = out)
+    IndexCatalog.save(root(spark), meta)
+    meta
+  }
+
   // ----------------------------------------------------------------- search
 
   /** Low-level index scan → DataFrame(row_id LONG, _distance FLOAT), sorted,
@@ -291,7 +338,26 @@ object Ann {
       case e if isGraphEngine(e) =>
         diskannScan(spark, meta, query, fetchK, searchComplexity, tomb)
       case "flat" | "ivfflat" => exactScanIds(spark, meta, query, fetchK, tomb)
+      case "pq" => pqScanIds(spark, meta, query, fetchK, tomb)
     }
+  }
+
+  /** ADC top-k over the compressed code table (approximate → rows-only
+   *  check; PQ distances are quantized, not exact). */
+  private def pqScanIds(spark: SparkSession, meta: IndexMeta, query0: Array[Float],
+      fetchK: Int, tomb: Set[Long]): DataFrame = {
+    val query = prepQuery(meta, query0)
+    val cb = PqCodec.read(s"${IndexCatalog.indexDir(root(spark), meta.name)}/pq.bin")
+    val table = PqCodec.lut(cb, query, l2 = meta.metricObj eq Metric.L2)
+    val k = cb.k
+    val tB = spark.sparkContext.broadcast(table)
+    val adcUdf = udf((code: Array[Byte]) => PqCodec.adc(tB.value, k, code))
+    val base = spark.read.parquet(meta.sourcePath)
+      .select(col("id").as("row_id"), adcUdf(col("code")).as("__dd"))
+    val filtered = if (tomb.isEmpty) base
+      else base.where(!col("row_id").isin(tomb.toSeq: _*))
+    filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
+      .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
   }
 
   /** Max shard count for which a diskann search runs driver-local instead of
@@ -500,7 +566,8 @@ object Ann {
           }.toDF("query_idx", "row_id", "_distance")
       case _ =>
         val perQuery = queries.zipWithIndex.map { case (q, qi) =>
-          exactScanIds(spark, meta, q, k, tomb)
+          (if (meta.engine == "pq") pqScanIds(spark, meta, q, k, tomb)
+           else exactScanIds(spark, meta, q, k, tomb))
             .withColumn("query_idx", lit(qi))
             .select(col("query_idx"), col("row_id"), col("_distance"))
         }
@@ -533,6 +600,9 @@ object Ann {
       idColumn: String, name: String, k: Int, searchComplexity: Int = 0): DataFrame = {
     val spark = queriesDf.sparkSession
     val meta = IndexCatalog.load(root(spark), name)
+    require(meta.engine != "pq",
+      "searchTable does not support pq indexes (codes carry no full vectors " +
+      "to join back); use searchBatch or ann_search against a pq index")
     if (!isGraphEngine(meta.engine))
       return searchTableExact(queriesDf, queryVecColumn, baseDf, idColumn, meta, k)
     val tomb = IndexCatalog.readTombstones(root(spark), name)

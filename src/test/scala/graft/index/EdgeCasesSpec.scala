@@ -80,7 +80,8 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Ann.parseFactory("HNSW").engine == "hnsw")
     val d = Ann.parseFactory("DiskANN32,SQ8")
     assert(d.engine == "diskann" && d.maxDegree == 32 && d.quantization == "sq8")
-    intercept[IllegalArgumentException](Ann.parseFactory("PQ8"))
+    assert(Ann.parseFactory("PQ8").engine == "pq")
+    intercept[IllegalArgumentException](Ann.parseFactory("PQ8,IVF4"))
     intercept[IllegalArgumentException](Ann.parseFactory("HNSW16,SQ8"))
     // end-to-end through the factory entry point
     val df = (0L until 30L).map(i => (i, Array(i.toFloat, (i % 7).toFloat))).toDF("id", "v")

@@ -1,0 +1,101 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.PqCodec
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.graft.ann.root", s"/tmp/graft-pq-indexes-${System.nanoTime()}")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val dim = 32
+  private val rnd = new scala.util.Random(17)
+
+  /** 8 well-separated cluster centers; points jitter around them. */
+  private def clustered(n: Int): Seq[(Long, Array[Float])] = {
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextFloat() * 10 - 5))
+    (0L until n.toLong).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + rnd.nextFloat() * 0.4f - 0.2f))
+    }
+  }
+
+  test("factory string PQ<m> parses; bad dims fail loud") {
+    val p = Ann.parseFactory("PQ8")
+    assert(p.engine == "pq" && p.pqM == 8)
+    assert(Ann.parseFactory("pq4").pqM == 4)
+    intercept[IllegalArgumentException](Ann.parseFactory("PQ8,HNSW"))
+  }
+
+  test("codebook: encode/decode reconstructs clustered points; adc == l2 to reconstruction") {
+    val data = clustered(400).map(_._2).toArray
+    val cb = PqCodec.train(data, m = 4, k = 32)
+    assert(cb.dsub == dim / 4)
+    val v = data(7)
+    val code = PqCodec.encode(cb, v)
+    assert(code.length == 4)
+    val rec = PqCodec.decode(cb, code)
+    // clustered data quantizes tightly: reconstruction close to the original
+    val err = graft.core.VectorOps.l2Sq(v, rec)
+    assert(err < 1.0f, s"reconstruction error $err too large for clustered data")
+    // ADC of (q, code) must equal exact L2(q, decode(code)) up to float assoc
+    val q = data(123)
+    val table = PqCodec.lut(cb, q, l2 = true)
+    val adc = PqCodec.adc(table, cb.k, code)
+    val direct = graft.core.VectorOps.l2Sq(q, rec)
+    assert(math.abs(adc - direct) <= 1e-2f * math.max(1f, direct),
+      s"adc $adc != direct $direct")
+  }
+
+  test("codebook file round-trips") {
+    val data = clustered(100).map(_._2).toArray
+    val cb = PqCodec.train(data, m = 4, k = 16)
+    val p = s"/tmp/graft-pq-cb-${System.nanoTime()}.bin"
+    PqCodec.write(p, cb)
+    val back = PqCodec.read(p)
+    assert(back.m == cb.m && back.dsub == cb.dsub && back.k == cb.k)
+    for (s <- 0 until cb.m; c <- 0 until cb.k)
+      assert(back.centroids(s)(c).toSeq == cb.centroids(s)(c).toSeq)
+  }
+
+  test("pq index end-to-end: build, search, recall on clustered data; delete respected") {
+    import spark.implicits._
+    val rows = clustered(800)
+    val df = rows.toDF("id", "vec")
+    Ann.buildIndex(df, "vec", "id", "pq_ix",
+      Ann.BuildParams(engine = "pq", pqM = 4, trainSample = 800))
+    val meta = IndexCatalog.load(Ann.root(spark), "pq_ix")
+    assert(meta.engine == "pq" && meta.quantized && meta.numVectors == 800)
+
+    // query at a cluster center: top-10 should come from that cluster (i%8==3)
+    val q = rows.find(_._1 == 3L).get._2
+    val hits = Ann.search(df, "id", "pq_ix", q, 10).collect().map(_.getLong(0))
+    assert(hits.length == 10)
+    val sameCluster = hits.count(id => id % 8 == 3)
+    assert(sameCluster >= 8, s"only $sameCluster/10 hits from the query's cluster")
+
+    // batch path hits the pq branch too
+    val batch = Ann.searchBatch(df, "id", "pq_ix",
+      Seq(rows(1)._2, rows(2)._2), 5).collect()
+    assert(batch.length == 10)
+
+    // tombstones filter the ADC scan
+    Ann.delete(spark, "pq_ix", hits.take(2).toSeq)
+    val after = Ann.search(df, "id", "pq_ix", q, 10).collect().map(_.getLong(0))
+    assert(!after.contains(hits(0)) && !after.contains(hits(1)))
+
+    // searchTable refuses pq with a clear message
+    val err = intercept[IllegalArgumentException] {
+      Ann.searchTable(df.limit(2), "vec", df, "id", "pq_ix", 3)
+    }
+    assert(err.getMessage.contains("pq"))
+  }
+}
