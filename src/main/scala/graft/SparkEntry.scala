@@ -309,6 +309,15 @@ object SparkEntry {
         .select("vec_id", "_distance")
     }),
 
+    // IVF<n>,PQ<m>: residual codes, nprobe-pruned ADC (approximate → rows-only)
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_ivfpq", "IVF16,PQ8",
+        Ann.BuildParams(nprobe = 4))
+      Ann.search(emb, "vec_id", "v_ivfpq", q64Arr, 10)
+        .select("vec_id", "_distance")
+    }),
+
     "ann_gpu_info" -> ((s, dir) => Ann.gpuInfo(s)),
 
     "ann_index_info" -> ((s, dir) => {

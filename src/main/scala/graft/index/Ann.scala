@@ -65,8 +65,9 @@ object Ann {
    * FAISS-style `index_factory` description string → BuildParams
    * (reference passes factory strings through FaissParams,
    * src/include/faiss_index.hpp:37-113). Supported grammar:
-   * `Flat` | `HNSW[m]` | `IVF<nlist>,Flat` | `DiskANN[degree]` | `PQ<m>`,
-   * each optionally suffixed `,SQ8` (diskann only).
+   * `Flat` | `HNSW[m]` | `IVF<nlist>,Flat` | `IVF<nlist>,PQ<m>` |
+   * `DiskANN[degree]` | `PQ<m>`, each optionally suffixed `,SQ8`
+   * (diskann only).
    */
   def parseFactory(desc: String, base: BuildParams = BuildParams()): BuildParams = {
     val parts = desc.trim.split(",").map(_.trim).filter(_.nonEmpty)
@@ -82,6 +83,8 @@ object Ann {
       case Ivf(nlist) :: rest
           if rest.isEmpty || (rest.lengthCompare(1) == 0 && rest.head.equalsIgnoreCase("flat")) =>
         base.copy(engine = "ivfflat", nlist = nlist.toInt)
+      case Ivf(nlist) :: Pq(m) :: Nil =>
+        base.copy(engine = "ivfpq", nlist = nlist.toInt, pqM = m.toInt)
       case Hnsw(m) :: Nil =>
         base.copy(engine = "hnsw",
           hnswM = if (m.isEmpty) HnswIndex.DefaultM else m.toInt)
@@ -131,6 +134,7 @@ object Ann {
       case "flat"    => buildFlat(data, name, dir, metric, params)
       case "ivfflat" => buildIvf(data, name, dir, metric, params)
       case "pq"      => buildPq(data, name, dir, metric, params)
+      case "ivfpq"   => buildIvfPq(data, name, dir, metric, params)
       case e => throw new IllegalArgumentException(s"unknown engine: $e")
     }
     // record the user-facing binding (original column names + source files)
@@ -325,6 +329,72 @@ object Ann {
     meta
   }
 
+  /**
+   * `IVF<nlist>,PQ<m>` build: coarse k-means partitions the codes
+   * cluster-wise (parquet `partitionBy`, so probes prune whole files) and
+   * PQ encodes the RESIDUAL v − centroid (FAISS IVFPQ semantics: residuals
+   * have far less variance than raw vectors, so the same byte budget
+   * quantizes much tighter). The scale shape: a probe touches
+   * nprobe/nlist of the data, each row costing m table adds.
+   */
+  private def buildIvfPq(data: DataFrame, name: String, dir: String,
+      metric: Metric, params: BuildParams): IndexMeta = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val dim = inferDim(data)
+    require(params.pqM > 0 && dim % params.pqM == 0,
+      s"ivfpq requires dim % m == 0 (dim=$dim, m=${params.pqM})")
+    val cosine = metric eq Metric.Cosine
+    val nTotal = data.count()
+    val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
+    val sample = data.select("vec").as[Array[Float]].rdd
+      .zipWithIndex()
+      .filter { case (_, i) => i % stride == 0 }
+      .map(_._1)
+      .take(params.trainSample)
+    val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
+    // coarse quantizer (L2 assignment — the standard IVF choice for every
+    // metric; cosine inputs are normalized so L2 and cosine ranking agree)
+    val cents = KMeansLite.train(prepped, params.nlist)
+    IndexCatalog.writeCentroids(s"$dir/centroids.bin", cents, dim)
+    // PQ trains on the sample's residuals against its assigned centroids
+    val residuals = prepped.map { v =>
+      val c = cents(KMeansLite.nearest(cents, v))
+      val r = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { r(i) = v(i) - c(i); i += 1 }
+      r
+    }
+    val cb = PqCodec.train(residuals, params.pqM)
+    PqCodec.write(s"$dir/pq.bin", cb)
+
+    val centsB = spark.sparkContext.broadcast(cents)
+    val cbB = spark.sparkContext.broadcast(cb)
+    val assignUdf = udf((v: Array[Float]) => {
+      val vv = if (cosine) VectorOps.normalize(v.clone()) else v
+      KMeansLite.nearest(centsB.value, vv)
+    })
+    val encodeUdf = udf((v: Array[Float], cluster: Int) => {
+      val vv = if (cosine) VectorOps.normalize(v.clone()) else v
+      val c = centsB.value(cluster)
+      val r = new Array[Float](vv.length)
+      var i = 0
+      while (i < vv.length) { r(i) = vv(i) - c(i); i += 1 }
+      PqCodec.encode(cbB.value, r)
+    })
+    val out = s"$dir/data"
+    data.withColumn("cluster", assignUdf(col("vec")))
+      .select(col("id"), encodeUdf(col("vec"), col("cluster")).as("code"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(out)
+    val n = spark.read.parquet(out).count()
+    val meta = IndexMeta(name, "ivfpq", "vec", "id", dim, metric.name,
+      maxDegree = params.pqM, buildComplexity = 0, alpha = 0f, quantized = true,
+      numVectors = n, numDeleted = 0L, shards = Nil, sourcePath = out,
+      nlist = params.nlist, nprobe = params.nprobe)
+    IndexCatalog.save(root(spark), meta)
+    meta
+  }
+
   // ----------------------------------------------------------------- search
 
   /** Low-level index scan → DataFrame(row_id LONG, _distance FLOAT), sorted,
@@ -339,7 +409,47 @@ object Ann {
         diskannScan(spark, meta, query, fetchK, searchComplexity, tomb)
       case "flat" | "ivfflat" => exactScanIds(spark, meta, query, fetchK, tomb)
       case "pq" => pqScanIds(spark, meta, query, fetchK, tomb)
+      case "ivfpq" => ivfPqScanIds(spark, meta, query, fetchK, tomb)
     }
+  }
+
+  /** nprobe-pruned ADC scan over residual codes: per probed cluster the
+   *  lookup table is built from (q − centroid) for L2, or from q with a
+   *  −dot(q, centroid) offset for IP/cosine. Partition pruning on the
+   *  `cluster` directory keeps unprobed files unread. */
+  private def ivfPqScanIds(spark: SparkSession, meta: IndexMeta, query0: Array[Float],
+      fetchK: Int, tomb: Set[Long]): DataFrame = {
+    val query = prepQuery(meta, query0)
+    val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
+    val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
+    val cb = PqCodec.read(s"$dirPath/pq.bin")
+    val l2 = meta.metricObj eq Metric.L2
+    val probes = KMeansLite.nearestP(cents, query, meta.nprobe)
+    val k = cb.k
+    val perProbe: Map[Int, (Array[Float], Float)] = probes.map { p =>
+      val c = cents(p)
+      if (l2) {
+        val qr = new Array[Float](query.length)
+        var i = 0
+        while (i < query.length) { qr(i) = query(i) - c(i); i += 1 }
+        p -> (PqCodec.lut(cb, qr, l2 = true), 0.0f)
+      } else {
+        p -> (PqCodec.lut(cb, query, l2 = false), -VectorOps.dot(query, c))
+      }
+    }.toMap
+    val lutB = spark.sparkContext.broadcast(perProbe)
+    val adcUdf = udf((cluster: Int, code: Array[Byte]) => {
+      val (t, off) = lutB.value(cluster)
+      PqCodec.adc(t, k, code) + off
+    })
+    val base = spark.read.parquet(meta.sourcePath)
+      .where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
+      .select(col("id").as("row_id"),
+        adcUdf(col("cluster").cast(IntegerType), col("code")).as("__dd"))
+    val filtered = if (tomb.isEmpty) base
+      else base.where(!col("row_id").isin(tomb.toSeq: _*))
+    filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
+      .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
   }
 
   /** ADC top-k over the compressed code table (approximate → rows-only
@@ -566,8 +676,11 @@ object Ann {
           }.toDF("query_idx", "row_id", "_distance")
       case _ =>
         val perQuery = queries.zipWithIndex.map { case (q, qi) =>
-          (if (meta.engine == "pq") pqScanIds(spark, meta, q, k, tomb)
-           else exactScanIds(spark, meta, q, k, tomb))
+          (meta.engine match {
+            case "pq" => pqScanIds(spark, meta, q, k, tomb)
+            case "ivfpq" => ivfPqScanIds(spark, meta, q, k, tomb)
+            case _ => exactScanIds(spark, meta, q, k, tomb)
+          })
             .withColumn("query_idx", lit(qi))
             .select(col("query_idx"), col("row_id"), col("_distance"))
         }
@@ -600,9 +713,9 @@ object Ann {
       idColumn: String, name: String, k: Int, searchComplexity: Int = 0): DataFrame = {
     val spark = queriesDf.sparkSession
     val meta = IndexCatalog.load(root(spark), name)
-    require(meta.engine != "pq",
-      "searchTable does not support pq indexes (codes carry no full vectors " +
-      "to join back); use searchBatch or ann_search against a pq index")
+    require(meta.engine != "pq" && meta.engine != "ivfpq",
+      "searchTable does not support pq/ivfpq indexes (codes carry no full " +
+      "vectors to join back); use searchBatch or ann_search instead")
     if (!isGraphEngine(meta.engine))
       return searchTableExact(queriesDf, queryVecColumn, baseDf, idColumn, meta, k)
     val tomb = IndexCatalog.readTombstones(root(spark), name)

@@ -66,6 +66,40 @@ class PqSpec extends AnyFunSuite {
       assert(back.centroids(s)(c).toSeq == cb.centroids(s)(c).toSeq)
   }
 
+  test("ivfpq: residual codes + nprobe pruning recall clusters; factory parses") {
+    import spark.implicits._
+    val p = Ann.parseFactory("IVF16,PQ4")
+    assert(p.engine == "ivfpq" && p.nlist == 16 && p.pqM == 4)
+
+    val rows = clustered(800)
+    val df = rows.toDF("id", "vec")
+    Ann.buildIndex(df, "vec", "id", "ivfpq_ix",
+      Ann.BuildParams(engine = "ivfpq", pqM = 4, nlist = 8, nprobe = 2,
+        trainSample = 800))
+    val meta = IndexCatalog.load(Ann.root(spark), "ivfpq_ix")
+    assert(meta.engine == "ivfpq" && meta.nlist == 8 && meta.quantized)
+
+    val q = rows.find(_._1 == 5L).get._2
+    val hits = Ann.search(df, "id", "ivfpq_ix", q, 10).collect().map(_.getLong(0))
+    assert(hits.length == 10)
+    val sameCluster = hits.count(id => id % 8 == 5)
+    assert(sameCluster >= 8, s"only $sameCluster/10 hits from the query's cluster")
+
+    // residual quantization should beat raw-vector pq on the same byte budget
+    val rec = {
+      val cents = IndexCatalog.readCentroids(
+        s"${IndexCatalog.indexDir(Ann.root(spark), "ivfpq_ix")}/centroids.bin")
+      val cb = PqCodec.read(
+        s"${IndexCatalog.indexDir(Ann.root(spark), "ivfpq_ix")}/pq.bin")
+      val v = rows.head._2
+      val c = cents(KMeansLite.nearest(cents, v))
+      val r = v.indices.map(i => v(i) - c(i)).toArray
+      val dec = PqCodec.decode(cb, PqCodec.encode(cb, r))
+      v.indices.map(i => { val d = v(i) - (c(i) + dec(i)); d * d }).sum
+    }
+    assert(rec < 0.5f, s"residual reconstruction error $rec too large")
+  }
+
   test("pq index end-to-end: build, search, recall on clustered data; delete respected") {
     import spark.implicits._
     val rows = clustered(800)
