@@ -111,6 +111,31 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    "q_antijoin" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_no_orders"), min("c_custkey").as("min_key"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_multijoin" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          min("s_acctbal").as("min_bal"), max("s_acctbal").as("max_bal"))
+        .orderBy("r_name")
+    }),
+
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(countDistinct("o_custkey").as("n_custs"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_case_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy("o_orderpriority")
@@ -576,6 +601,22 @@ object SparkEntry {
         |WHERE s_suppkey IN (
         |  SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1997)
         |ORDER BY s_suppkey""".stripMargin,
+    "q_antijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_no_orders, min(c_custkey) AS min_key
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_multijoin" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        | min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_case_agg" ->
       """SELECT o_orderpriority,
         | sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END)::BIGINT AS n_big,
