@@ -873,13 +873,15 @@ object Ann {
     IndexCatalog.save(r, meta.copy(numDeleted = tomb.size.toLong))
   }
 
-  /** Append new rows as delta shards (reference Append, diskann_index.cpp:316-357). */
+  /** Append new rows: graph engines get parallel delta shards (reference
+   *  Append, diskann_index.cpp:316-357); exact/quantized engines append to
+   *  their parquet table (encoded with the EXISTING codebooks/centroids —
+   *  FAISS add() semantics: the quantizer never retrains on add). */
   def append(df: DataFrame, column: String, idColumn: String, name: String): IndexMeta = {
     val spark = df.sparkSession
     val r = root(spark)
     val meta = IndexCatalog.load(r, name)
-    require(isGraphEngine(meta.engine),
-      s"append supported for graph engines (got ${meta.engine})")
+    if (!isGraphEngine(meta.engine)) return appendExact(df, column, idColumn, meta)
     val dir = IndexCatalog.indexDir(r, name)
     import spark.implicits._
     val dim = meta.dim
@@ -929,6 +931,63 @@ object Ann {
     val updated = meta.copy(shards = meta.shards ++ newShards,
       numVectors = meta.numVectors + newShards.map(_.count).sum)
     IndexCatalog.save(r, updated)
+    updated
+  }
+
+  /** Exact/quantized-engine append: encode with the existing
+   *  centroids/codebooks, append to the parquet table. */
+  private def appendExact(df: DataFrame, column: String, idColumn: String,
+      meta: IndexMeta): IndexMeta = {
+    val spark = df.sparkSession
+    val dim = meta.dim
+    val cosine = meta.metricObj eq Metric.Cosine
+    val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
+    val checkUdf = udf((v: Array[Float]) => {
+      require(v.length == dim, s"appended vector has dimension ${v.length}, expected $dim")
+      if (cosine) VectorOps.normalize(v.clone()) else v
+    })
+    val data = df
+      .select(col(idColumn).cast(LongType).as("id"), toFloatVec(col(column)).as("vec"))
+      .where(col(idColumn).isNotNull && col(column).isNotNull)
+      .withColumn("vec", checkUdf(col("vec")))
+    val n = data.count()
+    if (n == 0) return meta
+    meta.engine match {
+      case "flat" =>
+        data.write.mode("append").parquet(meta.sourcePath)
+      case "ivfflat" =>
+        val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
+        val centsB = spark.sparkContext.broadcast(cents)
+        val assignUdf = udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
+        data.withColumn("cluster", assignUdf(col("vec")))
+          .write.mode("append").partitionBy("cluster").parquet(meta.sourcePath)
+      case "pq" =>
+        val cb = PqCodec.read(s"$dirPath/pq.bin")
+        val cbB = spark.sparkContext.broadcast(cb)
+        val encodeUdf = udf((v: Array[Float]) => PqCodec.encode(cbB.value, v))
+        data.select(col("id"), encodeUdf(col("vec")).as("code"))
+          .write.mode("append").parquet(meta.sourcePath)
+      case "ivfpq" =>
+        val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
+        val cb = PqCodec.read(s"$dirPath/pq.bin")
+        val centsB = spark.sparkContext.broadcast(cents)
+        val cbB = spark.sparkContext.broadcast(cb)
+        val assignUdf = udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
+        val encodeUdf = udf((v: Array[Float], cluster: Int) => {
+          val c = centsB.value(cluster)
+          val rr = new Array[Float](v.length)
+          var i = 0
+          while (i < v.length) { rr(i) = v(i) - c(i); i += 1 }
+          PqCodec.encode(cbB.value, rr)
+        })
+        data.withColumn("cluster", assignUdf(col("vec")))
+          .select(col("id"), encodeUdf(col("vec"), col("cluster")).as("code"),
+            col("cluster"))
+          .write.mode("append").partitionBy("cluster").parquet(meta.sourcePath)
+      case e => throw new IllegalArgumentException(s"append: unknown engine $e")
+    }
+    val updated = meta.copy(numVectors = meta.numVectors + n)
+    IndexCatalog.save(root(spark), updated)
     updated
   }
 

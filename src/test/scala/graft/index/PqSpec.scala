@@ -100,6 +100,33 @@ class PqSpec extends AnyFunSuite {
     assert(rec < 0.5f, s"residual reconstruction error $rec too large")
   }
 
+  test("append to exact/quantized engines: counts update, new rows searchable") {
+    import spark.implicits._
+    val rows = clustered(160)
+    val df = rows.take(120).toDF("id", "vec")
+    val extra = rows.drop(120).toDF("id", "vec")
+    val all = rows.toDF("id", "vec")
+    val cases = Seq(
+      "apx_flat" -> Ann.BuildParams(engine = "flat"),
+      "apx_ivf" -> Ann.BuildParams(engine = "ivfflat", nlist = 8, nprobe = 8,
+        trainSample = 120),
+      "apx_pq" -> Ann.BuildParams(engine = "pq", pqM = 4, trainSample = 120),
+      "apx_ivfpq" -> Ann.BuildParams(engine = "ivfpq", pqM = 4, nlist = 8,
+        nprobe = 8, trainSample = 120))
+    val probe = rows.find(_._1 == 150L).get._2 // an APPENDED row's vector
+    for ((name, bp) <- cases) {
+      Ann.buildIndex(df, "vec", "id", name, bp)
+      Ann.append(extra, "vec", "id", name)
+      val meta = IndexCatalog.load(Ann.root(spark), name)
+      assert(meta.numVectors == 160, s"$name: count ${meta.numVectors} != 160")
+      val hits = Ann.search(all, "id", name, probe, 10).collect().map(_.getLong(0))
+      if (bp.engine == "flat" || bp.engine == "ivfflat")
+        assert(hits.head == 150L, s"$name: appended row should be its own top-1")
+      else
+        assert(hits.contains(150L), s"$name: appended row missing from top-10")
+    }
+  }
+
   test("pq index end-to-end: build, search, recall on clustered data; delete respected") {
     import spark.implicits._
     val rows = clustered(800)
