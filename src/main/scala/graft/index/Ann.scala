@@ -998,7 +998,7 @@ object Ann {
     val meta = IndexCatalog.load(r, name)
     val tomb = IndexCatalog.readTombstones(r, name)
     if (tomb.isEmpty) return meta
-    require(isGraphEngine(meta.engine), "vacuum supports graph engines")
+    if (!isGraphEngine(meta.engine)) return vacuumExact(spark, meta, tomb)
     val dir = IndexCatalog.indexDir(r, name)
     val tombB = spark.sparkContext.broadcast(tomb)
     val cosine = meta.metricObj eq Metric.Cosine
@@ -1040,6 +1040,31 @@ object Ann {
     val updated = meta.copy(shards = newShards, version = ver,
       numVectors = newShards.map(_.count).sum, numDeleted = 0L)
     IndexCatalog.save(r, updated)
+    updated
+  }
+
+  /** Exact/quantized-engine vacuum: rewrite the parquet table without the
+   *  tombstoned rows (versioned directory, atomic metadata swap), then
+   *  clear tombstones. Without this, deletes on flat/ivf/pq indexes would
+   *  pay the NOT IN filter on every scan forever. */
+  private def vacuumExact(spark: SparkSession, meta: IndexMeta,
+      tomb: Set[Long]): IndexMeta = {
+    val r = root(spark)
+    val dir = IndexCatalog.indexDir(r, meta.name)
+    val ver = meta.version + 1
+    val newPath = s"$dir/data-v$ver"
+    val live = spark.read.parquet(meta.sourcePath)
+      .where(!col("id").isin(tomb.toSeq: _*))
+    val writer = live.write.mode("overwrite")
+    (if (meta.engine == "ivfflat" || meta.engine == "ivfpq")
+       writer.partitionBy("cluster") else writer).parquet(newPath)
+    val n = spark.read.parquet(newPath).count()
+    // new data dir is complete — publish metadata atomically, then clean up
+    val updated = meta.copy(sourcePath = newPath, version = ver,
+      numVectors = n, numDeleted = 0L)
+    IndexCatalog.save(r, updated)
+    new java.io.File(IndexCatalog.tombstonePath(r, meta.name)).delete()
+    IndexCatalog.deleteTree(meta.sourcePath)
     updated
   }
 

@@ -91,6 +91,12 @@ object IndexCatalog {
     f.delete()
   }
 
+  /** Recursively delete a path (superseded data directories). */
+  def deleteTree(path: String): Unit = {
+    val f = new File(path)
+    if (f.exists()) deleteRecursive(f)
+  }
+
   // ---- tombstones: flat little-endian i64 file beside metadata ----
   // (reference: deleted_labels_ set serialized with the index,
   //  src/include/diskann_index.hpp:149)

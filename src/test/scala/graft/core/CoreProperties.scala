@@ -98,6 +98,25 @@ object CoreProperties extends Properties("graft.core") {
           graft.expressions.TextHash.rollingHashString(s2 + s1))
     }
 
+  property("simd: dot and l2Sq match scalar loops across random dims/offsets") =
+    forAll(for { dim <- Gen.choose(1, 200)
+                 pad <- Gen.choose(0, 8)
+                 seed <- Gen.choose(0L, Long.MaxValue) } yield (dim, pad, seed)) {
+      case (dim, pad, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val flat = Array.fill(pad + dim)(rnd.nextFloat() * 2 - 1)
+        val q = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+        var sDot = 0.0f; var sL2 = 0.0f; var i = 0
+        while (i < dim) {
+          sDot += flat(pad + i) * q(i)
+          val d = flat(pad + i) - q(i); sL2 += d * d
+          i += 1
+        }
+        val tol = 1e-4f * (dim + 1)
+        math.abs(graft.core.Simd.dot(flat, pad, q, 0, dim) - sDot) <= tol &&
+        math.abs(graft.core.Simd.l2Sq(flat, pad, q, 0, dim) - sL2) <= tol
+    }
+
   property("shingleHashes: nonempty output; <= max(1, n-k+1) distinct hashes") =
     forAll(for { n <- Gen.choose(0, 12)
                  toks <- Gen.listOfN(n, Gen.identifier.map(_.take(6))) }

@@ -127,6 +127,29 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum on exact/quantized engines drops tombstoned rows physically") {
+    import spark.implicits._
+    val rows = clustered(160)
+    val df = rows.toDF("id", "vec")
+    for ((name, bp) <- Seq(
+        "vac_flat" -> Ann.BuildParams(engine = "flat"),
+        "vac_ivfpq" -> Ann.BuildParams(engine = "ivfpq", pqM = 4, nlist = 8,
+          nprobe = 8, trainSample = 160))) {
+      Ann.buildIndex(df, "vec", "id", name, bp)
+      Ann.delete(spark, name, Seq(0L, 1L, 2L))
+      val before = IndexCatalog.load(Ann.root(spark), name)
+      assert(before.numDeleted == 3)
+      val after = Ann.vacuum(spark, name)
+      assert(after.numVectors == 157 && after.numDeleted == 0, s"$name: $after")
+      assert(after.sourcePath != before.sourcePath, s"$name: path must version")
+      assert(!new java.io.File(IndexCatalog.tombstonePath(Ann.root(spark), name)).exists())
+      assert(!new java.io.File(before.sourcePath).exists(), s"$name: old data dir kept")
+      val hits = Ann.search(df, "id", name, rows.find(_._1 == 8L).get._2, 10)
+        .collect().map(_.getLong(0))
+      assert(!hits.contains(0L) && !hits.contains(1L) && !hits.contains(2L))
+    }
+  }
+
   test("pq index end-to-end: build, search, recall on clustered data; delete respected") {
     import spark.implicits._
     val rows = clustered(800)
