@@ -62,6 +62,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"expected map-side partial aggregation:\n$p")
   }
 
+  test("anti-join plans as BroadcastHashJoin LeftAnti, not a cartesian shape") {
+    val p = plan(graft.SparkEntry.queries("q_antijoin")(spark, sf))
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in anti join:\n$p")
+  }
+
+  test("multi-way dimension join broadcasts both dimensions") {
+    val p = plan(graft.SparkEntry.queries("q_multijoin")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected 2 broadcast joins (nation, region):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("ivfpq probe scan prunes unprobed cluster partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextFloat() * 10 - 5))
+    val rows = (0L until 400L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + rnd.nextFloat() * 0.3f - 0.15f))
+    }
+    val df = rows.toDF("id", "vec")
+    val root = s"/tmp/graft-pq-plan-${System.nanoTime()}"
+    spark.conf.set("spark.graft.ann.root", root)
+    try {
+      graft.index.Ann.buildIndex(df, "vec", "id", "plan_ivfpq",
+        graft.index.Ann.BuildParams(engine = "ivfpq", pqM = 4, nlist = 8,
+          nprobe = 2, trainSample = 400))
+      val scan = graft.index.Ann.indexScan(spark, "plan_ivfpq",
+        rows.head._2, 10)
+      val p = plan(scan)
+      // nprobe=2 of nlist=8: the cluster partition filter must reach the scan
+      assert(p.contains("PartitionFilters") && p.contains("cluster"),
+        s"expected cluster partition pruning:\n$p")
+    } finally spark.conf.unset("spark.graft.ann.root")
+  }
+
   test("distance expressions stay inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = (0 until 64).map(i => (i % 8) / 8.0f)
