@@ -1,5 +1,8 @@
 package graft.core;
 
+import java.nio.ByteBuffer;
+import java.nio.ByteOrder;
+
 import jdk.incubator.vector.FloatVector;
 import jdk.incubator.vector.VectorOperators;
 import jdk.incubator.vector.VectorSpecies;
@@ -105,5 +108,68 @@ public final class SimdKernels {
    */
   public static void l2SqBlock(float[] vecs, int[] offs, int n, float[] q, float[] out) {
     for (int j = 0; j < n; j++) out[j] = l2Sq(vecs, offs[j], q, 0, q.length);
+  }
+
+  // ---- zero-copy variants over a mapped ByteBuffer (mmap shard serving,
+  // the analog of rust_lib/src/disk_provider.rs reading distances straight
+  // from the mapped image). Absolute reads only: thread-safe on a shared
+  // buffer. The buffer must be little-endian-backed (.diskann layout).
+
+  /**
+   * Squared L2 between buf[byteOff..) (dim floats LE) and q. The loop
+   * structure (2×-unrolled dual accumulators) EXACTLY mirrors
+   * {@link #l2Sq(float[],int,float[],int,int)} so mmap-served and
+   * heap-decoded shards produce bit-identical distances.
+   */
+  public static float l2SqBB(ByteBuffer buf, int byteOff, float[] q) {
+    int len = q.length;
+    int i = 0;
+    FloatVector acc0 = FloatVector.zero(SP);
+    FloatVector acc1 = FloatVector.zero(SP);
+    int step = SP.length();
+    int upper2 = len - 2 * step;
+    for (; i <= upper2; i += 2 * step) {
+      FloatVector d0 = FloatVector.fromByteBuffer(SP, buf, byteOff + i * 4, ByteOrder.LITTLE_ENDIAN)
+          .sub(FloatVector.fromArray(SP, q, i));
+      FloatVector d1 = FloatVector.fromByteBuffer(SP, buf, byteOff + (i + step) * 4, ByteOrder.LITTLE_ENDIAN)
+          .sub(FloatVector.fromArray(SP, q, i + step));
+      acc0 = d0.fma(d0, acc0);
+      acc1 = d1.fma(d1, acc1);
+    }
+    int upper = SP.loopBound(len);
+    for (; i < upper; i += step) {
+      FloatVector d = FloatVector.fromByteBuffer(SP, buf, byteOff + i * 4, ByteOrder.LITTLE_ENDIAN)
+          .sub(FloatVector.fromArray(SP, q, i));
+      acc0 = d.fma(d, acc0);
+    }
+    float s = acc0.add(acc1).reduceLanes(VectorOperators.ADD);
+    for (; i < len; i++) { float d = buf.getFloat(byteOff + i * 4) - q[i]; s += d * d; }
+    return s;
+  }
+
+  /** Dot product between buf[byteOff..) (dim floats LE) and q — loop
+   *  structure mirrors {@link #dot(float[],int,float[],int,int)} for
+   *  bit-identical results across serving modes. */
+  public static float dotBB(ByteBuffer buf, int byteOff, float[] q) {
+    int len = q.length;
+    int i = 0;
+    FloatVector acc0 = FloatVector.zero(SP);
+    FloatVector acc1 = FloatVector.zero(SP);
+    int step = SP.length();
+    int upper2 = len - 2 * step;
+    for (; i <= upper2; i += 2 * step) {
+      acc0 = FloatVector.fromByteBuffer(SP, buf, byteOff + i * 4, ByteOrder.LITTLE_ENDIAN)
+          .fma(FloatVector.fromArray(SP, q, i), acc0);
+      acc1 = FloatVector.fromByteBuffer(SP, buf, byteOff + (i + step) * 4, ByteOrder.LITTLE_ENDIAN)
+          .fma(FloatVector.fromArray(SP, q, i + step), acc1);
+    }
+    int upper = SP.loopBound(len);
+    for (; i < upper; i += step) {
+      acc0 = FloatVector.fromByteBuffer(SP, buf, byteOff + i * 4, ByteOrder.LITTLE_ENDIAN)
+          .fma(FloatVector.fromArray(SP, q, i), acc0);
+    }
+    float s = acc0.add(acc1).reduceLanes(VectorOperators.ADD);
+    for (; i < len; i++) s += buf.getFloat(byteOff + i * 4) * q[i];
+    return s;
   }
 }

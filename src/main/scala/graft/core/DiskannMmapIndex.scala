@@ -69,18 +69,19 @@ final class DiskannMmapIndex private (
   def degreeBound: Int = maxDegree
 
   /** One cursor per searcher: owns its buffer views (absolute indexed reads
-   *  only) and a copy scratch, so concurrent searches share the map safely. */
+   *  only), so concurrent searches share the map safely. Distances read
+   *  ZERO-COPY out of the mapped image (SimdKernels.l2SqBB/dotBB — lane
+   *  structure mirrors the array kernels, keeping mmap and heap serving
+   *  bit-identical). */
   def newCursor(): NodeCursor = new NodeCursor {
-    private val fb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+    private val vb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     private val ib = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN).asIntBuffer()
-    private val scratch = new Array[Float](dim)
-    private val vecFloatBase = vecOff / 4
     private val adjIntBase = adjOff / 4
 
     def dist(id: Int, q: Array[Float]): Float = {
-      fb.get(vecFloatBase + id * dim, scratch, 0, dim)
-      if (metric eq Metric.L2) Simd.l2Sq(scratch, 0, q, 0, dim)
-      else -Simd.dot(scratch, 0, q, 0, dim)
+      val byteOff = vecOff + id * dim * 4
+      if (metric eq Metric.L2) Simd.l2SqBB(vb, byteOff, q)
+      else -Simd.dotBB(vb, byteOff, q)
     }
 
     def neighborsInto(id: Int, out: Array[Int]): Int = {

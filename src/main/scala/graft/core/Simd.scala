@@ -32,6 +32,25 @@ object Simd {
       s
     }
 
+  /** Zero-copy squared L2 against `dim` little-endian floats at `byteOff`
+   *  in a (mapped) buffer. Absolute reads — safe on a shared buffer. */
+  @inline def l2SqBB(bb: java.nio.ByteBuffer, byteOff: Int, q: Array[Float]): Float =
+    if (enabled) SimdKernels.l2SqBB(bb, byteOff, q)
+    else {
+      var s = 0.0f; var i = 0
+      while (i < q.length) { val d = bb.getFloat(byteOff + i * 4) - q(i); s += d * d; i += 1 }
+      s
+    }
+
+  /** Zero-copy dot product against `dim` little-endian floats at `byteOff`. */
+  @inline def dotBB(bb: java.nio.ByteBuffer, byteOff: Int, q: Array[Float]): Float =
+    if (enabled) SimdKernels.dotBB(bb, byteOff, q)
+    else {
+      var s = 0.0f; var i = 0
+      while (i < q.length) { s += bb.getFloat(byteOff + i * 4) * q(i); i += 1 }
+      s
+    }
+
   @inline def cosine(a: Array[Float], ao: Int, b: Array[Float], bo: Int, len: Int): Float =
     if (enabled) SimdKernels.cosine(a, ao, b, bo, len)
     else {
