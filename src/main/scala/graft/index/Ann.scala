@@ -713,9 +713,6 @@ object Ann {
       idColumn: String, name: String, k: Int, searchComplexity: Int = 0): DataFrame = {
     val spark = queriesDf.sparkSession
     val meta = IndexCatalog.load(root(spark), name)
-    require(meta.engine != "pq" && meta.engine != "ivfpq",
-      "searchTable does not support pq/ivfpq indexes (codes carry no full " +
-      "vectors to join back); use searchBatch or ann_search instead")
     if (!isGraphEngine(meta.engine))
       return searchTableExact(queriesDf, queryVecColumn, baseDf, idColumn, meta, k)
     val tomb = IndexCatalog.readTombstones(root(spark), name)
@@ -783,10 +780,34 @@ object Ann {
         if (cosine) toFloatVec(normalizeCol(col(queryVecColumn))) else col(queryVecColumn))
       .withColumn("__qid", monotonically_increasing_id())
     // all references to the index scan go through the DataFrame instance so
-    // a query table that also has id/vec/cluster columns can't capture them
-    val base = spark.read.parquet(meta.sourcePath)
+    // a query table that also has id/vec/cluster columns can't capture them.
+    // pq/ivfpq bases reconstruct `vec` from the codes (ADC distance IS the
+    // distance to the reconstruction, so ranking matches the index scan).
+    val base = meta.engine match {
+      case "pq" | "ivfpq" =>
+        val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
+        val cbB = spark.sparkContext.broadcast(PqCodec.read(s"$dirPath/pq.bin"))
+        if (meta.engine == "pq") {
+          val decodeUdf = udf((code: Array[Byte]) => PqCodec.decode(cbB.value, code))
+          spark.read.parquet(meta.sourcePath)
+            .withColumn("vec", decodeUdf(col("code")))
+        } else {
+          val centsB = spark.sparkContext.broadcast(
+            IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
+          val decodeUdf = udf((code: Array[Byte], cluster: Int) => {
+            val rec = PqCodec.decode(cbB.value, code)
+            val c = centsB.value(cluster)
+            var i = 0
+            while (i < rec.length) { rec(i) += c(i); i += 1 }
+            rec
+          })
+          spark.read.parquet(meta.sourcePath)
+            .withColumn("vec", decodeUdf(col("code"), col("cluster").cast(IntegerType)))
+        }
+      case _ => spark.read.parquet(meta.sourcePath)
+    }
     val joined = meta.engine match {
-      case "ivfflat" if meta.nprobe < meta.nlist =>
+      case "ivfflat" | "ivfpq" if meta.nprobe < meta.nlist =>
         val cents = IndexCatalog.readCentroids(
           s"${IndexCatalog.indexDir(root(spark), meta.name)}/centroids.bin")
         val centsB = spark.sparkContext.broadcast(cents)

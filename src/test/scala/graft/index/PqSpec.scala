@@ -176,10 +176,15 @@ class PqSpec extends AnyFunSuite {
     val after = Ann.search(df, "id", "pq_ix", q, 10).collect().map(_.getLong(0))
     assert(!after.contains(hits(0)) && !after.contains(hits(1)))
 
-    // searchTable refuses pq with a clear message
-    val err = intercept[IllegalArgumentException] {
-      Ann.searchTable(df.limit(2), "vec", df, "id", "pq_ix", 3)
+    // searchTable works via code reconstruction: k rows per query, the
+    // query's own cluster dominates
+    val qt = rows.take(2).map { case (id, v) => (id, v) }.toDF("qid", "qvec")
+    val st = Ann.searchTable(qt, "qvec", df, "id", "pq_ix", 3).collect()
+    assert(st.length == 6, s"expected 3 rows per query, got ${st.length}")
+    val byQ = st.groupBy(_.getAs[Long]("qid"))
+    for ((qid, hits) <- byQ) {
+      val clusterHits = hits.count(_.getAs[Long]("id") % 8 == qid % 8)
+      assert(clusterHits >= 2, s"query $qid: only $clusterHits/3 from its cluster")
     }
-    assert(err.getMessage.contains("pq"))
   }
 }
