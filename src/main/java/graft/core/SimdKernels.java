@@ -27,8 +27,6 @@ public final class SimdKernels {
 
   private SimdKernels() {}
 
-  public static int laneCount() { return SP.length(); }
-
   /** Dot product of a[ao..ao+len) and b[bo..bo+len). */
   public static float dot(float[] a, int ao, float[] b, int bo, int len) {
     int i = 0;
@@ -97,17 +95,6 @@ public final class SimdKernels {
     }
     double den = Math.sqrt(aa) * Math.sqrt(bb);
     return den == 0.0 ? 0.0f : (float) (ab / den);
-  }
-
-  /**
-   * Block L2: distances from q to {@code n} nodes stored at
-   * {@code offs[0..n)} in the flat array — the lock-step/"gemm" analog of
-   * the reference's per-iteration neighbor batch (rust_lib/src/provider.rs:
-   * 248-440). One call per beam-search expansion keeps the query vector hot
-   * in registers across the whole neighbor list.
-   */
-  public static void l2SqBlock(float[] vecs, int[] offs, int n, float[] q, float[] out) {
-    for (int j = 0; j < n; j++) out[j] = l2Sq(vecs, offs[j], q, 0, q.length);
   }
 
   // ---- zero-copy variants over a mapped ByteBuffer (mmap shard serving,

@@ -77,11 +77,24 @@ final class DiskannMmapIndex private (
     private val vb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     private val ib = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN).asIntBuffer()
     private val adjIntBase = adjOff / 4
+    // fallback when the buffer kernels don't link (e.g. JDK 19+ removed
+    // FloatVector.fromByteBuffer): copy into scratch and use the SAME array
+    // kernels as the heap path, preserving mmap/heap bit-identity
+    private val fb =
+      if (Simd.bbEnabled) null
+      else buf.duplicate().order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+    private val scratch = if (Simd.bbEnabled) null else new Array[Float](dim)
 
     def dist(id: Int, q: Array[Float]): Float = {
       val byteOff = vecOff + id * dim * 4
-      if (metric eq Metric.L2) Simd.l2SqBB(vb, byteOff, q)
-      else -Simd.dotBB(vb, byteOff, q)
+      if (Simd.bbEnabled) {
+        if (metric eq Metric.L2) Simd.l2SqBB(vb, byteOff, q)
+        else -Simd.dotBB(vb, byteOff, q)
+      } else {
+        fb.get(byteOff / 4, scratch, 0, dim)
+        if (metric eq Metric.L2) Simd.l2Sq(scratch, 0, q, 0, dim)
+        else -Simd.dot(scratch, 0, q, 0, dim)
+      }
     }
 
     def neighborsInto(id: Int, out: Array[Int]): Int = {

@@ -5,16 +5,33 @@ package graft.core
  *
  * The kernels class only links if the JVM was started with
  * `--add-modules=jdk.incubator.vector` (wired in build.sbt for all forked
- * runs; a cluster deploy adds it via `spark.executor.extraJavaOptions`).
- * Without it, class-load throws and every call routes to the scalar loops —
- * same results, HotSpot auto-vectorized, just slower than explicit
- * 2×-unrolled FMA lanes.
+ * runs; a cluster deploy adds it via `spark.executor.extraJavaOptions` AND
+ * the driver's extraJavaOptions — mixed driver/executor enablement would
+ * mean the two compute float sums in different association orders, which
+ * changes last-ulp distances and can flip near-ties). Without the module,
+ * class-load throws and every call routes to the scalar loops — same
+ * semantics, HotSpot auto-vectorized, float results differing from the
+ * lane kernels only by summation order.
+ *
+ * The buffer kernels probe separately: `FloatVector.fromByteBuffer` exists
+ * on JDK 17/18 but was replaced by fromMemorySegment in JDK 19+, so a jar
+ * built here may link the array kernels yet fail the buffer ones.
  */
 object Simd {
 
   val enabled: Boolean =
     try SimdKernels.dot(Array(1f, 2f), 0, Array(3f, 4f), 0, 2) == 11f
     catch { case _: Throwable => false }
+
+  /** Buffer-kernel availability (probed independently: see scaladoc). */
+  val bbEnabled: Boolean = enabled && {
+    try {
+      val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putFloat(0, 3f); bb.putFloat(4, 4f)
+      SimdKernels.dotBB(bb, 0, Array(1f, 2f)) == 11f &&
+        SimdKernels.l2SqBB(bb, 0, Array(3f, 4f)) == 0f
+    } catch { case _: Throwable => false }
+  }
 
   @inline def dot(a: Array[Float], ao: Int, b: Array[Float], bo: Int, len: Int): Float =
     if (enabled) SimdKernels.dot(a, ao, b, bo, len)
@@ -33,18 +50,23 @@ object Simd {
     }
 
   /** Zero-copy squared L2 against `dim` little-endian floats at `byteOff`
-   *  in a (mapped) buffer. Absolute reads — safe on a shared buffer. */
+   *  in a (mapped) buffer. Absolute reads — safe on a shared buffer.
+   *  Callers needing bit-parity with the array kernels must check
+   *  [[bbEnabled]] and route through a copy + [[l2Sq]] when false (the
+   *  DiskannMmapIndex cursor does); this scalar fallback alone sums in a
+   *  different order than the lane kernels. */
   @inline def l2SqBB(bb: java.nio.ByteBuffer, byteOff: Int, q: Array[Float]): Float =
-    if (enabled) SimdKernels.l2SqBB(bb, byteOff, q)
+    if (bbEnabled) SimdKernels.l2SqBB(bb, byteOff, q)
     else {
       var s = 0.0f; var i = 0
       while (i < q.length) { val d = bb.getFloat(byteOff + i * 4) - q(i); s += d * d; i += 1 }
       s
     }
 
-  /** Zero-copy dot product against `dim` little-endian floats at `byteOff`. */
+  /** Zero-copy dot product against `dim` little-endian floats at `byteOff`;
+   *  same bit-parity caveat as [[l2SqBB]]. */
   @inline def dotBB(bb: java.nio.ByteBuffer, byteOff: Int, q: Array[Float]): Float =
-    if (enabled) SimdKernels.dotBB(bb, byteOff, q)
+    if (bbEnabled) SimdKernels.dotBB(bb, byteOff, q)
     else {
       var s = 0.0f; var i = 0
       while (i < q.length) { s += bb.getFloat(byteOff + i * 4) * q(i); i += 1 }

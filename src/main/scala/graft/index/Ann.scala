@@ -426,6 +426,10 @@ object Ann {
     val l2 = meta.metricObj eq Metric.L2
     val probes = KMeansLite.nearestP(cents, query, meta.nprobe)
     val k = cb.k
+    // the IP/cosine LUT depends only on the query — build it once and vary
+    // only the per-probe -dot(q, centroid) offset; L2 needs a per-probe
+    // residual table
+    val ipLut = if (l2) null else PqCodec.lut(cb, query, l2 = false)
     val perProbe: Map[Int, (Array[Float], Float)] = probes.map { p =>
       val c = cents(p)
       if (l2) {
@@ -434,7 +438,7 @@ object Ann {
         while (i < query.length) { qr(i) = query(i) - c(i); i += 1 }
         p -> (PqCodec.lut(cb, qr, l2 = true), 0.0f)
       } else {
-        p -> (PqCodec.lut(cb, query, l2 = false), -VectorOps.dot(query, c))
+        p -> (ipLut, -VectorOps.dot(query, c))
       }
     }.toMap
     val lutB = spark.sparkContext.broadcast(perProbe)
@@ -919,6 +923,9 @@ object Ann {
     // micro-batch). Small batches still produce exactly one delta shard.
     val targetShardSize = spark.conf.getOption("spark.graft.ann.append.targetShardSize")
       .map(_.toLong).getOrElse(BuildParams().targetShardSize)
+    // cache the batch: sizing (count) and shard building both evaluate it,
+    // and micro-batch appends are latency-sensitive
+    data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = data.count()
     val nDelta = math.max(1, math.ceil(n.toDouble / targetShardSize).toInt)
     val deltaTag = s"delta-${meta.shards.size}"
@@ -949,6 +956,7 @@ object Ann {
         Iterator.single(ShardMeta(f, f"$dir/shard-$deltaTag-$pid%05d.ids", ids.length.toLong))
       }
     }.collect().toList.sortBy(_.file)
+    data.unpersist()
     val updated = meta.copy(shards = meta.shards ++ newShards,
       numVectors = meta.numVectors + newShards.map(_.count).sum)
     IndexCatalog.save(r, updated)
@@ -1067,7 +1075,13 @@ object Ann {
   /** Exact/quantized-engine vacuum: rewrite the parquet table without the
    *  tombstoned rows (versioned directory, atomic metadata swap), then
    *  clear tombstones. Without this, deletes on flat/ivf/pq indexes would
-   *  pay the NOT IN filter on every scan forever. */
+   *  pay the NOT IN filter on every scan forever.
+   *
+   *  Single-writer assumption (same as the graph vacuum and the reference's
+   *  Vacuum): the superseded data directory is deleted as soon as the new
+   *  metadata is live, so a DataFrame planned against the OLD sourcePath
+   *  and executed after the vacuum fails with FileNotFound. Re-plan (reload
+   *  the index) after mutations. */
   private def vacuumExact(spark: SparkSession, meta: IndexMeta,
       tomb: Set[Long]): IndexMeta = {
     val r = root(spark)

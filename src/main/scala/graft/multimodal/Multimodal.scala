@@ -48,9 +48,12 @@ object Multimodal {
    */
   def imageFeatures(payload: Array[Byte], grid: Int = 4): Array[Float] = {
     if (payload == null || payload.length == 0) return null
+    // NonFatal, not just IOException: ImageIO decoders throw runtime
+    // exceptions (AIOOBE, NegativeArraySize, IAE) on malformed bodies whose
+    // headers looked valid — any decode failure must mean "not an image"
     val img = try {
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    } catch { case _: java.io.IOException => null }
+    } catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth == 0 || img.getHeight == 0) return null
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Double](grid * grid)

@@ -349,8 +349,14 @@ object TextOps {
       val ids = arr.map(_._1)
       val vecs = arr.map(_._2)
       it.flatMap { case (idA, va) =>
-        val hit = java.util.Arrays.binarySearch(ids, idA)
-        val start = if (hit >= 0) hit + 1 else -hit - 1
+        // start past ALL entries with id <= idA (duplicate ids exist in
+        // dirty inputs; the expression join this replaces uses a strict
+        // id_a < id_b, which emits nothing between equal ids)
+        var start = {
+          val hit = java.util.Arrays.binarySearch(ids, idA)
+          if (hit >= 0) hit + 1 else -hit - 1
+        }
+        while (start < ids.length && ids(start) == idA) start += 1
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         val dim = va.length
         var j = start
