@@ -186,3 +186,80 @@ case class ShingleHashes(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * All random-hyperplane LSH bucket keys of a float vector in ONE pass —
+ * replaces nTables×bitsPerTable separate `array_inner_product(vec,
+ * literal-plane) > 0` expressions (a multi-thousand-node tree whose codegen
+ * compile dominated the query). Output: one LONG per table,
+ * `(table << 48) | bucket` (bucket < 2^bitsPerTable ≤ 2^30), usable
+ * directly as an equality join key.
+ *
+ * Hyperplane components derive deterministically from (seed, table, bit,
+ * dim-index) via SplitMix64 → uniform in [-1, 1); planes materialize once
+ * per expression instance per JVM (transient lazy).
+ */
+case class LshBuckets(child: Expression, dim: Int, nTables: Int,
+    bitsPerTable: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(dim > 0 && nTables > 0 && bitsPerTable > 0 && bitsPerTable <= 30)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // planes(t*bitsPerTable + b)(d): built once per instance per JVM
+  @transient private lazy val planes: Array[Array[Float]] = {
+    Array.tabulate(nTables * bitsPerTable) { pb =>
+      val p = new Array[Float](dim)
+      var d = 0
+      while (d < dim) {
+        var z = seed + (pb.toLong * dim + d) * 0x9E3779B97F4A7C15L + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        // top 24 bits → uniform [0,1) → [-1,1)
+        p(d) = ((z >>> 40).toFloat / (1L << 24).toFloat) * 2f - 1f
+        d += 1
+      }
+      p
+    }
+  }
+
+  override protected def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val v = new Array[Float](dim)
+    val f = isFloat
+    var i = 0
+    while (i < n) {
+      v(i) = if (a.isNullAt(i)) 0f else if (f) a.getFloat(i) else a.getDouble(i).toFloat
+      i += 1
+    }
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bitsPerTable) {
+        if (graft.core.Simd.dot(planes(t * bitsPerTable + b), 0, v, 0, dim) > 0f)
+          bucket |= 1L << b
+        b += 1
+      }
+      out(t) = (t.toLong << 48) | bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -29,6 +29,12 @@ object functions {
   def array_distance(a: Column, b: Column): Column = mkCol(ArrayDistance(mkExpr(a), mkExpr(b)))
   def array_distance_sq(a: Column, b: Column): Column = mkCol(ArrayDistanceSq(mkExpr(a), mkExpr(b)))
   def array_inner_product(a: Column, b: Column): Column = mkCol(ArrayInnerProduct(mkExpr(a), mkExpr(b)))
+
+  /** All random-hyperplane LSH bucket keys of a vector in one pass:
+   *  ARRAY<LONG>, one `(table << 48) | bucket` per table. */
+  def lsh_buckets(vec: Column, dim: Int, nTables: Int, bitsPerTable: Int,
+      seed: Long): Column =
+    mkCol(LshBuckets(mkExpr(vec), dim, nTables, bitsPerTable, seed))
   def array_negative_inner_product(a: Column, b: Column): Column =
     mkCol(ArrayNegativeInnerProduct(mkExpr(a), mkExpr(b)))
   def array_cosine_similarity(a: Column, b: Column): Column =

@@ -298,25 +298,28 @@ object TextOps {
   def cosineLshPairs(df: DataFrame, vecCol: String, idCol: String, dim: Int,
       threshold: Double, nTables: Int = 4, bitsPerTable: Int = 10,
       seed: Long = 42L): DataFrame = {
-    import graft.functions.{toFloatVec, floatVec, array_inner_product,
-      array_cosine_similarity}
-    val rnd = new scala.util.Random(seed)
+    import graft.functions.{toFloatVec, array_cosine_similarity, lsh_buckets}
     val v = toFloatVec(col(vecCol))
-    val tableCols = (0 until nTables).map { t =>
-      val bucket = (0 until bitsPerTable).map { i =>
-        val plane = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
-        when(array_inner_product(v, floatVec(plane.toSeq)) > 0, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("ti"), bucket.as("bv"))
-    }
-    val base = df.select(col(idCol).cast(LongType).as("id"), v.as("__v"),
-      explode(array(tableCols: _*)).as("tb"))
-    val a = base.as("a"); val b = base.as("b")
-    a.join(b, col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        array_cosine_similarity(col("a.__v"), col("b.__v")).as("sim"))
+    // all tables' bucket keys in one compiled pass (LshBuckets) — the
+    // previous nTables×bitsPerTable literal-plane expressions formed a
+    // multi-thousand-node tree whose codegen compile dominated the query
+    val tb = lsh_buckets(v, dim, nTables, bitsPerTable, seed)
+    // bucket-collision candidates dedup on SCALAR id pairs first (a pair
+    // can collide in several tables — deduping after computing the cosine
+    // would both re-verify duplicates and drag doubles through the
+    // distinct shuffle); vectors join back once per UNIQUE pair
+    val buckets = df.select(col(idCol).cast(LongType).as("id"),
+      explode(tb).as("tb"))
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val pairs = a.join(b, col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val vecs = df.select(col(idCol).cast(LongType).as("id"), v.as("__v"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("__v").as("__vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        array_cosine_similarity(col("__va"), col("__vb")).as("sim"))
       .where(col("sim") >= threshold)
   }
 
