@@ -14,15 +14,18 @@ object Bench {
     // so each plan's codegen classes are compiled and its hot paths are
     // JITed before timing. First-execution costs (classload, codegen
     // compile, C2 warmup) were dominating sub-second queries by 3-8x; the
-    // steady-state throughput is what a serving deployment sees. Falls back
-    // to the target dir when sf0.001 is absent.
-    val warmDir = {
-      val small = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
-      if (new java.io.File(small).isDirectory) small else sfDir
-    }
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => }
-    }
+    // steady-state throughput is what a serving deployment sees. Warmup is
+    // SKIPPED (not run at full scale — that would double wall-clock and
+    // overwrite the same index names twice) when sf0.001 is absent, and
+    // per-query warmup failures are logged so a query that only passes
+    // thanks to warmup-created state is visible.
+    val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try { fn(spark, warmDir).count() }
+        catch { case t: Throwable => System.err.println(s"[bench] warmup $name failed: $t") }
+      }
+    } else System.err.println(s"[bench] warmup skipped: $warmDir not found")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -104,6 +104,12 @@ final class DiskannMmapIndex private (
       while (j < maxDegree && !done) {
         val nb = ib.get(base + j)
         if (nb == DiskannFormat.PadSentinel) done = true
+        else if (nb < 0 || nb >= n)
+          // mapped bytes are untrusted: any id outside [0, n) that isn't the
+          // pad sentinel is corruption — fail like a parse error, not an
+          // IndexOutOfBounds from a negative buffer offset later
+          throw new IOException(
+            s".diskann mmap: corrupt adjacency for node $id: neighbor $nb outside [0, $n)")
         else { out(j) = nb; j += 1 }
       }
       j
@@ -124,36 +130,47 @@ object DiskannMmapIndex {
     if (len > Int.MaxValue)
       throw new IOException(s".diskann mmap: file exceeds a single map: $len")
     val raf = new RandomAccessFile(f, "r")
-    val buf = try raf.getChannel.map(FileChannel.MapMode.READ_ONLY, 0, len)
-      finally raf.close()
-    buf.order(ByteOrder.LITTLE_ENDIAN)
-    if (len < DiskannFormat.HeaderSize) fail(path, "file too small for header")
-    val magic = new Array[Byte](4)
-    buf.get(0, magic)
-    if (!java.util.Arrays.equals(magic, DiskannFormat.Magic)) fail(path, "invalid magic bytes")
-    if (buf.getInt(4) != DiskannFormat.Version) fail(path, s"unsupported version ${buf.getInt(4)}")
-    val n = buf.getInt(8)
-    val dim = buf.getInt(12)
-    val maxDeg = buf.getInt(16)
-    val nEp = buf.getInt(20)
-    val metricCode = buf.get(24) & 0xff
-    val buildComplexity = buf.getInt(28)
-    if (n < 0 || dim <= 0 || maxDeg <= 0 || nEp < 0) fail(path, "corrupt header")
-    val epOff = DiskannFormat.HeaderSize.toLong
-    val vecOff = epOff + nEp.toLong * 4
-    val adjOff = vecOff + n.toLong * dim * 4
-    val end = adjOff + n.toLong * maxDeg * 4
-    if (end > len) fail(path, s"file truncated: need $end bytes, have $len")
-    if (len > end + 4 && buf.get(end.toInt) == 'S' && buf.get(end.toInt + 1) == 'Q' &&
-        buf.get(end.toInt + 2) == '8' && buf.get(end.toInt + 3) == 0)
-      return null // SQ8 shard: quantized semantics need the heap reader
-    val eps = new Array[Int](nEp)
-    var i = 0
-    while (i < nEp) { eps(i) = buf.getInt(epOff.toInt + i * 4); i += 1 }
-    val metric = Metric.fromCode(metricCode, cosine = cosineMetadata)
-    new DiskannMmapIndex(buf, dim, n, maxDeg,
-      if (buildComplexity > 0) buildComplexity else VamanaIndex.DefaultBuildComplexity,
-      metric, eps, vecOff.toInt, adjOff.toInt)
+    try {
+      // Probe the header and SQ8 appendix with small bounded reads BEFORE
+      // mapping: a quantized shard (→ null, heap reader takes over) must not
+      // leave a throwaway whole-file mapping lingering until GC.
+      if (len < DiskannFormat.HeaderSize) fail(path, "file too small for header")
+      val hdr = new Array[Byte](DiskannFormat.HeaderSize)
+      raf.readFully(hdr)
+      val hb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](4)
+      hb.get(0, magic)
+      if (!java.util.Arrays.equals(magic, DiskannFormat.Magic)) fail(path, "invalid magic bytes")
+      if (hb.getInt(4) != DiskannFormat.Version) fail(path, s"unsupported version ${hb.getInt(4)}")
+      val n = hb.getInt(8)
+      val dim = hb.getInt(12)
+      val maxDeg = hb.getInt(16)
+      val nEp = hb.getInt(20)
+      val metricCode = hb.get(24) & 0xff
+      val buildComplexity = hb.getInt(28)
+      if (n < 0 || dim <= 0 || maxDeg <= 0 || nEp < 0) fail(path, "corrupt header")
+      val epOff = DiskannFormat.HeaderSize.toLong
+      val vecOff = epOff + nEp.toLong * 4
+      val adjOff = vecOff + n.toLong * dim * 4
+      val end = adjOff + n.toLong * maxDeg * 4
+      if (end > len) fail(path, s"file truncated: need $end bytes, have $len")
+      if (len > end + 4) {
+        val tag = new Array[Byte](4)
+        raf.seek(end)
+        raf.readFully(tag)
+        if (tag(0) == 'S' && tag(1) == 'Q' && tag(2) == '8' && tag(3) == 0)
+          return null // SQ8 shard: quantized semantics need the heap reader
+      }
+      val buf = raf.getChannel.map(FileChannel.MapMode.READ_ONLY, 0, len)
+      buf.order(ByteOrder.LITTLE_ENDIAN)
+      val eps = new Array[Int](nEp)
+      var i = 0
+      while (i < nEp) { eps(i) = buf.getInt(epOff.toInt + i * 4); i += 1 }
+      val metric = Metric.fromCode(metricCode, cosine = cosineMetadata)
+      new DiskannMmapIndex(buf, dim, n, maxDeg,
+        if (buildComplexity > 0) buildComplexity else VamanaIndex.DefaultBuildComplexity,
+        metric, eps, vecOff.toInt, adjOff.toInt)
+    } finally raf.close()
   }
 
   private def fail(path: String, msg: String): Nothing =

@@ -19,17 +19,31 @@ package graft.core
  */
 object Simd {
 
+  /** Probe length. Must exceed 2× the widest SPECIES_PREFERRED lane count
+   *  (16 floats on AVX-512) so the vectorized loop body — not just the
+   *  scalar tail — executes at least once. The JVM links method refs
+   *  lazily at first execution: a 2-element probe would "pass" on JDK 19+
+   *  and only hit the removed `FloatVector.fromByteBuffer` at query time. */
+  private val ProbeLen = 64
+
   val enabled: Boolean =
-    try SimdKernels.dot(Array(1f, 2f), 0, Array(3f, 4f), 0, 2) == 11f
-    catch { case _: Throwable => false }
+    try {
+      val ones = Array.fill(ProbeLen)(1f)
+      SimdKernels.dot(ones, 0, ones, 0, ProbeLen) == ProbeLen.toFloat &&
+        SimdKernels.l2Sq(ones, 0, ones, 0, ProbeLen) == 0f
+    } catch { case _: Throwable => false }
 
   /** Buffer-kernel availability (probed independently: see scaladoc). */
   val bbEnabled: Boolean = enabled && {
     try {
-      val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.putFloat(0, 3f); bb.putFloat(4, 4f)
-      SimdKernels.dotBB(bb, 0, Array(1f, 2f)) == 11f &&
-        SimdKernels.l2SqBB(bb, 0, Array(3f, 4f)) == 0f
+      val bb = java.nio.ByteBuffer.allocate(ProbeLen * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < ProbeLen) { bb.putFloat(i * 4, 2f); i += 1 }
+      val ones = Array.fill(ProbeLen)(1f)
+      val twos = Array.fill(ProbeLen)(2f)
+      // all-equal inputs make both results exact under any summation order
+      SimdKernels.dotBB(bb, 0, ones) == 2f * ProbeLen &&
+        SimdKernels.l2SqBB(bb, 0, twos) == 0f
     } catch { case _: Throwable => false }
   }
 
