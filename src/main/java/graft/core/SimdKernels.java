@@ -97,6 +97,32 @@ public final class SimdKernels {
     return den == 0.0 ? 0.0f : (float) (ab / den);
   }
 
+  // ---- gemm-shaped batch kernels: one call computes a whole hop's worth of
+  // candidate distances over a contiguous gathered block (the CPU analog of
+  // the reference's lock-step batch distance dispatch,
+  // rust_lib/src/provider.rs:386-421 + metal_multi_batch_distances). Each
+  // row i of `block` (n rows x dim floats) is scored against the query
+  // `qmap[i]` inside `queriesFlat` (nq rows x dim floats). Per-row math is
+  // the SAME kernel as the single-pair calls, so batch and per-pair searches
+  // return bit-identical distances.
+
+  /** out[i] = l2Sq(block row i, queriesFlat row qmap[i]) for i in [0, n). */
+  public static void l2SqBatch(float[] block, float[] queriesFlat, int[] qmap,
+      int n, int dim, float[] out) {
+    for (int i = 0; i < n; i++) {
+      out[i] = l2Sq(block, i * dim, queriesFlat, qmap[i] * dim, dim);
+    }
+  }
+
+  /** out[i] = -dot(block row i, queriesFlat row qmap[i]) — negated inner
+   *  product, matching the engine's IP/cosine distance convention. */
+  public static void negDotBatch(float[] block, float[] queriesFlat, int[] qmap,
+      int n, int dim, float[] out) {
+    for (int i = 0; i < n; i++) {
+      out[i] = -dot(block, i * dim, queriesFlat, qmap[i] * dim, dim);
+    }
+  }
+
   // ---- zero-copy variants over a mapped ByteBuffer (mmap shard serving,
   // the analog of rust_lib/src/disk_provider.rs reading distances straight
   // from the mapped image). Absolute reads only: thread-safe on a shared

@@ -17,6 +17,15 @@ private[core] trait NodeCursor {
   def dist(id: Int, q: Array[Float]): Float
   /** Fill `buf` with the neighbor ids of `id`; returns the count. */
   def neighborsInto(id: Int, buf: Array[Int]): Int
+  /** True when [[copyVector]] yields floats over which the array kernels
+   *  compute distances bit-identical to [[dist]] — enables the gemm-shaped
+   *  lock-step batch path. False (e.g. SQ8, whose fused dequantize+distance
+   *  loop sums in scalar order) routes batch hops through per-pair dist. */
+  def gatherable: Boolean = false
+  /** Copy node `id`'s vector into dst[dstOff, dstOff+dim). Only called when
+   *  [[gatherable]] is true. */
+  def copyVector(id: Int, dst: Array[Float], dstOff: Int): Unit =
+    throw new UnsupportedOperationException("cursor is not gatherable")
 }
 
 private[core] trait NodeStore {
@@ -31,6 +40,12 @@ private[core] trait NodeStore {
  * Reusable greedy best-first search over a [[NodeStore]]; exposes the
  * visited pool for Vamana's robustPrune (reference
  * rust_lib/src/disk_provider.rs:339-462, insert_result :656-678).
+ *
+ * The traversal is decomposed into primitives (reset / visitedAdd / seed /
+ * offer / nextCandidate) shared by the single-query [[search]] loop and the
+ * lock-step multi-query driver in the companion — one state machine, two
+ * drivers, so batch and single-query searches visit identical nodes and
+ * return bit-identical results by construction.
  */
 private[core] final class BeamSearcher(store: NodeStore) {
   private val cursor = store.newCursor()
@@ -103,44 +118,6 @@ private[core] final class BeamSearcher(store: NodeStore) {
     }
   }
 
-  def search(query: Array[Float], k: Int, l: Int, excludeSelf: Int): Unit = {
-    resDist = new Array[Float](l)
-    resId = new Array[Int](l)
-    resLen = 0; heapLen = 0; visitedCount = 0; visited.clear()
-    val n = store.nodeCount
-    val eps = store.entryPointIds
-    var i = 0
-    while (i < eps.length) {
-      val ep = eps(i)
-      if (ep < n && ep != excludeSelf && visited.add(ep)) {
-        val d = cursor.dist(ep, query)
-        recordVisited(ep, d)
-        insertResultSeed(l, d, ep)
-      }
-      i += 1
-    }
-    while (heapLen > 0) {
-      val top = heapPop()
-      val cDist = SortableF32.distOf(top)
-      if (resLen >= l && cDist > resDist(resLen - 1)) {
-        heapLen = 0 // converged
-      } else {
-        val cId = SortableF32.idOf(top)
-        val nd = cursor.neighborsInto(cId, nbrBuf)
-        var j = 0
-        while (j < nd) {
-          val nb = nbrBuf(j)
-          if (nb != excludeSelf && nb < n && visited.add(nb)) {
-            val d = cursor.dist(nb, query)
-            recordVisited(nb, d)
-            insertResult(l, d, nb)
-          }
-          j += 1
-        }
-      }
-    }
-  }
-
   @inline private def insertResultSeed(l: Int, d: Float, id: Int): Unit = {
     // same as insertResult but always pushes the seed on the heap
     var lo = 0; var hi = resLen
@@ -158,8 +135,240 @@ private[core] final class BeamSearcher(store: NodeStore) {
     heapPush(SortableF32.pack(d, id))
   }
 
+  // ---- traversal primitives (shared by search() and the lock-step driver)
+
+  private[core] def reset(l: Int): Unit = {
+    resDist = new Array[Float](l)
+    resId = new Array[Int](l)
+    resLen = 0; heapLen = 0; visitedCount = 0; visited.clear()
+  }
+
+  @inline private[core] def visitedAdd(id: Int): Boolean = visited.add(id)
+
+  /** Record + insert an entry-point seed (always heap-pushed). */
+  @inline private[core] def seed(l: Int, d: Float, id: Int): Unit = {
+    recordVisited(id, d)
+    insertResultSeed(l, d, id)
+  }
+
+  /** Record + insert an expanded neighbor. */
+  @inline private[core] def offer(l: Int, d: Float, id: Int): Unit = {
+    recordVisited(id, d)
+    insertResult(l, d, id)
+  }
+
+  /** Pop the next candidate to expand, or -1 when the search converged
+   *  (heap empty, or best candidate is worse than the full result list —
+   *  which terminates the whole search, matching the single-query loop). */
+  @inline private[core] def nextCandidate(l: Int): Int = {
+    if (heapLen == 0) return -1
+    val top = heapPop()
+    if (resLen >= l && SortableF32.distOf(top) > resDist(resLen - 1)) {
+      heapLen = 0 // converged
+      return -1
+    }
+    SortableF32.idOf(top)
+  }
+
+  def search(query: Array[Float], k: Int, l: Int, excludeSelf: Int): Unit = {
+    reset(l)
+    val n = store.nodeCount
+    val eps = store.entryPointIds
+    var i = 0
+    while (i < eps.length) {
+      val ep = eps(i)
+      if (ep < n && ep != excludeSelf && visited.add(ep)) {
+        seed(l, cursor.dist(ep, query), ep)
+      }
+      i += 1
+    }
+    var cId = nextCandidate(l)
+    while (cId >= 0) {
+      val nd = cursor.neighborsInto(cId, nbrBuf)
+      var j = 0
+      while (j < nd) {
+        val nb = nbrBuf(j)
+        if (nb != excludeSelf && nb < n && visited.add(nb)) {
+          offer(l, cursor.dist(nb, query), nb)
+        }
+        j += 1
+      }
+      cId = nextCandidate(l)
+    }
+  }
+
   def topK(k: Int): (Array[Int], Array[Float]) = {
     val n = math.min(k, resLen)
     (Arrays.copyOf(resId, n), Arrays.copyOf(resDist, n))
+  }
+}
+
+private[core] object BeamSearcher {
+
+  /** Gather-block row cap: bounds batch scratch at MaxBlockRows*dim floats
+   *  (~1 MB at dim 64) regardless of query count. */
+  private val MaxBlockRows = 4096
+
+  /** Queries advanced in one lock-step group. Grouping bounds the live
+   *  per-query state (visited sets, heaps, result lists) so it stays
+   *  cache-resident, while a group's hop still exposes ~group*degree
+   *  independent memory loads for the CPU to overlap (the DRAM-latency
+   *  hiding that is the CPU counterpart of the reference's GPU batch
+   *  dispatch). Tunable via -Dgraft.ann.lockstepGroup. */
+  private def groupSize: Int =
+    sys.props.get("graft.ann.lockstepGroup").map(_.toInt).getOrElse(64)
+
+  /** Below this vector footprint the shard is cache-resident and the serial
+   *  per-query miss chain is already cheap — lock-step's extra state/gather
+   *  work then LOSES ~20% (measured: 60k x 64f shard, 15 MB), while above it
+   *  the overlapped hop loads win 5-25% (measured: 400k x 64f, 98 MB). Both
+   *  paths are bit-identical, so this is purely a performance route.
+   *  Tunable via -Dgraft.ann.lockstepMinBytes (0 forces lock-step). */
+  private def minLockstepBytes: Long =
+    sys.props.get("graft.ann.lockstepMinBytes").map(_.toLong).getOrElse(32L << 20)
+
+  /** Batch entry: auto-routes small shards to per-query search, otherwise
+   *  runs lock-step within groups of [[groupSize]], groups sequential.
+   *  Per-query results are identical on every route (each query's traversal
+   *  is independent and per-row kernels match). */
+  def searchBatch(store: NodeStore, metric: Metric, queries: Array[Array[Float]],
+      k: Int, l: Int): Array[(Array[Int], Array[Float])] = {
+    if (queries.isEmpty) return Array.empty
+    val vecBytes = store.nodeCount.toLong * queries(0).length * 4
+    if (vecBytes < minLockstepBytes)
+      return queries.map { q =>
+        val b = new BeamSearcher(store)
+        b.search(q, k, l, excludeSelf = -1)
+        b.topK(k)
+      }
+    val g = math.max(groupSize, 1)
+    if (queries.length <= g) searchLockstep(store, metric, queries, k, l)
+    else queries.grouped(g).flatMap(searchLockstep(store, metric, _, k, l)).toArray
+  }
+
+  /**
+   * Lock-step multi-query batch search (reference rust_lib/src/provider.rs:
+   * 248-440): every active query advances ONE hop per iteration — pop its
+   * best candidate, gather its unvisited neighbors into a shared
+   * (neighbor, query) worklist — then the whole hop's distances are computed
+   * as ONE gemm-shaped SIMD block over the gathered neighbor vectors
+   * ([[Simd.l2SqBatch]]/[[Simd.negDotBatch]], the CPU stand-in for the
+   * reference's Metal batch dispatch) and scattered back into each query's
+   * result state. Per-query traversal uses the same [[BeamSearcher]]
+   * primitives as the single-query loop, and per-row batch math is the same
+   * kernel as per-pair calls, so results are bit-identical to searching each
+   * query alone.
+   *
+   * When the cursor can't expose raw floats ([[NodeCursor.gatherable]] false,
+   * e.g. SQ8), the hop's distances fall back to per-pair `cursor.dist` —
+   * still lock-step (shared traversal bookkeeping), just not gemm-shaped.
+   */
+  private def searchLockstep(store: NodeStore, metric: Metric, queries: Array[Array[Float]],
+      k: Int, l: Int): Array[(Array[Int], Array[Float])] = {
+    val nq = queries.length
+    val out = new Array[(Array[Int], Array[Float])](nq)
+    if (nq == 0) return out
+    val n = store.nodeCount
+    val dim = queries(0).length
+    val cursor = store.newCursor()
+    val nbrBuf = new Array[Int](math.max(store.degreeBound, 1))
+    val l2 = metric eq Metric.L2
+    val gather = cursor.gatherable
+
+    val searchers = Array.fill(nq)(new BeamSearcher(store))
+    var qi = 0
+    while (qi < nq) { searchers(qi).reset(l); qi += 1 }
+
+    // flat queries buffer for the batch kernels (provider.rs:324 queries_flat)
+    val qflat = new Array[Float](nq * dim)
+    qi = 0
+    while (qi < nq) { System.arraycopy(queries(qi), 0, qflat, qi * dim, dim); qi += 1 }
+
+    // shared per-hop worklist, reused across iterations
+    val maxPerHop = nq * math.max(store.degreeBound, 1)
+    val hopIds = new Array[Int](math.max(maxPerHop, nq * math.max(store.entryPointIds.length, 1)))
+    val hopQ = new Array[Int](hopIds.length)
+    val hopDist = new Array[Float](hopIds.length)
+    // gather block bounded to MaxBlockRows rows so a 10k-query batch doesn't
+    // allocate nq*degree*dim floats; chunking is per-row independent, so it
+    // cannot change results
+    val blockRows = math.min(hopIds.length, MaxBlockRows)
+    val block = if (gather) new Array[Float](blockRows * dim) else null
+    val qChunk = if (gather) new Array[Int](blockRows) else null
+    val dChunk = if (gather) new Array[Float](blockRows) else null
+
+    @inline def computeHop(cnt: Int): Unit = {
+      if (gather) {
+        var base = 0
+        while (base < cnt) {
+          val m = math.min(blockRows, cnt - base)
+          var i = 0
+          while (i < m) { cursor.copyVector(hopIds(base + i), block, i * dim); i += 1 }
+          System.arraycopy(hopQ, base, qChunk, 0, m)
+          if (l2) Simd.l2SqBatch(block, qflat, qChunk, m, dim, dChunk)
+          else Simd.negDotBatch(block, qflat, qChunk, m, dim, dChunk)
+          System.arraycopy(dChunk, 0, hopDist, base, m)
+          base += m
+        }
+      } else {
+        var i = 0
+        while (i < cnt) { hopDist(i) = cursor.dist(hopIds(i), queries(hopQ(i))); i += 1 }
+      }
+    }
+
+    // ---- seed hop: all (entry point, query) pairs in one batch
+    val eps = store.entryPointIds
+    var cnt = 0
+    qi = 0
+    while (qi < nq) {
+      var e = 0
+      while (e < eps.length) {
+        val ep = eps(e)
+        if (ep < n && searchers(qi).visitedAdd(ep)) {
+          hopIds(cnt) = ep; hopQ(cnt) = qi; cnt += 1
+        }
+        e += 1
+      }
+      qi += 1
+    }
+    computeHop(cnt)
+    var i = 0
+    while (i < cnt) { searchers(hopQ(i)).seed(l, hopDist(i), hopIds(i)); i += 1 }
+
+    // ---- lock-step hops
+    val active = Array.fill(nq)(true)
+    var activeCount = nq
+    while (activeCount > 0) {
+      cnt = 0
+      qi = 0
+      while (qi < nq) {
+        if (active(qi)) {
+          val s = searchers(qi)
+          val cId = s.nextCandidate(l)
+          if (cId < 0) { active(qi) = false; activeCount -= 1 }
+          else {
+            val nd = cursor.neighborsInto(cId, nbrBuf)
+            var j = 0
+            while (j < nd) {
+              val nb = nbrBuf(j)
+              if (nb < n && s.visitedAdd(nb)) {
+                hopIds(cnt) = nb; hopQ(cnt) = qi; cnt += 1
+              }
+              j += 1
+            }
+          }
+        }
+        qi += 1
+      }
+      if (cnt > 0) {
+        computeHop(cnt)
+        i = 0
+        while (i < cnt) { searchers(hopQ(i)).offer(l, hopDist(i), hopIds(i)); i += 1 }
+      }
+    }
+
+    qi = 0
+    while (qi < nq) { out(qi) = searchers(qi).topK(k); qi += 1 }
+    out
   }
 }

@@ -63,6 +63,24 @@ final class DiskannMmapIndex private (
     beam.topK(kk)
   }
 
+  /** Lock-step multi-query batch search over the mapped image — bit-identical
+   *  to per-query [[search]] (gathered copies scored with the array kernels,
+   *  whose lane structure mirrors the zero-copy buffer kernels — the same
+   *  equivalence PersistenceSpec asserts for mmap vs heap serving). */
+  override def searchBatch(queries: Array[Array[Float]], k: Int,
+      searchComplexity: Int = 0): Array[(Array[Int], Array[Float])] = {
+    if (n == 0 || k <= 0)
+      return queries.map(_ => (Array.emptyIntArray, Array.emptyFloatArray))
+    if (queries.length == 1)
+      return queries.map(q => search(q, k, searchComplexity))
+    queries.foreach(q => require(q.length == dim,
+      s"query dimension ${q.length} != index dimension $dim"))
+    val kk = math.min(k, n)
+    val baseL = if (searchComplexity > 0) searchComplexity else buildComplexity
+    val l = math.max(kk, baseL)
+    BeamSearcher.searchBatch(this, metric, queries, kk, l)
+  }
+
   // ---- NodeStore
   def nodeCount: Int = n
   def entryPointIds: Array[Int] = entryPoints
@@ -96,6 +114,14 @@ final class DiskannMmapIndex private (
         else -Simd.dot(scratch, 0, q, 0, dim)
       }
     }
+
+    // gemm gather for the lock-step batch path: copied rows scored with the
+    // array kernels equal the zero-copy buffer kernels bit-exactly (mirrored
+    // lane structure — the same mmap/heap parity PersistenceSpec asserts)
+    override def gatherable: Boolean = true
+    private lazy val gatherFb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+    override def copyVector(id: Int, dst: Array[Float], dstOff: Int): Unit =
+      gatherFb.get(vecOff / 4 + id * dim, dst, dstOff, dim)
 
     def neighborsInto(id: Int, out: Array[Int]): Int = {
       val base = adjIntBase + id * maxDegree

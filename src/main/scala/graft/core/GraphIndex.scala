@@ -18,6 +18,15 @@ trait GraphIndex extends Serializable {
    *  `searchComplexity <= 0` = use the build-time default. */
   def search(query: Array[Float], k: Int, searchComplexity: Int = 0): (Array[Int], Array[Float])
 
+  /** Multi-query top-k search, results per query in input order. Default =
+   *  independent per-query searches; the diskann engines override with the
+   *  lock-step batch traversal (reference rust_lib/src/provider.rs:248-440)
+   *  which returns bit-identical results while computing each hop's
+   *  distances as one gemm-shaped SIMD block. */
+  def searchBatch(queries: Array[Array[Float]], k: Int,
+      searchComplexity: Int = 0): Array[(Array[Int], Array[Float])] =
+    queries.map(q => search(q, k, searchComplexity))
+
   /** Reconstructed full-precision vector for a label (for vacuum/merge). */
   def vector(id: Int): Array[Float]
 

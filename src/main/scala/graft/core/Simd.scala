@@ -87,6 +87,25 @@ object Simd {
       s
     }
 
+  /** Gemm-shaped hop kernel: out(i) = l2Sq(block row i, query qmap(i)).
+   *  Per-row math identical to [[l2Sq]] → batch == per-pair bit-exactly. */
+  def l2SqBatch(block: Array[Float], queriesFlat: Array[Float], qmap: Array[Int],
+      n: Int, dim: Int, out: Array[Float]): Unit =
+    if (enabled) SimdKernels.l2SqBatch(block, queriesFlat, qmap, n, dim, out)
+    else {
+      var i = 0
+      while (i < n) { out(i) = l2Sq(block, i * dim, queriesFlat, qmap(i) * dim, dim); i += 1 }
+    }
+
+  /** Gemm-shaped hop kernel: out(i) = -dot(block row i, query qmap(i)). */
+  def negDotBatch(block: Array[Float], queriesFlat: Array[Float], qmap: Array[Int],
+      n: Int, dim: Int, out: Array[Float]): Unit =
+    if (enabled) SimdKernels.negDotBatch(block, queriesFlat, qmap, n, dim, out)
+    else {
+      var i = 0
+      while (i < n) { out(i) = -dot(block, i * dim, queriesFlat, qmap(i) * dim, dim); i += 1 }
+    }
+
   @inline def cosine(a: Array[Float], ao: Int, b: Array[Float], bo: Int, len: Int): Float =
     if (enabled) SimdKernels.cosine(a, ao, b, bo, len)
     else {

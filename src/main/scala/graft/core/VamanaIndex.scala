@@ -102,6 +102,11 @@ final class VamanaIndex(
   def entryPointIds: Array[Int] = entryPoints
   def degreeBound: Int = slackDegree
   def newCursor(): NodeCursor = this
+  // gemm gather: raw full-precision rows match the array-kernel dist path
+  // bit-exactly; SQ8's fused scalar loop doesn't → per-pair fallback
+  override def gatherable: Boolean = sq8 == null
+  override def copyVector(id: Int, dst: Array[Float], dstOff: Int): Unit =
+    System.arraycopy(vecs, id * dim, dst, dstOff, dim)
   def neighborsInto(id: Int, buf: Array[Int]): Int = {
     val d = degree(id)
     System.arraycopy(adj(id), 0, buf, 0, d)
@@ -255,6 +260,24 @@ final class VamanaIndex(
     val beam = new BeamSearcher(this)
     beam.search(query, kk, l, excludeSelf = -1)
     beam.topK(kk)
+  }
+
+  /** Lock-step multi-query batch search — bit-identical to per-query
+   *  [[search]] (same traversal primitives, same per-row kernels), but the
+   *  per-hop candidate distances of all queries are computed as one SIMD
+   *  block (reference rust_lib/src/provider.rs:248-440). */
+  override def searchBatch(queries: Array[Array[Float]], k: Int,
+      searchComplexity: Int = 0): Array[(Array[Int], Array[Float])] = {
+    if (count == 0 || k <= 0)
+      return queries.map(_ => (Array.emptyIntArray, Array.emptyFloatArray))
+    if (queries.length == 1)
+      return queries.map(q => search(q, k, searchComplexity))
+    queries.foreach(q => require(q.length == dim,
+      s"query dimension ${q.length} != index dimension $dim"))
+    val kk = math.min(k, count)
+    val baseL = if (searchComplexity > 0) searchComplexity else buildComplexity
+    val l = math.max(kk, baseL)
+    BeamSearcher.searchBatch(this, metric, queries, kk, l)
   }
 
   /** Bulk-load deserialized state (DiskannFormat.read). */

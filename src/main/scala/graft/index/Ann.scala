@@ -669,14 +669,17 @@ object Ann {
           .flatMap { case (sh, b) =>
             val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
             val t = tombB.value
-            qB.value.iterator.zipWithIndex
-              .filter { case (_, qi) => qi % nBlocks == b }
-              .flatMap { case (q, qi) =>
-                val (labels, dists) = loaded.index.search(q, perShardK, sc)
-                labels.indices.iterator
-                  .map(i => (qi, loaded.ids(labels(i)), dists(i)))
-                  .filterNot { case (_, id, _) => t.contains(id) }
-              }
+            // the block's queries advance in LOCK-STEP through the shard:
+            // each hop's candidate distances for all of them are one SIMD
+            // block (BeamSearcher.searchBatch) — bit-identical to per-query
+            // search, so the oracle contract is unchanged
+            val qis = qB.value.indices.filter(_ % nBlocks == b).toArray
+            val results = loaded.index.searchBatch(qis.map(qB.value(_)), perShardK, sc)
+            qis.iterator.zip(results.iterator).flatMap { case (qi, (labels, dists)) =>
+              labels.indices.iterator
+                .map(i => (qi, loaded.ids(labels(i)), dists(i)))
+                .filterNot { case (_, id, _) => t.contains(id) }
+            }
           }.toDF("query_idx", "row_id", "_distance")
       case _ =>
         val perQuery = queries.zipWithIndex.map { case (q, qi) =>
