@@ -707,14 +707,14 @@ object Ann {
   /**
    * `ann_search_table`: DataFrame-input batch search — output = input columns
    * + base columns (collisions prefixed `tbl_`) + `_distance`
-   * (reference src/ann_search.cpp:397-691). Query-parallel: each task loads
-   * the (executor-cached) shards and merges per-query top-k locally.
+   * (reference src/ann_search.cpp:397-691).
    *
-   * Scale note: the graph-engine path assumes one executor can hold every
-   * shard (queries are the parallel axis, mirroring the reference's
-   * single-node serving). For indexes larger than executor memory, use
-   * [[searchBatch]] (shards are the parallel axis) or the exact engines,
-   * whose table path broadcasts only the query table.
+   * Graph engines run a (query-block × shard) task grid: every task holds ONE
+   * shard and lock-step-searches its query block against it, and a per-query
+   * window re-merges shard-local top-k into global top-k. No task ever needs
+   * more than one shard resident, so the index can exceed executor memory —
+   * shards spread across the cluster while query blocks keep all cores busy
+   * even at low shard counts.
    */
   def searchTable(queriesDf: DataFrame, queryVecColumn: String, baseDf: DataFrame,
       idColumn: String, name: String, k: Int, searchComplexity: Int = 0): DataFrame = {
@@ -725,46 +725,68 @@ object Ann {
     val tomb = IndexCatalog.readTombstones(root(spark), name)
     val tombB = spark.sparkContext.broadcast(tomb)
     val cosine = meta.metricObj eq Metric.Cosine
-    val shards = meta.shards
+    val shardsArr = meta.shards.toArray
+    val nShards = math.max(shardsArr.length, 1)
     val perShardK = k + tomb.size
     val sc = searchComplexity
     val dim = meta.dim
     val inSchema = queriesDf.schema
     val vecIdx = inSchema.fieldIndex(queryVecColumn)
-    val outSchema = StructType(inSchema.fields.toSeq :+
+    val outSchema = StructType(
+      StructField("__qid", LongType) +: inSchema.fields.toSeq :+
       StructField("row_id", LongType) :+ StructField("_distance", FloatType))
     val metricName = meta.metric
 
     val prepped = queriesDf.withColumn(queryVecColumn,
       toFloatVec(col(queryVecColumn)))
-    val scoredRdd = prepped.rdd.mapPartitions { rows =>
-      val m = Metric.fromName(metricName)
-      val loadedShards = shards.map(sh => ShardCache.get(sh.file, sh.idsFile, cosine))
-      val t = tombB.value
-      rows.flatMap { row =>
-        val raw = row.getSeq[Float](vecIdx).toArray
-        if (raw.length != dim) Iterator.empty
-        else {
-          val q = if (m eq Metric.Cosine) VectorOps.normalize(raw.clone()) else raw
-          // per-query local merge across shards
-          val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Float)]
-          loadedShards.foreach { ls =>
-            val (labels, dists) = ls.index.search(q, perShardK, sc)
-            var i = 0
-            while (i < labels.length) {
-              val id = ls.ids(labels(i))
-              if (!t.contains(id)) merged += ((id, dists(i)))
-              i += 1
-            }
-          }
-          merged.sortBy { case (id, d) => (d, id) }.take(k).iterator.map { case (id, d) =>
-            Row.fromSeq(row.toSeq :+ id :+ d)
-          }
+    // deterministic per-row id (zipWithIndex, NOT monotonically_increasing_id:
+    // the id must be stable if a stage retry recomputes the RDD) keys the
+    // per-query re-merge across shard-local results
+    val qRdd = prepped.rdd.zipWithIndex()
+    val nBlocks = math.max(1, spark.sparkContext.defaultParallelism / nShards)
+    val keyed = qRdd.flatMap { case (row, qid) =>
+      val b = (qid % nBlocks).toInt
+      (0 until nShards).iterator.map(si => ((si, b), (qid, row)))
+    }
+    val gridPartitioner = new org.apache.spark.Partitioner {
+      def numPartitions: Int = nShards * nBlocks
+      def getPartition(key: Any): Int = key match {
+        case (si: Int, b: Int) => si * nBlocks + b
+      }
+    }
+    val scoredRdd = keyed.partitionBy(gridPartitioner).mapPartitions { it =>
+      val cell = it.toArray // one (shard, block) cell per task
+      if (cell.isEmpty) Iterator.empty
+      else {
+        val si = cell(0)._1._1
+        val sh = shardsArr(si)
+        val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
+        val t = tombB.value
+        val m = Metric.fromName(metricName)
+        val valid = cell.iterator.map(_._2).filter { case (_, row) =>
+          row.getSeq[Float](vecIdx).length == dim
+        }.toArray
+        val qs = valid.map { case (_, row) =>
+          val raw = row.getSeq[Float](vecIdx).toArray
+          if (m eq Metric.Cosine) VectorOps.normalize(raw) else raw
+        }
+        // the block advances through this shard in lock-step (one SIMD
+        // block per hop) — bit-identical to per-query search
+        val results = loaded.index.searchBatch(qs, perShardK, sc)
+        valid.iterator.zip(results.iterator).flatMap { case ((qid, row), (labels, dists)) =>
+          labels.indices.iterator
+            .map(i => (loaded.ids(labels(i)), dists(i)))
+            .filterNot { case (id, _) => t.contains(id) }
+            .map { case (id, d) => Row.fromSeq(qid +: row.toSeq :+ id :+ d) }
         }
       }
     }
     val scored = spark.createDataFrame(scoredRdd, outSchema)
-    joinBaseWithPrefix(baseDf, idColumn, scored, inSchema.fieldNames.toSet)
+    // global top-k per query from the ≤ nShards·perShardK shard-local hits
+    val w = Window.partitionBy("__qid").orderBy(col("_distance"), col("row_id"))
+    val topK = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn", "__qid")
+    joinBaseWithPrefix(baseDf, idColumn, topK, inSchema.fieldNames.toSet)
   }
 
   /**

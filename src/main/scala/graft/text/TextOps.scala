@@ -323,65 +323,144 @@ object TextOps {
       .where(col("sim") >= threshold)
   }
 
+  /** SIMD float prefilter at `cut`, then exact double recompute with the
+   *  per-element accumulation order of `array_cosine_similarity` / DuckDB
+   *  `list_cosine_similarity` — emitted sims stay bit-identical to the SQL
+   *  expression while ~all the O(N²) work runs in float SIMD. Appends
+   *  qualifying (idLo, idHi, sim) to `out`; caller guarantees idA < idB. */
+  @inline private def verifyPair(idA: Long, va: Array[Float], idB: Long,
+      vb: Array[Float], cut: Double, threshold: Double,
+      out: scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]): Unit = {
+    import graft.core.Simd
+    val dim = va.length
+    if (Simd.cosine(va, 0, vb, 0, dim) >= cut) {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < dim) {
+        val x = va(i).toDouble; val y = vb(i).toDouble
+        ab += x * y; aa += x * x; bb += y * y; i += 1
+      }
+      val den = math.sqrt(aa) * math.sqrt(bb)
+      val sim = if (den == 0.0) 0.0 else ab / den
+      if (sim >= threshold) out += ((idA, idB, sim))
+    }
+  }
+
   /**
-   * Exact embedding-cosine near-dup pairs — the O(N²) small-N baseline
-   * (the 100 TB path is [[cosineLshPairs]]), executed gemm-style: the
-   * vector table broadcasts once as flat arrays, and each task streams its
-   * rows against the whole broadcast side with SIMD float cosine, keeping
-   * the query row hot in registers (the lock-step analog of the reference's
-   * batch distance, rust_lib/src/provider.rs:248-440). Candidate pairs
-   * within `margin` of the threshold are re-verified in double with the
-   * exact per-element accumulation order of `array_cosine_similarity` /
-   * DuckDB `list_cosine_similarity`, so emitted sims stay bit-identical to
-   * the SQL expression while ~all of the N² work runs in float SIMD.
-   * The float error for dim≲1k is <1e-5; margin defaults 100× that.
+   * Exact embedding-cosine near-dup pairs, auto-routed by estimated table
+   * size (`spark.graft.neardup.broadcastMaxBytes`, default 256 MB):
+   *
+   *  - below: gemm-style broadcast self-join — the vector table broadcasts
+   *    once as flat arrays, each task streams its rows against the whole
+   *    broadcast side (the lock-step analog of the reference's batch
+   *    distance, rust_lib/src/provider.rs:248-440);
+   *  - above: block-partitioned (i,j) tile join — rows hash into T blocks by
+   *    id, each of the T(T+1)/2 block-pair tiles is one task holding only
+   *    its two blocks, so no executor (and no driver) ever materializes the
+   *    table. Same float-prefilter + double-verify per pair → the two routes
+   *    emit identical rows.
+   *
+   * (An approximate alternative at any scale is [[cosineLshPairs]].) Float
+   * prefilter error for dim≲1k is <1e-5; margin defaults 100× that.
    */
   def cosineExactPairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double, margin: Double = 1e-3): DataFrame = {
-    import graft.core.Simd
     import graft.functions.toFloatVec
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast(LongType).as("id"),
       toFloatVec(col(vecCol)).as("v")).as[(Long, Array[Float])]
-    val side = base.collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(side)
+    val maxBytes = spark.conf.getOption("spark.graft.neardup.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val head = base.take(1)
+    if (head.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType),
+          StructField("sim", DoubleType))))
+    val estBytes = base.count() * (head(0)._2.length * 4L + 32L)
     val cut = threshold - margin
-    base.mapPartitions { it =>
-      val arr = bc.value
-      val ids = arr.map(_._1)
-      val vecs = arr.map(_._2)
-      it.flatMap { case (idA, va) =>
-        // start past ALL entries with id <= idA (duplicate ids exist in
-        // dirty inputs; the expression join this replaces uses a strict
-        // id_a < id_b, which emits nothing between equal ids)
-        var start = {
-          val hit = java.util.Arrays.binarySearch(ids, idA)
-          if (hit >= 0) hit + 1 else -hit - 1
-        }
-        while (start < ids.length && ids(start) == idA) start += 1
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        val dim = va.length
-        var j = start
-        while (j < ids.length) {
-          if (Simd.cosine(va, 0, vecs(j), 0, dim) >= cut) {
-            // exact double recompute, same accumulation order as the SQL
-            // expression (VectorExpressions.ArrayCosineSimilarity)
-            val vb = vecs(j)
-            var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
-            while (i < dim) {
-              val x = va(i).toDouble; val y = vb(i).toDouble
-              ab += x * y; aa += x * x; bb += y * y; i += 1
-            }
-            val den = math.sqrt(aa) * math.sqrt(bb)
-            val sim = if (den == 0.0) 0.0 else ab / den
-            if (sim >= threshold) out += ((idA, ids(j), sim))
+    if (estBytes <= maxBytes) {
+      val side = base.collect().sortBy(_._1)
+      val bc = spark.sparkContext.broadcast(side)
+      base.mapPartitions { it =>
+        val arr = bc.value
+        val ids = arr.map(_._1)
+        val vecs = arr.map(_._2)
+        it.flatMap { case (idA, va) =>
+          // start past ALL entries with id <= idA (duplicate ids exist in
+          // dirty inputs; the expression join this replaces uses a strict
+          // id_a < id_b, which emits nothing between equal ids)
+          var start = {
+            val hit = java.util.Arrays.binarySearch(ids, idA)
+            if (hit >= 0) hit + 1 else -hit - 1
           }
-          j += 1
+          while (start < ids.length && ids(start) == idA) start += 1
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = start
+          while (j < ids.length) {
+            verifyPair(idA, va, ids(j), vecs(j), cut, threshold, out)
+            j += 1
+          }
+          out.iterator
+        }
+      }.toDF("id_a", "id_b", "sim").orderBy("id_a", "id_b")
+    } else {
+      // ---- tiled route: T = enough blocks that one block ≈ 64 MB
+      val blockTarget = 64L << 20
+      val nBlocks = math.max(2, math.ceil(estBytes.toDouble / blockTarget).toInt)
+      val nTiles = nBlocks * (nBlocks + 1) / 2
+      // block by scrambled id hash: equal ids always co-locate, so the
+      // strict id_a < id_b rule needs no cross-tile coordination
+      def blockOf(id: Long): Int = {
+        var h = id * -7046029254386353131L
+        h ^= (h >>> 32)
+        (((h % nBlocks) + nBlocks) % nBlocks).toInt
+      }
+      val tileOf = (i: Int, j: Int) => i * nBlocks - i * (i - 1) / 2 + (j - i)
+      val nb = nBlocks
+      val keyed = base.rdd.flatMap { case (id, v) =>
+        val b = blockOf(id)
+        // LEFT in tiles (b, j>=b), RIGHT in tiles (i<b, b): T copies per row
+        (b until nb).iterator.map(j => (tileOf(b, j), (b, id, v))) ++
+          (0 until b).iterator.map(i => (tileOf(i, b), (b, id, v)))
+      }
+      val part = new org.apache.spark.Partitioner {
+        def numPartitions: Int = nTiles
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      }
+      keyed.partitionBy(part).mapPartitions { it =>
+        val rows = it.map(_._2).toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        if (rows.nonEmpty) {
+          val blocks = rows.map(_._1).distinct.sorted
+          if (blocks.length == 1) {
+            // diagonal tile: upper triangle over row pairs with id_a < id_b
+            var i = 0
+            while (i < rows.length) {
+              var j = 0
+              while (j < rows.length) {
+                if (rows(i)._2 < rows(j)._2)
+                  verifyPair(rows(i)._2, rows(i)._3, rows(j)._2, rows(j)._3,
+                    cut, threshold, out)
+                j += 1
+              }
+              i += 1
+            }
+          } else {
+            // off-diagonal: cross product of the two blocks, oriented by id
+            // (blocks are id-hash partitions, so ids never collide across)
+            val l = rows.filter(_._1 == blocks(0))
+            val r = rows.filter(_._1 == blocks(1))
+            l.foreach { case (_, idL, vL) =>
+              r.foreach { case (_, idR, vR) =>
+                if (idL < idR) verifyPair(idL, vL, idR, vR, cut, threshold, out)
+                else verifyPair(idR, vR, idL, vL, cut, threshold, out)
+              }
+            }
+          }
         }
         out.iterator
-      }
-    }.toDF("id_a", "id_b", "sim").orderBy("id_a", "id_b")
+      }.toDF("id_a", "id_b", "sim").orderBy("id_a", "id_b")
+    }
   }
 
   /** MinHash near-dup groups → rows to KEEP after dropping near-duplicates:

@@ -105,6 +105,32 @@ class AnnSpec extends AnyFunSuite {
     assert(res.count() == 4)
   }
 
+  test("searchTable grid: shards>1 x query-partitions>1 == per-query search") {
+    import spark.implicits._
+    // the (query-block x shard) grid must merge shard-local top-k into the
+    // same global top-k the single-query serving path produces
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_grid",
+      Ann.BuildParams(engine = "diskann", numShards = 3, maxDegree = 32,
+        buildComplexity = 64))
+    val qRows = emb.orderBy("vec_id").limit(6).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("embedding"))))
+    val queries = spark.createDataFrame(qRows.toSeq).toDF("qid", "qvec")
+      .repartition(4) // query partitions > 1
+    val res = Ann.searchTable(queries, "qvec", emb, "vec_id", "t_grid", 5,
+      searchComplexity = 100)
+      .select(col("qid"), col("vec_id"), col("_distance"))
+      .collect().groupBy(_.getLong(0))
+    qRows.foreach { case (qid, qvec) =>
+      val expect = Ann.search(emb, "vec_id", "t_grid", qvec.toArray, 5,
+          searchComplexity = 100)
+        .select(col("vec_id"), col("_distance")).collect()
+        .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      val got = res(qid).map(r => (r.getLong(1), r.getFloat(2)))
+        .sortBy { case (id, d) => (d, id) }.toSeq
+      assert(got == expect, s"grid results differ for query $qid")
+    }
+  }
+
   test("delete tombstones exclude rows; vacuum compacts") {
     Ann.buildIndex(emb, "embedding", "vec_id", "t_del",
       Ann.BuildParams(engine = "diskann", numShards = 1))

@@ -131,6 +131,16 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fast.nonEmpty, "test data should produce pairs")
     assert(fast.toSeq == ref.toSeq,
       s"gemm path diverged: ${fast.length} vs ${ref.length} pairs")
+
+    // force the tiled (i,j)-block route (input "larger" than the broadcast
+    // threshold): must emit the identical rows, bit-exact sims included
+    spark.conf.set("spark.graft.neardup.broadcastMaxBytes", "1")
+    try {
+      val tiled = graft.text.TextOps.cosineExactPairs(df, "embedding", "vec_id", 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(tiled.toSeq == fast.toSeq,
+        s"tiled route diverged: ${tiled.length} vs ${fast.length} pairs")
+    } finally spark.conf.unset("spark.graft.neardup.broadcastMaxBytes")
   }
 
   test("signature shapes: NumHashes minhashes, NumBands bands") {
