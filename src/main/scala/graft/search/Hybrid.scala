@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -74,14 +74,27 @@ object Hybrid {
         lit(idf)
     }.reduce(_ + _)
     // distributed top-N first (TakeOrderedAndProject — no global sort), then
-    // rank the ≤topN survivors with a window over the tiny result
+    // rank the ≤topN ordered survivors by partition-local row index
     val top = base.withColumn("__score", score)
       .where(col("__score") > 0)
       .orderBy(col("__score").desc, col("id"))
       .limit(topN)
-    val w = Window.orderBy(col("__score").desc, col("id"))
-    top.withColumn("_bm25_rank", row_number().over(w))
-      .select("id", "_bm25_rank")
+    rankOrdered(top, "_bm25_rank")
+  }
+
+  /** Rank an ordered (orderBy[.limit]) result by global row position WITHOUT
+   *  a window: sorted output is range-partitioned in ascending partition
+   *  order, so zipWithIndex IS the rank. An unpartitioned Window would log
+   *  WindowExec's move-all-data warning on every serving query (noise that
+   *  buries real regressions in the bench log), and the optimizer folds away
+   *  constant partition keys, so there is no quiet window spelling. */
+  private def rankOrdered(top: DataFrame, rankName: String): DataFrame = {
+    val spark = top.sparkSession
+    val ranked = top.select(col("id")).rdd
+      .zipWithIndex.map { case (r, i) => Row(r.getLong(0), (i + 1).toInt) }
+    spark.createDataFrame(ranked, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField(rankName, IntegerType, nullable = false))))
   }
 
   /** Exact vector ranks (squared-L2 over an embedding column):
@@ -92,9 +105,7 @@ object Hybrid {
     val top = df.select(col(idCol).cast(LongType).as("id"), dd.as("__dd"))
       .orderBy(col("__dd"), col("id"))
       .limit(topN)
-    val w = Window.orderBy(col("__dd"), col("id"))
-    top.withColumn("_vector_rank", row_number().over(w))
-      .select("id", "_vector_rank")
+    rankOrdered(top, "_vector_rank")
   }
 
   /** ANN vector ranks via a named index. */

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Pure-SQL end-to-end: build → list/info → search → join, with no Scala API
+ * calls beyond Graft.init (the SQL-only client contract the reference's
+ * table functions serve, src/ann_search.cpp:1165-1218).
+ */
+class TableFunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.graft.ann.root", s"/tmp/graft-test-tvf-${System.nanoTime()}")
+    .getOrCreate()
+  locally {
+    spark.sparkContext.setLogLevel("ERROR")
+    Graft.init(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("docs")
+  }
+
+  private def q0Sql: String = {
+    val r = spark.table("emb").orderBy("vec_id").limit(1).collect()(0)
+    r.getSeq[Float](r.fieldIndex("embedding")).map(f => s"${f}f").mkString("array(", ", ", ")")
+  }
+
+  test("pure SQL: create index, list, info, search, join — no Scala calls") {
+    // build
+    val created = spark.sql(
+      "SELECT * FROM ann_create_index('emb', 'embedding', 'vec_id', 'sql_idx', 'Flat')")
+      .collect()
+    assert(created.length == 1 && created(0).getAs[String]("name") == "sql_idx")
+    // catalog
+    assert(spark.sql("SELECT * FROM ann_list()").collect()
+      .exists(_.getAs[String]("name") == "sql_idx"))
+    val info = spark.sql("SELECT * FROM ann_index_info('sql_idx')").collect()
+    assert(info.length == 1 && info(0).getAs[Long]("num_vectors") == 500L)
+    // search + join in one SQL statement
+    val rows = spark.sql(
+      s"""SELECT s.vec_id, s._distance, e.label
+         |FROM ann_search('emb', 'sql_idx', $q0Sql, 5) s
+         |JOIN emb e ON s.vec_id = e.vec_id
+         |ORDER BY s._distance, s.vec_id""".stripMargin).collect()
+    assert(rows.length == 5)
+    assert(rows(0).getFloat(1) == 0.0f) // query is row 0's own vector
+  }
+
+  test("pure SQL: batch + table-input + vector_distances + gpu_info") {
+    val batch = spark.sql(
+      s"SELECT * FROM ann_search_batch('emb', 'sql_idx', array($q0Sql), 3)").collect()
+    assert(batch.length == 3 && batch.forall(_.getAs[Int]("query_idx") == 0))
+    // TABLE input via a temp view; query-vector column auto-detected
+    spark.sql("CREATE OR REPLACE TEMP VIEW qview AS " +
+      "SELECT vec_id AS qid, embedding FROM emb ORDER BY vec_id LIMIT 2")
+    val st = spark.sql(
+      "SELECT * FROM ann_search_table('qview', 'emb', 'sql_idx', 4)").collect()
+    assert(st.length == 8) // 2 queries x k=4
+    val vd = spark.sql(
+      s"SELECT * FROM vector_distances('emb', $q0Sql)").collect()
+    assert(vd.length == 500 && vd.head.schema.fieldNames.contains("_distance"))
+    val gpu = spark.sql("SELECT * FROM faiss_gpu_info()").collect()
+    assert(gpu.length == 1 && gpu(0).getAs[String]("device") == "cpu")
+  }
+
+  test("pure SQL: hybrid_search over a docs+embeddings view") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW dv AS " +
+      "SELECT d.doc_id, d.text, e.embedding FROM docs d JOIN emb e ON d.doc_id = e.vec_id")
+    val r = spark.sql(
+      s"""SELECT * FROM hybrid_search('dv', '', 'embedding', 'doc_id',
+         |$q0Sql, 'the data', 5, 'text')""".stripMargin)
+    val rows = r.collect()
+    assert(rows.length <= 5 && rows.nonEmpty)
+    assert(r.columns.contains("_rrf_score"))
+  }
+
+  test("errors: non-literal args and unknown index fail cleanly") {
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM ann_search('emb', 'sql_idx', collect_list(1.0) , 5)").collect())
+    assert(e1.getMessage != null)
+    val e2 = intercept[Exception](spark.sql(
+      s"SELECT * FROM ann_search('emb', 'nope_idx', $q0Sql, 5)").collect())
+    assert(e2.getMessage.toLowerCase.contains("nope_idx") ||
+           e2.getMessage.toLowerCase.contains("index"))
+  }
+}
