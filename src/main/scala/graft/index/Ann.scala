@@ -192,11 +192,46 @@ object Ann {
         else new VamanaIndex(dim, m, maxDeg, bc, alpha)
       val normalize = m eq Metric.Cosine
       var bad = -1L
-      it.foreach { case (id, v) =>
-        if (v.length != dim) bad = id
-        else {
-          ix.add(if (normalize) VectorOps.normalize(v.clone()) else v)
-          ids += id
+      if (engine == "hnsw") {
+        // hnsw: insertion order is handled by its own level structure
+        it.foreach { case (id, v) =>
+          if (v.length != dim) bad = id
+          else {
+            ix.add(if (normalize) VectorOps.normalize(v.clone()) else v)
+            ids += id
+          }
+        }
+      } else {
+        // vamana: two-pass pilot seeding per shard (the reference's
+        // streaming build trains a pilot graph from a max(√N, 1000)-point
+        // sample, then stream-inserts the rest,
+        // rust_lib/src/streaming_build.rs:46-122 — early inserts see a
+        // well-spread graph instead of whatever arrived first, improving
+        // edge quality at equal cost). Buffers the partition's rows
+        // (references only; the index copies on add) — shard sizing already
+        // assumes the shard's vectors fit the task.
+        val rows = it.toArray
+        rows.foreach { case (id, v) => if (v.length != dim) bad = id }
+        if (bad < 0 && rows.nonEmpty) {
+          val nRows = rows.length
+          val pilot = math.min(nRows.toLong,
+            math.max(math.sqrt(nRows.toDouble).toLong, 1000L)).toInt
+          val stride = math.max(1, nRows / pilot)
+          val isPilot = new Array[Boolean](nRows)
+          var p = 0
+          var taken = 0
+          while (p < nRows && taken < pilot) {
+            isPilot(p) = true; taken += 1; p += stride
+          }
+          def insert(i: Int): Unit = {
+            val (id, v) = rows(i)
+            ix.add(if (normalize) VectorOps.normalize(v.clone()) else v)
+            ids += id
+          }
+          var i = 0
+          while (i < nRows) { if (isPilot(i)) insert(i); i += 1 }
+          i = 0
+          while (i < nRows) { if (!isPilot(i)) insert(i); i += 1 }
         }
       }
       if (bad >= 0) throw new IllegalArgumentException(
