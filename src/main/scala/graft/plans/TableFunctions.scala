@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, NamedArgumentExpression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.util.ArrayData
 
@@ -33,7 +33,10 @@ import graft.search.Hybrid
  * reserves TABLE() arguments for Python UDTFs). `ann_search_table` and
  * `vector_distances` auto-detect the query-vector column like the reference
  * (first numeric-array column, src/ann_search.cpp:471-494). All arguments
- * must be literals (they configure a search; they are not per-row values).
+ * must be literals (they configure a search; they are not per-row values);
+ * trailing optionals can be passed by name with Spark's named-argument
+ * syntax (`oversample => 3`), mirroring the reference's `:=` named
+ * parameters.
  *
  * Registered by [[Graft.init]] on the live session and by [[GraftExtensions]]
  * at session build; resolution happens at analysis time via the session's
@@ -44,6 +47,31 @@ object TableFunctions {
 
   private def err(fn: String, msg: String): Nothing =
     throw new IllegalArgumentException(s"$fn: $msg")
+
+  /** Resolve positional + `name => value` arguments against the declared
+   *  parameter order (the analog of the reference's named_parameters). */
+  private def splitArgs(fn: String, args: Seq[Expression], names: Seq[String],
+      required: Int): Map[String, Expression] = {
+    val got = scala.collection.mutable.LinkedHashMap.empty[String, Expression]
+    var pos = 0
+    args.foreach {
+      case NamedArgumentExpression(key, value) =>
+        val k = key.toLowerCase
+        if (!names.contains(k)) err(fn,
+          s"unknown argument name: $key (expected one of ${names.mkString(", ")})")
+        if (got.contains(k)) err(fn, s"duplicate argument: $key")
+        got(k) = value
+      case e =>
+        if (got.size > pos) err(fn, "positional arguments must precede named arguments")
+        if (pos >= names.length) err(fn, s"too many arguments (max ${names.length})")
+        got(names(pos)) = e
+        pos += 1
+    }
+    names.take(required).foreach { n =>
+      if (!got.contains(n)) err(fn, s"missing required argument: $n")
+    }
+    got.toMap
+  }
 
   private def evalLit(fn: String, e: Expression): Any = {
     if (!e.foldable) err(fn, s"argument must be a literal, got: ${e.sql}")
@@ -95,56 +123,53 @@ object TableFunctions {
   private def builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "ann_search" -> { args =>
       val fn = "ann_search"
-      if (args.length < 4 || args.length > 6)
-        err(fn, "usage: ann_search(table, index, query_vec, k[, search_complexity, oversample])")
-      val table = str(fn, args(0)); val index = str(fn, args(1))
-      val q = vec(fn, args(2)); val k = int(fn, args(3))
-      val sc = if (args.length > 4) int(fn, args(4)) else 0
-      val over = if (args.length > 5) int(fn, args(5)) else 1
+      val a = splitArgs(fn, args,
+        Seq("table", "index", "query_vec", "k", "search_complexity", "oversample"), 4)
+      val index = str(fn, a("index"))
+      val sc = a.get("search_complexity").map(int(fn, _)).getOrElse(0)
+      val over = a.get("oversample").map(int(fn, _)).getOrElse(1)
       val idCol = IndexCatalog.load(Ann.root(spark), index).idColumn
-      plan(Ann.search(spark.table(table), idCol, index, q, k, sc, over))
+      plan(Ann.search(spark.table(str(fn, a("table"))), idCol, index,
+        vec(fn, a("query_vec")), int(fn, a("k")), sc, over))
     },
     "ann_search_batch" -> { args =>
       val fn = "ann_search_batch"
-      if (args.length < 4 || args.length > 5)
-        err(fn, "usage: ann_search_batch(table, index, query_vecs, k[, search_complexity])")
-      val table = str(fn, args(0)); val index = str(fn, args(1))
-      val qs = vecs(fn, args(2)); val k = int(fn, args(3))
-      val sc = if (args.length > 4) int(fn, args(4)) else 0
+      val a = splitArgs(fn, args,
+        Seq("table", "index", "query_vecs", "k", "search_complexity"), 4)
+      val index = str(fn, a("index"))
+      val sc = a.get("search_complexity").map(int(fn, _)).getOrElse(0)
       val idCol = IndexCatalog.load(Ann.root(spark), index).idColumn
-      plan(Ann.searchBatch(spark.table(table), idCol, index, qs.toSeq, k, sc))
+      plan(Ann.searchBatch(spark.table(str(fn, a("table"))), idCol, index,
+        vecs(fn, a("query_vecs")).toSeq, int(fn, a("k")), sc))
     },
     "ann_search_table" -> { args =>
       val fn = "ann_search_table"
-      if (args.length < 4 || args.length > 5)
-        err(fn, "usage: ann_search_table(queries_table, base_table, index, k[, search_complexity])")
-      val queries = str(fn, args(0)); val base = str(fn, args(1))
-      val index = str(fn, args(2)); val k = int(fn, args(3))
-      val sc = if (args.length > 4) int(fn, args(4)) else 0
+      val a = splitArgs(fn, args,
+        Seq("queries_table", "base_table", "index", "k", "search_complexity"), 4)
+      val index = str(fn, a("index"))
+      val sc = a.get("search_complexity").map(int(fn, _)).getOrElse(0)
       val idCol = IndexCatalog.load(Ann.root(spark), index).idColumn
-      plan(Ann.searchTable(spark.table(queries), spark.table(base), idCol, index, k, sc))
+      plan(Ann.searchTable(spark.table(str(fn, a("queries_table"))),
+        spark.table(str(fn, a("base_table"))), idCol, index, int(fn, a("k")), sc))
     },
     "vector_distances" -> { args =>
       val fn = "vector_distances"
-      if (args.length < 2 || args.length > 3)
-        err(fn, "usage: vector_distances(table, query_vec[, metric])")
-      val df = spark.table(str(fn, args(0)))
-      val q = vec(fn, args(1))
-      val metric = if (args.length > 2) str(fn, args(2)) else "l2"
-      plan(Ann.vectorDistances(df, Ann.detectVectorColumn(df.schema), q, metric))
+      val a = splitArgs(fn, args, Seq("table", "query_vec", "metric"), 2)
+      val df = spark.table(str(fn, a("table")))
+      val metric = a.get("metric").map(str(fn, _)).getOrElse("l2")
+      plan(Ann.vectorDistances(df, Ann.detectVectorColumn(df.schema),
+        vec(fn, a("query_vec")), metric))
     },
     "hybrid_search" -> { args =>
       val fn = "hybrid_search"
-      if (args.length < 6 || args.length > 8)
-        err(fn, "usage: hybrid_search(table, index, vec_col, id_col, query_vec, " +
-          "query_text[, k, text_col])")
-      val table = str(fn, args(0)); val index = str(fn, args(1))
-      val vecCol = str(fn, args(2)); val idCol = str(fn, args(3))
-      val qVec = vec(fn, args(4)); val qText = str(fn, args(5))
-      val k = if (args.length > 6) int(fn, args(6)) else 10
-      val textCol = if (args.length > 7) str(fn, args(7)) else "text"
-      plan(Hybrid.hybridSearch(spark.table(table), textCol, vecCol, idCol,
-        qText, qVec, k, indexName = index))
+      val a = splitArgs(fn, args,
+        Seq("table", "index", "vec_col", "id_col", "query_vec", "query_text",
+          "k", "text_col"), 6)
+      val k = a.get("k").map(int(fn, _)).getOrElse(10)
+      val textCol = a.get("text_col").map(str(fn, _)).getOrElse("text")
+      plan(Hybrid.hybridSearch(spark.table(str(fn, a("table"))), textCol,
+        str(fn, a("vec_col")), str(fn, a("id_col")), str(fn, a("query_text")),
+        vec(fn, a("query_vec")), k, indexName = str(fn, a("index"))))
     },
     "ann_list" -> { args =>
       if (args.nonEmpty) err("ann_list", "takes no arguments")
@@ -152,10 +177,12 @@ object TableFunctions {
     },
     "ann_index_info" -> { args =>
       val fn = "ann_index_info"
-      if (args.length > 1) err(fn, "usage: ann_index_info([name])")
+      val a = splitArgs(fn, args, Seq("name"), 0)
       val all = Ann.indexInfo(spark)
-      if (args.isEmpty) plan(all)
-      else plan(all.where(all("name") === str(fn, args(0))))
+      a.get("name") match {
+        case Some(n) => plan(all.where(all("name") === str(fn, n)))
+        case None => plan(all)
+      }
     },
     "faiss_gpu_info" -> { args =>
       if (args.nonEmpty) err("faiss_gpu_info", "takes no arguments")
@@ -163,27 +190,27 @@ object TableFunctions {
     },
     "ann_create_index" -> { args =>
       val fn = "ann_create_index"
-      if (args.length != 5)
-        err(fn, "usage: ann_create_index(table, vector_col, id_col, index_name, factory)")
-      val table = str(fn, args(0)); val column = str(fn, args(1))
-      val idCol = str(fn, args(2)); val index = str(fn, args(3))
-      val factory = str(fn, args(4))
-      Ann.buildIndexFactory(spark.table(table), column, idCol, index, factory)
+      val a = splitArgs(fn, args,
+        Seq("table", "vector_col", "id_col", "index_name", "factory"), 5)
+      val index = str(fn, a("index_name"))
+      Ann.buildIndexFactory(spark.table(str(fn, a("table"))),
+        str(fn, a("vector_col")), str(fn, a("id_col")), index, str(fn, a("factory")))
       val info = Ann.indexInfo(spark)
       plan(info.where(info("name") === index))
     },
     "ann_vacuum" -> { args =>
       val fn = "ann_vacuum"
-      if (args.length != 1) err(fn, "usage: ann_vacuum(index_name)")
-      val index = str(fn, args(0))
+      val a = splitArgs(fn, args, Seq("index_name"), 1)
+      val index = str(fn, a("index_name"))
       Ann.vacuum(spark, index)
       val info = Ann.indexInfo(spark)
       plan(info.where(info("name") === index))
     },
     "diskann_streaming_build" -> { args =>
       val fn = "diskann_streaming_build"
-      if (args.length != 2) err(fn, "usage: diskann_streaming_build(path, index_name)")
-      val (n, dim, sample) = Ann.streamingBuild(spark, str(fn, args(0)), str(fn, args(1)))
+      val a = splitArgs(fn, args, Seq("path", "index_name"), 2)
+      val (n, dim, sample) =
+        Ann.streamingBuild(spark, str(fn, a("path")), str(fn, a("index_name")))
       val s = spark
       import s.implicits._
       plan(Seq((n, dim, sample)).toDF("num_vectors", "dimension", "sample_size"))

@@ -78,6 +78,18 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(r.columns.contains("_rrf_score"))
   }
 
+  test("named arguments: name => value mirrors the reference's := params") {
+    val over = spark.sql(
+      s"SELECT * FROM ann_search('emb', 'sql_idx', $q0Sql, 2, oversample => 3)").collect()
+    assert(over.length == 6) // k * oversample
+    val named = spark.sql(
+      s"SELECT * FROM vector_distances('emb', $q0Sql, metric => 'ip')").collect()
+    assert(named.length == 500)
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM ann_search('emb', 'sql_idx', $q0Sql, 2, nope => 1)").collect())
+    assert(e.getMessage.contains("unknown argument name"))
+  }
+
   test("errors: non-literal args and unknown index fail cleanly") {
     val e1 = intercept[Exception](spark.sql(
       "SELECT * FROM ann_search('emb', 'sql_idx', collect_list(1.0) , 5)").collect())
