@@ -41,7 +41,11 @@ import graft.search.Hybrid
  * Registered by [[Graft.init]] on the live session and by [[GraftExtensions]]
  * at session build; resolution happens at analysis time via the session's
  * TableFunctionRegistry, and the returned plan is the same DataFrame plan the
- * Scala API builds — identical execution path, identical results.
+ * Scala API builds — identical execution path, identical results. Note that
+ * index-touching functions resolve EAGERLY (the search/build runs while the
+ * statement is analyzed, so EXPLAIN over them launches the work — like the
+ * default eager rewrite mode; use the Scala API with
+ * `spark.graft.ann.rewriteMode=lazy` when plan-only inspection matters).
  */
 object TableFunctions {
 
@@ -205,6 +209,14 @@ object TableFunctions {
       Ann.vacuum(spark, index)
       val info = Ann.indexInfo(spark)
       plan(info.where(info("name") === index))
+    },
+    "ann_drop" -> { args =>
+      val fn = "ann_drop"
+      val a = splitArgs(fn, args, Seq("index_name"), 1)
+      val dropped = Ann.drop(spark, str(fn, a("index_name")))
+      val s = spark
+      import s.implicits._
+      plan(Seq(dropped).toDF("dropped"))
     },
     "diskann_streaming_build" -> { args =>
       val fn = "diskann_streaming_build"

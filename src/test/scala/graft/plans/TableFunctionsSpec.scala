@@ -90,6 +90,14 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown argument name"))
   }
 
+  test("ann_drop removes the index from the catalog") {
+    spark.sql("SELECT * FROM ann_create_index('emb', 'embedding', 'vec_id', 'drop_me', 'Flat')").collect()
+    val r = spark.sql("SELECT * FROM ann_drop('drop_me')").collect()
+    assert(r.length == 1 && r(0).getBoolean(0))
+    assert(!spark.sql("SELECT * FROM ann_list()").collect()
+      .exists(_.getAs[String]("name") == "drop_me"))
+  }
+
   test("errors: non-literal args and unknown index fail cleanly") {
     val e1 = intercept[Exception](spark.sql(
       "SELECT * FROM ann_search('emb', 'sql_idx', collect_list(1.0) , 5)").collect())
