@@ -42,7 +42,12 @@ case class AnnHitsExec(indexName: String, query: Seq[Float], fetchK: Int,
         searchComplexity = 0, oversample = 1)
     }
     val proj = UnsafeProjection.create(schema)
-    hits.map(h => proj(InternalRow(h._1)).copy().asInstanceOf[InternalRow])
+    // 1 attr: hit ids (the rewrite's LeftSemi shape); 2 attrs: (id, distance)
+    // for the lazy ann_search table-function plan
+    if (output.length >= 2)
+      hits.map(h => proj(InternalRow(h._1, h._2)).copy().asInstanceOf[InternalRow])
+    else
+      hits.map(h => proj(InternalRow(h._1)).copy().asInstanceOf[InternalRow])
   }
 
   override def executeCollect(): Array[InternalRow] = computeRows()

@@ -3,7 +3,10 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, NamedArgumentExpression}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, EqualTo, SortOrder}
+import org.apache.spark.sql.types.{FloatType, LongType}
 import org.apache.spark.sql.catalyst.util.ArrayData
 
 import graft.index.{Ann, IndexCatalog}
@@ -121,6 +124,25 @@ object TableFunctions {
 
   private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
 
+  /** Lazy `ann_search` plan (`spark.graft.ann.rewriteMode=lazy`): the same
+   *  join shape the eager path builds, but against an [[AnnHitsNode]] whose
+   *  search runs at EXECUTION time — EXPLAIN over the SQL statement
+   *  launches no index I/O, matching the lazy transparent rewrite. */
+  private def lazySearchPlan(fn: String, table: String, idCol: String,
+      index: String, query: Array[Float], fetchK: Int): LogicalPlan = {
+    val basePlan = spark.table(table).queryExecution.analyzed
+    val idAttr = basePlan.output.find(_.name == idCol).getOrElse(
+      err(fn, s"table $table has no column $idCol (the index id column)"))
+    val hitId = AttributeReference("__ann_id", LongType, nullable = false)()
+    val hitDist = AttributeReference("_distance", FloatType, nullable = false)()
+    val hits = AnnHitsNode(index, query.toSeq, fetchK, Seq(hitId, hitDist))
+    val joined = Join(basePlan, hits, Inner,
+      Some(EqualTo(idAttr, hitId)), JoinHint.NONE)
+    val projected = Project(basePlan.output :+ hitDist, joined)
+    Sort(Seq(SortOrder(hitDist, Ascending), SortOrder(idAttr, Ascending)),
+      global = true, projected)
+  }
+
   private def spark: SparkSession = SparkSession.active
 
   /** (name, builder) for every table function. */
@@ -133,8 +155,12 @@ object TableFunctions {
       val sc = a.get("search_complexity").map(int(fn, _)).getOrElse(0)
       val over = a.get("oversample").map(int(fn, _)).getOrElse(1)
       val idCol = IndexCatalog.load(Ann.root(spark), index).idColumn
-      plan(Ann.search(spark.table(str(fn, a("table"))), idCol, index,
-        vec(fn, a("query_vec")), int(fn, a("k")), sc, over))
+      val table = str(fn, a("table")); val q = vec(fn, a("query_vec"))
+      val k = int(fn, a("k"))
+      if (spark.conf.getOption("spark.graft.ann.rewriteMode").contains("lazy"))
+        lazySearchPlan(fn, table, idCol, index, q, k * math.max(1, over))
+      else
+        plan(Ann.search(spark.table(table), idCol, index, q, k, sc, over))
     },
     "ann_search_batch" -> { args =>
       val fn = "ann_search_batch"

@@ -90,6 +90,25 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown argument name"))
   }
 
+  test("lazy mode: EXPLAIN over ann_search launches no search; results match eager") {
+    import graft.index.Ann
+    val eager = spark.sql(
+      s"SELECT vec_id, _distance FROM ann_search('emb', 'sql_idx', $q0Sql, 5)")
+      .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    spark.conf.set("spark.graft.ann.rewriteMode", "lazy")
+    try {
+      val before = Ann.searchCount.get()
+      spark.sql(s"EXPLAIN SELECT * FROM ann_search('emb', 'sql_idx', $q0Sql, 5)")
+        .collect()
+      assert(Ann.searchCount.get() == before, "EXPLAIN must not launch a search")
+      val rows = spark.sql(
+        s"SELECT vec_id, _distance FROM ann_search('emb', 'sql_idx', $q0Sql, 5)")
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(Ann.searchCount.get() > before, "executing the query must search")
+      assert(rows == eager, "lazy plan must return the eager path's rows")
+    } finally spark.conf.unset("spark.graft.ann.rewriteMode")
+  }
+
   test("ann_drop removes the index from the catalog") {
     spark.sql("SELECT * FROM ann_create_index('emb', 'embedding', 'vec_id', 'drop_me', 'Flat')").collect()
     val r = spark.sql("SELECT * FROM ann_drop('drop_me')").collect()
