@@ -183,6 +183,10 @@ object Ann {
     val hnswM = params.hnswM; val efc = params.efConstruction
     val metricName = metric.name
     val ext = if (engine == "hnsw") "hnsw" else "diskann"
+    // escape hatch / A-B knob for the pilot-seeded insert order (captured
+    // driver-side so it reaches executor closures on a real cluster)
+    val pilotSeed = spark.conf.getOption("spark.graft.ann.pilotSeed")
+      .forall(_.toBoolean)
     val shardMetas = repart.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       val m = Metric.fromName(metricName)
@@ -192,7 +196,7 @@ object Ann {
         else new VamanaIndex(dim, m, maxDeg, bc, alpha)
       val normalize = m eq Metric.Cosine
       var bad = -1L
-      if (engine == "hnsw") {
+      if (engine == "hnsw" || !pilotSeed) {
         // hnsw: insertion order is handled by its own level structure
         it.foreach { case (id, v) =>
           if (v.length != dim) bad = id
