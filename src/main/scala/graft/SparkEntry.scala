@@ -149,10 +149,12 @@ object SparkEntry {
     "events_agg" -> ((s, dir) => {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as long
       // (nanosAsLong); group by hour as epoch seconds so the oracle compare is
-      // integer-exact in both engines.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      // integer-exact in both engines. The conf is scoped to a child session
+      // (shared SparkContext, isolated SQLConf) so concurrent queries on the
+      // main session never observe the toggle.
+      val nanoSession = s.newSession()
+      nanoSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = nanoSession.read.parquet(s"$dir/events.parquet")
       ev.groupBy(col("event_type"),
           ((col("ts") - col("ts") % 3600000000000L) / 1000000000L)
             .cast("long").as("h"))

@@ -70,6 +70,35 @@ class ExactServeSpec extends AnyFunSuite {
       s"appended row missing from warm cache: $top")
   }
 
+  test("searchTable grid: empty query table and all-tombstoned hits") {
+    import spark.implicits._
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_edge",
+      Ann.BuildParams(engine = "diskann", numShards = 2, maxDegree = 16,
+        buildComplexity = 32))
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("qid", "qvec")
+    assert(Ann.searchTable(empty, "qvec", emb, "vec_id", "t_edge", 3).count() == 0)
+    // tombstone the top hits; over-fetch must still return k live rows
+    val top = Ann.search(emb, "vec_id", "t_edge", q0, 3, searchComplexity = 100)
+      .collect().map(_.getLong(0))
+    Ann.delete(spark, "t_edge", top.toSeq)
+    val after = Ann.search(emb, "vec_id", "t_edge", q0, 3, searchComplexity = 100)
+      .collect().map(_.getLong(0))
+    assert(after.length == 3 && after.intersect(top).isEmpty)
+  }
+
+  test("compactExact on ivfflat keeps partition pruning intact") {
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_cmp_ivf",
+      Ann.BuildParams(engine = "ivfflat", nlist = 4, nprobe = 4))
+    val before = hits("t_cmp_ivf", 5)
+    Ann.compactExact(spark, "t_cmp_ivf")
+    assert(hits("t_cmp_ivf", 5) == before)
+    val meta = IndexCatalog.load(Ann.root(spark), "t_cmp_ivf")
+    // cluster partition dirs must survive the rewrite (pruning depends on them)
+    val dirs = new java.io.File(meta.sourcePath).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("cluster=")) > 0, s"got ${dirs.mkString(",")}")
+  }
+
   test("compactExact folds micro-batch append files; results unchanged") {
     import spark.implicits._
     Ann.buildIndex(emb, "embedding", "vec_id", "t_cmp",
