@@ -170,10 +170,15 @@ private[core] final class BeamSearcher(store: NodeStore) {
     SortableF32.idOf(top)
   }
 
-  def search(query: Array[Float], k: Int, l: Int, excludeSelf: Int): Unit = {
+  def search(query: Array[Float], k: Int, l: Int, excludeSelf: Int): Unit =
+    searchFrom(query, k, l, excludeSelf, store.entryPointIds)
+
+  /** [[search]] with explicit entry points (HNSW layer-0 runs start from the
+   *  per-query greedy-descent result, not the store's global entries). */
+  def searchFrom(query: Array[Float], k: Int, l: Int, excludeSelf: Int,
+      eps: Array[Int]): Unit = {
     reset(l)
     val n = store.nodeCount
-    val eps = store.entryPointIds
     var i = 0
     while (i < eps.length) {
       val ep = eps(i)
@@ -232,18 +237,35 @@ private[core] object BeamSearcher {
    *  Per-query results are identical on every route (each query's traversal
    *  is independent and per-row kernels match). */
   def searchBatch(store: NodeStore, metric: Metric, queries: Array[Array[Float]],
-      k: Int, l: Int): Array[(Array[Int], Array[Float])] = {
+      k: Int, l: Int,
+      perQueryEps: Array[Array[Int]] = null): Array[(Array[Int], Array[Float])] = {
     if (queries.isEmpty) return Array.empty
     val vecBytes = store.nodeCount.toLong * queries(0).length * 4
     if (vecBytes < minLockstepBytes)
-      return queries.map { q =>
+      return queries.zipWithIndex.map { case (q, qi) =>
         val b = new BeamSearcher(store)
-        b.search(q, k, l, excludeSelf = -1)
+        b.searchFrom(q, k, l, excludeSelf = -1,
+          if (perQueryEps != null) perQueryEps(qi) else store.entryPointIds)
         b.topK(k)
       }
     val g = math.max(groupSize, 1)
-    if (queries.length <= g) searchLockstep(store, metric, queries, k, l)
-    else queries.grouped(g).flatMap(searchLockstep(store, metric, _, k, l)).toArray
+    if (queries.length <= g) searchLockstep(store, metric, queries, k, l, perQueryEps)
+    else {
+      val out = new Array[(Array[Int], Array[Float])](queries.length)
+      var base = 0
+      while (base < queries.length) {
+        val m = math.min(g, queries.length - base)
+        val qs = java.util.Arrays.copyOfRange(queries.asInstanceOf[Array[AnyRef]], base, base + m)
+          .asInstanceOf[Array[Array[Float]]]
+        val eps = if (perQueryEps == null) null
+          else java.util.Arrays.copyOfRange(perQueryEps.asInstanceOf[Array[AnyRef]], base, base + m)
+            .asInstanceOf[Array[Array[Int]]]
+        val part = searchLockstep(store, metric, qs, k, l, eps)
+        System.arraycopy(part, 0, out, base, m)
+        base += m
+      }
+      out
+    }
   }
 
   /**
@@ -264,7 +286,8 @@ private[core] object BeamSearcher {
    * still lock-step (shared traversal bookkeeping), just not gemm-shaped.
    */
   private def searchLockstep(store: NodeStore, metric: Metric, queries: Array[Array[Float]],
-      k: Int, l: Int): Array[(Array[Int], Array[Float])] = {
+      k: Int, l: Int,
+      perQueryEps: Array[Array[Int]] = null): Array[(Array[Int], Array[Float])] = {
     val nq = queries.length
     val out = new Array[(Array[Int], Array[Float])](nq)
     if (nq == 0) return out
@@ -285,8 +308,10 @@ private[core] object BeamSearcher {
     while (qi < nq) { System.arraycopy(queries(qi), 0, qflat, qi * dim, dim); qi += 1 }
 
     // shared per-hop worklist, reused across iterations
+    val maxEps = if (perQueryEps == null) store.entryPointIds.length
+      else perQueryEps.iterator.map(_.length).foldLeft(1)(math.max)
     val maxPerHop = nq * math.max(store.degreeBound, 1)
-    val hopIds = new Array[Int](math.max(maxPerHop, nq * math.max(store.entryPointIds.length, 1)))
+    val hopIds = new Array[Int](math.max(maxPerHop, nq * math.max(maxEps, 1)))
     val hopQ = new Array[Int](hopIds.length)
     val hopDist = new Array[Float](hopIds.length)
     // gather block bounded to MaxBlockRows rows so a 10k-query batch doesn't
@@ -317,10 +342,10 @@ private[core] object BeamSearcher {
     }
 
     // ---- seed hop: all (entry point, query) pairs in one batch
-    val eps = store.entryPointIds
     var cnt = 0
     qi = 0
     while (qi < nq) {
+      val eps = if (perQueryEps != null) perQueryEps(qi) else store.entryPointIds
       var e = 0
       while (e < eps.length) {
         val ep = eps(e)

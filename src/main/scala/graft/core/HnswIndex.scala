@@ -327,6 +327,72 @@ final class HnswIndex(
     Arrays.copyOf(out, nOut)
   }
 
+  // ---- NodeStore over LAYER 0 (the lock-step batch path searches layer 0
+  // with per-query entry points found by the greedy upper-layer descent;
+  // upper layers are tiny and stay per-query)
+  private[core] object Layer0Store extends NodeStore {
+    def nodeCount: Int = count
+    def entryPointIds: Array[Int] =
+      if (entryPoint >= 0) Array(entryPoint) else Array.emptyIntArray
+    def degreeBound: Int = maxM0
+    def newCursor(): NodeCursor = new NodeCursor {
+      def dist(id: Int, q: Array[Float]): Float = HnswIndex.this.dist(id, q)
+      def neighborsInto(id: Int, buf: Array[Int]): Int = {
+        val nbrs = links(id)(0)
+        System.arraycopy(nbrs, 0, buf, 0, nbrs.length)
+        nbrs.length
+      }
+      override def gatherable: Boolean = true
+      override def copyVector(id: Int, dst: Array[Float], dstOff: Int): Unit =
+        System.arraycopy(vecs, id * dim, dst, dstOff, dim)
+    }
+  }
+
+  /** Lock-step multi-query batch search: per-query greedy descent to layer
+   *  0, then all queries advance the layer-0 beam together with gemm-shaped
+   *  hop distances — bit-identical to per-query [[search]] (the layer-0
+   *  state machine is BeamSearcher's; BatchSearchSpec asserts). */
+  override def searchBatch(queries: Array[Array[Float]], k: Int,
+      searchComplexity: Int = 0): Array[(Array[Int], Array[Float])] = {
+    if (queries.isEmpty) return Array.empty
+    if (mips) {
+      if (size == 0 || k <= 0)
+        return queries.map(_ => (Array.emptyIntArray, Array.emptyFloatArray))
+      ensureMipsBuilt()
+      val aug = queries.map(q => java.util.Arrays.copyOf(q, dim + 1))
+      val inner = mipsInner.searchBatch(aug, k, searchComplexity)
+      val m2 = mipsNorm * mipsNorm
+      return queries.indices.toArray.map { qi =>
+        val q = queries(qi)
+        var qn2 = 0.0; var i = 0
+        while (i < dim) { qn2 += q(i).toDouble * q(i); i += 1 }
+        val (ids, dL2) = inner(qi)
+        val ds = new Array[Float](dL2.length)
+        i = 0
+        while (i < dL2.length) {
+          ds(i) = ((dL2(i).toDouble - qn2 - m2) / 2.0).toFloat
+          i += 1
+        }
+        (ids, ds)
+      }
+    }
+    if (count == 0 || k <= 0)
+      return queries.map(_ => (Array.emptyIntArray, Array.emptyFloatArray))
+    if (queries.length == 1)
+      return queries.map(q => search(q, k, searchComplexity))
+    queries.foreach(q => require(q.length == dim,
+      s"query dimension ${q.length} != index dimension $dim"))
+    val kk = math.min(k, count)
+    val ef = math.max(kk, if (searchComplexity > 0) searchComplexity else efConstruction)
+    val eps = queries.map { q =>
+      var ep = entryPoint
+      var lc = maxLevel
+      while (lc > 0) { ep = greedyClosest(q, ep, lc); lc -= 1 }
+      Array(ep)
+    }
+    BeamSearcher.searchBatch(Layer0Store, metric, queries, kk, ef, eps)
+  }
+
   def search(query: Array[Float], k: Int, searchComplexity: Int): (Array[Int], Array[Float]) = {
     require(query.length == dim, s"query dimension ${query.length} != index dimension $dim")
     if (mips) {

@@ -83,6 +83,23 @@ class BatchSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("hnsw L2 + IP(mips) + cosine: batch == per-query, bit-exact") {
+    val vecs = randVecs(900, 16, seed = 53)
+    def build(metric: Metric): HnswIndex = {
+      val ix = new HnswIndex(16, metric, 16, 64)
+      vecs.foreach(v => ix.add(
+        if (metric eq Metric.Cosine) VectorOps.normalize(v.clone()) else v))
+      ix
+    }
+    val l2 = build(Metric.L2)
+    assertBatchMatchesSingle(l2, randQueries(23, 16, seed = 12), k = 8, sc = 48, "hnsw-l2")
+    val ip = build(Metric.InnerProduct)
+    assertBatchMatchesSingle(ip, randQueries(23, 16, seed = 13), k = 8, sc = 48, "hnsw-ip")
+    val cos = build(Metric.Cosine)
+    val qs = randQueries(23, 16, seed = 14).map(q => VectorOps.normalize(q.clone()))
+    assertBatchMatchesSingle(cos, qs, k = 8, sc = 48, "hnsw-cos")
+  }
+
   test("edge cases: empty query set, single query, k > n, empty index") {
     val vecs = randVecs(50, 8, seed = 3)
     val ix = VamanaIndex.build(vecs.iterator, 8, Metric.L2, 16, 32)
