@@ -404,9 +404,15 @@ object TextOps {
         }
       }.toDF("id_a", "id_b", "sim").orderBy("id_a", "id_b")
     } else {
-      // ---- tiled route: T = enough blocks that one block ≈ 64 MB
+      // ---- tiled route: T = enough blocks that one block ≈ 64 MB AND the
+      // T(T+1)/2 tiles cover the cluster (T ≈ (sqrt(8P+1)-1)/2 tiles ≥ P
+      // tasks; without this a small-but-over-threshold input runs 3 tiles
+      // on a 16-core cluster)
       val blockTarget = 64L << 20
-      val nBlocks = math.max(2, math.ceil(estBytes.toDouble / blockTarget).toInt)
+      val par = spark.sparkContext.defaultParallelism
+      val byPar = math.ceil((math.sqrt(8.0 * par + 1) - 1) / 2).toInt
+      val nBlocks = math.max(2,
+        math.max(math.ceil(estBytes.toDouble / blockTarget).toInt, byPar))
       val nTiles = nBlocks * (nBlocks + 1) / 2
       // block by scrambled id hash: equal ids always co-locate, so the
       // strict id_a < id_b rule needs no cross-tile coordination
