@@ -105,6 +105,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L), s"expected one rep per chain cluster, got $kept")
   }
 
+  test("connectedComponents: driver union-find == distributed fixpoint loop") {
+    import spark.implicits._
+    // chains + cliques + isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 10L),
+      (20L, 22L), (21L, 22L), (20L, 21L)).toDF("id_a", "id_b")
+    val local = graft.text.TextOps.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    spark.conf.set("spark.graft.dedup.localCcMaxEdges", "0")
+    try {
+      val loop = graft.text.TextOps.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(local == loop, s"local $local vs loop $loop")
+    } finally spark.conf.unset("spark.graft.dedup.localCcMaxEdges")
+    assert(local == Seq((1L,1L),(2L,1L),(3L,1L),(4L,1L),(10L,10L),(11L,10L),
+      (20L,20L),(21L,20L),(22L,20L)))
+  }
+
   test("cosineExactPairs: bit-identical to the expression join, incl. near-threshold") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
