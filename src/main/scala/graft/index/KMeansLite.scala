@@ -32,8 +32,11 @@ object KMeansLite {
 
     val assign = new Array[Int](samples.length)
     var it = 0
-    while (it < iters) {
-      // assignment
+    var converged = false
+    while (it < iters && !converged) {
+      // assignment (+ convergence check: unchanged assignment means the
+      // update step recomputes identical centroids — skip remaining rounds)
+      var changes = 0
       var i = 0
       while (i < samples.length) {
         var best = 0; var bestD = Float.MaxValue
@@ -43,9 +46,12 @@ object KMeansLite {
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
+        if (it > 0 && assign(i) != best) changes += 1
+        else if (it == 0) changes += 1
         assign(i) = best
         i += 1
       }
+      converged = changes == 0
       // update
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Int](kk)
