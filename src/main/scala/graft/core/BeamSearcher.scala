@@ -48,8 +48,12 @@ private[core] trait NodeStore {
  * return bit-identical results by construction.
  */
 private[core] final class BeamSearcher(store: NodeStore) {
-  private val cursor = store.newCursor()
-  private val nbrBuf = new Array[Int](math.max(store.degreeBound, 1))
+  // lazy: the lock-step driver creates one BeamSearcher per query purely for
+  // its traversal STATE (heap/results/visited) and computes distances with
+  // its own shared cursor — per-query cursors and neighbor buffers would be
+  // dead weight (an mmap cursor duplicates several buffer views)
+  private lazy val cursor = store.newCursor()
+  private lazy val nbrBuf = new Array[Int](math.max(store.degreeBound, 1))
   // bounded sorted result list (parallel arrays), mirrors insert_result
   private var resDist: Array[Float] = null
   private var resId: Array[Int] = null

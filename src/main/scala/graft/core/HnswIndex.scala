@@ -358,6 +358,8 @@ final class HnswIndex(
     if (mips) {
       if (size == 0 || k <= 0)
         return queries.map(_ => (Array.emptyIntArray, Array.emptyFloatArray))
+      queries.foreach(q => require(q.length == dim,
+        s"query dimension ${q.length} != index dimension $dim"))
       ensureMipsBuilt()
       val aug = queries.map(q => java.util.Arrays.copyOf(q, dim + 1))
       val inner = mipsInner.searchBatch(aug, k, searchComplexity)

@@ -790,7 +790,15 @@ object Ann {
     val tombB = spark.sparkContext.broadcast(tomb)
     val cosine = meta.metricObj eq Metric.Cosine
     val shardsArr = meta.shards.toArray
-    val nShards = math.max(shardsArr.length, 1)
+    if (shardsArr.isEmpty) {
+      // vacuum after deleting every row leaves a zero-shard index
+      val inSchema0 = queriesDf.schema
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(inSchema0.fields.toSeq :+
+          StructField("row_id", LongType) :+ StructField("_distance", FloatType)))
+      return joinBaseWithPrefix(baseDf, idColumn, empty, inSchema0.fieldNames.toSet)
+    }
+    val nShards = shardsArr.length
     val perShardK = k + tomb.size
     val sc = searchComplexity
     val dim = meta.dim

@@ -36,7 +36,9 @@ object PqCodec {
     val kk = math.min(k, samples.length)
     val cents = Array.tabulate(m) { s =>
       val subs = samples.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
-      KMeansLite.train(subs, kk)
+      // no balance pass: codeword usage skew is natural and harmless here —
+      // the cap exists for IVF partition/probe skew, not codebooks
+      KMeansLite.train(subs, kk, capFactor = Double.PositiveInfinity)
     }
     Codebook(m, dsub, kk, cents)
   }

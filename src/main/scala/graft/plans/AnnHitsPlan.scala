@@ -24,22 +24,22 @@ import graft.index.{Ann, IndexCatalog}
  * EXPLAIN / AQE-heavy workflows.
  */
 case class AnnHitsNode(indexName: String, query: Seq[Float], fetchK: Int,
-    output: Seq[Attribute]) extends LeafNode {
+    output: Seq[Attribute], searchComplexity: Int = 0) extends LeafNode {
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = math.max(fetchK, 1).toLong * 16L)
 }
 
 case class AnnHitsExec(indexName: String, query: Seq[Float], fetchK: Int,
-    output: Seq[Attribute]) extends LeafExecNode {
+    output: Seq[Attribute], searchComplexity: Int = 0) extends LeafExecNode {
 
   private def computeRows(): Array[InternalRow] = {
     val spark = SparkSession.active
     val rootDir = Ann.root(spark)
     val metaPath = s"${IndexCatalog.indexDir(rootDir, indexName)}/metadata.json"
     val hits = AnnTopKRule.cachedHits(metaPath, AnnTopKRule.metaHashOf(metaPath),
-        query.toArray, fetchK) {
+        query.toArray, fetchK, searchComplexity) {
       Ann.collectHits(spark, indexName, query.toArray, fetchK,
-        searchComplexity = 0, oversample = 1)
+        searchComplexity, oversample = 1)
     }
     val proj = UnsafeProjection.create(schema)
     // 1 attr: hit ids (the rewrite's LeftSemi shape); 2 attrs: (id, distance)
@@ -60,7 +60,7 @@ case class AnnHitsExec(indexName: String, query: Seq[Float], fetchK: Int,
 
 object AnnHitsStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AnnHitsNode(name, q, k, out) => AnnHitsExec(name, q, k, out) :: Nil
+    case AnnHitsNode(name, q, k, out, sc) => AnnHitsExec(name, q, k, out, sc) :: Nil
     case _ => Nil
   }
 }

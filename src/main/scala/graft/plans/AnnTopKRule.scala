@@ -75,16 +75,17 @@ object AnnTopKRule {
    *  indexes) keeps cached hits consistent. Bounded LRU. */
   private val MaxCached = 128
   private val hitsCache =
-    new java.util.LinkedHashMap[(String, Long, Seq[Float], Int), Array[(Long, Float)]](
+    new java.util.LinkedHashMap[(String, Long, Seq[Float], Int, Int), Array[(Long, Float)]](
         16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Seq[Float], Int), Array[(Long, Float)]]) =
+          e: java.util.Map.Entry[(String, Long, Seq[Float], Int, Int), Array[(Long, Float)]]) =
         size() > MaxCached
     }
 
   private[plans] def cachedHits(metaPath: String, contentHash: Long, query: Array[Float],
-      fetchK: Int)(compute: => Array[(Long, Float)]): Array[(Long, Float)] = {
-    val key = (metaPath, contentHash, query.toSeq, fetchK)
+      fetchK: Int, searchComplexity: Int = 0)(
+      compute: => Array[(Long, Float)]): Array[(Long, Float)] = {
+    val key = (metaPath, contentHash, query.toSeq, fetchK, searchComplexity)
     hitsCache.synchronized {
       val hit = hitsCache.get(key)
       if (hit != null) return hit

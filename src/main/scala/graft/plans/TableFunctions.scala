@@ -129,13 +129,15 @@ object TableFunctions {
    *  search runs at EXECUTION time — EXPLAIN over the SQL statement
    *  launches no index I/O, matching the lazy transparent rewrite. */
   private def lazySearchPlan(fn: String, table: String, idCol: String,
-      index: String, query: Array[Float], fetchK: Int): LogicalPlan = {
+      index: String, query: Array[Float], fetchK: Int,
+      searchComplexity: Int): LogicalPlan = {
     val basePlan = spark.table(table).queryExecution.analyzed
     val idAttr = basePlan.output.find(_.name == idCol).getOrElse(
       err(fn, s"table $table has no column $idCol (the index id column)"))
     val hitId = AttributeReference("__ann_id", LongType, nullable = false)()
     val hitDist = AttributeReference("_distance", FloatType, nullable = false)()
-    val hits = AnnHitsNode(index, query.toSeq, fetchK, Seq(hitId, hitDist))
+    val hits = AnnHitsNode(index, query.toSeq, fetchK, Seq(hitId, hitDist),
+      searchComplexity)
     val joined = Join(basePlan, hits, Inner,
       Some(EqualTo(idAttr, hitId)), JoinHint.NONE)
     val projected = Project(basePlan.output :+ hitDist, joined)
@@ -158,7 +160,7 @@ object TableFunctions {
       val table = str(fn, a("table")); val q = vec(fn, a("query_vec"))
       val k = int(fn, a("k"))
       if (spark.conf.getOption("spark.graft.ann.rewriteMode").contains("lazy"))
-        lazySearchPlan(fn, table, idCol, index, q, k * math.max(1, over))
+        lazySearchPlan(fn, table, idCol, index, q, k * math.max(1, over), sc)
       else
         plan(Ann.search(spark.table(table), idCol, index, q, k, sc, over))
     },

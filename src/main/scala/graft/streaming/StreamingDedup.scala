@@ -66,13 +66,14 @@ object StreamingDedup {
             // deterministic, and it matches batch dedup_exact's min(doc_id)
             // keep rule when streams are fed in id order
             val batch = rows.toArray
-            val st0 = state.getOption.getOrElse(St(-1L, 0L))
-            val (keep, st) =
-              if (st0.keepId >= 0) (None, st0.copy(dups = st0.dups + batch.length))
-              else {
+            // state PRESENCE (not a keepId sentinel — ids may be negative)
+            // distinguishes an established group from a new one
+            val (keep, st) = state.getOption match {
+              case Some(st0) => (None, st0.copy(dups = st0.dups + batch.length))
+              case None =>
                 val k = batch.minBy(_.id)
                 (Some(k), St(k.id, (batch.length - 1).toLong))
-              }
+            }
             state.update(st)
             ttl.foreach(state.setTimeoutDuration)
             keep.iterator
@@ -99,10 +100,10 @@ object StreamingDedup {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (fp: Long, rows: Iterator[InRow], state: GroupState[St]) =>
           val batch = rows.toArray
-          val st0 = state.getOption.getOrElse(St(-1L, 0L))
-          val st =
-            if (st0.keepId >= 0) st0.copy(dups = st0.dups + batch.length)
-            else St(batch.minBy(_.id).id, (batch.length - 1).toLong)
+          val st = state.getOption match {
+            case Some(st0) => st0.copy(dups = st0.dups + batch.length)
+            case None => St(batch.minBy(_.id).id, (batch.length - 1).toLong)
+          }
           state.update(st)
           GroupStats(fp, st.keepId, st.dups)
       }(Encoders.product[St], Encoders.product[GroupStats])

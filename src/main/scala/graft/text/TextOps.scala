@@ -423,22 +423,29 @@ object TextOps {
       }
       val tileOf = (i: Int, j: Int) => i * nBlocks - i * (i - 1) / 2 + (j - i)
       val nb = nBlocks
+      // key carries the tile's (i, j) so the task knows its identity even
+      // when one side's block is empty (inferring it from the data would
+      // misread an off-diagonal tile with an empty partner as diagonal and
+      // re-emit the real diagonal tile's pairs)
       val keyed = base.rdd.flatMap { case (id, v) =>
         val b = blockOf(id)
         // LEFT in tiles (b, j>=b), RIGHT in tiles (i<b, b): T copies per row
-        (b until nb).iterator.map(j => (tileOf(b, j), (b, id, v))) ++
-          (0 until b).iterator.map(i => (tileOf(i, b), (b, id, v)))
+        (b until nb).iterator.map(j => ((b, j), (b, id, v))) ++
+          (0 until b).iterator.map(i => ((i, b), (b, id, v)))
       }
       val part = new org.apache.spark.Partitioner {
         def numPartitions: Int = nTiles
-        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        def getPartition(key: Any): Int = key match {
+          case (i: Int, j: Int) => tileOf(i, j)
+        }
       }
       keyed.partitionBy(part).mapPartitions { it =>
-        val rows = it.map(_._2).toArray
+        val all = it.toArray
+        val rows = all.map(_._2)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         if (rows.nonEmpty) {
-          val blocks = rows.map(_._1).distinct.sorted
-          if (blocks.length == 1) {
+          val (ti, tj) = all(0)._1
+          if (ti == tj) {
             // diagonal tile: upper triangle over row pairs with id_a < id_b
             var i = 0
             while (i < rows.length) {
@@ -454,8 +461,8 @@ object TextOps {
           } else {
             // off-diagonal: cross product of the two blocks, oriented by id
             // (blocks are id-hash partitions, so ids never collide across)
-            val l = rows.filter(_._1 == blocks(0))
-            val r = rows.filter(_._1 == blocks(1))
+            val l = rows.filter(_._1 == ti)
+            val r = rows.filter(_._1 == tj)
             l.foreach { case (_, idL, vL) =>
               r.foreach { case (_, idR, vR) =>
                 if (idL < idR) verifyPair(idL, vL, idR, vR, cut, threshold, out)
@@ -499,8 +506,14 @@ object TextOps {
     val maxLocalEdges = spark.conf
       .getOption("spark.graft.dedup.localCcMaxEdges").map(_.toLong)
       .getOrElse(10000000L)
-    if (pairs.count() <= maxLocalEdges) return connectedComponentsLocal(pairs)
-    connectedComponentsLoop(pairs, maxIter)
+    // persist around the routing count: the upstream pair plan (LSH verify
+    // or the pairwise similarity job) must not run once for the count and
+    // again for the route
+    val cached = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cached.count() <= maxLocalEdges) connectedComponentsLocal(cached)
+      else connectedComponentsLoop(cached, maxIter) // loop runs eagerly
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Driver union-find (path halving) → (id, component=min id of cluster),

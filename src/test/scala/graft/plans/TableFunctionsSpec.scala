@@ -106,6 +106,12 @@ class TableFunctionsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
       assert(Ann.searchCount.get() > before, "executing the query must search")
       assert(rows == eager, "lazy plan must return the eager path's rows")
+      // search_complexity must reach the deferred search (distinct cache key)
+      val withSc = spark.sql(
+        s"SELECT vec_id, _distance FROM ann_search('emb', 'sql_idx', $q0Sql, 5, " +
+        "search_complexity => 200)")
+        .collect().map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(withSc == eager, "flat index: sc changes nothing, rows must match")
     } finally spark.conf.unset("spark.graft.ann.rewriteMode")
   }
 

@@ -61,6 +61,22 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("negative ids: established groups are not re-admitted") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val out = StreamingDedup.dedup(ms.toDF().toDF("doc_id", "text"), "text", "doc_id")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_neg").start()
+    try {
+      ms.addData((-5L, "neg doc")); q.processAllAvailable()
+      ms.addData((7L, "neg doc")); q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id FROM dedup_neg")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(-5L), s"negative-id group re-admitted: $rows")
+    } finally q.stop()
+  }
+
   test("batch parity: stream dedup keep-set == batch dedup_exact keep-set") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -157,6 +157,17 @@ class TextOpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(tiled.toSeq == fast.toSeq,
         s"tiled route diverged: ${tiled.length} vs ${fast.length} pairs")
+
+      // regression: FEW distinct ids → most blocks empty; a tile whose
+      // partner block is empty must not re-emit the diagonal tile's pairs
+      val tiny = Seq(
+        (1L, Array.fill(dim)(1.0f).toSeq),
+        (2L, Array.fill(dim)(1.0f).toSeq),
+        (3L, Array.fill(dim)(-1.0f).toSeq)).toDF("vec_id", "embedding")
+      val tinyPairs = graft.text.TextOps.cosineExactPairs(tiny, "embedding", "vec_id", 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(tinyPairs.toSeq == Seq((1L, 2L)),
+        s"empty-partner tiles duplicated pairs: ${tinyPairs.toSeq}")
     } finally spark.conf.unset("spark.graft.neardup.broadcastMaxBytes")
   }
 
