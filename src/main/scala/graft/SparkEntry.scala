@@ -341,6 +341,16 @@ object SparkEntry {
         .select("vec_id", "_distance")
     }),
 
+    // PQ<m>,RFlat: ADC candidates re-ranked by exact distance over the
+    // stored raw vectors (FAISS IndexRefineFlat analog; candidate set is
+    // still ADC-approximate → rows-only)
+    "ann_pq_refine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_pq_rf", "PQ8,RFlat")
+      Ann.search(emb, "vec_id", "v_pq_rf", q64Arr, 10)
+        .select("vec_id", "_distance")
+    }),
+
     // IVF<n>,PQ<m>: residual codes, nprobe-pruned ADC (approximate → rows-only)
     "ann_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -50,7 +50,8 @@ object Ann {
       trainSample: Int = 25600,
       hnswM: Int = HnswIndex.DefaultM,     // hnsw (reference hnsw_m=32)
       efConstruction: Int = HnswIndex.DefaultEfConstruction,
-      pqM: Int = 8)                        // pq: subquantizer count (dim % pqM == 0)
+      pqM: Int = 8,                        // pq: subquantizer count (dim % pqM == 0)
+      refine: Boolean = false)             // pq/ivfpq: RFlat exact re-rank stage
 
   /** Engines whose shards are graph files searched via ShardCache (hnsw
    *  reuses the diskann shard lifecycle; its IndexMeta stores m in
@@ -73,7 +74,9 @@ object Ann {
     val parts = desc.trim.split(",").map(_.trim).filter(_.nonEmpty)
     require(parts.nonEmpty, s"empty index factory string: '$desc'")
     val sq8 = parts.exists(_.equalsIgnoreCase("SQ8"))
-    val core = parts.filterNot(_.equalsIgnoreCase("SQ8"))
+    val refine = parts.exists(_.equalsIgnoreCase("RFlat"))
+    val core = parts.filterNot(x =>
+      x.equalsIgnoreCase("SQ8") || x.equalsIgnoreCase("RFlat"))
     val Ivf = "(?i)IVF(\\d+)".r
     val Hnsw = "(?i)HNSW(\\d*)".r
     val Diskann = "(?i)DISKANN(\\d*)".r
@@ -96,14 +99,19 @@ object Ann {
       case other => throw new IllegalArgumentException(
         s"unsupported index factory description: '$desc'")
     }
-    if (sq8) {
-      require(p.engine == "diskann", "SQ8 requires the diskann engine")
-      p.copy(quantization = "sq8")
+    val p2 = if (refine) {
+      require(p.engine == "pq" || p.engine == "ivfpq",
+        "RFlat refine applies to PQ engines (e.g. 'PQ8,RFlat', 'IVF64,PQ8,RFlat')")
+      p.copy(refine = true)
     } else p
+    if (sq8) {
+      require(p2.engine == "diskann", "SQ8 requires the diskann engine")
+      p2.copy(quantization = "sq8")
+    } else p2
   }
 
   /** Build from a factory description string (`Flat`, `HNSW32`,
-   *  `IVF256,Flat`, `DiskANN64,SQ8`). */
+   *  `IVF256,Flat`, `DiskANN64,SQ8`, `PQ8,RFlat`, `IVF64,PQ8,RFlat`). */
   def buildIndexFactory(df: DataFrame, column: String, idColumn: String,
       name: String, factory: String,
       base: BuildParams = BuildParams()): IndexMeta =
@@ -357,13 +365,18 @@ object Ann {
     val encodeUdf = udf((v: Array[Float]) =>
       PqCodec.encode(cbB.value, if (cosine) VectorOps.normalize(v.clone()) else v))
     val out = s"$dir/data"
-    data.select(col("id"), encodeUdf(col("vec")).as("code"))
-      .write.mode("overwrite").parquet(out)
+    val normUdf2 = udf((v: Array[Float]) => VectorOps.normalize(v.clone()))
+    val stored0 = data.select(col("id"), encodeUdf(col("vec")).as("code"),
+      (if (cosine) normUdf2(col("vec")) else col("vec")).as("vec"))
+    // RFlat refine stage keeps the raw vectors beside the codes for the
+    // exact re-rank (FAISS IndexRefineFlat stores the flat copy the same way)
+    val stored = if (params.refine) stored0 else stored0.drop("vec")
+    stored.write.mode("overwrite").parquet(out)
     val n = spark.read.parquet(out).count()
     val meta = IndexMeta(name, "pq", "vec", "id", dim, metric.name,
       maxDegree = params.pqM, // pq reuses the maxDegree slot for m
       buildComplexity = 0, alpha = 0f, quantized = true, numVectors = n,
-      numDeleted = 0L, shards = Nil, sourcePath = out)
+      numDeleted = 0L, shards = Nil, sourcePath = out, refine = params.refine)
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -422,14 +435,17 @@ object Ann {
       PqCodec.encode(cbB.value, r)
     })
     val out = s"$dir/data"
-    data.withColumn("cluster", assignUdf(col("vec")))
-      .select(col("id"), encodeUdf(col("vec"), col("cluster")).as("code"), col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(out)
+    val normUdf3 = udf((v: Array[Float]) => VectorOps.normalize(v.clone()))
+    val stored0 = data.withColumn("cluster", assignUdf(col("vec")))
+      .select(col("id"), encodeUdf(col("vec"), col("cluster")).as("code"),
+        (if (cosine) normUdf3(col("vec")) else col("vec")).as("vec"), col("cluster"))
+    val stored = if (params.refine) stored0 else stored0.drop("vec")
+    stored.write.mode("overwrite").partitionBy("cluster").parquet(out)
     val n = spark.read.parquet(out).count()
     val meta = IndexMeta(name, "ivfpq", "vec", "id", dim, metric.name,
       maxDegree = params.pqM, buildComplexity = 0, alpha = 0f, quantized = true,
       numVectors = n, numDeleted = 0L, shards = Nil, sourcePath = out,
-      nlist = params.nlist, nprobe = params.nprobe)
+      nlist = params.nlist, nprobe = params.nprobe, refine = params.refine)
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -485,14 +501,33 @@ object Ann {
       val (t, off) = lutB.value(cluster)
       PqCodec.adc(t, k, code) + off
     })
+    val cols = Seq(col("id").as("row_id"),
+      adcUdf(col("cluster").cast(IntegerType), col("code")).as("__dd")) ++
+      (if (meta.refine) Seq(col("vec")) else Nil)
     val base = spark.read.parquet(meta.sourcePath)
       .where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
-      .select(col("id").as("row_id"),
-        adcUdf(col("cluster").cast(IntegerType), col("code")).as("__dd"))
+      .select(cols: _*)
     val filtered = if (tomb.isEmpty) base
       else base.where(!col("row_id").isin(tomb.toSeq: _*))
-    filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
+    if (meta.refine) refineStage(spark, meta, filtered, query, fetchK)
+    else filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
       .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
+  }
+
+  /** RFlat refine stage (FAISS IndexRefineFlat): take the ADC top
+   *  (fetchK · spark.graft.ann.refineFactor, default 4) candidates with
+   *  their stored raw vectors and re-rank by the exact metric distance in
+   *  double precision — recall approaches exact search while the ADC pass
+   *  still prunes the scan to a candidate sliver. */
+  private def refineStage(spark: SparkSession, meta: IndexMeta, scored: DataFrame,
+      query: Array[Float], fetchK: Int): DataFrame = {
+    val rf = math.max(1, spark.conf.getOption("spark.graft.ann.refineFactor")
+      .map(_.toInt).getOrElse(4))
+    val cand = scored.orderBy(col("__dd"), col("row_id")).limit(fetchK * rf)
+    val exact = metricDistanceCol(meta.metricObj, col("vec"), query)
+    cand.select(col("row_id"), exact.as("__ed"))
+      .orderBy(col("__ed"), col("row_id")).limit(fetchK)
+      .select(col("row_id"), col("__ed").cast(FloatType).as("_distance"))
   }
 
   /** ADC top-k over the compressed code table (approximate → rows-only
@@ -505,11 +540,13 @@ object Ann {
     val k = cb.k
     val tB = spark.sparkContext.broadcast(table)
     val adcUdf = udf((code: Array[Byte]) => PqCodec.adc(tB.value, k, code))
-    val base = spark.read.parquet(meta.sourcePath)
-      .select(col("id").as("row_id"), adcUdf(col("code")).as("__dd"))
+    val cols = Seq(col("id").as("row_id"), adcUdf(col("code")).as("__dd")) ++
+      (if (meta.refine) Seq(col("vec")) else Nil)
+    val base = spark.read.parquet(meta.sourcePath).select(cols: _*)
     val filtered = if (tomb.isEmpty) base
       else base.where(!col("row_id").isin(tomb.toSeq: _*))
-    filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
+    if (meta.refine) refineStage(spark, meta, filtered, query, fetchK)
+    else filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
       .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
   }
 
@@ -885,6 +922,8 @@ object Ann {
     // pq/ivfpq bases reconstruct `vec` from the codes (ADC distance IS the
     // distance to the reconstruction, so ranking matches the index scan).
     val base = meta.engine match {
+      case "pq" | "ivfpq" if meta.refine =>
+        spark.read.parquet(meta.sourcePath) // RFlat stores the raw vectors
       case "pq" | "ivfpq" =>
         val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
         val cbB = spark.sparkContext.broadcast(PqCodec.read(s"$dirPath/pq.bin"))
@@ -1091,7 +1130,9 @@ object Ann {
         val cb = PqCodec.read(s"$dirPath/pq.bin")
         val cbB = spark.sparkContext.broadcast(cb)
         val encodeUdf = udf((v: Array[Float]) => PqCodec.encode(cbB.value, v))
-        data.select(col("id"), encodeUdf(col("vec")).as("code"))
+        val pqCols = Seq(col("id"), encodeUdf(col("vec")).as("code")) ++
+          (if (meta.refine) Seq(col("vec")) else Nil) // data's vec is already prepped
+        data.select(pqCols: _*)
           .write.mode("append").parquet(meta.sourcePath)
       case "ivfpq" =>
         val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
@@ -1106,9 +1147,10 @@ object Ann {
           while (i < v.length) { rr(i) = v(i) - c(i); i += 1 }
           PqCodec.encode(cbB.value, rr)
         })
+        val ipqCols = Seq(col("id"), encodeUdf(col("vec"), col("cluster")).as("code")) ++
+          (if (meta.refine) Seq(col("vec")) else Nil) :+ col("cluster")
         data.withColumn("cluster", assignUdf(col("vec")))
-          .select(col("id"), encodeUdf(col("vec"), col("cluster")).as("code"),
-            col("cluster"))
+          .select(ipqCols: _*)
           .write.mode("append").partitionBy("cluster").parquet(meta.sourcePath)
       case e => throw new IllegalArgumentException(s"append: unknown engine $e")
     }

@@ -51,6 +51,7 @@ private[graft] object ExactServe {
   def eligible(spark: SparkSession, meta: IndexMeta): Boolean =
     (meta.engine == "flat" || meta.engine == "ivfflat" ||
      meta.engine == "pq" || meta.engine == "ivfpq") &&
+      !meta.refine && // refined scans re-rank on stored vecs; keep one path
       meta.sourcePath.nonEmpty &&
       meta.numVectors * (meta.dim.toLong * 4 + 16) <= maxBytes(spark)
 

@@ -34,6 +34,7 @@ case class IndexMeta(
     sourcePath: String = "",      // flat/ivfflat: parquet dir of (id, vec[, cluster])
     nlist: Int = 0,               // ivfflat
     nprobe: Int = 1,              // ivfflat
+    refine: Boolean = false,      // pq/ivfpq: RFlat exact re-rank stage
     version: Int = 1,
     // root paths of the source relation the index was built over (when the
     // build input was a plain file scan) — the binding the transparent

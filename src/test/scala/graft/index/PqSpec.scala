@@ -35,6 +35,53 @@ class PqSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Ann.parseFactory("PQ8,HNSW"))
   }
 
+  test("factory RFlat: parses for pq/ivfpq, rejected elsewhere") {
+    val p = Ann.parseFactory("PQ8,RFlat")
+    assert(p.engine == "pq" && p.refine)
+    val p2 = Ann.parseFactory("IVF16,PQ8,RFlat")
+    assert(p2.engine == "ivfpq" && p2.nlist == 16 && p2.refine)
+    intercept[IllegalArgumentException](Ann.parseFactory("Flat,RFlat"))
+    intercept[IllegalArgumentException](Ann.parseFactory("HNSW16,RFlat"))
+  }
+
+  test("RFlat refine: recall >= plain PQ; top hit is the exact nearest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    // own generator: consuming the suite's shared `rnd` here would shift the
+    // stream under the later codebook tests
+    val rnd2 = new scala.util.Random(91)
+    val centers = Array.fill(8)(Array.fill(dim)(rnd2.nextFloat() * 10 - 5))
+    val data = (0L until 2000L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + rnd2.nextFloat() * 0.4f - 0.2f).toSeq)
+    }.toDF("id", "vec")
+    val q = data.where(col("id") === 42L).collect()(0)
+      .getSeq[Float](1).toArray
+    val exact = data.select(col("id"),
+        array_distance_sq(toFloatVec(col("vec")), floatVec(q.toSeq)).as("d"))
+      .orderBy(col("d"), col("id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+
+    Ann.buildIndexFactory(data, "vec", "id", "pq_plain", "PQ8")
+    Ann.buildIndexFactory(data, "vec", "id", "pq_rflat", "PQ8,RFlat")
+    val plain = Ann.search(data, "id", "pq_plain", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val refined = Ann.search(data, "id", "pq_rflat", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(refined.intersect(exact).size >= plain.intersect(exact).size,
+      s"refine must not lose recall: ${refined.intersect(exact).size} < " +
+      s"${plain.intersect(exact).size}")
+    // the query IS row 42's vector: refined top hit must be id 42, dist 0
+    val top = Ann.search(data, "id", "pq_rflat", q, 1).collect()(0)
+    assert(top.getLong(0) == 42L && top.getAs[Float]("_distance") == 0.0f)
+    // ivfpq + RFlat end-to-end
+    Ann.buildIndexFactory(data, "vec", "id", "ipq_rflat", "IVF8,PQ8,RFlat",
+      Ann.BuildParams(nprobe = 8))
+    val r2 = Ann.search(data, "id", "ipq_rflat", q, 5).collect()
+    assert(r2.length == 5 && r2(0).getLong(0) == 42L)
+  }
+
   test("codebook: encode/decode reconstructs clustered points; adc == l2 to reconstruction") {
     val data = clustered(400).map(_._2).toArray
     val cb = PqCodec.train(data, m = 4, k = 32)
