@@ -165,6 +165,12 @@ object Ann {
     }
   }
 
+  /** Shared cosine-normalization UDF: builders normalize ONCE into the
+   *  stored `vec`; downstream assignment/encoding reads the normalized
+   *  column instead of re-normalizing per row. */
+  private lazy val normalizeVecUdf =
+    udf((v: Array[Float]) => VectorOps.normalize(v.clone()))
+
   private def inferDim(data: DataFrame): Int = {
     val row = data.select(size(col("vec")).as("d")).limit(1).collect()
     require(row.nonEmpty, "cannot build an index over an empty input")
@@ -317,13 +323,9 @@ object Ann {
 
     val centsB = spark.sparkContext.broadcast(cents)
     val cosine = metric eq Metric.Cosine
-    val assignUdf = udf((v: Array[Float]) => {
-      val vv = if (cosine) VectorOps.normalize(v.clone()) else v
-      KMeansLite.nearest(centsB.value, vv)
-    })
-    val normUdf = udf((v: Array[Float]) => VectorOps.normalize(v.clone()))
+    val assignUdf = udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
     val out = s"$dir/data"
-    val withCluster = (if (cosine) data.withColumn("vec", normUdf(col("vec"))) else data)
+    val withCluster = (if (cosine) data.withColumn("vec", normalizeVecUdf(col("vec"))) else data)
       .withColumn("cluster", assignUdf(col("vec")))
     withCluster.write.mode("overwrite").partitionBy("cluster").parquet(out)
     val n = spark.read.parquet(out).count()
@@ -362,12 +364,10 @@ object Ann {
     PqCodec.write(s"$dir/pq.bin", cb)
 
     val cbB = spark.sparkContext.broadcast(cb)
-    val encodeUdf = udf((v: Array[Float]) =>
-      PqCodec.encode(cbB.value, if (cosine) VectorOps.normalize(v.clone()) else v))
+    val encodeUdf = udf((v: Array[Float]) => PqCodec.encode(cbB.value, v))
     val out = s"$dir/data"
-    val normUdf2 = udf((v: Array[Float]) => VectorOps.normalize(v.clone()))
-    val stored0 = data.select(col("id"), encodeUdf(col("vec")).as("code"),
-      (if (cosine) normUdf2(col("vec")) else col("vec")).as("vec"))
+    val dataP = if (cosine) data.withColumn("vec", normalizeVecUdf(col("vec"))) else data
+    val stored0 = dataP.select(col("id"), encodeUdf(col("vec")).as("code"), col("vec"))
     // RFlat refine stage keeps the raw vectors beside the codes for the
     // exact re-rank (FAISS IndexRefineFlat stores the flat copy the same way)
     val stored = if (params.refine) stored0 else stored0.drop("vec")
@@ -422,23 +422,19 @@ object Ann {
 
     val centsB = spark.sparkContext.broadcast(cents)
     val cbB = spark.sparkContext.broadcast(cb)
-    val assignUdf = udf((v: Array[Float]) => {
-      val vv = if (cosine) VectorOps.normalize(v.clone()) else v
-      KMeansLite.nearest(centsB.value, vv)
-    })
+    val assignUdf = udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
     val encodeUdf = udf((v: Array[Float], cluster: Int) => {
-      val vv = if (cosine) VectorOps.normalize(v.clone()) else v
       val c = centsB.value(cluster)
-      val r = new Array[Float](vv.length)
+      val r = new Array[Float](v.length)
       var i = 0
-      while (i < vv.length) { r(i) = vv(i) - c(i); i += 1 }
+      while (i < v.length) { r(i) = v(i) - c(i); i += 1 }
       PqCodec.encode(cbB.value, r)
     })
     val out = s"$dir/data"
-    val normUdf3 = udf((v: Array[Float]) => VectorOps.normalize(v.clone()))
-    val stored0 = data.withColumn("cluster", assignUdf(col("vec")))
+    val dataP = if (cosine) data.withColumn("vec", normalizeVecUdf(col("vec"))) else data
+    val stored0 = dataP.withColumn("cluster", assignUdf(col("vec")))
       .select(col("id"), encodeUdf(col("vec"), col("cluster")).as("code"),
-        (if (cosine) normUdf3(col("vec")) else col("vec")).as("vec"), col("cluster"))
+        col("vec"), col("cluster"))
     val stored = if (params.refine) stored0 else stored0.drop("vec")
     stored.write.mode("overwrite").partitionBy("cluster").parquet(out)
     val n = spark.read.parquet(out).count()
@@ -501,12 +497,10 @@ object Ann {
       val (t, off) = lutB.value(cluster)
       PqCodec.adc(t, k, code) + off
     })
-    val cols = Seq(col("id").as("row_id"),
-      adcUdf(col("cluster").cast(IntegerType), col("code")).as("__dd")) ++
-      (if (meta.refine) Seq(col("vec")) else Nil)
     val base = spark.read.parquet(meta.sourcePath)
       .where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
-      .select(cols: _*)
+      .select(col("id").as("row_id"),
+        adcUdf(col("cluster").cast(IntegerType), col("code")).as("__dd"))
     val filtered = if (tomb.isEmpty) base
       else base.where(!col("row_id").isin(tomb.toSeq: _*))
     if (meta.refine) refineStage(spark, meta, filtered, query, fetchK)
@@ -514,18 +508,25 @@ object Ann {
       .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
   }
 
-  /** RFlat refine stage (FAISS IndexRefineFlat): take the ADC top
-   *  (fetchK · spark.graft.ann.refineFactor, default 4) candidates with
-   *  their stored raw vectors and re-rank by the exact metric distance in
-   *  double precision — recall approaches exact search while the ADC pass
-   *  still prunes the scan to a candidate sliver. */
+  def refineFactor(spark: SparkSession): Int =
+    math.max(1, spark.conf.getOption("spark.graft.ann.refineFactor")
+      .map(_.toInt).getOrElse(4))
+
+  /** RFlat refine stage (FAISS IndexRefineFlat), two-phase: (1) the ADC
+   *  top (fetchK · spark.graft.ann.refineFactor, default 4) candidate IDS
+   *  come from the codes-only scan — the raw `vec` column is never read at
+   *  this stage, preserving PQ's scan compression; (2) only the candidates'
+   *  vectors are fetched back (pushed `In` filter) and re-ranked by the
+   *  exact metric distance in double precision. */
   private def refineStage(spark: SparkSession, meta: IndexMeta, scored: DataFrame,
       query: Array[Float], fetchK: Int): DataFrame = {
-    val rf = math.max(1, spark.conf.getOption("spark.graft.ann.refineFactor")
-      .map(_.toInt).getOrElse(4))
-    val cand = scored.orderBy(col("__dd"), col("row_id")).limit(fetchK * rf)
+    val candIds = scored.orderBy(col("__dd"), col("row_id"))
+      .limit(fetchK * refineFactor(spark))
+      .select(col("row_id")).collect().map(_.getLong(0))
     val exact = metricDistanceCol(meta.metricObj, col("vec"), query)
-    cand.select(col("row_id"), exact.as("__ed"))
+    spark.read.parquet(meta.sourcePath)
+      .where(col("id").isin(candIds.map(java.lang.Long.valueOf).toSeq: _*))
+      .select(col("id").as("row_id"), exact.as("__ed"))
       .orderBy(col("__ed"), col("row_id")).limit(fetchK)
       .select(col("row_id"), col("__ed").cast(FloatType).as("_distance"))
   }
@@ -540,9 +541,8 @@ object Ann {
     val k = cb.k
     val tB = spark.sparkContext.broadcast(table)
     val adcUdf = udf((code: Array[Byte]) => PqCodec.adc(tB.value, k, code))
-    val cols = Seq(col("id").as("row_id"), adcUdf(col("code")).as("__dd")) ++
-      (if (meta.refine) Seq(col("vec")) else Nil)
-    val base = spark.read.parquet(meta.sourcePath).select(cols: _*)
+    val base = spark.read.parquet(meta.sourcePath)
+      .select(col("id").as("row_id"), adcUdf(col("code")).as("__dd"))
     val filtered = if (tomb.isEmpty) base
       else base.where(!col("row_id").isin(tomb.toSeq: _*))
     if (meta.refine) refineStage(spark, meta, filtered, query, fetchK)
@@ -922,15 +922,17 @@ object Ann {
     // pq/ivfpq bases reconstruct `vec` from the codes (ADC distance IS the
     // distance to the reconstruction, so ranking matches the index scan).
     val base = meta.engine match {
-      case "pq" | "ivfpq" if meta.refine =>
-        spark.read.parquet(meta.sourcePath) // RFlat stores the raw vectors
       case "pq" | "ivfpq" =>
         val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
         val cbB = spark.sparkContext.broadcast(PqCodec.read(s"$dirPath/pq.bin"))
+        val src = spark.read.parquet(meta.sourcePath)
+        // refined indexes keep the raw `vec`; candidates still rank by the
+        // RECONSTRUCTION distance (== ADC) in column __cand so the table
+        // path returns the same candidate-limited results as ann_search
+        val candCol = if (meta.refine) "__cand" else "vec"
         if (meta.engine == "pq") {
           val decodeUdf = udf((code: Array[Byte]) => PqCodec.decode(cbB.value, code))
-          spark.read.parquet(meta.sourcePath)
-            .withColumn("vec", decodeUdf(col("code")))
+          src.withColumn(candCol, decodeUdf(col("code")))
         } else {
           val centsB = spark.sparkContext.broadcast(
             IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
@@ -941,8 +943,7 @@ object Ann {
             while (i < rec.length) { rec(i) += c(i); i += 1 }
             rec
           })
-          spark.read.parquet(meta.sourcePath)
-            .withColumn("vec", decodeUdf(col("code"), col("cluster").cast(IntegerType)))
+          src.withColumn(candCol, decodeUdf(col("code"), col("cluster").cast(IntegerType)))
         }
       case _ => spark.read.parquet(meta.sourcePath)
     }
@@ -957,15 +958,24 @@ object Ann {
         base.join(broadcast(probed), base("cluster") === probed("__probe"))
       case _ => base.crossJoin(broadcast(prepped))
     }
-    val dd = meta.metricObj match {
-      case Metric.L2 => array_distance_sq(base("vec"), col("__q"))
-      case _ => array_negative_inner_product(base("vec"), col("__q"))
+    def distTo(vc: Column): Column = meta.metricObj match {
+      case Metric.L2 => array_distance_sq(vc, col("__q"))
+      case _ => array_negative_inner_product(vc, col("__q"))
     }
-    val unfiltered = joined.withColumn("__dd", dd)
-    val live = if (tomb.isEmpty) unfiltered
-      else unfiltered.where(!base("id").isin(tomb.toSeq: _*))
+    val live0 = if (tomb.isEmpty) joined
+      else joined.where(!base("id").isin(tomb.toSeq: _*))
+    // refined: per-query candidate cut by reconstruction distance first
+    // (mirrors the single-query two-phase refine), exact re-rank second
+    val live =
+      if (meta.refine) {
+        val cw = Window.partitionBy("__qid").orderBy(
+          distTo(base("__cand")).as("__cd"), base("id"))
+        live0.withColumn("__crn", row_number().over(cw))
+          .where(col("__crn") <= k * refineFactor(spark))
+      } else live0
+    val unfiltered = live.withColumn("__dd", distTo(base("vec")))
     val w = Window.partitionBy("__qid").orderBy(col("__dd"), base("id"))
-    val scored = live.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+    val scored = unfiltered.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
       .select(inSchema.fieldNames.map(f => prepped(f)).toSeq :+
         base("id").as("row_id") :+ col("__dd").cast(FloatType).as("_distance"): _*)
     joinBaseWithPrefix(baseDf, idColumn, scored, inSchema.fieldNames.toSet)

@@ -51,7 +51,6 @@ private[graft] object ExactServe {
   def eligible(spark: SparkSession, meta: IndexMeta): Boolean =
     (meta.engine == "flat" || meta.engine == "ivfflat" ||
      meta.engine == "pq" || meta.engine == "ivfpq") &&
-      !meta.refine && // refined scans re-rank on stored vecs; keep one path
       meta.sourcePath.nonEmpty &&
       meta.numVectors * (meta.dim.toLong * 4 + 16) <= maxBytes(spark)
 
@@ -74,18 +73,23 @@ private[graft] object ExactServe {
     val hasCluster = meta.engine == "ivfflat" || meta.engine == "ivfpq"
     val hasCodes = meta.engine == "pq" || meta.engine == "ivfpq"
     val df = spark.read.parquet(meta.sourcePath)
+    // refined pq/ivfpq: raw vecs ride along for the exact re-rank stage
     val cols = Seq(col("id").cast(LongType)) ++
       (if (hasCodes) Seq(col("code")) else Seq(col("vec"))) ++
+      (if (hasCodes && meta.refine) Seq(col("vec")) else Nil) ++
       (if (hasCluster) Seq(col("cluster").cast(IntegerType)) else Nil)
     val rows = df.select(cols: _*).collect()
     val ids = rows.map(_.getLong(0))
+    val clusterIdx = if (hasCodes && meta.refine) 3 else 2
     val dirPath = IndexCatalog.indexDir(Ann.root(spark), meta.name)
     Data(
       fingerprint = fp,
       ids = ids,
-      vecs = if (hasCodes) null else rows.map(_.getSeq[Float](1).toArray),
+      vecs = if (!hasCodes) rows.map(_.getSeq[Float](1).toArray)
+        else if (meta.refine) rows.map(_.getSeq[Float](2).toArray)
+        else null,
       codes = if (hasCodes) rows.map(_.getAs[Array[Byte]](1)) else null,
-      clusters = if (hasCluster) rows.map(_.getInt(2)) else null,
+      clusters = if (hasCluster) rows.map(_.getInt(clusterIdx)) else null,
       cents = if (hasCluster)
         IndexCatalog.readCentroids(s"$dirPath/centroids.bin") else null,
       cb = if (hasCodes) PqCodec.read(s"$dirPath/pq.bin") else null)
@@ -173,7 +177,25 @@ private[graft] object ExactServe {
     val arr = new Array[(Double, Long, Float)](cand.size)
     cand.toArray(arr)
     java.util.Arrays.sort(arr, Ordering.by((t: (Double, Long, Float)) => (t._1, t._2)))
-    arr.take(fetchK).map(t => (t._2, t._3))
+    if (d.codes != null && meta.refine) {
+      // RFlat: exact double re-rank of the ADC top (fetchK · refineFactor),
+      // same candidate cut and fold order as the distributed refineStage
+      val idPos = d.ids.zipWithIndex.toMap
+      val refined = arr.take(fetchK * Ann.refineFactor(spark)).map { t =>
+        val v = d.vecs(idPos(t._2))
+        var sEd = 0.0; var j = 0
+        if (l2) while (j < v.length) {
+          val x = v(j).toDouble - query(j).toDouble; sEd += x * x; j += 1
+        } else {
+          while (j < v.length) { sEd += v(j).toDouble * query(j).toDouble; j += 1 }
+          sEd = -sEd
+        }
+        (sEd, t._2, sEd.toFloat)
+      }
+      java.util.Arrays.sort(refined,
+        Ordering.by((t: (Double, Long, Float)) => (t._1, t._2)))
+      refined.take(fetchK).map(t => (t._2, t._3))
+    } else arr.take(fetchK).map(t => (t._2, t._3))
   }
 
   /** Test hook. */

@@ -27,16 +27,20 @@ class ExactServeSpec extends AnyFunSuite {
   private def hits(name: String, k: Int, over: Int = 1): Seq[(Long, Float)] =
     Ann.collectHits(spark, name, q0, k, 0, over).toSeq
 
-  test("flat + ivfflat + pq: local route == forced distributed route") {
-    for ((engine, name) <- Seq(("flat", "t_srv_flat"), ("ivfflat", "t_srv_ivf"),
-        ("pq", "t_srv_pq"))) {
+  test("flat + ivfflat + pq + pq,RFlat: local route == forced distributed route") {
+    for ((engine, refine, name) <- Seq(
+        ("flat", false, "t_srv_flat"), ("ivfflat", false, "t_srv_ivf"),
+        ("pq", false, "t_srv_pq"), ("pq", true, "t_srv_pq_rf"),
+        ("ivfpq", true, "t_srv_ipq_rf"))) {
       Ann.buildIndex(emb, "embedding", "vec_id", name,
-        Ann.BuildParams(engine = engine, nlist = 4, nprobe = 4, pqM = 8))
+        Ann.BuildParams(engine = engine, nlist = 4, nprobe = 4, pqM = 8,
+          refine = refine))
       spark.conf.set("spark.graft.ann.localExactMaxBytes", "0") // force job path
       val viaJob = hits(name, 7, over = 2)
       spark.conf.unset("spark.graft.ann.localExactMaxBytes")
       val local = hits(name, 7, over = 2)
-      assert(local == viaJob, s"$engine: local route diverged from the scan")
+      assert(local == viaJob,
+        s"$engine refine=$refine: local route diverged from the scan")
     }
   }
 
