@@ -763,20 +763,19 @@ object Ann {
             }
           }.toDF("query_idx", "row_id", "_distance")
       case _ =>
-        val perQuery = queries.zipWithIndex.map { case (q, qi) =>
-          (meta.engine match {
-            case "pq" => pqScanIds(spark, meta, q, k, tomb)
-            case "ivfpq" => ivfPqScanIds(spark, meta, q, k, tomb)
-            case _ => exactScanIds(spark, meta, q, k, tomb)
-          })
-            .withColumn("query_idx", lit(qi))
-            .select(col("query_idx"), col("row_id"), col("_distance"))
-        }
-        perQuery.reduceOption(_ unionAll _).getOrElse {
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
-            StructField("query_idx", IntegerType), StructField("row_id", LongType),
-            StructField("_distance", FloatType))))
-        }
+        // exact/pq engines route through the broadcast gemm plan shared with
+        // searchTable: the queries become a small broadcast table scored
+        // against ONE base scan. A per-query plan union would grow the
+        // driver's analysis/codegen cost linearly in nq — fatal at nq in the
+        // thousands, where this stays a single fixed-size plan.
+        queries.foreach(q => require(q.length == meta.dim,
+          s"query dimension ${q.length} != index dimension ${meta.dim}"))
+        val qDf = spark.createDataFrame(
+          queries.zipWithIndex.map { case (q, qi) => Row(qi, q.toSeq) }.asJava,
+          StructType(Seq(StructField("query_idx", IntegerType),
+            StructField("__qvec", ArrayType(FloatType)))))
+        scoreTableExact(qDf, "__qvec", meta, k)
+          .select(col("query_idx"), col("row_id"), col("_distance"))
     }
     val w = Window.partitionBy("query_idx").orderBy(col("_distance"), col("row_id"))
     val topPerQuery = scored.withColumn("__rn", row_number().over(w))
@@ -848,9 +847,9 @@ object Ann {
 
     val prepped = queriesDf.withColumn(queryVecColumn,
       toFloatVec(col(queryVecColumn)))
-    // deterministic per-row id (zipWithIndex, NOT monotonically_increasing_id:
-    // the id must be stable if a stage retry recomputes the RDD) keys the
-    // per-query re-merge across shard-local results
+    // stable per-row id keys the per-query re-merge across shard-local
+    // results (zipWithIndex — see withStableQid's scaladoc for why not
+    // monotonically_increasing_id; the raw RDD pairing is used here)
     val qRdd = prepped.rdd.zipWithIndex()
     val nBlocks = math.max(1, spark.sparkContext.defaultParallelism / nShards)
     val keyed = qRdd.flatMap { case (row, qid) =>
@@ -908,15 +907,24 @@ object Ann {
    */
   private def searchTableExact(queriesDf: DataFrame, queryVecColumn: String,
       baseDf: DataFrame, idColumn: String, meta: IndexMeta, k: Int): DataFrame = {
+    val scored = scoreTableExact(queriesDf, queryVecColumn, meta, k)
+    joinBaseWithPrefix(baseDf, idColumn, scored, queriesDf.schema.fieldNames.toSet)
+  }
+
+  /** Broadcast-gemm exact scoring core shared by [[searchTableExact]] and the
+   *  exact-engine route of [[searchBatch]]: input columns + `row_id` +
+   *  `_distance`, ≤ k rows per input row (per-query window top-k, double
+   *  precision ordering). */
+  private def scoreTableExact(queriesDf: DataFrame, queryVecColumn: String,
+      meta: IndexMeta, k: Int): DataFrame = {
     val spark = queriesDf.sparkSession
     val tomb = IndexCatalog.readTombstones(root(spark), meta.name)
     val cosine = meta.metricObj eq Metric.Cosine
     val inSchema = queriesDf.schema
-    val prepped = queriesDf
+    val prepped = withStableQid(queriesDf
       .withColumn(queryVecColumn, toFloatVec(col(queryVecColumn)))
       .withColumn("__q",
-        if (cosine) toFloatVec(normalizeCol(col(queryVecColumn))) else col(queryVecColumn))
-      .withColumn("__qid", monotonically_increasing_id())
+        if (cosine) toFloatVec(normalizeCol(col(queryVecColumn))) else col(queryVecColumn)))
     // all references to the index scan go through the DataFrame instance so
     // a query table that also has id/vec/cluster columns can't capture them.
     // pq/ivfpq bases reconstruct `vec` from the codes (ADC distance IS the
@@ -975,10 +983,20 @@ object Ann {
       } else live0
     val unfiltered = live.withColumn("__dd", distTo(base("vec")))
     val w = Window.partitionBy("__qid").orderBy(col("__dd"), base("id"))
-    val scored = unfiltered.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+    unfiltered.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
       .select(inSchema.fieldNames.map(f => prepped(f)).toSeq :+
         base("id").as("row_id") :+ col("__dd").cast(FloatType).as("_distance"): _*)
-    joinBaseWithPrefix(baseDf, idColumn, scored, inSchema.fieldNames.toSet)
+  }
+
+  /** Deterministic per-row id appended as `__qid`: `rdd.zipWithIndex`, NOT
+   *  `monotonically_increasing_id` — mono_id is only deterministic if the
+   *  upstream partitioning is, while zipWithIndex stays stable when a stage
+   *  retry recomputes the RDD, so shard-local (or per-partition) results
+   *  always re-merge onto the same query rows. */
+  private def withStableQid(df: DataFrame): DataFrame = {
+    val schema = StructType(df.schema.fields.toSeq :+ StructField("__qid", LongType))
+    val rdd = df.rdd.zipWithIndex().map { case (row, qid) => Row.fromSeq(row.toSeq :+ qid) }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** `faiss_gpu_info()` analog: the JVM engine has no GPU backend; cluster

@@ -95,6 +95,45 @@ class AnnSpec extends AnyFunSuite {
     assert(byQ(0).length == 3 && byQ(1).length == 3)
   }
 
+  test("searchBatch exact/pq: nq=512 in ONE broadcast plan, parity with per-query") {
+    // exact/pq engines must not build one sub-plan per query (nq-way union =
+    // driver plan explosion); the batch routes through the broadcast gemm
+    // plan, so the logical plan has no Union regardless of nq
+    val all = emb.orderBy("vec_id").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    val qs = Array.tabulate(512)(i => all(i % all.length)).toSeq
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_b512pq",
+      Ann.BuildParams(engine = "pq", pqM = 4, trainSample = 200))
+    for (ix <- Seq("t_flat", "t_b512pq")) {
+      val res = Ann.searchBatch(emb, "vec_id", ix, qs, 3)
+      assert(!res.queryExecution.optimizedPlan.toString.contains("Union"),
+        s"$ix: batch plan must be a single broadcast plan, not a per-query union")
+      val rows = res.select(col("query_idx"), col("vec_id"), col("_distance")).collect()
+      assert(rows.length == 512 * 3, s"$ix: expected 512*3 rows, got ${rows.length}")
+      val byQ = rows.groupBy(_.getInt(0))
+      assert(byQ.size == 512 && byQ.values.forall(_.length == 3))
+      // sampled parity vs the single-query serving path; flat is exact both
+      // ways (double-precision ordering) — ids AND distances must agree.
+      // pq single-query ranks by float ADC while the gemm plan recomputes the
+      // reconstruction distance in double, so near-ties may permute: compare
+      // distances with tolerance.
+      for (qi <- Seq(0, 127, 499, 511)) {
+        val single = Ann.search(emb, "vec_id", ix, qs(qi), 3)
+          .select(col("vec_id"), col("_distance")).collect()
+          .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+        val got = byQ(qi).map(r => (r.getLong(1), r.getFloat(2)))
+          .sortBy { case (id, d) => (d, id) }.toSeq
+        if (ix == "t_flat") assert(got == single, s"$ix q$qi: $got != $single")
+        else {
+          got.zip(single).foreach { case ((_, gd), (_, sd)) =>
+            assert(math.abs(gd - sd) <= 1e-3f * math.max(1f, math.abs(sd)),
+              s"$ix q$qi: distances diverged: $got vs $single")
+          }
+        }
+      }
+    }
+  }
+
   test("searchTable: input cols + base cols + _distance, collisions prefixed") {
     import spark.implicits._
     val queries = Seq((100L, q0.toSeq)).toDF("vec_id", "qvec") // vec_id collides
