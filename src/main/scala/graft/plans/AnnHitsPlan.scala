@@ -61,6 +61,7 @@ case class AnnHitsExec(indexName: String, query: Seq[Float], fetchK: Int,
 object AnnHitsStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AnnHitsNode(name, q, k, out, sc) => AnnHitsExec(name, q, k, out, sc) :: Nil
+    case CommandTvfNode(fn, out, body) => CommandTvfExec(fn, out, body) :: Nil
     case _ => Nil
   }
 }

@@ -44,11 +44,16 @@ import graft.search.Hybrid
  * Registered by [[Graft.init]] on the live session and by [[GraftExtensions]]
  * at session build; resolution happens at analysis time via the session's
  * TableFunctionRegistry, and the returned plan is the same DataFrame plan the
- * Scala API builds — identical execution path, identical results. Note that
- * index-touching functions resolve EAGERLY (the search/build runs while the
- * statement is analyzed, so EXPLAIN over them launches the work — like the
- * default eager rewrite mode; use the Scala API with
- * `spark.graft.ann.rewriteMode=lazy` when plan-only inspection matters).
+ * Scala API builds — identical execution path, identical results.
+ *
+ * Laziness contract: the SIDE-EFFECTING functions (`ann_create_index`,
+ * `ann_vacuum`, `ann_drop`, `diskann_streaming_build`) resolve to a
+ * [[CommandTvfNode]] whose effect runs at EXECUTION time, so EXPLAIN over
+ * them never mutates the catalog (the reference's bind/first-scan split,
+ * src/ann_search.cpp:55-149). Read-only search functions build their plan
+ * eagerly during analysis — `ann_search` additionally honors
+ * `spark.graft.ann.rewriteMode=lazy` (an [[AnnHitsNode]] join plan) when
+ * even the search collect must wait for execution.
  */
 object TableFunctions {
 
@@ -96,6 +101,15 @@ object TableFunctions {
     case s: Short => s.toInt
     case b: Byte => b.toInt
     case v => err(fn, s"expected an integer argument, got: $v")
+  }
+
+  private def dbl(fn: String, e: Expression): Double = evalLit(fn, e) match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case v => err(fn, s"expected a numeric argument, got: $v")
   }
 
   private def num(fn: String, v: Any): Float = v match {
@@ -194,14 +208,26 @@ object TableFunctions {
     },
     "hybrid_search" -> { args =>
       val fn = "hybrid_search"
+      // full knob parity with the reference's SQL registration
+      // (src/ann_search.cpp:1203-1217): fusion weights, per-retriever
+      // candidate pools, and graph search complexity are all named args
       val a = splitArgs(fn, args,
         Seq("table", "index", "vec_col", "id_col", "query_vec", "query_text",
-          "k", "text_col"), 6)
+          "k", "text_col", "bm25_weight", "vector_weight", "bm25_candidates",
+          "vector_candidates", "search_complexity"), 6)
       val k = a.get("k").map(int(fn, _)).getOrElse(10)
       val textCol = a.get("text_col").map(str(fn, _)).getOrElse("text")
       plan(Hybrid.hybridSearch(spark.table(str(fn, a("table"))), textCol,
         str(fn, a("vec_col")), str(fn, a("id_col")), str(fn, a("query_text")),
-        vec(fn, a("query_vec")), k, indexName = str(fn, a("index"))))
+        vec(fn, a("query_vec")), k,
+        bm25Weight = a.get("bm25_weight").map(dbl(fn, _))
+          .getOrElse(Hybrid.DefaultBm25Weight),
+        vectorWeight = a.get("vector_weight").map(dbl(fn, _))
+          .getOrElse(Hybrid.DefaultVectorWeight),
+        bm25Candidates = a.get("bm25_candidates").map(int(fn, _)).getOrElse(100),
+        vectorCandidates = a.get("vector_candidates").map(int(fn, _)).getOrElse(100),
+        indexName = str(fn, a("index")),
+        searchComplexity = a.get("search_complexity").map(int(fn, _)).getOrElse(0)))
     },
     "ann_list" -> { args =>
       if (args.nonEmpty) err("ann_list", "takes no arguments")
@@ -225,37 +251,57 @@ object TableFunctions {
       val a = splitArgs(fn, args,
         Seq("table", "vector_col", "id_col", "index_name", "factory"), 5)
       val index = str(fn, a("index_name"))
-      Ann.buildIndexFactory(spark.table(str(fn, a("table"))),
-        str(fn, a("vector_col")), str(fn, a("id_col")), index, str(fn, a("factory")))
-      val info = Ann.indexInfo(spark)
-      plan(info.where(info("name") === index))
+      val s = spark
+      // resolve the source table during analysis (bind-time validation, no
+      // execution); the build itself is deferred to the command body
+      val source = s.table(str(fn, a("table")))
+      val vecCol = str(fn, a("vector_col")); val idCol = str(fn, a("id_col"))
+      val factory = str(fn, a("factory"))
+      CommandTvfNode(fn, outputOf(Ann.indexInfo(s)), () => {
+        Ann.buildIndexFactory(source, vecCol, idCol, index, factory)
+        val info = Ann.indexInfo(s)
+        info.where(info("name") === index)
+      })
     },
     "ann_vacuum" -> { args =>
       val fn = "ann_vacuum"
       val a = splitArgs(fn, args, Seq("index_name"), 1)
       val index = str(fn, a("index_name"))
-      Ann.vacuum(spark, index)
-      val info = Ann.indexInfo(spark)
-      plan(info.where(info("name") === index))
+      val s = spark
+      CommandTvfNode(fn, outputOf(Ann.indexInfo(s)), () => {
+        Ann.vacuum(s, index)
+        val info = Ann.indexInfo(s)
+        info.where(info("name") === index)
+      })
     },
     "ann_drop" -> { args =>
       val fn = "ann_drop"
       val a = splitArgs(fn, args, Seq("index_name"), 1)
-      val dropped = Ann.drop(spark, str(fn, a("index_name")))
+      val index = str(fn, a("index_name"))
       val s = spark
       import s.implicits._
-      plan(Seq(dropped).toDF("dropped"))
+      CommandTvfNode(fn, outputOf(Seq(true).toDF("dropped")),
+        () => Seq(Ann.drop(s, index)).toDF("dropped"))
     },
     "diskann_streaming_build" -> { args =>
       val fn = "diskann_streaming_build"
       val a = splitArgs(fn, args, Seq("path", "index_name"), 2)
-      val (n, dim, sample) =
-        Ann.streamingBuild(spark, str(fn, a("path")), str(fn, a("index_name")))
+      val path = str(fn, a("path")); val index = str(fn, a("index_name"))
       val s = spark
       import s.implicits._
-      plan(Seq((n, dim, sample)).toDF("num_vectors", "dimension", "sample_size"))
+      CommandTvfNode(fn,
+        outputOf(Seq((0L, 0, 0L)).toDF("num_vectors", "dimension", "sample_size")),
+        () => {
+          val (n, dim, sample) = Ann.streamingBuild(s, path, index)
+          Seq((n, dim, sample)).toDF("num_vectors", "dimension", "sample_size")
+        })
     }
   )
+
+  /** Fresh output attributes for a command node, taken from a schema-template
+   *  DataFrame (built effect-free during analysis). */
+  private def outputOf(template: DataFrame) =
+    template.queryExecution.analyzed.output
 
   /** Register on a live session (Graft.init path). Idempotent: re-registering
    *  replaces the previous builder. */

@@ -123,6 +123,57 @@ class TableFunctionsSpec extends AnyFunSuite {
       .exists(_.getAs[String]("name") == "drop_me"))
   }
 
+  test("side-effecting TVFs are EXPLAIN-safe: effect runs at execution only") {
+    import graft.index.{Ann, IndexCatalog}
+    def names(): Set[String] = IndexCatalog.list(Ann.root(spark)).map(_.name).toSet
+    // create: EXPLAIN must not build the index
+    spark.sql("EXPLAIN SELECT * FROM ann_create_index('emb', 'embedding', " +
+      "'vec_id', 'lazy_ix', 'Flat')").collect()
+    assert(!names().contains("lazy_ix"), "EXPLAIN over ann_create_index built the index")
+    val created = spark.sql("SELECT * FROM ann_create_index('emb', 'embedding', " +
+      "'vec_id', 'lazy_ix', 'Flat')").collect()
+    assert(created.length == 1 && created(0).getAs[String]("name") == "lazy_ix")
+    assert(names().contains("lazy_ix"))
+    // vacuum: EXPLAIN must not touch tombstones
+    Ann.delete(spark, "lazy_ix", Seq(0L))
+    spark.sql("EXPLAIN SELECT * FROM ann_vacuum('lazy_ix')").collect()
+    assert(IndexCatalog.readTombstones(Ann.root(spark), "lazy_ix").nonEmpty,
+      "EXPLAIN over ann_vacuum ran the vacuum")
+    val vac = spark.sql("SELECT * FROM ann_vacuum('lazy_ix')").collect()
+    assert(vac.length == 1 && vac(0).getAs[Long]("num_deleted") == 0L)
+    assert(IndexCatalog.readTombstones(Ann.root(spark), "lazy_ix").isEmpty)
+    // drop: EXPLAIN must keep the index
+    spark.sql("EXPLAIN SELECT * FROM ann_drop('lazy_ix')").collect()
+    assert(names().contains("lazy_ix"), "EXPLAIN over ann_drop dropped the index")
+    assert(spark.sql("SELECT * FROM ann_drop('lazy_ix')").collect()(0).getBoolean(0))
+    assert(!names().contains("lazy_ix"))
+  }
+
+  test("hybrid_search knobs: weights/candidates/search_complexity from pure SQL") {
+    // dv view exists from the hybrid test; all-BM25 weights vs all-vector
+    // weights must produce different top hits on a text query that is not
+    // the vector query's own document
+    val bm25Heavy = spark.sql(
+      s"""SELECT * FROM hybrid_search('dv', '', 'embedding', 'doc_id',
+         |$q0Sql, 'the data', 5, 'text',
+         |bm25_weight => 1.0, vector_weight => 0.0)""".stripMargin).collect()
+    val vecHeavy = spark.sql(
+      s"""SELECT * FROM hybrid_search('dv', '', 'embedding', 'doc_id',
+         |$q0Sql, 'the data', 5, 'text',
+         |bm25_weight => 0.0, vector_weight => 1.0,
+         |bm25_candidates => 50, vector_candidates => 50)""".stripMargin).collect()
+    assert(bm25Heavy.nonEmpty && vecHeavy.nonEmpty)
+    // vector-only fusion must rank the query vector's own row first
+    assert(vecHeavy(0).getAs[Long]("id") == 0L,
+      s"vector-weighted fusion should surface doc 0, got ${vecHeavy(0)}")
+    val weighted = spark.sql(
+      s"""SELECT * FROM hybrid_search('dv', '', 'embedding', 'doc_id',
+         |$q0Sql, 'the data', k => 5, text_col => 'text',
+         |bm25_weight => 0.5, vector_weight => 0.5, search_complexity => 64)
+         |""".stripMargin).collect()
+    assert(weighted.length <= 5 && weighted.nonEmpty)
+  }
+
   test("errors: non-literal args and unknown index fail cleanly") {
     val e1 = intercept[Exception](spark.sql(
       "SELECT * FROM ann_search('emb', 'sql_idx', collect_list(1.0) , 5)").collect())
