@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -52,7 +52,10 @@ object TextHash {
   }
 
   /** Distinct rolling hashes of the k-token shingle strings (space-joined),
-   *  exactly matching hash(array_join(slice(toks,i,k),' ')) + distinct. */
+   *  value-equal (as a set) to hash(array_join(slice(toks,i,k),' ')) +
+   *  distinct, returned SORTED ascending — the sorted contract lets the
+   *  Jaccard verify stage count intersections with a linear merge instead of
+   *  a hash build per pair ([[SortedIntersectCount]]). */
   def shingleHashes(toks: Array[String], k: Int): Array[Long] = {
     val n = toks.length
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
@@ -84,7 +87,22 @@ object TextHash {
     val it = seen.iterator()
     var i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
     out
+  }
+
+  /** |a ∩ b| for two sorted long arrays (ascending, distinct) — one linear
+   *  merge, zero allocation. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
   }
 }
 
@@ -185,6 +203,36 @@ case class ShingleHashes(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/**
+ * `sorted_intersect_count(a, b)` — |a ∩ b| for two SORTED-ascending distinct
+ * LONG arrays via a linear merge, fully codegen'd. The Jaccard verify stage
+ * calls this once per candidate pair; the generic `array_intersect` built a
+ * hash set and an output array per pair, which dominated
+ * dedup_minhash_keep/neardup_jaccard. Callers must uphold the sorted
+ * contract ([[TextHash.shingleHashes]] emits sorted arrays).
+ */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, got ${l.catalogString}, ${r.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.TextHash.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
 /**

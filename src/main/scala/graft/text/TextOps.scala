@@ -143,8 +143,9 @@ object TextOps {
     .otherwise(array(array_join(toks, " ")))
 
   /** Distinct shingle hashes for a document — one compiled pass
-   *  (graft.expressions.ShingleHashes), identical values to
-   *  array_distinct(transform(shingles(toks,k), rollingHash)). */
+   *  (graft.expressions.ShingleHashes), set-identical to
+   *  array_distinct(transform(shingles(toks,k), rollingHash)) and SORTED
+   *  ascending (the Jaccard verify stage merge-counts intersections). */
   def shingleHashes(toks: Column, k: Int = 3): Column =
     graft.functions.mkCol(graft.expressions.ShingleHashes(graft.functions.mkExpr(toks), k))
 
@@ -222,7 +223,11 @@ object TextOps {
     val cands = candidatePairs(sigs)
     val sa = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
     val sb = sigs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType)
+    // shingle arrays are sorted (ShingleHashes contract): a codegen'd linear
+    // merge counts the intersection without array_intersect's per-pair hash
+    // set + output array — the former top cost of the whole dedup pipeline
+    val inter = graft.functions.mkCol(graft.expressions.SortedIntersectCount(
+      graft.functions.mkExpr(col("sh_a")), graft.functions.mkExpr(col("sh_b"))))
     val joined = cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("n_inter", inter)
       .withColumn("jaccard", col("n_inter").cast(DoubleType) /

@@ -29,6 +29,23 @@ object ProfileDedup {
     time("candidatePairs")(TextOps.candidatePairs(sigsC).count())
     time("jaccardPairs(fresh)")(TextOps.jaccardPairs(docs, "text", "doc_id").count())
     time("dedup(fresh)")(TextOps.dedupByMinhash(docs, "text", "doc_id").count())
+    // A/B: merge-count verify (production path) vs generic array_intersect
+    // over the same cached candidates — isolates the verify-stage cost
+    val cands = TextOps.candidatePairs(sigsC).cache()
+    cands.count()
+    val sa = sigsC.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = sigsC.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    val joined = cands.join(sa, "id_a").join(sb, "id_b").cache()
+    joined.count()
+    val mergeCount = graft.functions.mkCol(graft.expressions.SortedIntersectCount(
+      graft.functions.mkExpr(col("sh_a")), graft.functions.mkExpr(col("sh_b"))))
+    for (_ <- 1 to 3) {
+      time("verify: sorted-merge")(
+        joined.select(sum(mergeCount)).collect()(0).getLong(0))
+      time("verify: array_intersect")(
+        joined.select(sum(size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")))
+          .collect()(0).getLong(0))
+    }
     spark.stop()
   }
 }

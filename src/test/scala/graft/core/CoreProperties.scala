@@ -117,13 +117,26 @@ object CoreProperties extends Properties("graft.core") {
         math.abs(graft.core.Simd.l2Sq(flat, pad, q, 0, dim) - sL2) <= tol
     }
 
-  property("shingleHashes: nonempty output; <= max(1, n-k+1) distinct hashes") =
+  property("shingleHashes: nonempty output; <= max(1, n-k+1) distinct hashes; sorted") =
     forAll(for { n <- Gen.choose(0, 12)
                  toks <- Gen.listOfN(n, Gen.identifier.map(_.take(6))) }
         yield toks.toArray) { toks =>
       val hs = graft.expressions.TextHash.shingleHashes(toks, 3)
       hs.nonEmpty && hs.length <= math.max(1, toks.length - 2) &&
-        hs.toSet.size == hs.length
+        hs.toSet.size == hs.length &&
+        hs.toSeq == hs.sorted.toSeq // SortedIntersectCount relies on this
+    }
+
+  property("sortedIntersectCount == set-intersection size on sorted arrays") =
+    forAll(for { a <- Gen.listOf(Gen.choose(0L, 50L))
+                 b <- Gen.listOf(Gen.choose(0L, 50L)) } yield (a, b)) {
+      case (a, b) =>
+        val sa = a.distinct.sorted.toArray
+        val sb = b.distinct.sorted.toArray
+        import org.apache.spark.sql.catalyst.util.GenericArrayData
+        graft.expressions.TextHash.sortedIntersectCount(
+          new GenericArrayData(sa), new GenericArrayData(sb)) ==
+          sa.toSet.intersect(sb.toSet).size.toLong
     }
 
   property("vamana search returns <= k results sorted ascending") =
