@@ -19,8 +19,10 @@ private[core] trait NodeCursor {
   def neighborsInto(id: Int, buf: Array[Int]): Int
   /** True when [[copyVector]] yields floats over which the array kernels
    *  compute distances bit-identical to [[dist]] — enables the gemm-shaped
-   *  lock-step batch path. False (e.g. SQ8, whose fused dequantize+distance
-   *  loop sums in scalar order) routes batch hops through per-pair dist. */
+   *  lock-step batch path. Every shipped cursor upholds it (SQ8 cursors
+   *  dequantize into scratch and share the float kernels); false routes
+   *  batch hops through per-pair dist for cursors that fuse storage decode
+   *  with a differently-ordered accumulation. */
   def gatherable: Boolean = false
   /** Copy node `id`'s vector into dst[dstOff, dstOff+dim). Only called when
    *  [[gatherable]] is true. */
@@ -285,9 +287,11 @@ private[core] object BeamSearcher {
    * kernel as per-pair calls, so results are bit-identical to searching each
    * query alone.
    *
-   * When the cursor can't expose raw floats ([[NodeCursor.gatherable]] false,
-   * e.g. SQ8), the hop's distances fall back to per-pair `cursor.dist` —
-   * still lock-step (shared traversal bookkeeping), just not gemm-shaped.
+   * When a cursor can't expose raw floats ([[NodeCursor.gatherable]] false),
+   * the hop's distances fall back to per-pair `cursor.dist` — still
+   * lock-step (shared traversal bookkeeping), just not gemm-shaped. All
+   * shipped cursors are gatherable (SQ8 dequantizes into the gather block,
+   * reference quantized batch path rust_lib/src/provider.rs:161-241).
    */
   private def searchLockstep(store: NodeStore, metric: Metric, queries: Array[Array[Float]],
       k: Int, l: Int,

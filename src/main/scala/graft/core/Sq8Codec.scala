@@ -18,11 +18,14 @@ final case class Sq8Data(
     min(d) + (code / 255.0f) * scale(d)
   }
 
-  def dequantizeInto(id: Int, out: Array[Float]): Unit = {
+  def dequantizeInto(id: Int, out: Array[Float]): Unit =
+    dequantizeInto(id, out, 0)
+
+  def dequantizeInto(id: Int, out: Array[Float], outOff: Int): Unit = {
     var d = 0
     val off = id * dim
     while (d < dim) {
-      out(d) = min(d) + ((data(off + d) & 0xff) / 255.0f) * scale(d)
+      out(outOff + d) = min(d) + ((data(off + d) & 0xff) / 255.0f) * scale(d)
       d += 1
     }
   }

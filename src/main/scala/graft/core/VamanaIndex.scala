@@ -84,7 +84,10 @@ final class VamanaIndex(
     }
   }
 
-  // distance kernels route through Simd (jdk.incubator.vector when enabled)
+  // distance kernels route through Simd (jdk.incubator.vector when enabled).
+  // NOTE: search paths go through newCursor() — when quantized, the cursor
+  // dequantizes into scratch and uses the same Simd kernels as the batch
+  // gather, NOT this fused scalar variant (kept for non-search callers).
   @inline def dist(a: Int, q: Array[Float]): Float = {
     if (sq8 != null) sq8.distance(metric, a, q)
     else if (metric eq Metric.L2) Simd.l2Sq(vecs, a * dim, q, 0, dim)
@@ -101,9 +104,29 @@ final class VamanaIndex(
   def nodeCount: Int = count
   def entryPointIds: Array[Int] = entryPoints
   def degreeBound: Int = slackDegree
-  def newCursor(): NodeCursor = this
-  // gemm gather: raw full-precision rows match the array-kernel dist path
-  // bit-exactly; SQ8's fused scalar loop doesn't → per-pair fallback
+  // SQ8 gets a dedicated cursor whose per-pair dist dequantizes into a
+  // private scratch row and runs the SAME array kernel the gemm batch path
+  // uses — so per-query and lock-step accumulate in the same order and stay
+  // bit-identical (the old fused dequantize+distance loop summed in scalar
+  // order, which forced batch hops down to per-pair distances). The scratch
+  // lives in the cursor, keeping concurrent searches over a shared cached
+  // shard race-free.
+  def newCursor(): NodeCursor = if (sq8 == null) this else new NodeCursor {
+    private val q8 = sq8
+    private val scratch = new Array[Float](dim)
+    def dist(id: Int, q: Array[Float]): Float = {
+      q8.dequantizeInto(id, scratch)
+      if (metric eq Metric.L2) Simd.l2Sq(scratch, 0, q, 0, dim)
+      else -Simd.dot(scratch, 0, q, 0, dim)
+    }
+    def neighborsInto(id: Int, buf: Array[Int]): Int =
+      VamanaIndex.this.neighborsInto(id, buf)
+    override def gatherable: Boolean = true
+    override def copyVector(id: Int, dst: Array[Float], dstOff: Int): Unit =
+      q8.dequantizeInto(id, dst, dstOff)
+  }
+  // gemm gather over raw full-precision rows matches the array-kernel dist
+  // path bit-exactly
   override def gatherable: Boolean = sq8 == null
   override def copyVector(id: Int, dst: Array[Float], dstOff: Int): Unit =
     System.arraycopy(vecs, id * dim, dst, dstOff, dim)

@@ -59,5 +59,10 @@ object ProfileBatch {
     DiskannFormat.writeFile(ix, tmp.getAbsolutePath)
     val mm = DiskannMmapIndex.open(tmp.getAbsolutePath)
     ab("mmap", mm)
+    // SQ8 (quantized in place): the dequantize-into-gather cursor keeps the
+    // gemm hop available; A/B shows what lock-step buys on a DRAM-resident
+    // quantized shard
+    ix.quantize()
+    ab("sq8", ix)
   }
 }

@@ -56,11 +56,19 @@ class BatchSearchSpec extends AnyFunSuite {
     assertBatchMatchesSingle(cos, qs, k = 8, sc = 0, "heap-cos")
   }
 
-  test("sq8 quantized: batch == per-query (per-pair fallback, still lock-step)") {
+  test("sq8 quantized: gemm lock-step == per-query, bit-exact (L2 + IP)") {
+    // the SQ8 cursor is gatherable: copyVector dequantizes into the gather
+    // block and both routes use the same float kernels, so forced lock-step
+    // (lockstepMinBytes=0 above) must stay bit-identical to per-query
     val vecs = randVecs(600, 16, seed = 31)
     val ix = VamanaIndex.build(vecs.iterator, 16, Metric.L2, 24, 48)
     ix.quantize()
+    assert(ix.newCursor().gatherable, "SQ8 cursor must take the gemm path")
     assertBatchMatchesSingle(ix, randQueries(13, 16, seed = 8), k = 6, sc = 0, "sq8")
+    assertBatchMatchesSingle(ix, randQueries(64, 16, seed = 15), k = 6, sc = 48, "sq8-wide")
+    val ip = VamanaIndex.build(vecs.iterator, 16, Metric.InnerProduct, 24, 48)
+    ip.quantize()
+    assertBatchMatchesSingle(ip, randQueries(13, 16, seed = 16), k = 6, sc = 0, "sq8-ip")
   }
 
   test("mmap-served shard: batch == per-query == heap, bit-exact") {
