@@ -351,6 +351,15 @@ object SparkEntry {
         .select("vec_id", "_distance")
     }),
 
+    // OPQ<m>,PQ<m>: learned rotation before PQ encode (FAISS OPQ pre-transform
+    // analog, beyond the reference's grammar; approximate → rows-only)
+    "ann_opq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_opq", "OPQ8,PQ8")
+      Ann.search(emb, "vec_id", "v_opq", q64Arr, 10)
+        .select("vec_id", "_distance")
+    }),
+
     // IVF<n>,PQ<m>: residual codes, nprobe-pruned ADC (approximate → rows-only)
     "ann_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

@@ -51,7 +51,8 @@ object Ann {
       hnswM: Int = HnswIndex.DefaultM,     // hnsw (reference hnsw_m=32)
       efConstruction: Int = HnswIndex.DefaultEfConstruction,
       pqM: Int = 8,                        // pq: subquantizer count (dim % pqM == 0)
-      refine: Boolean = false)             // pq/ivfpq: RFlat exact re-rank stage
+      refine: Boolean = false,             // pq/ivfpq: RFlat exact re-rank stage
+      opq: Boolean = false)                // pq: learned OPQ rotation pre-transform
 
   /** Engines whose shards are graph files searched via ShardCache (hnsw
    *  reuses the diskann shard lifecycle; its IndexMeta stores m in
@@ -67,8 +68,8 @@ object Ann {
    * (reference passes factory strings through FaissParams,
    * src/include/faiss_index.hpp:37-113). Supported grammar:
    * `Flat` | `HNSW[m]` | `IVF<nlist>,Flat` | `IVF<nlist>,PQ<m>` |
-   * `DiskANN[degree]` | `PQ<m>`, each optionally suffixed `,SQ8`
-   * (diskann only).
+   * `DiskANN[degree]` | `PQ<m>` | `OPQ<m>,PQ<m>`, each optionally suffixed
+   * `,SQ8` (diskann only) or `,RFlat` (PQ engines).
    */
   def parseFactory(desc: String, base: BuildParams = BuildParams()): BuildParams = {
     val parts = desc.trim.split(",").map(_.trim).filter(_.nonEmpty)
@@ -81,7 +82,16 @@ object Ann {
     val Hnsw = "(?i)HNSW(\\d*)".r
     val Diskann = "(?i)DISKANN(\\d*)".r
     val Pq = "(?i)PQ(\\d+)".r
+    val Opq = "(?i)OPQ(\\d+)".r
     val p = core.toList match {
+      case Opq(m1) :: Pq(m2) :: Nil =>
+        // FAISS `OPQ<m>,PQ<m>` analog (beyond the reference's grammar):
+        // learned rotation before PQ encode
+        require(m1.toInt == m2.toInt,
+          s"OPQ subquantizer count must match PQ (got OPQ$m1,PQ$m2)")
+        base.copy(engine = "pq", pqM = m2.toInt, opq = true)
+      case Opq(_) :: _ => throw new IllegalArgumentException(
+        s"OPQ requires the PQ engine (e.g. 'OPQ8,PQ8[,RFlat]'): '$desc'")
       case f :: Nil if f.equalsIgnoreCase("flat") => base.copy(engine = "flat")
       case Ivf(nlist) :: rest
           if rest.isEmpty || (rest.lengthCompare(1) == 0 && rest.head.equalsIgnoreCase("flat")) =>
@@ -360,23 +370,39 @@ object Ann {
       .map(_._1)
       .take(params.trainSample)
     val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
-    val cb = PqCodec.train(prepped, params.pqM)
-    PqCodec.write(s"$dir/pq.bin", cb)
+    // OPQ: learn rotation + codebook together; codes store R·v and search
+    // rotates the query (distances are rotation-invariant)
+    val rotation = if (params.opq) {
+      val trained = OpqCodec.train(prepped, params.pqM)
+      IndexCatalog.writeCentroids(s"$dir/rotation.bin", trained.rotation, dim)
+      PqCodec.write(s"$dir/pq.bin", trained.codebook)
+      trained.rotation
+    } else {
+      PqCodec.write(s"$dir/pq.bin", PqCodec.train(prepped, params.pqM))
+      null
+    }
+    val cb = PqCodec.read(s"$dir/pq.bin")
 
     val cbB = spark.sparkContext.broadcast(cb)
-    val encodeUdf = udf((v: Array[Float]) => PqCodec.encode(cbB.value, v))
+    val rotB = spark.sparkContext.broadcast(rotation)
+    val encodeUdf = udf((v: Array[Float]) => {
+      val r = rotB.value
+      PqCodec.encode(cbB.value, if (r == null) v else OpqCodec.rotate(r, v))
+    })
     val out = s"$dir/data"
     val dataP = if (cosine) data.withColumn("vec", normalizeVecUdf(col("vec"))) else data
     val stored0 = dataP.select(col("id"), encodeUdf(col("vec")).as("code"), col("vec"))
-    // RFlat refine stage keeps the raw vectors beside the codes for the
-    // exact re-rank (FAISS IndexRefineFlat stores the flat copy the same way)
+    // RFlat refine stage keeps the raw (UNROTATED) vectors beside the codes
+    // for the exact re-rank (FAISS IndexRefineFlat stores the flat copy the
+    // same way)
     val stored = if (params.refine) stored0 else stored0.drop("vec")
     stored.write.mode("overwrite").parquet(out)
     val n = spark.read.parquet(out).count()
     val meta = IndexMeta(name, "pq", "vec", "id", dim, metric.name,
       maxDegree = params.pqM, // pq reuses the maxDegree slot for m
       buildComplexity = 0, alpha = 0f, quantized = true, numVectors = n,
-      numDeleted = 0L, shards = Nil, sourcePath = out, refine = params.refine)
+      numDeleted = 0L, shards = Nil, sourcePath = out, refine = params.refine,
+      opq = params.opq)
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -508,6 +534,12 @@ object Ann {
       .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
   }
 
+  /** OPQ rotation matrix (d rows of d floats; rotation.bin reuses the
+   *  centroids file format). */
+  private def readRotation(spark: SparkSession, meta: IndexMeta): Array[Array[Float]] =
+    IndexCatalog.readCentroids(
+      s"${IndexCatalog.indexDir(root(spark), meta.name)}/rotation.bin")
+
   def refineFactor(spark: SparkSession): Int =
     math.max(1, spark.conf.getOption("spark.graft.ann.refineFactor")
       .map(_.toInt).getOrElse(4))
@@ -537,7 +569,10 @@ object Ann {
       fetchK: Int, tomb: Set[Long]): DataFrame = {
     val query = prepQuery(meta, query0)
     val cb = PqCodec.read(s"${IndexCatalog.indexDir(root(spark), meta.name)}/pq.bin")
-    val table = PqCodec.lut(cb, query, l2 = meta.metricObj eq Metric.L2)
+    // OPQ: ADC runs in rotated space — rotate the query once; the RFlat
+    // refine below re-ranks raw (unrotated) vectors with the UNROTATED query
+    val adcQuery = if (meta.opq) OpqCodec.rotate(readRotation(spark, meta), query) else query
+    val table = PqCodec.lut(cb, adcQuery, l2 = meta.metricObj eq Metric.L2)
     val k = cb.k
     val tB = spark.sparkContext.broadcast(table)
     val adcUdf = udf((code: Array[Byte]) => PqCodec.adc(tB.value, k, code))
@@ -921,10 +956,18 @@ object Ann {
     val tomb = IndexCatalog.readTombstones(root(spark), meta.name)
     val cosine = meta.metricObj eq Metric.Cosine
     val inSchema = queriesDf.schema
-    val prepped = withStableQid(queriesDf
+    val prepped0 = queriesDf
       .withColumn(queryVecColumn, toFloatVec(col(queryVecColumn)))
       .withColumn("__q",
-        if (cosine) toFloatVec(normalizeCol(col(queryVecColumn))) else col(queryVecColumn)))
+        if (cosine) toFloatVec(normalizeCol(col(queryVecColumn))) else col(queryVecColumn))
+    // OPQ: code-space distances (reconstruction / __cand ranking) use the
+    // ROTATED query `__qadc`; exact re-ranks keep the unrotated `__q`
+    val prepped = withStableQid(
+      if (meta.opq) {
+        val rotB = spark.sparkContext.broadcast(readRotation(spark, meta))
+        val rotUdf = udf((v: Array[Float]) => OpqCodec.rotate(rotB.value, v))
+        prepped0.withColumn("__qadc", rotUdf(col("__q")))
+      } else prepped0)
     // all references to the index scan go through the DataFrame instance so
     // a query table that also has id/vec/cluster columns can't capture them.
     // pq/ivfpq bases reconstruct `vec` from the codes (ADC distance IS the
@@ -966,10 +1009,11 @@ object Ann {
         base.join(broadcast(probed), base("cluster") === probed("__probe"))
       case _ => base.crossJoin(broadcast(prepped))
     }
-    def distTo(vc: Column): Column = meta.metricObj match {
-      case Metric.L2 => array_distance_sq(vc, col("__q"))
-      case _ => array_negative_inner_product(vc, col("__q"))
+    def distTo(vc: Column, qc: Column): Column = meta.metricObj match {
+      case Metric.L2 => array_distance_sq(vc, qc)
+      case _ => array_negative_inner_product(vc, qc)
     }
+    val reconQ = if (meta.opq) col("__qadc") else col("__q")
     val live0 = if (tomb.isEmpty) joined
       else joined.where(!base("id").isin(tomb.toSeq: _*))
     // refined: per-query candidate cut by reconstruction distance first
@@ -977,11 +1021,14 @@ object Ann {
     val live =
       if (meta.refine) {
         val cw = Window.partitionBy("__qid").orderBy(
-          distTo(base("__cand")).as("__cd"), base("id"))
+          distTo(base("__cand"), reconQ).as("__cd"), base("id"))
         live0.withColumn("__crn", row_number().over(cw))
           .where(col("__crn") <= k * refineFactor(spark))
       } else live0
-    val unfiltered = live.withColumn("__dd", distTo(base("vec")))
+    // non-refined pq stores the reconstruction in `vec` → code-space query;
+    // everything else ranks raw vectors with the unrotated query
+    val vecQ = if (meta.opq && !meta.refine) reconQ else col("__q")
+    val unfiltered = live.withColumn("__dd", distTo(base("vec"), vecQ))
     val w = Window.partitionBy("__qid").orderBy(col("__dd"), base("id"))
     unfiltered.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
       .select(inSchema.fieldNames.map(f => prepped(f)).toSeq :+
@@ -1157,7 +1204,14 @@ object Ann {
       case "pq" =>
         val cb = PqCodec.read(s"$dirPath/pq.bin")
         val cbB = spark.sparkContext.broadcast(cb)
-        val encodeUdf = udf((v: Array[Float]) => PqCodec.encode(cbB.value, v))
+        // frozen-codebook append (FAISS add()): OPQ indexes also keep the
+        // frozen rotation, so appended rows encode R·v like the build did
+        val rotB = spark.sparkContext.broadcast(
+          if (meta.opq) readRotation(spark, meta) else null)
+        val encodeUdf = udf((v: Array[Float]) => {
+          val r = rotB.value
+          PqCodec.encode(cbB.value, if (r == null) v else OpqCodec.rotate(r, v))
+        })
         val pqCols = Seq(col("id"), encodeUdf(col("vec")).as("code")) ++
           (if (meta.refine) Seq(col("vec")) else Nil) // data's vec is already prepped
         data.select(pqCols: _*)

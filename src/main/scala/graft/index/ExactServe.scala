@@ -51,6 +51,7 @@ private[graft] object ExactServe {
   def eligible(spark: SparkSession, meta: IndexMeta): Boolean =
     (meta.engine == "flat" || meta.engine == "ivfflat" ||
      meta.engine == "pq" || meta.engine == "ivfpq") &&
+      !meta.opq && // OPQ queries need the rotation step; serve via the scan
       meta.sourcePath.nonEmpty &&
       meta.numVectors * (meta.dim.toLong * 4 + 16) <= maxBytes(spark)
 

@@ -35,6 +35,7 @@ case class IndexMeta(
     nlist: Int = 0,               // ivfflat
     nprobe: Int = 1,              // ivfflat
     refine: Boolean = false,      // pq/ivfpq: RFlat exact re-rank stage
+    opq: Boolean = false,         // pq: rotation.bin pre-transform (OPQ)
     version: Int = 1,
     // root paths of the source relation the index was built over (when the
     // build input was a plain file scan) — the binding the transparent

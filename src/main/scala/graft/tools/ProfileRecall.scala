@@ -29,6 +29,16 @@ object ProfileRecall {
 
     // one shard + narrow beams: recall must come from edge quality, not
     // shard fan-out or wide search
+    // OPQ vs plain PQ at equal byte budget (recall@10 via full ADC scan)
+    for ((label, factory) <- Seq("pq" -> "PQ8", "opq" -> "OPQ8,PQ8",
+        "pq-rflat" -> "PQ8,RFlat", "opq-rflat" -> "OPQ8,PQ8,RFlat")) {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", s"rq_$label", factory)
+      val hits = queries.map(q =>
+        Ann.collectHits(spark, s"rq_$label", q, 10, 0, 1).map(_._1).toSet)
+      val recall = queries.indices.map(i => hits(i).intersect(truths(i)).size).sum
+      println(f"$label%10s recall@10 = ${recall / (queries.length * 10.0)}%.4f")
+    }
+
     for (pilot <- Seq(true, false)) {
       spark.conf.set("spark.graft.ann.pilotSeed", pilot.toString)
       Ann.buildIndex(emb, "embedding", "vec_id", s"r_$pilot",

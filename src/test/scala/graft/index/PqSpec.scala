@@ -44,6 +44,84 @@ class PqSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Ann.parseFactory("HNSW16,RFlat"))
   }
 
+  test("OPQ: factory parses; rotation is orthogonal; quantization error <= plain PQ") {
+    val p = Ann.parseFactory("OPQ8,PQ8")
+    assert(p.engine == "pq" && p.pqM == 8 && p.opq)
+    assert(Ann.parseFactory("OPQ4,PQ4,RFlat").refine)
+    intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,PQ4"))
+    intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,IVF16,PQ8"))
+    intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,Flat"))
+
+    // correlated data: a fixed dense rotation of an axis-aligned decaying-
+    // variance source, so the natural subspace split is misaligned — the
+    // setting OPQ exists for
+    val rnd2 = new scala.util.Random(123)
+    val mix = {
+      val m = Array.fill(dim * dim)(rnd2.nextDouble() * 2 - 1)
+      OpqCodec.polar(m, dim) // orthogonal mixing matrix
+    }
+    assert(mix != null)
+    val sample = Array.fill(1500) {
+      val z = Array.tabulate(dim)(d => (rnd2.nextFloat() * 2 - 1) / (1 + d * 0.5f))
+      OpqCodec.rotate(mix, z)
+    }
+    val trained = OpqCodec.train(sample, 8)
+    // rotation orthogonality: ||R x|| == ||x||
+    val x0 = sample(0)
+    val rx = OpqCodec.rotate(trained.rotation, x0)
+    def norm(v: Array[Float]) = math.sqrt(v.map(f => f.toDouble * f).sum)
+    assert(math.abs(norm(rx) - norm(x0)) < 1e-3 * (1 + norm(x0)))
+    // mean squared reconstruction error must not exceed plain PQ's
+    val plainCb = PqCodec.train(sample, 8)
+    def mse(encode: Array[Float] => Array[Float]): Double =
+      sample.map { x =>
+        val xh = encode(x)
+        x.indices.map(i => math.pow(x(i) - xh(i), 2)).sum
+      }.sum / sample.length
+    val plainMse = mse(x => PqCodec.decode(plainCb, PqCodec.encode(plainCb, x)))
+    // OPQ error measured in rotated space (rotation-invariant, same scale)
+    val opqMse2 = sample.map { x =>
+      val y = OpqCodec.rotate(trained.rotation, x)
+      val yh = PqCodec.decode(trained.codebook, PqCodec.encode(trained.codebook, y))
+      y.indices.map(i => math.pow(y(i) - yh(i), 2)).sum
+    }.sum / sample.length
+    assert(opqMse2 <= plainMse * 1.001,
+      s"OPQ must not quantize worse than PQ on correlated data: $opqMse2 vs $plainMse")
+  }
+
+  test("OPQ end-to-end: build, search, refine, append") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // own generator: consuming the suite's shared `rnd` would shift the
+    // stream under the later codebook tests
+    val rnd3 = new scala.util.Random(57)
+    val centers = Array.fill(8)(Array.fill(dim)(rnd3.nextFloat() * 10 - 5))
+    val data = (0L until 2000L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + rnd3.nextFloat() * 0.4f - 0.2f).toSeq)
+    }.toDF("id", "vec")
+    val q = data.where(col("id") === 7L).collect()(0).getSeq[Float](1).toArray
+    Ann.buildIndexFactory(data, "vec", "id", "opq_ix", "OPQ8,PQ8")
+    val got = Ann.search(data, "id", "opq_ix", q, 10).collect()
+    assert(got.length == 10)
+    // refined: the exact re-rank must surface the query's own row at dist 0
+    Ann.buildIndexFactory(data, "vec", "id", "opq_rf", "OPQ8,PQ8,RFlat")
+    val top = Ann.search(data, "id", "opq_rf", q, 1).collect()(0)
+    assert(top.getLong(0) == 7L && top.getAs[Float]("_distance") == 0.0f)
+    // batch path agrees with single-query on the same index
+    val batch = Ann.searchBatch(data, "id", "opq_rf", Seq(q), 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val single = Ann.search(data, "id", "opq_rf", q, 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(batch == single)
+    // append encodes through the frozen rotation: new row becomes findable
+    val far = Array.fill(dim)(99.0f)
+    Ann.append(Seq((50000L, far.toSeq)).toDF("id", "vec"), "vec", "id", "opq_ix")
+    val all = data.unionByName(Seq((50000L, far.toSeq)).toDF("id", "vec"))
+    val hit = Ann.search(all, "id", "opq_ix", far, 1).collect()(0)
+    assert(hit.getLong(0) == 50000L)
+  }
+
   test("RFlat refine: recall >= plain PQ; top hit is the exact nearest") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
