@@ -372,16 +372,18 @@ object Ann {
     val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
     // OPQ: learn rotation + codebook together; codes store R·v and search
     // rotates the query (distances are rotation-invariant)
-    val rotation = if (params.opq) {
+    // PqCodec.write/read is a float-exact round trip, so the in-memory
+    // codebook is used directly — no read-back
+    val (rotation, cb) = if (params.opq) {
       val trained = OpqCodec.train(prepped, params.pqM)
       IndexCatalog.writeCentroids(s"$dir/rotation.bin", trained.rotation, dim)
       PqCodec.write(s"$dir/pq.bin", trained.codebook)
-      trained.rotation
+      (trained.rotation, trained.codebook)
     } else {
-      PqCodec.write(s"$dir/pq.bin", PqCodec.train(prepped, params.pqM))
-      null
+      val t = PqCodec.train(prepped, params.pqM)
+      PqCodec.write(s"$dir/pq.bin", t)
+      (null, t)
     }
-    val cb = PqCodec.read(s"$dir/pq.bin")
 
     val cbB = spark.sparkContext.broadcast(cb)
     val rotB = spark.sparkContext.broadcast(rotation)
@@ -809,7 +811,7 @@ object Ann {
           queries.zipWithIndex.map { case (q, qi) => Row(qi, q.toSeq) }.asJava,
           StructType(Seq(StructField("query_idx", IntegerType),
             StructField("__qvec", ArrayType(FloatType)))))
-        scoreTableExact(qDf, "__qvec", meta, k)
+        scoreTableExact(qDf, "__qvec", meta, k, tomb)
           .select(col("query_idx"), col("row_id"), col("_distance"))
     }
     val w = Window.partitionBy("query_idx").orderBy(col("_distance"), col("row_id"))
@@ -855,9 +857,9 @@ object Ann {
       idColumn: String, name: String, k: Int, searchComplexity: Int = 0): DataFrame = {
     val spark = queriesDf.sparkSession
     val meta = IndexCatalog.load(root(spark), name)
-    if (!isGraphEngine(meta.engine))
-      return searchTableExact(queriesDf, queryVecColumn, baseDf, idColumn, meta, k)
     val tomb = IndexCatalog.readTombstones(root(spark), name)
+    if (!isGraphEngine(meta.engine))
+      return searchTableExact(queriesDf, queryVecColumn, baseDf, idColumn, meta, k, tomb)
     val tombB = spark.sparkContext.broadcast(tomb)
     val cosine = meta.metricObj eq Metric.Cosine
     val shardsArr = meta.shards.toArray
@@ -882,10 +884,16 @@ object Ann {
 
     val prepped = queriesDf.withColumn(queryVecColumn,
       toFloatVec(col(queryVecColumn)))
-    // stable per-row id keys the per-query re-merge across shard-local
-    // results (zipWithIndex — see withStableQid's scaladoc for why not
-    // monotonically_increasing_id; the raw RDD pairing is used here)
-    val qRdd = prepped.rdd.zipWithIndex()
+    // stable per-row id keys the per-query re-merge across the grid shuffle:
+    // zipWithUniqueId is lazy (no partition-counting job at plan build, so
+    // the TVF stays EXPLAIN-safe and the queries subtree runs once) and as
+    // retry-stable as zipWithIndex — a re-run map task recomputes its
+    // partition and derives the same ids from the fixed partition index, as
+    // long as the upstream scan is deterministic (the same caveat
+    // zipWithIndex's within-partition ordering already carries). NOT
+    // monotonically_increasing_id: its ids shift if the number of upstream
+    // partitions changes between attempts.
+    val qRdd = prepped.rdd.zipWithUniqueId()
     val nBlocks = math.max(1, spark.sparkContext.defaultParallelism / nShards)
     val keyed = qRdd.flatMap { case (row, qid) =>
       val b = (qid % nBlocks).toInt
@@ -941,109 +949,129 @@ object Ann {
    * to its nprobe clusters via an explode-join on the cluster id.
    */
   private def searchTableExact(queriesDf: DataFrame, queryVecColumn: String,
-      baseDf: DataFrame, idColumn: String, meta: IndexMeta, k: Int): DataFrame = {
-    val scored = scoreTableExact(queriesDf, queryVecColumn, meta, k)
+      baseDf: DataFrame, idColumn: String, meta: IndexMeta, k: Int,
+      tomb: Set[Long]): DataFrame = {
+    val scored = scoreTableExact(queriesDf, queryVecColumn, meta, k, tomb)
     joinBaseWithPrefix(baseDf, idColumn, scored, queriesDf.schema.fieldNames.toSet)
   }
 
   /** Broadcast-gemm exact scoring core shared by [[searchTableExact]] and the
    *  exact-engine route of [[searchBatch]]: input columns + `row_id` +
-   *  `_distance`, ≤ k rows per input row (per-query window top-k, double
-   *  precision ordering). */
+   *  `_distance`, ≤ k rows per input row. Rankings reproduce the single-query
+   *  scan paths bit-exactly: flat/ivfflat rank by the same double-precision
+   *  distance expression ([[exactScanIds]]); pq/ivfpq rank by the same float
+   *  ADC accumulation ([[pqScanIds]]/[[ivfPqScanIds]]), so near-float-ties
+   *  select the same rows whether a query arrives alone or in a batch. */
   private def scoreTableExact(queriesDf: DataFrame, queryVecColumn: String,
-      meta: IndexMeta, k: Int): DataFrame = {
+      meta: IndexMeta, k: Int, tomb: Set[Long]): DataFrame = {
     val spark = queriesDf.sparkSession
-    val tomb = IndexCatalog.readTombstones(root(spark), meta.name)
     val cosine = meta.metricObj eq Metric.Cosine
+    val l2 = meta.metricObj eq Metric.L2
     val inSchema = queriesDf.schema
+    val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
     val prepped0 = queriesDf
       .withColumn(queryVecColumn, toFloatVec(col(queryVecColumn)))
       .withColumn("__q",
         if (cosine) toFloatVec(normalizeCol(col(queryVecColumn))) else col(queryVecColumn))
-    // OPQ: code-space distances (reconstruction / __cand ranking) use the
-    // ROTATED query `__qadc`; exact re-ranks keep the unrotated `__q`
-    val prepped = withStableQid(
+    // OPQ (pq engine only): ADC runs in rotated space — rotate each query
+    // once on the broadcast side; exact re-ranks keep the unrotated `__q`
+    val prepped1 =
       if (meta.opq) {
         val rotB = spark.sparkContext.broadcast(readRotation(spark, meta))
         val rotUdf = udf((v: Array[Float]) => OpqCodec.rotate(rotB.value, v))
         prepped0.withColumn("__qadc", rotUdf(col("__q")))
-      } else prepped0)
-    // all references to the index scan go through the DataFrame instance so
-    // a query table that also has id/vec/cluster columns can't capture them.
-    // pq/ivfpq bases reconstruct `vec` from the codes (ADC distance IS the
-    // distance to the reconstruction, so ranking matches the index scan).
-    val base = meta.engine match {
-      case "pq" | "ivfpq" =>
-        val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
-        val cbB = spark.sparkContext.broadcast(PqCodec.read(s"$dirPath/pq.bin"))
-        val src = spark.read.parquet(meta.sourcePath)
-        // refined indexes keep the raw `vec`; candidates still rank by the
-        // RECONSTRUCTION distance (== ADC) in column __cand so the table
-        // path returns the same candidate-limited results as ann_search
-        val candCol = if (meta.refine) "__cand" else "vec"
-        if (meta.engine == "pq") {
-          val decodeUdf = udf((code: Array[Byte]) => PqCodec.decode(cbB.value, code))
-          src.withColumn(candCol, decodeUdf(col("code")))
-        } else {
-          val centsB = spark.sparkContext.broadcast(
-            IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
-          val decodeUdf = udf((code: Array[Byte], cluster: Int) => {
-            val rec = PqCodec.decode(cbB.value, code)
-            val c = centsB.value(cluster)
-            var i = 0
-            while (i < rec.length) { rec(i) += c(i); i += 1 }
-            rec
-          })
-          src.withColumn(candCol, decodeUdf(col("code"), col("cluster").cast(IntegerType)))
-        }
-      case _ => spark.read.parquet(meta.sourcePath)
-    }
-    val joined = meta.engine match {
-      case "ivfflat" | "ivfpq" if meta.nprobe < meta.nlist =>
-        val cents = IndexCatalog.readCentroids(
-          s"${IndexCatalog.indexDir(root(spark), meta.name)}/centroids.bin")
-        val centsB = spark.sparkContext.broadcast(cents)
-        val nprobe = meta.nprobe
-        val probeUdf = udf((v: Array[Float]) => KMeansLite.nearestP(centsB.value, v, nprobe))
-        val probed = prepped.withColumn("__probe", explode(probeUdf(col("__q"))))
-        base.join(broadcast(probed), base("cluster") === probed("__probe"))
-      case _ => base.crossJoin(broadcast(prepped))
-    }
+      } else prepped0
+    // __qid needs only uniqueness WITHIN the broadcast payload: each query
+    // row and its qid travel together through the join, and the broadcast
+    // side is computed exactly once per execution and reused by every
+    // consumer partition, so monotonically_increasing_id is safe here — and,
+    // unlike rdd.zipWithIndex, stays fully lazy (ZippedWithIndexRDD runs a
+    // partition-counting job the moment the RDD is built, which would make
+    // even EXPLAIN over the batch TVFs execute the queries subtree and then
+    // compute it a second time at execution). The grid path in
+    // [[searchTable]] keys qids across a real shuffle and uses
+    // zipWithUniqueId instead — see its comment.
+    val prepped = prepped1.withColumn("__qid", monotonically_increasing_id())
     def distTo(vc: Column, qc: Column): Column = meta.metricObj match {
       case Metric.L2 => array_distance_sq(vc, qc)
       case _ => array_negative_inner_product(vc, qc)
     }
-    val reconQ = if (meta.opq) col("__qadc") else col("__q")
+    // all references to the index scan go through the DataFrame instance so
+    // a query table that also has id/vec/cluster columns can't capture them
+    val base = spark.read.parquet(meta.sourcePath)
+    // per-engine (joined plan, ranking score). pq/ivfpq never decode: the
+    // broadcast side carries each query's ADC lookup table and the score is
+    // PqCodec.adc over the codes — the very accumulation the single-query
+    // scans rank by, and m byte-lookups per pair instead of a d-float
+    // reconstruction.
+    val (joined, rawScore): (DataFrame, Column) = meta.engine match {
+      case "pq" =>
+        val cb = PqCodec.read(s"$dirPath/pq.bin")
+        val cbB = spark.sparkContext.broadcast(cb)
+        val cbK = cb.k
+        val lutUdf = udf((q: Array[Float]) => PqCodec.lut(cbB.value, q, l2))
+        val adcQ = if (meta.opq) col("__qadc") else col("__q")
+        val withLut = prepped.withColumn("__lut", lutUdf(adcQ))
+        val adcUdf = udf((lutV: Array[Float], code: Array[Byte]) =>
+          PqCodec.adc(lutV, cbK, code))
+        (base.crossJoin(broadcast(withLut)), adcUdf(col("__lut"), base("code")))
+      case "ivfpq" =>
+        // probe join on the cluster column (prunes when nprobe < nlist,
+        // degrades to a full cluster-partitioned scan otherwise); per
+        // (query, probe) ADC inputs match ivfPqScanIds: L2 uses the residual
+        // (q − centroid) table with offset 0, IP/cosine reuse the query's
+        // own table with a −dot(q, centroid) offset
+        val cb = PqCodec.read(s"$dirPath/pq.bin")
+        val cbB = spark.sparkContext.broadcast(cb)
+        val cbK = cb.k
+        val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
+        val centsB = spark.sparkContext.broadcast(cents)
+        val nprobe = meta.nprobe
+        val probeUdf = udf((v: Array[Float]) => KMeansLite.nearestP(centsB.value, v, nprobe))
+        val lutUdf = udf((q: Array[Float], p: Int) => {
+          val c = centsB.value(p)
+          if (l2) {
+            val qr = new Array[Float](q.length)
+            var i = 0
+            while (i < q.length) { qr(i) = q(i) - c(i); i += 1 }
+            (PqCodec.lut(cbB.value, qr, l2 = true), 0.0f)
+          } else (PqCodec.lut(cbB.value, q, l2 = false), -VectorOps.dot(q, c))
+        })
+        val probed = prepped
+          .withColumn("__probe", explode(probeUdf(col("__q"))))
+          .withColumn("__lutoff", lutUdf(col("__q"), col("__probe")))
+        val adcUdf = udf((lutV: Array[Float], off: Float, code: Array[Byte]) =>
+          PqCodec.adc(lutV, cbK, code) + off)
+        (base.join(broadcast(probed), base("cluster") === probed("__probe")),
+          adcUdf(col("__lutoff._1"), col("__lutoff._2"), base("code")))
+      case "ivfflat" if meta.nprobe < meta.nlist =>
+        val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
+        val centsB = spark.sparkContext.broadcast(cents)
+        val nprobe = meta.nprobe
+        val probeUdf = udf((v: Array[Float]) => KMeansLite.nearestP(centsB.value, v, nprobe))
+        val probed = prepped.withColumn("__probe", explode(probeUdf(col("__q"))))
+        (base.join(broadcast(probed), base("cluster") === probed("__probe")),
+          distTo(base("vec"), col("__q")))
+      case _ =>
+        (base.crossJoin(broadcast(prepped)), distTo(base("vec"), col("__q")))
+    }
     val live0 = if (tomb.isEmpty) joined
       else joined.where(!base("id").isin(tomb.toSeq: _*))
-    // refined: per-query candidate cut by reconstruction distance first
-    // (mirrors the single-query two-phase refine), exact re-rank second
-    val live =
+    // refined: per-query candidate cut by the SAME float ADC ranking the
+    // single-query codes-only scan uses, then exact re-rank on the stored
+    // raw vectors in double (mirrors refineStage's two phases)
+    val (live, finalScore) =
       if (meta.refine) {
-        val cw = Window.partitionBy("__qid").orderBy(
-          distTo(base("__cand"), reconQ).as("__cd"), base("id"))
-        live0.withColumn("__crn", row_number().over(cw))
-          .where(col("__crn") <= k * refineFactor(spark))
-      } else live0
-    // non-refined pq stores the reconstruction in `vec` → code-space query;
-    // everything else ranks raw vectors with the unrotated query
-    val vecQ = if (meta.opq && !meta.refine) reconQ else col("__q")
-    val unfiltered = live.withColumn("__dd", distTo(base("vec"), vecQ))
+        val cw = Window.partitionBy("__qid").orderBy(rawScore, base("id"))
+        (live0.withColumn("__crn", row_number().over(cw))
+          .where(col("__crn") <= k * refineFactor(spark)),
+          distTo(base("vec"), col("__q")))
+      } else (live0, rawScore)
+    val unfiltered = live.withColumn("__dd", finalScore)
     val w = Window.partitionBy("__qid").orderBy(col("__dd"), base("id"))
     unfiltered.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
       .select(inSchema.fieldNames.map(f => prepped(f)).toSeq :+
         base("id").as("row_id") :+ col("__dd").cast(FloatType).as("_distance"): _*)
-  }
-
-  /** Deterministic per-row id appended as `__qid`: `rdd.zipWithIndex`, NOT
-   *  `monotonically_increasing_id` — mono_id is only deterministic if the
-   *  upstream partitioning is, while zipWithIndex stays stable when a stage
-   *  retry recomputes the RDD, so shard-local (or per-partition) results
-   *  always re-merge onto the same query rows. */
-  private def withStableQid(df: DataFrame): DataFrame = {
-    val schema = StructType(df.schema.fields.toSeq :+ StructField("__qid", LongType))
-    val rdd = df.rdd.zipWithIndex().map { case (row, qid) => Row.fromSeq(row.toSeq :+ qid) }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** `faiss_gpu_info()` analog: the JVM engine has no GPU backend; cluster

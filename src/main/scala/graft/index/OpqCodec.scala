@@ -52,11 +52,16 @@ object OpqCodec {
     require(sample.nonEmpty, "OPQ training requires a non-empty sample")
     val d = sample(0).length
     var r = identity(d)
+    // codebook trained on the CURRENT r, or null once r has moved past it —
+    // lets the degenerate-stop path return the loop's codebook instead of
+    // re-running the dominant k-means cost on identical inputs
+    var cbForR: PqCodec.Codebook = null
     var it = 0
     var stop = false
     while (it < iters && !stop) {
       val rotated = sample.map(rotate(r, _))
       val cb = PqCodec.train(rotated, m, k)
+      cbForR = cb
       // M = Σ x̂ xᵀ in double
       val mm = new Array[Double](d * d)
       var i = 0
@@ -74,13 +79,16 @@ object OpqCodec {
         i += 1
       }
       polar(mm, d) match {
-        case null => stop = true // keep the last good rotation
-        case rNew => r = rNew
+        case null => stop = true // keep the last good rotation (cbForR matches it)
+        case rNew => r = rNew; cbForR = null
       }
       it += 1
     }
-    val rotated = sample.map(rotate(r, _))
-    Trained(r, PqCodec.train(rotated, m, k))
+    if (cbForR == null) {
+      val rotated = sample.map(rotate(r, _))
+      cbForR = PqCodec.train(rotated, m, k)
+    }
+    Trained(r, cbForR)
   }
 
   /** Orthogonal polar factor of a d×d matrix (row-major) via Newton–Schulz:

@@ -21,6 +21,15 @@ import org.apache.spark.sql.execution.LeafExecNode
  * physical plan instance (executeCollect and doExecute share it); re-running
  * the SQL statement resolves a fresh node and re-runs the effect, matching
  * re-execution semantics in the reference.
+ *
+ * Corollary of running at execution: if the optimizer proves the node's
+ * output is never consumed and prunes it (`LIMIT 0`, a join against a
+ * provably-empty relation → OptimizeLimitZero/PropagateEmptyRelation), the
+ * effect does NOT run — the standard Spark contract that a pruned subtree
+ * never executes, and the same outcome as `EXPLAIN`. Statements that want
+ * the effect must consume at least one potential row (`SELECT * FROM
+ * ann_vacuum('ix')` does; wrapping it in `LIMIT 0` asks for nothing and gets
+ * nothing). Pinned by TableFunctionsSpec.
  */
 case class CommandTvfNode(fnName: String, output: Seq[Attribute],
     @transient body: () => DataFrame) extends LeafNode {

@@ -104,7 +104,13 @@ class AnnSpec extends AnyFunSuite {
     val qs = Array.tabulate(512)(i => all(i % all.length)).toSeq
     Ann.buildIndex(emb, "embedding", "vec_id", "t_b512pq",
       Ann.BuildParams(engine = "pq", pqM = 4, trainSample = 200))
-    for (ix <- Seq("t_flat", "t_b512pq")) {
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_b512ivfpq",
+      Ann.BuildParams(engine = "ivfpq", pqM = 4, nlist = 8, nprobe = 2,
+        trainSample = 200))
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_b512opqr",
+      Ann.BuildParams(engine = "pq", pqM = 4, opq = true, refine = true,
+        trainSample = 200))
+    for (ix <- Seq("t_flat", "t_b512pq", "t_b512ivfpq", "t_b512opqr")) {
       val res = Ann.searchBatch(emb, "vec_id", ix, qs, 3)
       assert(!res.queryExecution.optimizedPlan.toString.contains("Union"),
         s"$ix: batch plan must be a single broadcast plan, not a per-query union")
@@ -112,24 +118,18 @@ class AnnSpec extends AnyFunSuite {
       assert(rows.length == 512 * 3, s"$ix: expected 512*3 rows, got ${rows.length}")
       val byQ = rows.groupBy(_.getInt(0))
       assert(byQ.size == 512 && byQ.values.forall(_.length == 3))
-      // sampled parity vs the single-query serving path; flat is exact both
-      // ways (double-precision ordering) — ids AND distances must agree.
-      // pq single-query ranks by float ADC while the gemm plan recomputes the
-      // reconstruction distance in double, so near-ties may permute: compare
-      // distances with tolerance.
+      // sampled parity vs the single-query serving path — BIT-exact for both
+      // engines: flat ranks by the same double-precision expression both
+      // ways, and the gemm plan scores pq by the same float ADC accumulation
+      // the single-query codes scan uses, so ids AND distances must agree
+      // even at float-ulp near-ties.
       for (qi <- Seq(0, 127, 499, 511)) {
         val single = Ann.search(emb, "vec_id", ix, qs(qi), 3)
           .select(col("vec_id"), col("_distance")).collect()
           .map(r => (r.getLong(0), r.getFloat(1))).toSeq
         val got = byQ(qi).map(r => (r.getLong(1), r.getFloat(2)))
           .sortBy { case (id, d) => (d, id) }.toSeq
-        if (ix == "t_flat") assert(got == single, s"$ix q$qi: $got != $single")
-        else {
-          got.zip(single).foreach { case ((_, gd), (_, sd)) =>
-            assert(math.abs(gd - sd) <= 1e-3f * math.max(1f, math.abs(sd)),
-              s"$ix q$qi: distances diverged: $got vs $single")
-          }
-        }
+        assert(got == single, s"$ix q$qi: $got != $single")
       }
     }
   }

@@ -149,6 +149,24 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(!names().contains("lazy_ix"))
   }
 
+  test("optimizer-pruned command TVF does not run its effect (documented)") {
+    // execution-time effects follow the standard Spark contract: a subtree
+    // the optimizer prunes never executes. `LIMIT 0` asks for no rows, so
+    // OptimizeLimitZero replaces the node and the effect is skipped — same
+    // outcome as EXPLAIN (see CommandTvf scaladoc).
+    import graft.index.{Ann, IndexCatalog}
+    def names(): Set[String] = IndexCatalog.list(Ann.root(spark)).map(_.name).toSet
+    spark.sql("SELECT * FROM ann_create_index('emb', 'embedding', " +
+      "'vec_id', 'limit0_ix', 'Flat') LIMIT 0").collect()
+    assert(!names().contains("limit0_ix"),
+      "LIMIT 0 consumed no rows but the effect ran anyway")
+    // consuming the row runs the effect
+    spark.sql("SELECT * FROM ann_create_index('emb', 'embedding', " +
+      "'vec_id', 'limit0_ix', 'Flat') LIMIT 1").collect()
+    assert(names().contains("limit0_ix"))
+    spark.sql("SELECT * FROM ann_drop('limit0_ix')").collect()
+  }
+
   test("hybrid_search knobs: weights/candidates/search_complexity from pure SQL") {
     // dv view exists from the hybrid test; all-BM25 weights vs all-vector
     // weights must produce different top hits on a text query that is not
