@@ -442,6 +442,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // exact substring-span dedup: doc pairs sharing >= 3 distinct 5-grams
+    "ngram_dup_pairs" -> ((s, dir) => {
+      TextOps.ngramDupPairs(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // benchmark decontamination: train docs (id % 5 != 0) sharing any
+    // duplicated 5-gram with the eval split (id % 5 == 0)
+    "decontaminate" -> ((s, dir) => {
+      TextOps.contaminationCounts(t(s, dir, "documents"), "text", "doc_id",
+          id => id % 5 === 0)
+        .select(col("id").as("doc_id"), col("n_contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic hash-gated stratified sampling (per-lang mix rates)
+    "stratified_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .where(TextOps.sampleGate(col("doc_id"),
+          when(col("lang") === "en", 600).otherwise(250)))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis (north-star pipeline ops; all codegen'd, no UDFs) ----
 
     "corpus_stats" -> ((s, dir) => {
@@ -735,6 +759,35 @@ object SparkEntry {
     "token_count" ->
       """SELECT doc_id, len(str_split(text, ' ')) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ngram_dup_pairs" ->
+      """WITH toks AS (SELECT doc_id,
+        |   regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        | ng AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ngram
+        |   FROM toks, unnest(range(1, len(t)-3)) AS u(i) WHERE len(t) >= 5),
+        | keep AS (SELECT ngram FROM ng GROUP BY 1
+        |   HAVING count(*) BETWEEN 2 AND 50),
+        | fng AS (SELECT ng.doc_id, ng.ngram FROM ng JOIN keep USING (ngram))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_ngrams
+        |FROM fng a JOIN fng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""".stripMargin,
+    "decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |   regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        | ng AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ngram
+        |   FROM toks, unnest(range(1, len(t)-3)) AS u(i) WHERE len(t) >= 5),
+        | keep AS (SELECT ngram FROM ng GROUP BY 1
+        |   HAVING count(*) BETWEEN 2 AND 50),
+        | fng AS (SELECT ng.doc_id, ng.ngram FROM ng JOIN keep USING (ngram))
+        |SELECT tr.doc_id, count(*) AS n_contaminated
+        |FROM fng tr
+        |JOIN (SELECT DISTINCT ngram FROM fng WHERE doc_id % 5 = 0) ev
+        |  ON tr.ngram = ev.ngram
+        |WHERE tr.doc_id % 5 <> 0 GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
+        |  CASE WHEN lang = 'en' THEN 600 ELSE 250 END
+        |ORDER BY doc_id""".stripMargin,
     "corpus_stats" ->
       s"""SELECT count(*) AS total_tokens, count(DISTINCT tok) AS vocab,
          | sum(length(tok))::BIGINT AS total_chars

@@ -583,4 +583,81 @@ object TextOps {
       .select(col("id").as("drop_id"))
     df.join(drop, col(idCol) === col("drop_id"), "left_anti")
   }
+
+  // -------------------------------------------- substring (n-gram span) dedup
+
+  /** Token n-grams of `toksCol` as space-joined strings (empty when the doc
+   *  has fewer than n tokens — the guard matters: Spark's `sequence` steps
+   *  BACKWARDS when stop < start). */
+  def ngramsCol(toksCol: Column, n: Int): Column =
+    when(size(toksCol) >= n,
+      transform(sequence(lit(0), size(toksCol) - n),
+        i => array_join(slice(toksCol, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Distinct (id, ngram) pairs, restricted to n-grams whose document
+   *  frequency is in [2, dfMax]. The df cap is the 100 TB shuffle guard: a
+   *  boilerplate n-gram shared by millions of docs would otherwise square
+   *  into the self-join; it is also semantically right — ubiquitous n-grams
+   *  are not duplication signals (the same IDF intuition as stopwording). */
+  private def dupNgramTable(df: DataFrame, textCol: String, idCol: String,
+      n: Int, dfMax: Int): DataFrame = {
+    val ng = df
+      .select(col(idCol).cast(LongType).as("id"),
+        explode(ngramsCol(tokens(col(textCol)), n)).as("ngram"))
+      .distinct()
+    val keep = ng.groupBy("ngram").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= dfMax)
+      .select("ngram")
+    ng.join(keep, "ngram")
+  }
+
+  /** Exact substring-level near-dup detection (the n-gram-span analog of
+   *  suffix-array training-data dedup): document pairs sharing at least
+   *  `minShared` distinct token n-grams → (id_a, id_b, shared_ngrams).
+   *  Scale shape: one shuffle keyed on the n-gram string; the df cap bounds
+   *  every bucket, so the per-ngram self-join is O(df²) ≤ O(dfMax²) per key,
+   *  never all-pairs across the corpus. */
+  def ngramDupPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 5, minShared: Int = 3, dfMax: Int = 50): DataFrame = {
+    val fng = dupNgramTable(df, textCol, idCol, n, dfMax)
+    val a = fng.select(col("id").as("id_a"), col("ngram"))
+    val b = fng.select(col("id").as("id_b"), col("ngram"))
+    a.join(b, a("ngram") === b("ngram") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
+  /** Benchmark decontamination: for every training document (rows NOT
+   *  matching `evalPred` on the id), the number of distinct token n-grams it
+   *  shares with ANY eval document (rows matching `evalPred`). Rows with
+   *  zero overlap are omitted. The eval n-gram set is deduplicated before
+   *  the join, so a training n-gram counts once no matter how many eval
+   *  docs contain it. */
+  def contaminationCounts(df: DataFrame, textCol: String, idCol: String,
+      evalPred: Column => Column, n: Int = 5, dfMax: Int = 50): DataFrame = {
+    val fng = dupNgramTable(df, textCol, idCol, n, dfMax)
+    val evalNg = fng.where(evalPred(col("id"))).select("ngram").distinct()
+    fng.where(!evalPred(col("id")))
+      .join(evalNg, "ngram")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  // ------------------------------------------------------ stratified sampling
+
+  /** Knuth multiplicative constant for the sampling gate. */
+  val SampleMult = 2654435761L
+
+  /** Deterministic hash-gate for stratified sampling of training mixes: keeps
+   *  a row iff `(id · SampleMult) mod 1000 < permille`. Pure codegen'd
+   *  integer arithmetic — no RNG state, no shuffle, pushes down to the scan,
+   *  and selects the SAME rows on any cluster size, retry, or engine (the
+   *  arithmetic is exactly reproducible in SQL), so a training mix is
+   *  re-derivable from the recipe alone. `permille` may be any per-row
+   *  expression (per-stratum rates via CASE/when). The id is pre-reduced mod
+   *  [[HashMod]] so the product stays < 2^63 for any 64-bit id — engines
+   *  that check overflow (DuckDB does) evaluate it identically. */
+  def sampleGate(idCol: Column, permille: Column): Column =
+    pmod(pmod(idCol.cast(LongType), lit(HashMod)) * lit(SampleMult), lit(1000L)) <
+      permille.cast(LongType)
 }

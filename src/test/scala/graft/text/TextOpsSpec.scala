@@ -177,4 +177,62 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Long]]("sig").length == TextOps.NumHashes)
     assert(r.getAs[scala.collection.Seq[Long]]("bands").length == TextOps.NumBands)
   }
+
+  test("ngramsCol: sliding n-grams; short docs yield empty (no desc sequence)") {
+    val df = docs((1L, "a b c d e f"), (2L, "a b c"))
+    val got = df.select(col("doc_id"),
+        TextOps.ngramsCol(TextOps.tokens(col("text")), 5).as("ng"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got(1L) == Seq("a b c d e", "b c d e f"))
+    assert(got(2L) == Seq.empty)
+  }
+
+  test("ngramDupPairs: shared spans found; df cap drops boilerplate n-grams") {
+    val span = "w1 w2 w3 w4 w5 w6"               // two 5-grams when shared whole
+    val boiler = "b1 b2 b3 b4 b5"                // in ALL docs → df=4 > dfMax=3
+    val df = docs(
+      (1L, s"$boiler unique1 $span"),
+      (2L, s"$boiler unique2 $span"),
+      (3L, s"$boiler unique3 other words entirely here now"),
+      (4L, s"$boiler unique4 more filler tokens to pad out"))
+    val pairs = TextOps.ngramDupPairs(df, "text", "doc_id",
+        n = 5, minShared = 1, dfMax = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only (1,2) share the span; the boilerplate 5-gram appears in 4 docs and
+    // is excluded by the df cap, so no other pair survives
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)), pairs.toSeq.toString)
+  }
+
+  test("contaminationCounts: train docs sharing eval n-grams, counted once") {
+    val span = "c1 c2 c3 c4 c5"
+    val df = docs(
+      (5L, s"$span eval doc body"),             // eval (id % 5 == 0)
+      (10L, s"$span another eval body"),        // eval too — same span
+      (1L, s"train doc with $span inside"),
+      (2L, "train doc with nothing shared at all"))
+    val got = TextOps.contaminationCounts(df, "text", "doc_id",
+        id => id % 5 === 0, n = 5, dfMax = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1 shares exactly the one 5-gram; it appears in TWO eval docs but
+    // counts once; doc 2 clean → omitted
+    assert(got.toSeq == Seq((1L, 1L)), got.toSeq.toString)
+  }
+
+  test("sampleGate: exact arithmetic, deterministic, stratum rates apply") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+      .withColumn("lang", when(col("id") % 2 === 0, "en").otherwise("fr"))
+    val rate = when(col("lang") === "en", 600).otherwise(250)
+    val kept = df.where(TextOps.sampleGate(col("id"), rate))
+      .collect().map(_.getLong(0)).toSet
+    // exact replica of the gate in Scala
+    val expect = (0L until 1000L).filter { id =>
+      val g = ((id % TextOps.HashMod) * TextOps.SampleMult) % 1000L
+      g < (if (id % 2 == 0) 600 else 250)
+    }.toSet
+    assert(kept == expect)
+    // rates land near the targets (hash gate, not exact quota)
+    val en = kept.count(_ % 2 == 0); val fr = kept.size - en
+    assert(math.abs(en - 300) < 60 && math.abs(fr - 125) < 50, s"en=$en fr=$fr")
+  }
 }
