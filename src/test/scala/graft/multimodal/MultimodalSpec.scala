@@ -134,4 +134,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back.schema("meta").dataType == Multimodal.mediaMetaSchema)
     assert(back.count() == 2)
   }
+
+  test("Arrow surface: features round-trip through batches, values intact") {
+    val feats = Multimodal.featurize(mediaDf(), "payload", dims = 16)
+      .select("media_id", "payload", "features")
+    val batches = ArrowSurface.toArrowBatches(feats, maxRecordsPerBatch = 8)
+    assert(batches.count() > 0)
+    val back = ArrowSurface.fromArrowBatches(spark, feats.schema, batches)
+    assert(back.schema == feats.schema)
+    val orig = feats.collect().map(r => r.getLong(0) ->
+      ((r.getAs[Array[Byte]](1).toSeq, r.getAs[scala.collection.Seq[Float]](2)))).toMap
+    val got = back.collect().map(r => r.getLong(0) ->
+      ((r.getAs[Array[Byte]](1).toSeq, r.getAs[scala.collection.Seq[Float]](2)))).toMap
+    assert(got == orig)
+  }
+
+  test("Arrow IPC stream is readable by the public Arrow reader (interop)") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val feats = Multimodal.featurize(mediaDf(), "payload", dims = 16)
+      .select("media_id", "features").orderBy("media_id")
+    val bytes = ArrowSurface.toIpcStream(feats, maxRecordsPerBatch = 16)
+    // read back with arrow-java's own stream reader — what pyarrow's
+    // ipc.open_stream speaks — proving the bytes are a valid IPC stream
+    val alloc = new RootAllocator()
+    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), alloc)
+    try {
+      val arrowFields = reader.getVectorSchemaRoot.getSchema.getFields
+      assert(arrowFields.size() == 2)
+      assert(arrowFields.get(0).getName == "media_id")
+      assert(arrowFields.get(1).getName == "features")
+      var rows = 0L
+      var firstId = -1L
+      while (reader.loadNextBatch()) {
+        val root = reader.getVectorSchemaRoot
+        if (firstId < 0 && root.getRowCount > 0)
+          firstId = root.getVector(0)
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector].get(0)
+        rows += root.getRowCount
+      }
+      assert(rows == 50, s"expected 50 rows across batches, got $rows")
+      assert(firstId == 0L)
+    } finally { reader.close(); alloc.close() }
+  }
 }
