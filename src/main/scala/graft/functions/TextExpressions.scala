@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
@@ -173,6 +174,131 @@ case class SimHash(child: Expression, bits: Int)
 }
 
 /**
+ * `ngrams(toks, n [, distinct])` — space-joined sliding token n-grams in one
+ * compiled pass. Replaces `transform(sequence(...), i -> array_join(
+ * slice(toks, i, n), ' '))`, whose per-element interpreted dispatch (HOFs
+ * are CodegenFallback) made bare n-gram generation the dominant cost of the
+ * substring-dedup path (~3 s at sf0.1 for 250k n-grams). With
+ * `distinct = true` the per-document dedup happens inside the same pass
+ * (first occurrence kept), which lets the substring-dedup pipeline skip an
+ * entire `.distinct()` shuffle over the exploded (id, ngram) rows.
+ * Output order and values match the HOF formulation exactly (DuckDB oracle
+ * parity: `array_to_string(t[i:i+n-1], ' ')`).
+ */
+case class Ngrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n-gram size must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngrams"
+
+  override protected def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val cnt = a.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) {
+      toks(i) = if (a.isNullAt(i)) UTF8String.EMPTY_UTF8 else a.getUTF8String(i)
+      i += 1
+    }
+    val sep = Ngrams.Sep
+    val out = new java.util.ArrayList[Any](cnt - n + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    val parts = new Array[UTF8String](n)
+    i = 0
+    while (i <= cnt - n) {
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      val g = UTF8String.concatWs(sep, parts: _*)
+      if (seen == null || seen.add(g)) out.add(g)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Ngrams {
+  val Sep: UTF8String = UTF8String.fromString(" ")
+}
+
+/**
+ * `ngrams_of_text(text, n [, distinct])` — the fused lower → tokenize →
+ * n-gram pipeline in one pass over the raw string. Bit-equal to
+ * `Ngrams(regexp_extract_all(lower(text), '[a-z0-9]+'), n, distinct)`:
+ * lowering uses the same UTF8String.toLowerCase Spark's `lower()` calls,
+ * and `[a-z0-9]+` extraction over any string is precisely "maximal runs of
+ * those ASCII chars", which the hand-rolled scanner reproduces without the
+ * regex engine, the token-array column, or per-token allocations. This is
+ * the substring-dedup hot path: the corpus scan is exactly one expression
+ * eval per document.
+ */
+case class NgramsOfText(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n-gram size must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngrams_of_text"
+
+  @inline private def isTok(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  override protected def nullSafeEval(s: Any): Any = {
+    val str = s.asInstanceOf[UTF8String].toLowerCase.toString
+    val len = str.length
+    // token boundaries as (start, end) index pairs — no substring allocation
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && !isTok(str.charAt(i))) i += 1
+      if (i < len) {
+        val s0 = i
+        while (i < len && isTok(str.charAt(i))) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = s0; ends(nTok) = i; nTok += 1
+      }
+    }
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[Any](nTok - n + 1)
+    val seen = if (distinct) new java.util.HashSet[String]() else null
+    val sb = new java.lang.StringBuilder(64)
+    var w = 0
+    while (w <= nTok - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(str, starts(w + j), ends(w + j))
+        j += 1
+      }
+      val g = sb.toString
+      if (seen == null || seen.add(g)) out.add(UTF8String.fromString(g))
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `shingle_hashes(tokens, k)` — distinct rolling hashes of k-token shingles
  * in one compiled pass (the eval body is compiled Scala; the expression
  * itself is CodegenFallback, which costs one virtual call per row instead
@@ -308,6 +434,92 @@ case class LshBuckets(child: Expression, dim: Int, nTables: Int,
     new GenericArrayData(out)
   }
 
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * `bounded_collect_set(id, cap)` — distinct LONG collection whose state never
+ * exceeds `cap` elements per group: once a partial (or merged) state has seen
+ * `cap` distinct values it saturates and stops absorbing, and eval() returns
+ * an EMPTY array as the saturation sentinel. Callers that only want groups
+ * with ≤ dfMax distinct members pass cap = dfMax + 1 and filter
+ * `size(ids) BETWEEN lo AND dfMax`: groups at or under the threshold come
+ * back EXACT (a partial can only saturate after genuinely seeing cap
+ * distinct values, so below the threshold every partial is a plain subset
+ * and merging loses nothing), larger groups are detected without ever
+ * holding their member lists. This is what makes a single-shuffle
+ * group-members aggregation skew-safe at corpus scale — a boilerplate key
+ * shared by millions of docs costs O(cap) state, not O(df), where a plain
+ * collect_set would concentrate the whole posting list in one task.
+ * Output is sorted ascending (deterministic; collect_set order is not).
+ */
+case class BoundedCollectSet(child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.HashSet[java.lang.Long]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(cap > 0, "cap must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bounded_collect_set"
+
+  override def createAggregationBuffer(): java.util.HashSet[java.lang.Long] =
+    new java.util.HashSet[java.lang.Long]()
+
+  override def update(buf: java.util.HashSet[java.lang.Long],
+      input: InternalRow): java.util.HashSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null && buf.size < cap) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: java.util.HashSet[java.lang.Long],
+      b: java.util.HashSet[java.lang.Long]): java.util.HashSet[java.lang.Long] = {
+    // absorbing b until saturation preserves both invariants: below cap the
+    // loop runs b dry so a = a ∪ b exactly; and if b was saturated (size ==
+    // cap) then a ends ≥ cap too, since a ⊇ b when the loop exhausts b
+    val it = b.iterator()
+    while (it.hasNext && a.size < cap) a.add(it.next())
+    a
+  }
+
+  override def eval(buf: java.util.HashSet[java.lang.Long]): Any = {
+    if (buf.size >= cap) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.HashSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val s = new java.util.HashSet[java.lang.Long](math.max(16, n * 2))
+    var i = 0
+    while (i < n) { s.add(bb.getLong()); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedCollectSet =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedCollectSet =
+    copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -35,6 +35,12 @@ object functions {
   def lsh_buckets(vec: Column, dim: Int, nTables: Int, bitsPerTable: Int,
       seed: Long): Column =
     mkCol(LshBuckets(mkExpr(vec), dim, nTables, bitsPerTable, seed))
+
+  /** Distinct-LONG collection with per-group state capped at `cap` elements;
+   *  saturated groups eval to an EMPTY array (see
+   *  [[graft.expressions.BoundedCollectSet]]). */
+  def bounded_collect_set(c: Column, cap: Int): Column =
+    mkCol(BoundedCollectSet(mkExpr(c), cap).toAggregateExpression())
   def array_negative_inner_product(a: Column, b: Column): Column =
     mkCol(ArrayNegativeInnerProduct(mkExpr(a), mkExpr(b)))
   def array_cosine_similarity(a: Column, b: Column): Column =

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -587,60 +587,189 @@ object TextOps {
   // -------------------------------------------- substring (n-gram span) dedup
 
   /** Token n-grams of `toksCol` as space-joined strings (empty when the doc
-   *  has fewer than n tokens — the guard matters: Spark's `sequence` steps
-   *  BACKWARDS when stop < start). */
+   *  has fewer than n tokens). One compiled pass
+   *  (graft.expressions.Ngrams) — the `transform ∘ slice ∘ array_join`
+   *  formulation is value-identical but runs interpreted per element. */
   def ngramsCol(toksCol: Column, n: Int): Column =
-    when(size(toksCol) >= n,
-      transform(sequence(lit(0), size(toksCol) - n),
-        i => array_join(slice(toksCol, i + lit(1), lit(n)), " ")))
-      .otherwise(array().cast(ArrayType(StringType)))
+    graft.functions.mkCol(graft.expressions.Ngrams(
+      graft.functions.mkExpr(toksCol), n, distinct = false))
 
-  /** Distinct (id, ngram) pairs, restricted to n-grams whose document
-   *  frequency is in [2, dfMax]. The df cap is the 100 TB shuffle guard: a
-   *  boilerplate n-gram shared by millions of docs would otherwise square
-   *  into the self-join; it is also semantically right — ubiquitous n-grams
-   *  are not duplication signals (the same IDF intuition as stopwording). */
-  private def dupNgramTable(df: DataFrame, textCol: String, idCol: String,
+  /** [[ngramsCol]] with per-document dedup fused into the same pass (first
+   *  occurrence kept) — callers exploding to (id, ngram) need no
+   *  `.distinct()` shuffle afterwards. */
+  def ngramsDistinctCol(toksCol: Column, n: Int): Column =
+    graft.functions.mkCol(graft.expressions.Ngrams(
+      graft.functions.mkExpr(toksCol), n, distinct = true))
+
+  /** Fused lower → tokenize → distinct n-grams over the raw text column in
+   *  ONE expression eval per document — bit-equal to
+   *  `ngramsDistinctCol(tokens(textCol), n)` without the regex engine or
+   *  the intermediate token array (graft.expressions.NgramsOfText). */
+  def ngramsOfTextCol(textCol: Column, n: Int): Column =
+    graft.functions.mkCol(graft.expressions.NgramsOfText(
+      graft.functions.mkExpr(textCol), n, distinct = true))
+
+  /** Per-n-gram distinct doc-id sets (`ngram`, `ids`), restricted to
+   *  n-grams whose document frequency is in [2, dfMax]. The df cap is the
+   *  100 TB guard: a boilerplate n-gram shared by millions of docs would
+   *  otherwise square into the pair stage; it is also semantically right —
+   *  ubiquitous n-grams are not duplication signals (the same IDF intuition
+   *  as stopwording).
+   *
+   *  Shuffle shape: ONE exchange keyed on the n-gram, skew-safe because the
+   *  member sets are collected with [[graft.functions.bounded_collect_set]]
+   *  (state capped at dfMax+1 per group, map-side partials included): groups
+   *  at or under dfMax come back exact, larger groups saturate to the empty
+   *  sentinel without ever holding their posting list — a plain collect_set
+   *  would concentrate a boilerplate n-gram's entire doc list in one task.
+   *  Per-document n-gram dedup is fused into the generation pass
+   *  ([[ngramsDistinctCol]]), so no `.distinct()` shuffle precedes it. */
+  private def dupNgramSets(df: DataFrame, textCol: String, idCol: String,
       n: Int, dfMax: Int): DataFrame = {
-    val ng = df
-      .select(col(idCol).cast(LongType).as("id"),
-        explode(ngramsCol(tokens(col(textCol)), n)).as("ngram"))
-      .distinct()
-    val keep = ng.groupBy("ngram").agg(count(lit(1)).as("__df"))
-      .where(col("__df") >= 2 && col("__df") <= dfMax)
-      .select("ngram")
-    ng.join(keep, "ngram")
+    df.select(col(idCol).cast(LongType).as("id"),
+        explode(ngramsOfTextCol(col(textCol), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(graft.functions.bounded_collect_set(col("id"), dfMax + 1).as("ids"))
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= dfMax)
+  }
+
+  /** Size gate for the driver-local n-gram route (default 64 MB of scan
+   *  input, same auto-route family as ExactServe / the local
+   *  connected-components union-find): below it, the posting map fits the
+   *  driver trivially and the shuffle's fixed cost dominates end-to-end
+   *  latency, so the group-by runs driver-side on rows from ONE narrow
+   *  (shuffle-free) Spark job; above it, the distributed single-exchange
+   *  plan takes over. Results are identical on both routes — the narrow job
+   *  evaluates the SAME tokenize/n-gram expressions. */
+  private def localNgramMaxBytes(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.text.localNgramMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+
+  /** Driver-local n-gram posting map: `ngram → distinct ids` (insertion
+   *  capped at dfMax+1 — saturated n-grams are dropped like the distributed
+   *  route's sentinel), or None when the input's estimated scan size exceeds
+   *  the local gate. `flagCol` (a per-id boolean, e.g. an eval-split
+   *  predicate) rides along in the SAME narrow job so callers get its value
+   *  per id without a second Spark action — and with exactly the
+   *  distributed route's predicate semantics. */
+  private def ngramPostingsLocal(df: DataFrame, textCol: String, idCol: String,
+      n: Int, dfMax: Int, flagCol: Option[Column] = None):
+      Option[(java.util.HashMap[String, java.util.LinkedHashSet[java.lang.Long]],
+        java.util.HashMap[java.lang.Long, java.lang.Boolean])] = {
+    val cols = Seq(col(idCol).cast(LongType).as("id"),
+      ngramsOfTextCol(col(textCol), n).as("ngrams")) ++
+      flagCol.map(_.as("flag"))
+    val projected = df.select(cols: _*)
+    val est = projected.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > localNgramMaxBytes(df)) return None
+    val cap = dfMax + 1
+    val map = new java.util.HashMap[String, java.util.LinkedHashSet[java.lang.Long]]()
+    val flags = new java.util.HashMap[java.lang.Long, java.lang.Boolean]()
+    projected.collect().foreach { r =>
+      val id = r.getLong(0)
+      if (flagCol.isDefined) flags.put(id, r.getBoolean(2))
+      val ngrams = r.getSeq[String](1)
+      ngrams.foreach { g =>
+        val s = map.computeIfAbsent(g, _ => new java.util.LinkedHashSet[java.lang.Long]())
+        if (s.size < cap) s.add(id)
+      }
+    }
+    Some((map, flags))
+  }
+
+  /** Kept (sorted-id) posting lists from the local map: df in [2, dfMax]. */
+  private def keptPostings(map: java.util.HashMap[String, java.util.LinkedHashSet[java.lang.Long]],
+      dfMax: Int): Iterator[Array[Long]] = {
+    import scala.jdk.CollectionConverters._
+    map.values().iterator().asScala
+      .filter(s => s.size >= 2 && s.size <= dfMax)
+      .map { s =>
+        val ids = new Array[Long](s.size)
+        val it = s.iterator()
+        var i = 0
+        while (it.hasNext) { ids(i) = it.next(); i += 1 }
+        java.util.Arrays.sort(ids)
+        ids
+      }
   }
 
   /** Exact substring-level near-dup detection (the n-gram-span analog of
    *  suffix-array training-data dedup): document pairs sharing at least
    *  `minShared` distinct token n-grams → (id_a, id_b, shared_ngrams).
-   *  Scale shape: one shuffle keyed on the n-gram string; the df cap bounds
-   *  every bucket, so the per-ngram self-join is O(df²) ≤ O(dfMax²) per key,
-   *  never all-pairs across the corpus. */
+   *  Pairs are generated per n-gram bucket from the id set (≤ dfMax² per
+   *  key, by construction) — never an all-pairs product across the corpus —
+   *  then one count aggregation keyed on the pair. */
   def ngramDupPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 5, minShared: Int = 3, dfMax: Int = 50): DataFrame = {
-    val fng = dupNgramTable(df, textCol, idCol, n, dfMax)
-    val a = fng.select(col("id").as("id_a"), col("ngram"))
-    val b = fng.select(col("id").as("id_b"), col("ngram"))
-    a.join(b, a("ngram") === b("ngram") && col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_ngrams"))
-      .where(col("shared_ngrams") >= minShared)
+    val spark = df.sparkSession
+    ngramPostingsLocal(df, textCol, idCol, n, dfMax) match {
+      case Some((map, _)) =>
+        val counts = new java.util.HashMap[(Long, Long), Long]()
+        keptPostings(map, dfMax).foreach { ids =>
+          var i = 0
+          while (i < ids.length) {
+            var j = i + 1
+            while (j < ids.length) {
+              counts.merge((ids(i), ids(j)), 1L, Long.box(_) + Long.box(_))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        val rows = counts.entrySet().iterator().asScala
+          .filter(_.getValue >= minShared)
+          .map(e => Row(e.getKey._1, e.getKey._2, e.getValue)).toSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("id_a", LongType, nullable = false),
+            StructField("id_b", LongType, nullable = false),
+            StructField("shared_ngrams", LongType, nullable = false))))
+      case None =>
+        val sets = dupNgramSets(df, textCol, idCol, n, dfMax)
+        val pairs = filter(
+          flatten(transform(col("ids"),
+            x => transform(col("ids"), y => struct(x.as("a"), y.as("b"))))),
+          p => p("a") < p("b"))
+        sets.select(explode(pairs).as("p"))
+          .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+          .agg(count(lit(1)).as("shared_ngrams"))
+          .where(col("shared_ngrams") >= minShared)
+    }
   }
 
   /** Benchmark decontamination: for every training document (rows NOT
    *  matching `evalPred` on the id), the number of distinct token n-grams it
    *  shares with ANY eval document (rows matching `evalPred`). Rows with
-   *  zero overlap are omitted. The eval n-gram set is deduplicated before
-   *  the join, so a training n-gram counts once no matter how many eval
-   *  docs contain it. */
+   *  zero overlap are omitted. Each n-gram bucket splits its id set into
+   *  eval/train halves locally, so a training n-gram counts once no matter
+   *  how many eval docs contain it; one count aggregation keyed on the
+   *  training id follows. */
   def contaminationCounts(df: DataFrame, textCol: String, idCol: String,
       evalPred: Column => Column, n: Int = 5, dfMax: Int = 50): DataFrame = {
-    val fng = dupNgramTable(df, textCol, idCol, n, dfMax)
-    val evalNg = fng.where(evalPred(col("id"))).select("ngram").distinct()
-    fng.where(!evalPred(col("id")))
-      .join(evalNg, "ngram")
-      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    val spark = df.sparkSession
+    ngramPostingsLocal(df, textCol, idCol, n, dfMax,
+        flagCol = Some(evalPred(col(idCol).cast(LongType)))) match {
+      case Some((map, flags)) =>
+        import scala.jdk.CollectionConverters._
+        def isEval(id: Long): Boolean = flags.get(id).booleanValue()
+        val counts = new java.util.HashMap[Long, Long]()
+        keptPostings(map, dfMax).foreach { ids =>
+          if (ids.exists(isEval(_)))
+            ids.foreach(id => if (!isEval(id))
+              counts.merge(id, 1L, Long.box(_) + Long.box(_)))
+        }
+        val rows = counts.entrySet().iterator().asScala
+          .map(e => Row(e.getKey.longValue(), e.getValue.longValue())).toSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("id", LongType, nullable = false),
+            StructField("n_contaminated", LongType, nullable = false))))
+      case None =>
+        val sets = dupNgramSets(df, textCol, idCol, n, dfMax)
+        sets
+          .where(exists(col("ids"), x => evalPred(x)))
+          .select(explode(filter(col("ids"), x => !evalPred(x))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    }
   }
 
   // ------------------------------------------------------ stratified sampling

@@ -187,6 +187,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(2L) == Seq.empty)
   }
 
+  test("Ngrams expression == HOF formulation; distinct keeps first occurrence") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("aa", "bb", "cc", "dd")
+    val rows = (1L to 60L).map(i =>
+      (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val df = docs(rows: _*)
+    for (n <- Seq(1, 2, 3)) {
+      val toks = TextOps.tokens(col("text"))
+      val hof = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val both = df.select(TextOps.ngramsCol(toks, n).as("fast"), hof.as("ref"))
+        .collect()
+      both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"n=$n: ${r.getSeq[String](0)} != ${r.getSeq[String](1)}"))
+      val dis = df.select(TextOps.ngramsDistinctCol(toks, n).as("d"), hof.as("ref"))
+        .collect()
+      dis.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1).distinct,
+        s"n=$n distinct mismatch"))
+      // fused text→ngrams expression == tokenize-then-ngram composition
+      val fused = df.select(TextOps.ngramsOfTextCol(col("text"), n).as("f"),
+          TextOps.ngramsDistinctCol(toks, n).as("ref")).collect()
+      fused.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"n=$n fused mismatch"))
+    }
+    // unicode/punctuation edges through the fused scanner
+    val edge = docs((1L, "Hello, WORLD-x2 ÜBER straße 中文abc DEF"), (2L, ""))
+    val t2 = TextOps.tokens(col("text"))
+    val both = edge.select(TextOps.ngramsOfTextCol(col("text"), 2).as("f"),
+      TextOps.ngramsDistinctCol(t2, 2).as("ref")).collect()
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("ngramDupPairs: shared spans found; df cap drops boilerplate n-grams") {
     val span = "w1 w2 w3 w4 w5 w6"               // two 5-grams when shared whole
     val boiler = "b1 b2 b3 b4 b5"                // in ALL docs → df=4 > dfMax=3
@@ -216,6 +250,33 @@ class TextOpsSpec extends AnyFunSuite {
     // doc 1 shares exactly the one 5-gram; it appears in TWO eval docs but
     // counts once; doc 2 clean → omitted
     assert(got.toSeq == Seq((1L, 1L)), got.toSeq.toString)
+  }
+
+  test("ngram ops: driver-local and distributed routes agree row-for-row") {
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val span = "s1 s2 s3 s4 s5 s6 s7"
+    val rows = (1L to 60L).map { i =>
+      val base = Seq.fill(20)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val text = if (i % 4 == 0) s"$base $span" else base
+      (i, text)
+    }
+    val df = docs(rows: _*)
+    def run(): (Set[(Long, Long, Long)], Set[(Long, Long)]) = {
+      val p = TextOps.ngramDupPairs(df, "text", "doc_id", n = 5, minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val c = TextOps.contaminationCounts(df, "text", "doc_id", id => id % 8 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (p, c)
+    }
+    val (pLocal, cLocal) = run()
+    assert(pLocal.nonEmpty && cLocal.nonEmpty, "fixture produced no overlaps")
+    spark.conf.set("spark.graft.text.localNgramMaxBytes", "0")
+    try {
+      val (pDist, cDist) = run()
+      assert(pDist == pLocal, s"pair routes diverged: $pDist vs $pLocal")
+      assert(cDist == cLocal, s"contamination routes diverged: $cDist vs $cLocal")
+    } finally spark.conf.unset("spark.graft.text.localNgramMaxBytes")
   }
 
   test("sampleGate: exact arithmetic, deterministic, stratum rates apply") {
