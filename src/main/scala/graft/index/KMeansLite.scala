@@ -25,43 +25,73 @@ object KMeansLite {
   private def trainLloyd(samples: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
     require(samples.nonEmpty, "k-means requires a non-empty sample")
     val dim = samples(0).length
-    val kk = math.min(k, samples.length)
+    val n = samples.length
+    val kk = math.min(k, n)
     // deterministic init: evenly strided sample points
-    val stride = math.max(1, samples.length / kk)
-    val cents = Array.tabulate(kk)(i => samples(math.min(i * stride, samples.length - 1)).clone())
+    val stride = math.max(1, n / kk)
+    val cents = Array.tabulate(kk)(i => samples(math.min(i * stride, n - 1)).clone())
 
-    val assign = new Array[Int](samples.length)
+    val assign = new Array[Int](n)
+    val nChunks = graft.core.ParChunks.numChunks(n)
     var it = 0
     var converged = false
     while (it < iters && !converged) {
-      // assignment (+ convergence check: unchanged assignment means the
-      // update step recomputes identical centroids — skip remaining rounds)
-      var changes = 0
-      var i = 0
-      while (i < samples.length) {
-        var best = 0; var bestD = Float.MaxValue
-        var c = 0
-        while (c < kk) {
-          val d = VectorOps.l2Sq(samples(i), cents(c))
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+      // assignment, chunk-parallel (+ convergence check: unchanged assignment
+      // means the update step recomputes identical centroids — skip
+      // remaining rounds). Each chunk writes only its own assign slice and
+      // change count, so the result is thread-schedule independent.
+      val it0 = it
+      val chunkChanges = new Array[Int](nChunks)
+      graft.core.ParChunks.foreach(n) { (ci, s0, e0) =>
+        var changes = 0
+        var i = s0
+        while (i < e0) {
+          var best = 0; var bestD = Float.MaxValue
+          var c = 0
+          while (c < kk) {
+            val d = VectorOps.l2Sq(samples(i), cents(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          if (it0 > 0 && assign(i) != best) changes += 1
+          else if (it0 == 0) changes += 1
+          assign(i) = best
+          i += 1
         }
-        if (it > 0 && assign(i) != best) changes += 1
-        else if (it == 0) changes += 1
-        assign(i) = best
-        i += 1
+        chunkChanges(ci) = changes
       }
-      converged = changes == 0
-      // update
+      converged = chunkChanges.sum == 0
+      // update: per-chunk partial sums, then a serial reduce in FIXED chunk
+      // order — double accumulation stays deterministic under parallelism
+      val chunkSums = new Array[Array[Array[Double]]](nChunks)
+      val chunkCounts = new Array[Array[Int]](nChunks)
+      graft.core.ParChunks.foreach(n) { (ci, s0, e0) =>
+        val sums = Array.fill(kk)(new Array[Double](dim))
+        val counts = new Array[Int](kk)
+        var i = s0
+        while (i < e0) {
+          val c = assign(i); counts(c) += 1
+          val s = sums(c); val v = samples(i)
+          var d = 0
+          while (d < dim) { s(d) += v(d); d += 1 }
+          i += 1
+        }
+        chunkSums(ci) = sums; chunkCounts(ci) = counts
+      }
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Int](kk)
-      i = 0
-      while (i < samples.length) {
-        val c = assign(i); counts(c) += 1
-        val s = sums(c); val v = samples(i)
-        var d = 0
-        while (d < dim) { s(d) += v(d); d += 1 }
-        i += 1
+      var ci = 0
+      while (ci < nChunks) {
+        val cs = chunkSums(ci); val cc = chunkCounts(ci)
+        var c = 0
+        while (c < kk) {
+          counts(c) += cc(c)
+          val src = cs(c); val dst = sums(c)
+          var d = 0
+          while (d < dim) { dst(d) += src(d); d += 1 }
+          c += 1
+        }
+        ci += 1
       }
       var c = 0
       var emptySeed = 0
@@ -71,7 +101,7 @@ object KMeansLite {
           while (d < dim) { cents(c)(d) = (sums(c)(d) / counts(c)).toFloat; d += 1 }
         } else {
           // re-seed empty cluster deterministically from a strided point
-          cents(c) = samples((emptySeed * 31 + c) % samples.length).clone()
+          cents(c) = samples((emptySeed * 31 + c) % n).clone()
           emptySeed += 1
         }
         c += 1

@@ -58,25 +58,43 @@ object OpqCodec {
     var cbForR: PqCodec.Codebook = null
     var it = 0
     var stop = false
+    val nChunks = graft.core.ParChunks.numChunks(sample.length)
     while (it < iters && !stop) {
-      val rotated = sample.map(rotate(r, _))
+      val rotated = new Array[Array[Float]](sample.length)
+      graft.core.ParChunks.foreach(sample.length) { (_, s0, e0) =>
+        var i = s0
+        while (i < e0) { rotated(i) = rotate(r, sample(i)); i += 1 }
+      }
       val cb = PqCodec.train(rotated, m, k)
       cbForR = cb
-      // M = Σ x̂ xᵀ in double
-      val mm = new Array[Double](d * d)
-      var i = 0
-      while (i < sample.length) {
-        val xh = PqCodec.decode(cb, PqCodec.encode(cb, rotated(i)))
-        val x = sample(i)
-        var a = 0
-        while (a < d) {
-          val va = xh(a).toDouble
-          val rowOff = a * d
-          var b = 0
-          while (b < d) { mm(rowOff + b) += va * x(b); b += 1 }
-          a += 1
+      // M = Σ x̂ xᵀ in double: per-chunk partials, serially reduced in fixed
+      // chunk order so the double sums stay thread-schedule independent
+      val chunkMm = new Array[Array[Double]](nChunks)
+      graft.core.ParChunks.foreach(sample.length) { (ci, s0, e0) =>
+        val part = new Array[Double](d * d)
+        var i = s0
+        while (i < e0) {
+          val xh = PqCodec.decode(cb, PqCodec.encode(cb, rotated(i)))
+          val x = sample(i)
+          var a = 0
+          while (a < d) {
+            val va = xh(a).toDouble
+            val rowOff = a * d
+            var b = 0
+            while (b < d) { part(rowOff + b) += va * x(b); b += 1 }
+            a += 1
+          }
+          i += 1
         }
-        i += 1
+        chunkMm(ci) = part
+      }
+      val mm = new Array[Double](d * d)
+      var ci = 0
+      while (ci < nChunks) {
+        val part = chunkMm(ci)
+        var j = 0
+        while (j < mm.length) { mm(j) += part(j); j += 1 }
+        ci += 1
       }
       polar(mm, d) match {
         case null => stop = true // keep the last good rotation (cbForR matches it)

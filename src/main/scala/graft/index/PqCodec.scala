@@ -34,11 +34,14 @@ object PqCodec {
     require(m > 0 && dim % m == 0, s"pq requires dim % m == 0 (dim=$dim, m=$m)")
     val dsub = dim / m
     val kk = math.min(k, samples.length)
-    val cents = Array.tabulate(m) { s =>
+    // the m subspace trainings are fully independent — run them in parallel
+    // (each slot writes only its own entry; results are order-independent)
+    val cents = new Array[Array[Array[Float]]](m)
+    graft.core.ParChunks.tasks(m) { s =>
       val subs = samples.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       // no balance pass: codeword usage skew is natural and harmless here —
       // the cap exists for IVF partition/probe skew, not codebooks
-      KMeansLite.train(subs, kk, capFactor = Double.PositiveInfinity)
+      cents(s) = KMeansLite.train(subs, kk, capFactor = Double.PositiveInfinity)
     }
     Codebook(m, dsub, kk, cents)
   }
