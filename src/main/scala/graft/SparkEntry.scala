@@ -162,6 +162,30 @@ object SparkEntry {
         .orderBy("event_type", "h")
     }),
 
+    // gaps-and-islands sessionization over the event stream: a >30-min gap
+    // starts a new session. Timestamps truncate to exact epoch-micros longs
+    // (`div` = integer division; DuckDB's parquet reader truncates the
+    // TIMESTAMP_NANOS column to µs the same way), so the whole computation
+    // — gap compare, session ids, min/max — is integer-exact in both
+    // engines. Partition-parallel by user_id.
+    "events_sessionize" -> ((s, dir) => {
+      val nanoSession = s.newSession()
+      nanoSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = nanoSession.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000L
+      val prev = lag(col("tus"), 1).over(w)
+      ev.withColumn("__new",
+          when(prev.isNull || col("tus") - prev > gapUs, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("__new"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("tus")).as("session_start"), max(col("tus")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     // ---- brute-force distance + top-k (SURVEY §2.1 #9; the semantic oracle) ----
 
     "knn_exact_l2" -> ((s, dir) => {
@@ -293,6 +317,26 @@ object SparkEntry {
       Ann.buildIndex(emb, "embedding", "vec_id", "v_over",
         Ann.BuildParams(engine = "flat"))
       Ann.search(emb, "vec_id", "v_over", q64Arr, 5, oversample = 3)
+        .select("vec_id", "_distance")
+    }),
+
+    // radius query (FAISS range_search analog): flat engine → one
+    // distributed filter scan, exact → oracled
+    "ann_range_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_range",
+        Ann.BuildParams(engine = "flat"))
+      Ann.rangeSearch(emb, "vec_id", "v_range", q64Arr, 16.5f)
+        .select("vec_id", "_distance")
+    }),
+
+    // radius query on a graph index: expanding-k beam search (approximate
+    // by graph recall → rows-only)
+    "ann_range_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_range_g",
+        Ann.BuildParams(engine = "diskann", numShards = 4))
+      Ann.rangeSearch(emb, "vec_id", "v_range_g", q64Arr, 16.5f)
         .select("vec_id", "_distance")
     }),
 
@@ -463,6 +507,42 @@ object SparkEntry {
         .where(TextOps.sampleGate(col("doc_id"),
           when(col("lang") === "en", 600).otherwise(250)))
         .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition quality signals: fraction of n-gram
+    // occurrences in the most frequent bigram / in duplicated bi- and
+    // 5-grams (one fused expression pass per doc, no shuffle)
+    "repetition_stats" -> ((s, dir) => {
+      val cols = col("doc_id") +:
+        TextOps.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents").select(cols: _*).orderBy("doc_id")
+    }),
+
+    // PII detect + redact: emails / IPv4s / phone-shaped numbers counted and
+    // masked with builtin (codegen'd) regexps. The synthetic corpus carries
+    // no PII, so a deterministic doc_id-derived payload is appended first —
+    // identically in the oracle — making the extraction genuinely load-bearing.
+    "pii_scrub" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or admin@test.org from 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0.1 call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ip = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      val phone = """\b\d{3}-\d{4}\b"""
+      t(s, dir, "documents")
+        .select(col("doc_id"), injected.as("__t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("__t"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("__t"), lit(ip), lit(0)))
+            .cast("long").as("n_ips"),
+          size(regexp_extract_all(col("__t"), lit(phone), lit(0)))
+            .cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(regexp_replace(col("__t"),
+            email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted"))
         .orderBy("doc_id")
     }),
 
@@ -681,6 +761,19 @@ object SparkEntry {
         | CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, count(*) AS n,
         | round(sum(value), 2) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+        | g AS (SELECT user_id, tus, event_id,
+        |   CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
+        |        THEN 1 ELSE 0 END AS nw
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        | s AS (SELECT user_id, tus,
+        |   CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |   FROM g)
+        |SELECT user_id, session_seq, min(tus) AS session_start,
+        |  max(tus) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "knn_exact_l2" ->
       s"""SELECT vec_id,
          | list_distance(CAST(embedding AS DOUBLE[]), $q64Sql) AS _distance
@@ -728,6 +821,12 @@ object SparkEntry {
          |         ${d2Sql("embedding", q64Sql)} AS __dd
          |  FROM embeddings ORDER BY __dd, vec_id LIMIT 15
          |) ORDER BY _distance, vec_id""".stripMargin,
+    "ann_range_search" ->
+      s"""SELECT vec_id, _distance FROM (
+         |  SELECT vec_id, CAST(${d2Sql("embedding", q64Sql)} AS FLOAT) AS _distance,
+         |         ${d2Sql("embedding", q64Sql)} AS __dd
+         |  FROM embeddings
+         |) WHERE __dd <= 16.5 ORDER BY _distance, vec_id""".stripMargin,
     "ann_delete_search" ->
       s"""SELECT vec_id, _distance FROM (
          |  SELECT vec_id, CAST(${d2Sql("embedding", q64Sql)} AS FLOAT) AS _distance,
@@ -788,6 +887,42 @@ object SparkEntry {
         |WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
         |  CASE WHEN lang = 'en' THEN 600 ELSE 250 END
         |ORDER BY doc_id""".stripMargin,
+    "repetition_stats" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextSql.tokens("text")} AS t FROM documents),
+         | bg AS (SELECT doc_id, count(*) AS c FROM (
+         |   SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+         |   FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2)
+         |   GROUP BY doc_id, g),
+         | b AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac,
+         |   sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS dup_bigram_frac
+         |   FROM bg GROUP BY 1),
+         | fg AS (SELECT doc_id, count(*) AS c FROM (
+         |   SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+         |   FROM toks, unnest(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5)
+         |   GROUP BY doc_id, g),
+         | f AS (SELECT doc_id,
+         |   sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS dup_5gram_frac
+         |   FROM fg GROUP BY 1)
+         |SELECT d.doc_id, coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+         |  coalesce(b.dup_bigram_frac, 0.0) AS dup_bigram_frac,
+         |  coalesce(f.dup_5gram_frac, 0.0) AS dup_5gram_frac
+         |FROM documents d LEFT JOIN b USING (doc_id) LEFT JOIN f USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      """WITH inj AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or admin@test.org from 10.'
+        |       || (doc_id % 200) || '.0.1 call 555-'
+        |       || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM inj ORDER BY doc_id""".stripMargin,
     "corpus_stats" ->
       s"""SELECT count(*) AS total_tokens, count(DISTINCT tok) AS vocab,
          | sum(length(tok))::BIGINT AS total_chars

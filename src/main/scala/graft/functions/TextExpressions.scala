@@ -299,6 +299,95 @@ case class NgramsOfText(child: Expression, n: Int, distinct: Boolean)
 }
 
 /**
+ * `ngram_repetition(text, n)` — Gopher-style repetition counters over the
+ * sliding token n-grams of a document in one fused pass: lower → tokenize
+ * (same scanner as [[NgramsOfText]]) → count n-grams → STRUCT(total,
+ * max_count, dup_count). `total` is the number of n-gram occurrences,
+ * `max_count` the occurrences of the most frequent n-gram, `dup_count` the
+ * occurrences belonging to n-grams appearing more than once. Counting is by
+ * exact n-gram string, so the counters are value-identical to exploding
+ * [[NgramsOfText]] and re-grouping — minus the explode and the two shuffles
+ * that plan costs per document batch (DuckDB oracle: GROUP BY
+ * array_to_string(t[i:i+n-1], ' ') then max/sum per doc). The repetition
+ * *fractions* (quality-filter signals per Gopher §A.1.1) are single double
+ * divisions of these exact integers, computed in the caller so both engines
+ * perform the identical IEEE op.
+ */
+case class NgramRepetition(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n-gram size must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("max_count", LongType, nullable = false),
+    StructField("dup_count", LongType, nullable = false)))
+  override def prettyName: String = "ngram_repetition"
+
+  @inline private def isTok(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  override protected def nullSafeEval(s: Any): Any = {
+    val str = s.asInstanceOf[UTF8String].toLowerCase.toString
+    val len = str.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && !isTok(str.charAt(i))) i += 1
+      if (i < len) {
+        val s0 = i
+        while (i < len && isTok(str.charAt(i))) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = s0; ends(nTok) = i; nTok += 1
+      }
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+    if (nTok < n) {
+      row.setLong(0, 0L); row.setLong(1, 0L); row.setLong(2, 0L)
+      return row
+    }
+    // count occurrences per n-gram string (counts fit int: ≤ tokens per doc)
+    val counts = new java.util.HashMap[String, Array[Int]]()
+    val sb = new java.lang.StringBuilder(64)
+    var w = 0
+    while (w <= nTok - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(str, starts(w + j), ends(w + j))
+        j += 1
+      }
+      val g = sb.toString
+      val c = counts.get(g)
+      if (c == null) counts.put(g, Array(1)) else c(0) += 1
+      w += 1
+    }
+    var total = 0L; var maxC = 0L; var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toLong
+      total += c
+      if (c > maxC) maxC = c
+      if (c > 1) dup += c
+    }
+    row.setLong(0, total); row.setLong(1, maxC); row.setLong(2, dup)
+    row
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `shingle_hashes(tokens, k)` — distinct rolling hashes of k-token shingles
  * in one compiled pass (the eval body is compiled Scala; the expression
  * itself is CodegenFallback, which costs one virtual call per row instead

@@ -745,6 +745,65 @@ object Ann {
       .orderBy(col("_distance"), col(idColumn))
   }
 
+  /**
+   * `ann_range_search`: every row within `radius` of `query` under the
+   * index's engine distance semantics (squared L2 / negated IP / negated
+   * cosine — same `_distance` column as [[search]]); the FAISS
+   * `range_search` analog.
+   *
+   * Exact engines answer with ONE distributed filter over the index
+   * parquet — no top-k heap, no driver collect; the radius predicate and
+   * two-column projection reach the scan, so at 100 TB this is a single
+   * pruned pass whose output can itself be huge without ever pooling on
+   * the driver. `ivfflat` prunes to the probed clusters (with
+   * nprobe < nlist the result is approximate exactly like top-k search).
+   * Graph/quantized engines reuse the serving path with geometrically
+   * expanding k until the k-th hit clears the radius — approximate like
+   * any graph traversal, and driver-bounded, so they suit *selective*
+   * radii; use an exact engine when the ball may contain a large fraction
+   * of the corpus.
+   */
+  def rangeSearch(df: DataFrame, idColumn: String, name: String,
+      query: Array[Float], radius: Float, searchComplexity: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val meta = IndexCatalog.load(root(spark), name)
+    val tomb = IndexCatalog.readTombstones(root(spark), name)
+    meta.engine match {
+      case "flat" | "ivfflat" =>
+        val q = prepQuery(meta, query)
+        val base = scanIvfOrFlat(spark, meta, q)
+          .select(col("id").as("__ann_id"),
+            metricDistanceCol(meta.metricObj, col("vec"), q).as("__dd"))
+          .where(col("__dd") <= radius.toDouble)
+        val hits = (if (tomb.isEmpty) base
+          else base.where(!col("__ann_id").isin(tomb.toSeq: _*)))
+          .select(col("__ann_id"), col("__dd").cast(FloatType).as("_distance"))
+        // plain equi-join (not forced broadcast): a wide radius can match
+        // a large fraction of the base table; AQE broadcasts if small
+        df.join(hits, col(idColumn) === col("__ann_id"))
+          .drop("__ann_id")
+          .orderBy(col("_distance"), col(idColumn))
+      case _ =>
+        var k = 64
+        var hits = collectHits(spark, name, query, k, searchComplexity, 1)
+        // grow until the tail clears the radius or the index is exhausted
+        while (hits.length >= k && hits.last._2 <= radius) {
+          k *= 4
+          hits = collectHits(spark, name, query, k, searchComplexity, 1)
+        }
+        val within = hits.filter(_._2 <= radius)
+        val distDf = spark.createDataFrame(within.toSeq.map(h =>
+            Row(h._1, h._2)).asJava,
+          StructType(Seq(StructField("__ann_id", LongType),
+            StructField("_distance", FloatType))))
+        df.where(col(idColumn).isin(within.map(h =>
+            java.lang.Long.valueOf(h._1)).toSeq: _*))
+          .join(broadcast(distDf), col(idColumn) === col("__ann_id"))
+          .drop("__ann_id")
+          .orderBy(col("_distance"), col(idColumn))
+    }
+  }
+
   private implicit class SeqOps[T](s: Seq[T]) {
     def asJava: java.util.List[T] = {
       val l = new java.util.ArrayList[T](s.size)

@@ -124,6 +124,31 @@ object TextOps {
       "quality" -> score)
   }
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021, §A1.1 of the
+   *  Gopher paper; the MassiveText filters): per document, the fraction of
+   *  n-gram occurrences claimed by the most frequent n-gram and by n-grams
+   *  appearing more than once. High values flag boilerplate/spam that the
+   *  length/stopword signals in [[qualityColumns]] miss. One fused
+   *  [[graft.expressions.NgramRepetition]] pass per (doc, n) — no explode,
+   *  no shuffle, trivially partition-parallel at any corpus size; each
+   *  fraction is ONE double division of exact longs, so a SQL oracle
+   *  computing the same counts reproduces it bit-exactly. */
+  def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    def stats(n: Int): Column =
+      graft.functions.mkCol(graft.expressions.NgramRepetition(
+        graft.functions.mkExpr(text), n))
+    val bi = stats(2)
+    val five = stats(5)
+    def frac(st: Column, f: String): Column =
+      when(st.getField("total") > 0,
+        st.getField(f).cast(DoubleType) / st.getField("total").cast(DoubleType))
+        .otherwise(lit(0.0))
+    Seq(
+      "top_bigram_frac" -> frac(bi, "max_count"),
+      "dup_bigram_frac" -> frac(bi, "dup_count"),
+      "dup_5gram_frac" -> frac(five, "dup_count"))
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** SimHash over token hashes: per bit b, sum ±1 across tokens (with

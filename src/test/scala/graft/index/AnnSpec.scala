@@ -59,6 +59,38 @@ class AnnSpec extends AnyFunSuite {
     assert(got == bruteTop(10, q0))
   }
 
+  test("rangeSearch: flat == brute-force radius filter; graph ⊆ exact, high recall") {
+    import graft.functions._
+    // radius at the brute-force 20th-NN distance → ~20 expected rows
+    val d20 = emb.select(
+        array_distance_sq(toFloatVec(col("embedding")), floatVec(q0.toSeq)).as("d"))
+      .orderBy("d").limit(20).collect().map(_.getDouble(0)).last.toFloat
+    val expect = emb.select(col("vec_id"),
+        array_distance_sq(toFloatVec(col("embedding")), floatVec(q0.toSeq)).as("d"))
+      .where(col("d") <= d20.toDouble)
+      .collect().map(_.getLong(0)).toSet
+
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_range_flat",
+      Ann.BuildParams(engine = "flat"))
+    val gotFlat = Ann.rangeSearch(emb, "vec_id", "t_range_flat", q0, d20)
+      .collect().map(_.getLong(0))
+    assert(gotFlat.toSet == expect, "flat range-search must be exact")
+    assert(gotFlat.length == expect.size, "no duplicate rows")
+
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_range_g",
+      Ann.BuildParams(engine = "diskann", numShards = 2, maxDegree = 32,
+        buildComplexity = 64))
+    val gotG = Ann.rangeSearch(emb, "vec_id", "t_range_g", q0, d20,
+      searchComplexity = 100).collect().map(_.getLong(0)).toSet
+    // graph distances are f32; allow last-ulp wobble at the radius boundary
+    val dmap = emb.select(col("vec_id"),
+        array_distance_sq(toFloatVec(col("embedding")), floatVec(q0.toSeq)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotG.forall(id => dmap(id) <= d20 * (1.0 + 1e-6)),
+      "graph range hits must honor the radius")
+    assert(gotG.size >= (expect.size * 9) / 10, s"recall ${gotG.size}/${expect.size}")
+  }
+
   test("diskann index: recall >= 0.9 over sf0.001 embeddings") {
     Ann.buildIndex(emb, "embedding", "vec_id", "t_disk",
       Ann.BuildParams(engine = "diskann", numShards = 2, maxDegree = 32,

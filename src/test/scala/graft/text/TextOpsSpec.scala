@@ -279,6 +279,39 @@ class TextOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.text.localNgramMaxBytes")
   }
 
+  test("repetitionColumns: fractions match a naive n-gram recount") {
+    val df = docs(
+      (1L, "a b a b a b c"),           // heavy bigram repetition
+      (2L, "all words here are fully distinct tokens now"),
+      (3L, "x y x y x y x y x y x y"), // one dominant bigram
+      (4L, "tiny"),                    // < n tokens → all fractions 0
+      (5L, "p q r s t p q r s t p q r s t")) // repeated 5-grams
+    val got = df.select(col("doc_id") +:
+        TextOps.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+
+    def naive(text: String, n: Int): (Double, Double) = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toArray
+      if (toks.length < n) return (0.0, 0.0)
+      val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).map { case (_, v) => v.size.toLong }
+      val total = counts.sum.toDouble
+      (counts.max.toDouble / total,
+        counts.filter(_ > 1).sum.toDouble / total)
+    }
+    for ((id, text) <- Seq(1L -> "a b a b a b c",
+        2L -> "all words here are fully distinct tokens now",
+        3L -> "x y x y x y x y x y x y", 4L -> "tiny",
+        5L -> "p q r s t p q r s t p q r s t")) {
+      val (top2, dup2) = naive(text, 2)
+      val (_, dup5) = naive(text, 5)
+      assert(got(id) == ((top2, dup2, dup5)), s"doc $id")
+    }
+    // sanity on the signal: repetitive docs score high, distinct ones zero
+    assert(got(3L)._1 > 0.4 && got(2L)._2 == 0.0 && got(5L)._3 > 0.5)
+  }
+
   test("sampleGate: exact arithmetic, deterministic, stratum rates apply") {
     import spark.implicits._
     val df = (0L until 1000L).toDF("id")
