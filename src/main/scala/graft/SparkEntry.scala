@@ -546,6 +546,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // distinctive-term extraction (exact-arithmetic TF-IDF cousin): top-3
+    // terms per doc by (doc_freq ASC, term_freq DESC, term ASC)
+    "rare_terms" -> ((s, dir) => {
+      TextOps.rareTerms(t(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy("doc_id", "rnk")
+    }),
+
     // ---- text analysis (north-star pipeline ops; all codegen'd, no UDFs) ----
 
     "corpus_stats" -> ((s, dir) => {
@@ -908,6 +915,17 @@ object SparkEntry {
          |  coalesce(f.dup_5gram_frac, 0.0) AS dup_5gram_frac
          |FROM documents d LEFT JOIN b USING (doc_id) LEFT JOIN f USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "rare_terms" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS term
+         |   FROM documents),
+         | tf AS (SELECT doc_id, term, count(*) AS term_freq FROM toks GROUP BY 1, 2),
+         | dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+         | r AS (SELECT tf.doc_id, tf.term, dfq.doc_freq, tf.term_freq,
+         |   row_number() OVER (PARTITION BY tf.doc_id
+         |     ORDER BY dfq.doc_freq, tf.term_freq DESC, tf.term) AS rnk
+         |   FROM tf JOIN dfq USING (term))
+         |SELECT doc_id, term, doc_freq, term_freq, rnk FROM r
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "pii_scrub" ->
       """WITH inj AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@example.com or admin@test.org from 10.'

@@ -81,5 +81,14 @@ object functions {
       }
       ShingleHashes(exprs.head, k)
     }, "built-in")
+    reg.createOrReplaceTempFunction("ngram_repetition", exprs => {
+      require(exprs.length == 2, "ngram_repetition expects (text, n)")
+      val n = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"ngram_repetition n must be an integer literal, got $other")
+      }
+      NgramRepetition(exprs.head, n)
+    }, "built-in")
   }
 }

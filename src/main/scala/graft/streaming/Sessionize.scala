@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming sessionization — the continuous counterpart of the batch
+ * `events_sessionize` operator (gaps-and-islands over `lag`): a session is
+ * a run of a user's events where consecutive gaps stay within `gap`.
+ *
+ * Built on Spark's native `session_window`, which keeps engine-managed
+ * per-(user, open-session) state and MERGES overlapping windows as events
+ * arrive — the exact semantics the batch window computes in one pass over
+ * sorted history. The watermark closes sessions: once event time passes
+ * `session end + watermark`, the session is final and emits exactly once
+ * (Append mode), which is what an ingest pipeline wants for writing
+ * immutable session logs.
+ *
+ * State scales horizontally: grouping shuffles by user, each group holds
+ * only its OPEN sessions (closed ones are evicted by the watermark), so
+ * state size is bounded by concurrently-active users — not history. At
+ * 100 TB/day of events this is the only shape that survives: the batch
+ * formulation's per-user sort sees all history; this sees a watermark-deep
+ * suffix.
+ */
+object Sessionize {
+
+  /**
+   * Sessionize `stream` (must carry a TIMESTAMP `tsCol`). Returns one row
+   * per CLOSED session: key columns + `session_start`, `session_end`,
+   * `n_events`. Append mode; attach any sink.
+   *
+   * @param gap       max in-session gap, e.g. "30 minutes"
+   * @param watermark how long to admit late events before a session closes
+   */
+  def sessionize(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+      gap: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val keys: Seq[Column] = keyCols.map(col)
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(keys :+ session_window(col(tsCol), gap): _*)
+      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(keys ++ Seq(col("session_start"), col("session_end"),
+        col("n_events")): _*)
+  }
+}

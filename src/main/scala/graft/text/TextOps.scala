@@ -149,6 +149,29 @@ object TextOps {
       "dup_5gram_frac" -> frac(five, "dup_count"))
   }
 
+  /** Per-document distinctive terms — the exact-arithmetic cousin of TF-IDF
+   *  keyword extraction: rank a document's terms by (document frequency ASC,
+   *  term frequency DESC, term ASC) and keep the top `k`. Pure integer/string
+   *  ordering, so the ranking is bit-reproducible in any engine (float IDF
+   *  logs would differ in the last ulp across libm implementations and break
+   *  hash-compare). One explode + two aggregations; the doc-frequency table
+   *  is vocabulary-sized (Heaps' law: ≪ corpus), and the per-document
+   *  row_number window shuffles on the id — both scale-safe. */
+  def rareTerms(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("term_freq"))
+    // tf is unique per (doc, term) → doc frequency = row count per term
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("doc_freq"), col("term_freq").desc, col("term"))
+    tf.join(docFreq, "term")
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("doc_freq"), col("term_freq"), col("rnk"))
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** SimHash over token hashes: per bit b, sum ±1 across tokens (with

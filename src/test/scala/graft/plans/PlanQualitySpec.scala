@@ -100,6 +100,36 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.ann.root")
   }
 
+  test("range search on ivfflat prunes cluster partitions; flat prunes columns") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextFloat() * 10 - 5))
+    val rows = (0L until 400L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + rnd.nextFloat() * 0.3f - 0.15f))
+    }
+    val df = rows.toDF("id", "vec")
+    val root = s"/tmp/graft-range-plan-${System.nanoTime()}"
+    spark.conf.set("spark.graft.ann.root", root)
+    try {
+      graft.index.Ann.buildIndex(df, "vec", "id", "plan_range_ivf",
+        graft.index.Ann.BuildParams(engine = "ivfflat", nlist = 8, nprobe = 2))
+      val p1 = plan(graft.index.Ann.rangeSearch(df, "id", "plan_range_ivf",
+        rows.head._2, 5f))
+      // nprobe=2 of nlist=8: only probed clusters may be scanned
+      assert(p1.contains("PartitionFilters") && p1.contains("cluster"),
+        s"expected cluster partition pruning:\n$p1")
+
+      graft.index.Ann.buildIndex(df, "vec", "id", "plan_range_flat",
+        graft.index.Ann.BuildParams(engine = "flat"))
+      val p2 = plan(graft.index.Ann.rangeSearch(df, "id", "plan_range_flat",
+        rows.head._2, 5f))
+      // the radius filter needs only (id, vec): no other index column may load
+      assert(p2.contains("ReadSchema: struct<id:bigint,vec:array<float>>"),
+        s"expected 2-column ReadSchema on the index scan:\n$p2")
+    } finally spark.conf.unset("spark.graft.ann.root")
+  }
+
   test("distance expressions stay inside whole-stage codegen") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = (0 until 64).map(i => (i % 8) / 8.0f)
