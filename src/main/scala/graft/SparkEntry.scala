@@ -162,6 +162,19 @@ object SparkEntry {
         .orderBy("event_type", "h")
     }),
 
+    // semi-structured JSON: extract a typed field from the props payload
+    // and aggregate — codegen'd get_json_object, integer-exact outputs
+    "events_json" -> ((s, dir) => {
+      val nanoSession = s.newSession()
+      nanoSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      nanoSession.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // gaps-and-islands sessionization over the event stream: a >30-min gap
     // starts a new session. Timestamps truncate to exact epoch-micros longs
     // (`div` = integer division; DuckDB's parquet reader truncates the
@@ -327,6 +340,17 @@ object SparkEntry {
       Ann.buildIndex(emb, "embedding", "vec_id", "v_range",
         Ann.BuildParams(engine = "flat"))
       Ann.rangeSearch(emb, "vec_id", "v_range", q64Arr, 16.5f)
+        .select("vec_id", "_distance")
+    }),
+
+    // radius query on ivfflat with nprobe=1: stored cluster radii prune by
+    // the triangle inequality, so the result is EXACT (same oracle as the
+    // flat scan) while skipping every non-intersecting cluster
+    "ann_range_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_range_ivf",
+        Ann.BuildParams(engine = "ivfflat", nlist = 8, nprobe = 1))
+      Ann.rangeSearch(emb, "vec_id", "v_range_ivf", q64Arr, 16.5f)
         .select("vec_id", "_distance")
     }),
 
@@ -768,6 +792,11 @@ object SparkEntry {
         | CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, count(*) AS n,
         | round(sum(value), 2) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
         | g AS (SELECT user_id, tus, event_id,
@@ -829,6 +858,12 @@ object SparkEntry {
          |  FROM embeddings ORDER BY __dd, vec_id LIMIT 15
          |) ORDER BY _distance, vec_id""".stripMargin,
     "ann_range_search" ->
+      s"""SELECT vec_id, _distance FROM (
+         |  SELECT vec_id, CAST(${d2Sql("embedding", q64Sql)} AS FLOAT) AS _distance,
+         |         ${d2Sql("embedding", q64Sql)} AS __dd
+         |  FROM embeddings
+         |) WHERE __dd <= 16.5 ORDER BY _distance, vec_id""".stripMargin,
+    "ann_range_ivf" ->
       s"""SELECT vec_id, _distance FROM (
          |  SELECT vec_id, CAST(${d2Sql("embedding", q64Sql)} AS FLOAT) AS _distance,
          |         ${d2Sql("embedding", q64Sql)} AS __dd

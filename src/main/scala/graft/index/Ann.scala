@@ -339,11 +339,33 @@ object Ann {
       .withColumn("cluster", assignUdf(col("vec")))
     withCluster.write.mode("overwrite").partitionBy("cluster").parquet(out)
     val n = spark.read.parquet(out).count()
+    // per-cluster max member↔centroid L2 radius (one distributed agg over
+    // the freshly written table): lets range queries prune clusters by the
+    // triangle inequality EXACTLY — d(q, member) ≥ d(q, centroid) − r_c
+    IndexCatalog.writeRadii(s"$dir/radii.bin",
+      clusterRadii(spark.read.parquet(out), centsB, params.nlist))
     val meta = IndexMeta(name, "ivfflat", "vec", "id", dim, metric.name,
       0, 0, 0f, false, n, 0L, Nil, sourcePath = out,
       nlist = params.nlist, nprobe = params.nprobe)
     IndexCatalog.save(root(spark), meta)
     meta
+  }
+
+  /** Per-cluster max L2 distance to the assigned centroid, rounded UP a
+   *  float ulp (a conservative radius can only over-probe, never miss). */
+  private def clusterRadii(clustered: DataFrame,
+      centsB: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+      nlist: Int): Array[Float] = {
+    val distUdf = udf((v: Array[Float], cl: Int) => {
+      val c = centsB.value(cl)
+      Math.nextUp(math.sqrt(graft.core.Simd.l2Sq(v, 0, c, 0, c.length).toDouble)
+        .toFloat)
+    })
+    val maxes = clustered
+      .select(col("cluster"), distUdf(col("vec"), col("cluster")).as("__d"))
+      .groupBy("cluster").agg(max(col("__d")).as("__r"))
+      .collect().map(r => r.getInt(0) -> r.getFloat(1)).toMap
+    Array.tabulate(nlist)(c => maxes.getOrElse(c, 0f))
   }
 
   /**
@@ -703,6 +725,39 @@ object Ann {
       .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
   }
 
+  /**
+   * Scan for a radius query. flat: full scan. ivfflat + L2 with stored
+   * cluster radii: triangle-inequality pruning — cluster c can hold a
+   * member within √radius of q only if d(q, centroid_c) − r_c ≤ √radius —
+   * which keeps range search EXACT while skipping every cluster whose ball
+   * cannot intersect the query ball (the nprobe top-k heuristic would
+   * silently miss rows). A small slack absorbs float rounding in the
+   * driver-side bound; the per-row distance filter downstream is exact, so
+   * slack only ever over-probes. Metrics without a metric-space triangle
+   * inequality (IP; cosine's negated-dot surface) fall back to the nprobe
+   * probe set, matching top-k approximation semantics.
+   */
+  private def rangeScan(spark: SparkSession, meta: IndexMeta,
+      query: Array[Float], radius: Float): DataFrame = {
+    val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
+    val radiiPath = s"$dirPath/radii.bin"
+    if (meta.engine == "ivfflat" && (meta.metricObj eq Metric.L2) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(radiiPath))) {
+      val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
+      val radii = IndexCatalog.readRadii(radiiPath)
+      val rq = math.sqrt(math.max(0.0, radius.toDouble))
+      val keep = cents.indices.filter { c =>
+        val dc = math.sqrt(graft.core.Simd.l2Sq(query, 0, cents(c), 0,
+          cents(c).length).toDouble)
+        dc - radii(c) <= rq + 1e-6 * (1.0 + rq)
+      }
+      spark.read.parquet(meta.sourcePath)
+        .where(col("cluster").isin(keep.map(Integer.valueOf): _*))
+    } else if (meta.engine == "ivfflat") {
+      scanIvfOrFlat(spark, meta, query)
+    } else spark.read.parquet(meta.sourcePath)
+  }
+
   /** flat: full scan; ivfflat: nprobe-pruned partition scan. */
   private def scanIvfOrFlat(spark: SparkSession, meta: IndexMeta,
       query: Array[Float]): DataFrame = {
@@ -771,7 +826,7 @@ object Ann {
     meta.engine match {
       case "flat" | "ivfflat" =>
         val q = prepQuery(meta, query)
-        val base = scanIvfOrFlat(spark, meta, q)
+        val base = rangeScan(spark, meta, q, radius)
           .select(col("id").as("__ann_id"),
             metricDistanceCol(meta.metricObj, col("vec"), q).as("__dd"))
           .where(col("__dd") <= radius.toDouble)
@@ -1286,8 +1341,17 @@ object Ann {
         val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
         val centsB = spark.sparkContext.broadcast(cents)
         val assignUdf = udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
-        data.withColumn("cluster", assignUdf(col("vec")))
-          .write.mode("append").partitionBy("cluster").parquet(meta.sourcePath)
+        val clustered = data.withColumn("cluster", assignUdf(col("vec")))
+        clustered.write.mode("append").partitionBy("cluster").parquet(meta.sourcePath)
+        // appended members may extend a cluster's radius: merge-max the
+        // batch's radii into radii.bin so range pruning stays exact
+        val radiiPath = s"$dirPath/radii.bin"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(radiiPath))) {
+          val old = IndexCatalog.readRadii(radiiPath)
+          val add = clusterRadii(clustered, centsB, old.length)
+          IndexCatalog.writeRadii(radiiPath,
+            Array.tabulate(old.length)(c => math.max(old(c), add(c))))
+        }
       case "pq" =>
         val cb = PqCodec.read(s"$dirPath/pq.bin")
         val cbB = spark.sparkContext.broadcast(cb)

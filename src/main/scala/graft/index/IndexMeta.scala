@@ -157,4 +157,23 @@ object IndexCatalog {
     val n = bb.getInt; val dim = bb.getInt
     Array.fill(n) { val c = new Array[Float](dim); var d = 0; while (d < dim) { c(d) = bb.getFloat; d += 1 }; c }
   }
+
+  // ---- per-cluster max member↔centroid L2 radii: [n u32][f32 * n] LE ----
+  // (enables exact triangle-inequality cluster pruning for range queries)
+
+  def writeRadii(path: String, radii: Array[Float]): Unit = {
+    val bb = ByteBuffer.allocate(4 + radii.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(radii.length)
+    radii.foreach(bb.putFloat)
+    Files.write(Paths.get(path), bb.array())
+  }
+
+  def readRadii(path: String): Array[Float] = {
+    val bb = ByteBuffer.wrap(Files.readAllBytes(Paths.get(path))).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getFloat; i += 1 }
+    out
+  }
 }

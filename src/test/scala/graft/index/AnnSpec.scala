@@ -77,6 +77,14 @@ class AnnSpec extends AnyFunSuite {
     assert(gotFlat.toSet == expect, "flat range-search must be exact")
     assert(gotFlat.length == expect.size, "no duplicate rows")
 
+    // ivfflat with nprobe=1: the top-k path would approximate, but range
+    // search prunes by stored cluster radii (triangle inequality) → exact
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_range_ivf",
+      Ann.BuildParams(engine = "ivfflat", nlist = 8, nprobe = 1))
+    val gotIvf = Ann.rangeSearch(emb, "vec_id", "t_range_ivf", q0, d20)
+      .collect().map(_.getLong(0))
+    assert(gotIvf.toSet == expect, "ivf radius pruning must stay exact")
+
     Ann.buildIndex(emb, "embedding", "vec_id", "t_range_g",
       Ann.BuildParams(engine = "diskann", numShards = 2, maxDegree = 32,
         buildComplexity = 64))
