@@ -570,6 +570,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // blocklist dedup with a Bloom pre-filter: rows rejected by the
+    // broadcast Bloom pass through shuffle-free; only candidates pay the
+    // exact anti-join (removing Bloom false positives) → result is exact
+    "dedup_blocklist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val block = docs.where(col("doc_id") % 7 === 0).select("text")
+      TextOps.blocklistAntiJoin(docs, "text", "doc_id", block, "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // distinctive-term extraction (exact-arithmetic TF-IDF cousin): top-3
     // terms per doc by (doc_freq ASC, term_freq DESC, term ASC)
     "rare_terms" -> ((s, dir) => {
@@ -949,6 +959,12 @@ object SparkEntry {
          |  coalesce(b.dup_bigram_frac, 0.0) AS dup_bigram_frac,
          |  coalesce(f.dup_5gram_frac, 0.0) AS dup_5gram_frac
          |FROM documents d LEFT JOIN b USING (doc_id) LEFT JOIN f USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_blocklist" ->
+      s"""WITH fp AS (SELECT doc_id, ${TextSql.rollingHash("text")} AS f
+         |   FROM documents)
+         |SELECT doc_id FROM fp
+         |WHERE f NOT IN (SELECT f FROM fp WHERE doc_id % 7 = 0)
          |ORDER BY doc_id""".stripMargin,
     "rare_terms" ->
       s"""WITH toks AS (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS term

@@ -18,6 +18,7 @@ import graft.search.Hybrid
  * src/ann_list.cpp, src/diskann_functions.cpp):
  *
  *   SELECT * FROM ann_search('documents', 'docs_idx', array(0.1, ...), 10)
+ *   SELECT * FROM ann_range_search('documents', 'docs_idx', array(0.1, ...), 12.5)
  *   SELECT * FROM ann_search_batch('documents', 'docs_idx', array(array(...), ...), 5)
  *   SELECT * FROM ann_search_table('queries_view', 'documents', 'docs_idx', 5)
  *   SELECT * FROM vector_distances('embeddings', array(...))        -- + optional metric
@@ -177,6 +178,16 @@ object TableFunctions {
         lazySearchPlan(fn, table, idCol, index, q, k * math.max(1, over), sc)
       else
         plan(Ann.search(spark.table(table), idCol, index, q, k, sc, over))
+    },
+    "ann_range_search" -> { args =>
+      val fn = "ann_range_search"
+      val a = splitArgs(fn, args,
+        Seq("table", "index", "query_vec", "radius", "search_complexity"), 4)
+      val index = str(fn, a("index"))
+      val sc = a.get("search_complexity").map(int(fn, _)).getOrElse(0)
+      val idCol = IndexCatalog.load(Ann.root(spark), index).idColumn
+      plan(Ann.rangeSearch(spark.table(str(fn, a("table"))), idCol, index,
+        vec(fn, a("query_vec")), dbl(fn, a("radius")).toFloat, sc))
     },
     "ann_search_batch" -> { args =>
       val fn = "ann_search_batch"

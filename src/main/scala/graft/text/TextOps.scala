@@ -149,6 +149,31 @@ object TextOps {
       "dup_5gram_frac" -> frac(five, "dup_count"))
   }
 
+  /**
+   * Exact blocklist dedup with a Bloom pre-filter — drop every row whose
+   * text content (by rolling-hash fingerprint) appears in `block`. The
+   * 100 TB shape: a plain anti-join would shuffle the ENTIRE corpus on the
+   * fingerprint; instead a driver-built Bloom filter over the (much
+   * smaller) blocklist broadcasts to every task, rows it rejects pass
+   * through with NO shuffle at all, and only the candidate sliver (true
+   * hits + fpp false positives) pays the exact anti-join that removes
+   * Bloom false positives. Results are therefore EXACT — the Bloom filter
+   * only routes rows, it never decides membership alone.
+   */
+  def blocklistAntiJoin(df: DataFrame, textCol: String, idCol: String,
+      block: DataFrame, blockTextCol: String, fpp: Double = 0.01): DataFrame = {
+    val fpDf = df.withColumn("__fp", rollingHash(col(textCol)))
+    val blockFp = block.select(rollingHash(col(blockTextCol)).as("__bfp"))
+    val bloom = blockFp.stat.bloomFilter("__bfp",
+      math.max(1L, blockFp.count()), fpp)
+    val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: Long) => bloomB.value.mightContainLong(fp))
+    val clean = fpDf.where(!mightContain(col("__fp")))
+    val candidates = fpDf.where(mightContain(col("__fp")))
+      .join(blockFp, col("__fp") === col("__bfp"), "left_anti")
+    clean.unionByName(candidates).drop("__fp")
+  }
+
   /** Per-document distinctive terms — the exact-arithmetic cousin of TF-IDF
    *  keyword extraction: rank a document's terms by (document frequency ASC,
    *  term frequency DESC, term ASC) and keep the top `k`. Pure integer/string

@@ -50,6 +50,16 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(rows(0).getFloat(1) == 0.0f) // query is row 0's own vector
   }
 
+  test("pure SQL: ann_range_search returns every row inside the radius") {
+    val rows = spark.sql(
+      s"SELECT * FROM ann_range_search('emb', 'sql_idx', $q0Sql, 1.0)").collect()
+    // query is row 0's own vector: itself (distance 0) is always inside
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Float]("_distance")).forall(_ <= 1.0f))
+    assert(rows.exists(r => r.getAs[Long]("vec_id") == 0L &&
+      r.getAs[Float]("_distance") == 0.0f))
+  }
+
   test("pure SQL: batch + table-input + vector_distances + gpu_info") {
     val batch = spark.sql(
       s"SELECT * FROM ann_search_batch('emb', 'sql_idx', array($q0Sql), 3)").collect()

@@ -312,6 +312,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(3L)._1 > 0.4 && got(2L)._2 == 0.0 && got(5L)._3 > 0.5)
   }
 
+  test("blocklistAntiJoin: exact vs plain anti-join, Bloom FPs removed") {
+    import spark.implicits._
+    // duplicate texts across ids so blocking one id's text removes others
+    val rows = (0L until 300L).map(i => (i, s"doc text number ${i % 100}"))
+    val df = rows.toDF("doc_id", "text")
+    val block = df.where(col("doc_id") % 10 === 0).select("text")
+    val got = TextOps.blocklistAntiJoin(df, "text", "doc_id", block, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = df.join(block, Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // aggressive fpp floods the candidate path with false positives; the
+    // exact anti-join must still remove every one of them
+    val gotHighFpp = TextOps.blocklistAntiJoin(df, "text", "doc_id", block,
+      "text", fpp = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotHighFpp == expect)
+  }
+
   test("sampleGate: exact arithmetic, deterministic, stratum rates apply") {
     import spark.implicits._
     val df = (0L until 1000L).toDF("id")
