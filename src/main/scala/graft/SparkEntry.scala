@@ -19,6 +19,11 @@ import graft.search.Hybrid
   */
 object SparkEntry {
 
+  /** Second deterministic query vector (reversed ramp) for multi-query ops. */
+  private[graft] val Q64B: Seq[Float] = (0 until 64).map(i => (7 - (i % 8)) / 8.0f)
+  private[graft] def q64bSql: String =
+    Q64B.map(v => f"$v%.3f").mkString("[", ", ", "]::DOUBLE[]")
+
   /** Deterministic 64-dim query vector, exactly representable in f32 & f64. */
   private[graft] val Q64: Seq[Float] = (0 until 64).map(i => (i % 8) / 8.0f)
   private[graft] def q64Sql: String =
@@ -238,6 +243,15 @@ object SparkEntry {
         .where(col("rk") <= 3)
         .select(col("label"), col("rk"), col("vec_id"), col("__dd").as("_distance"))
         .orderBy("label", "rk")
+    }),
+
+    // ColBERT-style late interaction: one row per (doc group, token vector),
+    // score = sum over query vectors of the best token dot — ONE
+    // partial-aggregating groupBy, map-side max-combine
+    "maxsim_topk" -> ((s, dir) => {
+      val toks = t(s, dir, "embeddings").withColumn("gid", col("vec_id") % 50)
+      graft.search.LateInteraction.maxSimTopK(toks, "embedding", "gid",
+        Seq(q64Arr, Q64B.toArray), 10)
     }),
 
     "vector_distances" -> ((s, dir) => {
@@ -841,6 +855,15 @@ object SparkEntry {
          |    )::BIGINT AS rk
          |  FROM embeddings)
          |WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
+    "maxsim_topk" ->
+      s"""SELECT gid, m1 + m2 AS maxsim FROM (
+         |  SELECT vec_id % 50 AS gid,
+         |    max(list_sum(list_transform(embedding::DOUBLE[],
+         |      (x, i) -> x * ($q64Sql)[i]))) AS m1,
+         |    max(list_sum(list_transform(embedding::DOUBLE[],
+         |      (x, i) -> x * ($q64bSql)[i]))) AS m2
+         |  FROM embeddings GROUP BY 1)
+         |ORDER BY maxsim DESC, gid LIMIT 10""".stripMargin,
     "vector_distances" ->
       s"""SELECT vec_id, label,
          | list_distance(CAST(embedding AS DOUBLE[]), $q64Sql) AS _distance
