@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.expressions.NgramRepetition
+
+/** Property tests for the fused text kernels: the single-pass
+ *  NgramRepetition counters must agree with a naive tokenize → slide →
+ *  group recount on arbitrary text, for every n. */
+object TextProperties extends Properties("graft.text") {
+
+  private val wordGen = Gen.oneOf("a", "b", "ab", "xyz", "q1", "Spark", "B2b")
+  private val sepGen = Gen.oneOf(" ", "  ", ", ", "!\n", " - ")
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOfN(30, wordGen).flatMap(ws => Gen.someOf(ws))
+    seps <- Gen.listOfN(words.size, sepGen)
+  } yield words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  private def naive(text: String, n: Int): (Long, Long, Long) = {
+    val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+    if (toks.length < n) return (0L, 0L, 0L)
+    val counts = toks.sliding(n).map(_.mkString(" ")).toSeq
+      .groupBy(identity).map { case (_, v) => v.size.toLong }
+    (counts.sum, counts.max, counts.filter(_ > 1).sum)
+  }
+
+  property("ngram_repetition == naive recount") =
+    forAll(textGen, Gen.choose(1, 6)) { (text, n) =>
+      val row = NgramRepetition(Literal(UTF8String.fromString(text),
+          org.apache.spark.sql.types.StringType), n)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val got = (row.getLong(0), row.getLong(1), row.getLong(2))
+      val expect = naive(text, n)
+      if (got != expect)
+        println(s"text=$text n=$n got=$got expect=$expect")
+      got == expect
+    }
+
+  property("dup_count and max_count are consistent with total") =
+    forAll(textGen, Gen.choose(1, 6)) { (text, n) =>
+      val row = NgramRepetition(Literal(UTF8String.fromString(text),
+          org.apache.spark.sql.types.StringType), n)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val (total, maxC, dup) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      dup <= total && maxC <= total && (total == 0 || maxC >= 1) &&
+        (dup == 0 || dup >= 2) && (maxC < 2 || dup >= maxC)
+    }
+}
