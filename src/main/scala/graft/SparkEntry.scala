@@ -368,6 +368,18 @@ object SparkEntry {
         .select("vec_id", "_distance")
     }),
 
+    // TABLE-input range search: broadcast-gemm over the base scan, every
+    // (query, row) pair within the radius — exact, no top-k heap
+    "ann_range_table" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_range_t",
+        Ann.BuildParams(engine = "flat"))
+      val queries = emb.where(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+      Ann.rangeSearchTable(queries, "embedding", emb, "vec_id", "v_range_t", 1.5f)
+        .select(col("vec_id").as("qid"), col("tbl_vec_id").as("rid"), col("_distance"))
+        .orderBy("qid", "_distance", "rid")
+    }),
+
     // radius query on a graph index: expanding-k beam search (approximate
     // by graph recall → rows-only)
     "ann_range_graph" -> ((s, dir) => {
@@ -883,6 +895,14 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY __dd, rid) AS rn
          |  FROM scored)
          |WHERE rn <= 5
+         |ORDER BY qid, _distance, rid""".stripMargin,
+    "ann_range_table" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3)
+         |SELECT qid, rid, CAST(__dd AS FLOAT) AS _distance FROM (
+         |  SELECT q.qid, e.vec_id AS rid,
+         |    ${d2Sql("e.embedding", "q.qv::DOUBLE[]")} AS __dd
+         |  FROM q CROSS JOIN embeddings e)
+         |WHERE __dd <= 1.5
          |ORDER BY qid, _distance, rid""".stripMargin,
     "ann_oversample" ->
       s"""SELECT vec_id, _distance FROM (

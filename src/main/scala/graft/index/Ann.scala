@@ -859,6 +859,78 @@ object Ann {
     }
   }
 
+  /**
+   * Range search with a TABLE of query vectors — every (query, base row)
+   * pair within `radius`, output = input columns + `tbl_`-prefixed base
+   * columns + `_distance` (the range analog of [[searchTable]]).
+   *
+   * Broadcast-gemm shape: each base partition scores the (small) broadcast
+   * query table locally and keeps in-radius pairs — the base side stays
+   * partition-parallel, nothing pools on the driver, and the output can be
+   * arbitrarily large without a top-k heap. On ivfflat + L2 with stored
+   * cluster radii, each query explodes to only the clusters its ball can
+   * intersect (triangle inequality) and equi-joins on the cluster column —
+   * per-query pruning with EXACT results; other metrics fall back to the
+   * nprobe probe set like top-k search.
+   */
+  def rangeSearchTable(queriesDf: DataFrame, queryVecColumn: String,
+      baseDf: DataFrame, idColumn: String, name: String,
+      radius: Float): DataFrame = {
+    val spark = queriesDf.sparkSession
+    val meta = IndexCatalog.load(root(spark), name)
+    val tomb = IndexCatalog.readTombstones(root(spark), name)
+    require(meta.engine == "flat" || meta.engine == "ivfflat",
+      s"rangeSearchTable supports exact engines (flat/ivfflat), got ${meta.engine}")
+    val cosine = meta.metricObj eq Metric.Cosine
+    val prepped = queriesDf
+      .withColumn(queryVecColumn, toFloatVec(col(queryVecColumn)))
+      .withColumn("__q",
+        if (cosine) toFloatVec(normalizeCol(col(queryVecColumn)))
+        else col(queryVecColumn))
+    val base = spark.read.parquet(meta.sourcePath)
+    val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
+    val radiiPath = s"$dirPath/radii.bin"
+    val joined: DataFrame =
+      if (meta.engine == "ivfflat" && (meta.metricObj eq Metric.L2) &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(radiiPath))) {
+        val centsB = spark.sparkContext.broadcast(
+          IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
+        val radiiB = spark.sparkContext.broadcast(IndexCatalog.readRadii(radiiPath))
+        val rq = math.sqrt(math.max(0.0, radius.toDouble))
+        val keepUdf = udf((q: Array[Float]) => {
+          val cs = centsB.value; val rs = radiiB.value
+          cs.indices.filter { c =>
+            math.sqrt(graft.core.Simd.l2Sq(q, 0, cs(c), 0,
+              cs(c).length).toDouble) - rs(c) <= rq + 1e-6 * (1.0 + rq)
+          }.toArray
+        })
+        val qprobe = prepped.withColumn("__cluster", explode(keepUdf(col("__q"))))
+        base.join(broadcast(qprobe), base("cluster") === qprobe("__cluster"))
+      } else if (meta.engine == "ivfflat") {
+        val centsB = spark.sparkContext.broadcast(
+          IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
+        val np = meta.nprobe
+        val probesUdf = udf((q: Array[Float]) =>
+          KMeansLite.nearestP(centsB.value, q, np))
+        val qprobe = prepped.withColumn("__cluster", explode(probesUdf(col("__q"))))
+        base.join(broadcast(qprobe), base("cluster") === qprobe("__cluster"))
+      } else base.crossJoin(broadcast(prepped))
+    val distCol = meta.metricObj match {
+      case Metric.L2 => array_distance_sq(base("vec"), col("__q"))
+      case _ => array_negative_inner_product(base("vec"), col("__q"))
+    }
+    val scored = joined
+      .withColumn("__dd", distCol)
+      .where(col("__dd") <= radius.toDouble)
+    val noTomb = if (tomb.isEmpty) scored
+      else scored.where(!base("id").isin(tomb.toSeq: _*))
+    val inCols = queriesDf.schema.fieldNames.toSeq
+    val hits = noTomb.select(inCols.map(prepped(_)) ++
+      Seq(base("id").as("row_id"),
+        col("__dd").cast(FloatType).as("_distance")): _*)
+    joinBaseWithPrefix(baseDf, idColumn, hits, inCols.toSet)
+  }
+
   private implicit class SeqOps[T](s: Seq[T]) {
     def asJava: java.util.List[T] = {
       val l = new java.util.ArrayList[T](s.size)

@@ -99,6 +99,33 @@ class AnnSpec extends AnyFunSuite {
     assert(gotG.size >= (expect.size * 9) / 10, s"recall ${gotG.size}/${expect.size}")
   }
 
+  test("rangeSearchTable: flat == per-query brute filter; ivf pruning identical") {
+    import graft.functions._
+    val queries = emb.where(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_rt_flat",
+      Ann.BuildParams(engine = "flat"))
+    def rows(idx: String) = Ann.rangeSearchTable(queries, "embedding", emb,
+        "vec_id", idx, 1.5f)
+      .select(col("vec_id"), col("tbl_vec_id"), col("_distance"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getFloat(2))).toSet
+    val gotFlat = rows("t_rt_flat")
+
+    // brute-force expectation per query
+    val qs = queries.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).toArray)
+    val expect = qs.flatMap { case (qid, q) =>
+      emb.select(col("vec_id"),
+          array_distance_sq(toFloatVec(col("embedding")), floatVec(q.toSeq)).as("d"))
+        .where(col("d") <= 1.5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1).toFloat))
+    }.toSet
+    assert(gotFlat == expect)
+
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_rt_ivf",
+      Ann.BuildParams(engine = "ivfflat", nlist = 8, nprobe = 1))
+    assert(rows("t_rt_ivf") == expect, "ivf cluster-radius pruning must stay exact")
+  }
+
   test("diskann index: recall >= 0.9 over sf0.001 embeddings") {
     Ann.buildIndex(emb, "embedding", "vec_id", "t_disk",
       Ann.BuildParams(engine = "diskann", numShards = 2, maxDegree = 32,
