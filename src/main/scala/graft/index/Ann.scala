@@ -552,7 +552,7 @@ object Ann {
       .select(col("id").as("row_id"),
         adcUdf(col("cluster").cast(IntegerType), col("code")).as("__dd"))
     val filtered = if (tomb.isEmpty) base
-      else base.where(!col("row_id").isin(tomb.toSeq: _*))
+      else base.where(notTombstoned(col("row_id"), tomb))
     if (meta.refine) refineStage(spark, meta, filtered, query, fetchK)
     else filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
       .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
@@ -603,7 +603,7 @@ object Ann {
     val base = spark.read.parquet(meta.sourcePath)
       .select(col("id").as("row_id"), adcUdf(col("code")).as("__dd"))
     val filtered = if (tomb.isEmpty) base
-      else base.where(!col("row_id").isin(tomb.toSeq: _*))
+      else base.where(notTombstoned(col("row_id"), tomb))
     if (meta.refine) refineStage(spark, meta, filtered, query, fetchK)
     else filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
       .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
@@ -709,6 +709,29 @@ object Ann {
       .orderBy(col("_distance"), col("row_id")).limit(fetchK)
   }
 
+  /** Above this many tombstones the exclusion predicate switches from a
+   *  literal `In` list to a single Catalyst `InSet` node. */
+  private[index] val TombInlineMax = 1000
+
+  /**
+   * Tombstone-exclusion predicate with O(1) plan size at any tombstone count.
+   * Small sets inline as a literal `In` (readable EXPLAIN output, pushes to
+   * the scan); above [[TombInlineMax]] the SAME semantics ride one `InSet`
+   * expression holding a hash set — constant analysis/codegen cost however
+   * many ids were deleted, matching the reference's hash-set filter that is
+   * O(1) per row at any count (src/diskann_index.cpp:584-591). `InSet` is the
+   * exact optimized form Catalyst itself rewrites `In` to, so results are
+   * bit-identical across the threshold.
+   */
+  private[index] def notTombstoned(idCol: Column, tomb: Set[Long]): Column =
+    if (tomb.size <= TombInlineMax) !idCol.isin(tomb.toSeq: _*)
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{InSet, Not}
+      import org.apache.spark.sql.graftshim.GraftShim
+      GraftShim.column(Not(InSet(GraftShim.expression(idCol),
+        tomb.map(x => Long.box(x): Any))))
+    }
+
   /** Exact scan for flat/ivfflat → (row_id, _distance), sorted, limit fetchK. */
   private def exactScanIds(spark: SparkSession, meta: IndexMeta, query0: Array[Float],
       fetchK: Int, tomb: Set[Long]): DataFrame = {
@@ -720,7 +743,7 @@ object Ann {
     val unfiltered = base
       .select(col("id").as("row_id"), distCol.as("__dd"))
     val filtered = if (tomb.isEmpty) unfiltered
-      else unfiltered.where(!col("row_id").isin(tomb.toSeq: _*))
+      else unfiltered.where(notTombstoned(col("row_id"), tomb))
     filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
       .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
   }
@@ -831,7 +854,7 @@ object Ann {
             metricDistanceCol(meta.metricObj, col("vec"), q).as("__dd"))
           .where(col("__dd") <= radius.toDouble)
         val hits = (if (tomb.isEmpty) base
-          else base.where(!col("__ann_id").isin(tomb.toSeq: _*)))
+          else base.where(notTombstoned(col("__ann_id"), tomb)))
           .select(col("__ann_id"), col("__dd").cast(FloatType).as("_distance"))
         // plain equi-join (not forced broadcast): a wide radius can match
         // a large fraction of the base table; AQE broadcasts if small
@@ -923,7 +946,7 @@ object Ann {
       .withColumn("__dd", distCol)
       .where(col("__dd") <= radius.toDouble)
     val noTomb = if (tomb.isEmpty) scored
-      else scored.where(!base("id").isin(tomb.toSeq: _*))
+      else scored.where(notTombstoned(base("id"), tomb))
     val inCols = queriesDf.schema.fieldNames.toSeq
     val hits = noTomb.select(inCols.map(prepped(_)) ++
       Seq(base("id").as("row_id"),
@@ -1242,7 +1265,7 @@ object Ann {
         (base.crossJoin(broadcast(prepped)), distTo(base("vec"), col("__q")))
     }
     val live0 = if (tomb.isEmpty) joined
-      else joined.where(!base("id").isin(tomb.toSeq: _*))
+      else joined.where(notTombstoned(base("id"), tomb))
     // refined: per-query candidate cut by the SAME float ADC ranking the
     // single-query codes-only scan uses, then exact re-rank on the stored
     // raw vectors in double (mirrors refineStage's two phases)
@@ -1553,7 +1576,7 @@ object Ann {
     val ver = meta.version + 1
     val newPath = s"$dir/data-v$ver"
     val df0 = spark.read.parquet(meta.sourcePath)
-    val live = if (tomb.isEmpty) df0 else df0.where(!col("id").isin(tomb.toSeq: _*))
+    val live = if (tomb.isEmpty) df0 else df0.where(notTombstoned(col("id"), tomb))
     val ivf = meta.engine == "ivfflat" || meta.engine == "ivfpq"
     val targetBytes = spark.conf.getOption("spark.graft.ann.compactTargetBytes")
       .map(_.toLong).getOrElse(128L << 20)
