@@ -612,3 +612,70 @@ case class BoundedCollectSet(child: Expression, cap: Int,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * `term_counts(text)` — per-document term frequencies in one compiled pass:
+ * `array<struct<term string, term_freq long>>` over the same lowercase
+ * `[a-z0-9]+` tokens as `TextOps.tokens` (first-occurrence order, counts
+ * with multiplicity). Replaces explode + groupBy(doc, term) in rare-term
+ * extraction: the token explosion never materializes and the per-document
+ * count needs no shuffle — the only aggregations left downstream are
+ * vocabulary-sized.
+ */
+case class TermCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("term_freq", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "term_counts"
+
+  override protected def nullSafeEval(s: Any): Any = {
+    val counts = TermCounts.count(s.asInstanceOf[UTF8String].toLowerCase.toString)
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      row.update(0, UTF8String.fromString(e.getKey))
+      row.setLong(1, e.getValue()(0))
+      out(j) = row
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TermCounts {
+  @inline private def isTok(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  /** Shared token-count kernel over an ALREADY-LOWERED string (callers lower
+   *  via `UTF8String.toLowerCase` so expression and driver routes agree on
+   *  unicode case mapping). LinkedHashMap: deterministic first-occurrence
+   *  order. */
+  def count(str: String): java.util.LinkedHashMap[String, Array[Long]] = {
+    val len = str.length
+    val counts = new java.util.LinkedHashMap[String, Array[Long]]()
+    var i = 0
+    while (i < len) {
+      while (i < len && !isTok(str.charAt(i))) i += 1
+      if (i < len) {
+        val s0 = i
+        while (i < len && isTok(str.charAt(i))) i += 1
+        val tok = str.substring(s0, i)
+        val c = counts.get(tok)
+        if (c == null) counts.put(tok, Array(1L)) else c(0) += 1L
+      }
+    }
+    counts
+  }
+}

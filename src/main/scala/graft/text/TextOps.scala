@@ -184,17 +184,104 @@ object TextOps {
    *  row_number window shuffles on the id — both scale-safe. */
   def rareTerms(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("term_freq"))
-    // tf is unique per (doc, term) → doc frequency = row count per term
+    val termCounts = graft.functions.mkCol(
+      graft.expressions.TermCounts(graft.functions.mkExpr(col(textCol))))
+    // size-gated driver route (same pattern as ngramPostingsLocal): one
+    // narrow job evaluates the SAME fused TermCounts expression, the
+    // vocabulary-sized df/rank bookkeeping runs on the driver. Distributed
+    // fallback below is the 100 TB path.
+    val projected = df.select(col(idCol), col(textCol))
+    val est = projected.queryExecution.optimizedPlan.stats.sizeInBytes
+    val gate = df.sparkSession.conf
+      .getOption("spark.graft.text.localRareMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    if (est <= gate) return rareTermsLocal(projected, idCol, k)
+    // fused per-doc term counting: the token explosion never materializes
+    // and (doc, term) needs no shuffle — the explode below is partition-local
+    val tf = df
+      .select(col(idCol), explode(termCounts).as("tc"))
+      .select(col(idCol), col("tc.term").as("term"), col("tc.term_freq").as("term_freq"))
+    // tf is unique per (doc, term) → doc frequency = row count per term;
+    // vocabulary-sized (Heaps' law, ≪ corpus) → broadcast back, no tf shuffle
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("doc_freq"), col("term_freq").desc, col("term"))
-    tf.join(docFreq, "term")
+    tf.join(broadcast(docFreq), "term")
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .where(col("rnk") <= k)
       .select(col(idCol), col("term"), col("doc_freq"), col("term_freq"), col("rnk"))
+  }
+
+  /** Driver-local rare-term ranking over collected (id, text) rows — same
+   *  token-count kernel as the TermCounts expression (shared static, lowered
+   *  via UTF8String for identical unicode case mapping) and the same integer
+   *  ordering (doc_freq asc, term_freq desc, term asc; unique per term so
+   *  ties cannot flip) → bit-identical to the distributed window plan. */
+  private def rareTermsLocal(projected: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = projected.sparkSession
+    val rows = projected.collect()
+    val n = rows.length
+    val perDoc = new Array[java.util.LinkedHashMap[String, Array[Long]]](n)
+    graft.core.ParChunks.foreach(n) { (_, s, e) =>
+      var i = s
+      while (i < e) {
+        val t = rows(i).get(1)
+        if (t != null) perDoc(i) = graft.expressions.TermCounts.count(
+          UTF8String.fromString(t.asInstanceOf[String]).toLowerCase.toString)
+        i += 1
+      }
+    }
+    // doc frequency: docs containing each term (per-doc keys are distinct)
+    val docFreq = new java.util.HashMap[String, Array[Long]]()
+    perDoc.foreach { tc =>
+      if (tc != null) tc.keySet().forEach { term =>
+        val c = docFreq.get(term)
+        if (c == null) docFreq.put(term, Array(1L)) else c(0) += 1L
+      }
+    }
+    // emit pre-encoded InternalRows through the shim: no per-action Row
+    // re-encoding and a single-partition scan for the downstream sort/limit
+    val idType = projected.schema.head.dataType
+    def internalId(v: Any): Any = idType match {
+      case StringType => UTF8String.fromString(v.asInstanceOf[String])
+      case _ => v // numeric ids are already internal-format
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    out.sizeHint(n * k)
+    var d = 0
+    while (d < n) {
+      val tc = perDoc(d)
+      if (tc != null && !tc.isEmpty) {
+        val terms = new Array[(String, Long)](tc.size)
+        val it = tc.entrySet().iterator()
+        var j = 0
+        while (it.hasNext) {
+          val en = it.next(); terms(j) = (en.getKey, en.getValue()(0)); j += 1
+        }
+        val ranked = terms.sortBy { case (term, tf) => (docFreq.get(term)(0), -tf, term) }
+        val id = internalId(rows(d).get(0))
+        var i = 0
+        val top = math.min(k, ranked.length)
+        while (i < top) {
+          val (term, tf) = ranked(i)
+          val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(5)
+          r.update(0, id); r.update(1, UTF8String.fromString(term))
+          r.update(2, docFreq.get(term)(0)); r.update(3, tf)
+          r.update(4, (i + 1).toLong)
+          out += r
+          i += 1
+        }
+      }
+      d += 1
+    }
+    val schema = StructType(Seq(
+      projected.schema.head.copy(name = idCol),
+      StructField("term", StringType), StructField("doc_freq", LongType),
+      StructField("term_freq", LongType), StructField("rnk", LongType)))
+    org.apache.spark.sql.graftshim.GraftShim.internalCreateDataFrame(spark,
+      spark.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 
   // --------------------------------------------------------------- simhash

@@ -347,4 +347,37 @@ class TextOpsSpec extends AnyFunSuite {
     val en = kept.count(_ % 2 == 0); val fr = kept.size - en
     assert(math.abs(en - 300) < 60 && math.abs(fr - 125) < 50, s"en=$en fr=$fr")
   }
+
+  test("rareTerms: local and distributed routes agree term-for-term") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(): Seq[(Long, String, Long, Long, Long)] =
+      TextOps.rareTerms(df, "text", "doc_id", 3)
+        .orderBy("doc_id", "rnk")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    val local = run()
+    assert(local.nonEmpty)
+    spark.conf.set("spark.graft.text.localRareMaxBytes", "0")
+    try {
+      val dist = run()
+      assert(local == dist, "size-gated driver route must be bit-identical " +
+        "to the distributed broadcast-join/window plan")
+    } finally spark.conf.unset("spark.graft.text.localRareMaxBytes")
+  }
+
+  test("TermCounts expression matches explode+groupBy token counting") {
+    val df = docs((1L, "The the THE cat! cat dog-42 42"), (2L, ""), (3L, null.asInstanceOf[String]))
+    val fused = df.select(col("doc_id"),
+        explode(graft.functions.mkCol(graft.expressions.TermCounts(
+          graft.functions.mkExpr(col("text"))))).as("tc"))
+      .select(col("doc_id"), col("tc.term"), col("tc.term_freq"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val naive = df.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(fused == naive)
+    assert(fused((1L, "the", 3L)) && fused((1L, "42", 2L)))
+  }
 }
