@@ -194,6 +194,10 @@ object SparkEntry {
       val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
       val gapUs = 30L * 60 * 1000000L
       val prev = lag(col("tus"), 1).over(w)
+      // boundary contract: an event arriving EXACTLY gap after the previous
+      // one MERGES into the session (strict >), matching Structured
+      // Streaming's session_window, which merges windows when the next start
+      // equals the previous end (SessionizeSpec pins this empirically)
       ev.withColumn("__new",
           when(prev.isNull || col("tus") - prev > gapUs, 1L).otherwise(0L))
         .withColumn("session_seq", sum(col("__new"))

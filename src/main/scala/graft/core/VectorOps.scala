@@ -27,6 +27,21 @@ object VectorOps {
   @inline def dot(a: Array[Float], b: Array[Float]): Float =
     Simd.dot(a, 0, b, 0, a.length)
 
+  /** Squared L2 over float inputs accumulated in DOUBLE: relative error
+   *  ≤ ~dim·2⁻⁵², for geometric bounds that must provably dominate rounding
+   *  (range-search cluster pruning) — the float SIMD kernel's ~dim·2⁻²⁴
+   *  worst case is NOT safely below a 1e-6 slack at high dims. */
+  def l2SqDoubleAcc(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Negated inner product: lower = closer (reference distance.rs:21-24). */
   @inline def ipDistance(a: Array[Float], b: Array[Float]): Float = -dot(a, b)
 

@@ -351,15 +351,17 @@ object Ann {
     meta
   }
 
-  /** Per-cluster max L2 distance to the assigned centroid, rounded UP a
-   *  float ulp (a conservative radius can only over-probe, never miss). */
+  /** Per-cluster max L2 distance to the assigned centroid, accumulated in
+   *  DOUBLE and rounded UP a float ulp: the stored radius is a provable
+   *  upper bound on the true distance (double-accumulation error ~dim·2⁻⁵²
+   *  is absorbed by the ulp round-up), so pruning with it can only
+   *  over-probe, never miss. */
   private def clusterRadii(clustered: DataFrame,
       centsB: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
       nlist: Int): Array[Float] = {
     val distUdf = udf((v: Array[Float], cl: Int) => {
       val c = centsB.value(cl)
-      Math.nextUp(math.sqrt(graft.core.Simd.l2Sq(v, 0, c, 0, c.length).toDouble)
-        .toFloat)
+      Math.nextUp(math.sqrt(VectorOps.l2SqDoubleAcc(v, c)).toFloat)
     })
     val maxes = clustered
       .select(col("cluster"), distUdf(col("vec"), col("cluster")).as("__d"))
@@ -754,9 +756,13 @@ object Ann {
    * member within √radius of q only if d(q, centroid_c) − r_c ≤ √radius —
    * which keeps range search EXACT while skipping every cluster whose ball
    * cannot intersect the query ball (the nprobe top-k heuristic would
-   * silently miss rows). A small slack absorbs float rounding in the
-   * driver-side bound; the per-row distance filter downstream is exact, so
-   * slack only ever over-probes. Metrics without a metric-space triangle
+   * silently miss rows). The query-to-centroid distance accumulates in
+   * DOUBLE (error ~dim·2⁻⁵², provably below the 1e-6 relative slack at any
+   * realistic dim — the float kernel's ~dim·2⁻²⁴ would not be) and the
+   * stored radii are ulp-rounded-up double-accumulated upper bounds, so the
+   * slack strictly dominates all rounding; the per-row distance filter
+   * downstream is exact, so slack only ever over-probes. Metrics without a
+   * metric-space triangle
    * inequality (IP; cosine's negated-dot surface) fall back to the nprobe
    * probe set, matching top-k approximation semantics.
    */
@@ -770,8 +776,7 @@ object Ann {
       val radii = IndexCatalog.readRadii(radiiPath)
       val rq = math.sqrt(math.max(0.0, radius.toDouble))
       val keep = cents.indices.filter { c =>
-        val dc = math.sqrt(graft.core.Simd.l2Sq(query, 0, cents(c), 0,
-          cents(c).length).toDouble)
+        val dc = math.sqrt(VectorOps.l2SqDoubleAcc(query, cents(c)))
         dc - radii(c) <= rq + 1e-6 * (1.0 + rq)
       }
       spark.read.parquet(meta.sourcePath)
@@ -923,8 +928,8 @@ object Ann {
         val keepUdf = udf((q: Array[Float]) => {
           val cs = centsB.value; val rs = radiiB.value
           cs.indices.filter { c =>
-            math.sqrt(graft.core.Simd.l2Sq(q, 0, cs(c), 0,
-              cs(c).length).toDouble) - rs(c) <= rq + 1e-6 * (1.0 + rq)
+            math.sqrt(VectorOps.l2SqDoubleAcc(q, cs(c))) - rs(c) <=
+              rq + 1e-6 * (1.0 + rq)
           }.toArray
         })
         val qprobe = prepped.withColumn("__cluster", explode(keepUdf(col("__q"))))

@@ -30,6 +30,11 @@ object Sessionize {
    * per CLOSED session: key columns + `session_start`, `session_end`,
    * `n_events`. Append mode; attach any sink.
    *
+   * Boundary contract (pinned by SessionizeSpec): an event arriving EXACTLY
+   * `gap` after the previous one MERGES into the session — session_window
+   * merges a window whose start equals the previous window's end, which is
+   * why the batch gaps-and-islands shape uses a STRICT `>` gap comparison.
+   *
    * @param gap       max in-session gap, e.g. "30 minutes"
    * @param watermark how long to admit late events before a session closes
    */

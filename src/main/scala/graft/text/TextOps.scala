@@ -168,8 +168,11 @@ object TextOps {
       math.max(1L, blockFp.count()), fpp)
     val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((fp: Long) => bloomB.value.mightContainLong(fp))
-    val clean = fpDf.where(!mightContain(col("__fp")))
-    val candidates = fpDf.where(mightContain(col("__fp")))
+    // NULL text → NULL fingerprint → the UDF yields NULL, which fails BOTH
+    // branches; route NULL fingerprints into the clean branch explicitly
+    // (an equi anti-join never matches on NULL keys, so they are kept)
+    val clean = fpDf.where(col("__fp").isNull || !mightContain(col("__fp")))
+    val candidates = fpDf.where(col("__fp").isNotNull && mightContain(col("__fp")))
       .join(blockFp, col("__fp") === col("__bfp"), "left_anti")
     clean.unionByName(candidates).drop("__fp")
   }

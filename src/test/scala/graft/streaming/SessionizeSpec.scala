@@ -77,4 +77,48 @@ class SessionizeSpec extends AnyFunSuite {
       assert(batch == expect, s"batch shape diverged: $batch")
     } finally q.stop()
   }
+
+  test("a gap of EXACTLY the session gap merges in both modes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Boundary contract, pinned empirically: session_window MERGES a window
+    // whose start equals the previous window's end, so an event exactly
+    // 30 min after the previous one joins the session — hence the batch
+    // shape's STRICT > on the gap. (A half-open [t, t+gap) reading would
+    // predict a split; Spark's merge condition is inclusive.)
+    val ms = MemoryStream[(Long, Timestamp)]
+    val sess = Sessionize.sessionize(ms.toDF().toDF("user_id", "ts"),
+      "ts", Seq("user_id"), gap = "30 minutes", watermark = "10 minutes")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_boundary").start()
+    try {
+      ms.addData((1L, t(10, 0)), (1L, t(10, 30))) // exactly 30 min apart
+      q.processAllAvailable()
+      ms.addData((9L, t(13, 0))) // watermark sentinel: closes user 1
+      q.processAllAvailable()
+      val closed = spark.table("sessions_boundary")
+        .where(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSet
+      val expect = Set((t(10, 0), t(10, 30), 2L)) // one merged session
+      assert(closed == expect, s"streaming boundary diverged: $closed")
+
+      // batch shape on the same rows must agree
+      val rows = Seq((1L, t(10, 0)), (1L, t(10, 30))).toDF("user_id", "ts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+      val prev = lag(col("ts"), 1).over(w)
+      val batch = rows
+        .withColumn("__new", when(prev.isNull ||
+          col("ts").cast("long") - prev.cast("long") > 1800L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("__new")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select("session_start", "session_end", "n_events")
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(batch == expect, s"batch boundary diverged: $batch")
+    } finally q.stop()
+  }
 }

@@ -330,6 +330,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(gotHighFpp == expect)
   }
 
+  test("blocklistAntiJoin keeps rows with NULL text (anti-join semantics)") {
+    import spark.implicits._
+    val df = Seq((1L, "keep me"), (2L, "blocked"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val block = Seq(Tuple1("blocked")).toDF("text")
+    val got = TextOps.blocklistAntiJoin(df, "text", "doc_id", block, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = df.join(block, Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expect == Set(1L, 3L), "plain anti-join keeps the NULL-text row")
+    assert(got == expect)
+  }
+
   test("sampleGate: exact arithmetic, deterministic, stratum rates apply") {
     import spark.implicits._
     val df = (0L until 1000L).toDF("id")
