@@ -583,20 +583,11 @@ object SparkEntry {
         lit("@example.com or admin@test.org from 10."),
         (col("doc_id") % 200).cast("string"), lit(".0.1 call 555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-      val ip = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
-      val phone = """\b\d{3}-\d{4}\b"""
       t(s, dir, "documents")
-        .select(col("doc_id"), injected.as("__t"))
-        .select(col("doc_id"),
-          size(regexp_extract_all(col("__t"), lit(email), lit(0)))
-            .cast("long").as("n_emails"),
-          size(regexp_extract_all(col("__t"), lit(ip), lit(0)))
-            .cast("long").as("n_ips"),
-          size(regexp_extract_all(col("__t"), lit(phone), lit(0)))
-            .cast("long").as("n_phones"),
-          regexp_replace(regexp_replace(regexp_replace(col("__t"),
-            email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("redacted"))
+        .select(col("doc_id"), TextOps.piiScrub(injected).as("__p"))
+        .select(col("doc_id"), col("__p.n_emails").as("n_emails"),
+          col("__p.n_ips").as("n_ips"), col("__p.n_phones").as("n_phones"),
+          col("__p.redacted").as("redacted"))
         .orderBy("doc_id")
     }),
 

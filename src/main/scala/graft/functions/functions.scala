@@ -90,5 +90,39 @@ object functions {
       }
       NgramRepetition(exprs.head, n)
     }, "built-in")
+    reg.createOrReplaceTempFunction("term_counts", exprs => {
+      require(exprs.length == 1, "term_counts expects (text)")
+      TermCounts(exprs.head)
+    }, "built-in")
+    // composed text operators, built as direct Catalyst trees (the same
+    // nodes TextOps' Column formulations analyze into — results identical)
+    reg.createOrReplaceTempFunction("pii_scrub", exprs => {
+      require(exprs.length == 1, "pii_scrub expects (text)")
+      import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct,
+        Literal, RegExpExtractAll, RegExpReplace, Size}
+      import org.apache.spark.sql.types.LongType
+      import graft.text.TextOps.{PiiEmail, PiiIp, PiiPhone}
+      val text = exprs.head
+      def cnt(re: String) =
+        Cast(Size(RegExpExtractAll(text, Literal(re), Literal(0))), LongType)
+      val redacted = RegExpReplace(RegExpReplace(RegExpReplace(text,
+        Literal(PiiEmail), Literal("<EMAIL>")),
+        Literal(PiiIp), Literal("<IP>")),
+        Literal(PiiPhone), Literal("<PHONE>"))
+      CreateNamedStruct(Seq(
+        Literal("n_emails"), cnt(PiiEmail), Literal("n_ips"), cnt(PiiIp),
+        Literal("n_phones"), cnt(PiiPhone), Literal("redacted"), redacted))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("sample_gate", exprs => {
+      require(exprs.length == 2, "sample_gate expects (id, permille)")
+      import org.apache.spark.sql.catalyst.expressions.{Cast, LessThan, Literal,
+        Multiply, Pmod}
+      import org.apache.spark.sql.types.LongType
+      import graft.text.TextOps.{HashMod, SampleMult}
+      LessThan(
+        Pmod(Multiply(Pmod(Cast(exprs(0), LongType), Literal(HashMod)),
+          Literal(SampleMult)), Literal(1000L)),
+        Cast(exprs(1), LongType))
+    }, "built-in")
   }
 }

@@ -31,6 +31,10 @@ import graft.search.Hybrid
  *                                  'docs_idx', 'IVF64,Flat')        -- build from SQL
  *   SELECT * FROM ann_vacuum('docs_idx')
  *   SELECT * FROM diskann_streaming_build('/path/file.bin', 'idx')
+ *   SELECT * FROM rare_terms('documents', 'text', 'doc_id', 3)
+ *   SELECT * FROM decontaminate('documents', 'text', 'doc_id', 'doc_id % 5 = 0')
+ *   SELECT * FROM stratified_sample('documents', 'doc_id',
+ *                                   'CASE WHEN lang = ''en'' THEN 600 ELSE 250 END')
  *
  * Tables are referenced by NAME (views work: `CREATE TEMP VIEW queries AS
  * SELECT ...` replaces the reference's TABLE-valued subquery inputs — Spark
@@ -306,6 +310,41 @@ object TableFunctions {
           val (n, dim, sample) = Ann.streamingBuild(s, path, index)
           Seq((n, dim, sample)).toDF("num_vectors", "dimension", "sample_size")
         })
+    },
+    // ---- text-pipeline operators (SQL names for the TextOps surface) ----
+    "rare_terms" -> { args =>
+      val fn = "rare_terms"
+      val a = splitArgs(fn, args, Seq("table", "text_col", "id_col", "k"), 3)
+      val k = a.get("k").map(int(fn, _)).getOrElse(3)
+      plan(graft.text.TextOps.rareTerms(spark.table(str(fn, a("table"))),
+        str(fn, a("text_col")), str(fn, a("id_col")), k))
+    },
+    "decontaminate" -> { args =>
+      val fn = "decontaminate"
+      // eval_pred: a SQL boolean expression over the table's columns naming
+      // the held-out eval split, e.g. 'doc_id % 5 = 0'
+      val a = splitArgs(fn, args,
+        Seq("table", "text_col", "id_col", "eval_pred", "n", "df_max"), 4)
+      val predSql = str(fn, a("eval_pred"))
+      val pred = org.apache.spark.sql.graftshim.GraftShim.column(
+        spark.sessionState.sqlParser.parseExpression(predSql))
+      plan(graft.text.TextOps.contaminationCounts(
+        spark.table(str(fn, a("table"))), str(fn, a("text_col")),
+        str(fn, a("id_col")), _ => pred,
+        n = a.get("n").map(int(fn, _)).getOrElse(5),
+        dfMax = a.get("df_max").map(int(fn, _)).getOrElse(50)))
+    },
+    "stratified_sample" -> { args =>
+      val fn = "stratified_sample"
+      // rate_permille: a SQL integer expression over the table's columns
+      // giving the per-row keep rate in ‰, e.g.
+      // 'CASE WHEN lang = ''en'' THEN 600 ELSE 250 END'
+      val a = splitArgs(fn, args, Seq("table", "id_col", "rate_permille"), 3)
+      val rate = org.apache.spark.sql.graftshim.GraftShim.column(
+        spark.sessionState.sqlParser.parseExpression(str(fn, a("rate_permille"))))
+      val df = spark.table(str(fn, a("table")))
+      plan(df.where(graft.text.TextOps.sampleGate(
+        df(str(fn, a("id_col"))), rate)))
     }
   )
 

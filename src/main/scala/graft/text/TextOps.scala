@@ -952,4 +952,26 @@ object TextOps {
   def sampleGate(idCol: Column, permille: Column): Column =
     pmod(pmod(idCol.cast(LongType), lit(HashMod)) * lit(SampleMult), lit(1000L)) <
       permille.cast(LongType)
+
+  // ------------------------------------------------------------- PII scrub
+
+  /** PII patterns (all matched by Spark's builtin codegen'd regexp
+   *  expressions; identical strings feed the DuckDB oracle). */
+  val PiiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PiiIp = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PiiPhone = """\b\d{3}-\d{4}\b"""
+
+  /** PII detect + redact in one projection: a struct of match counts per
+   *  category and the text with every match masked (`<EMAIL>` / `<IP>` /
+   *  `<PHONE>`). Pure builtin regexp expressions — codegen'd, shuffle-free,
+   *  and SQL-callable as `pii_scrub(text)`. */
+  def piiScrub(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(PiiEmail), lit(0)))
+      .cast(LongType).as("n_emails"),
+    size(regexp_extract_all(text, lit(PiiIp), lit(0)))
+      .cast(LongType).as("n_ips"),
+    size(regexp_extract_all(text, lit(PiiPhone), lit(0)))
+      .cast(LongType).as("n_phones"),
+    regexp_replace(regexp_replace(regexp_replace(text,
+      PiiEmail, "<EMAIL>"), PiiIp, "<IP>"), PiiPhone, "<PHONE>").as("redacted"))
 }

@@ -211,4 +211,47 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("nope_idx") ||
            e2.getMessage.toLowerCase.contains("index"))
   }
+
+  test("pure SQL: text-pipeline ops — rare_terms, decontaminate, stratified_sample, pii_scrub") {
+    import org.apache.spark.sql.functions.{col, when}
+    // rare_terms TVF == Scala API
+    val sqlRare = spark.sql(
+      "SELECT * FROM rare_terms('docs', 'text', 'doc_id', 3) ORDER BY doc_id, rnk")
+      .collect().map(_.toSeq).toSeq
+    val scalaRare = graft.text.TextOps.rareTerms(
+        spark.table("docs"), "text", "doc_id", 3)
+      .orderBy("doc_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(sqlRare.nonEmpty && sqlRare == scalaRare)
+
+    // decontaminate TVF: eval predicate as a SQL string over the id column
+    val sqlDecon = spark.sql(
+      "SELECT * FROM decontaminate('docs', 'text', 'doc_id', 'doc_id % 5 = 0') ORDER BY id")
+      .collect().map(_.toSeq).toSeq
+    val scalaDecon = graft.text.TextOps.contaminationCounts(
+        spark.table("docs"), "text", "doc_id", id => id % 5 === 0)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(sqlDecon == scalaDecon && sqlDecon.nonEmpty)
+
+    // stratified_sample TVF: per-stratum rate expression in SQL
+    val sqlSample = spark.sql(
+      """SELECT doc_id FROM stratified_sample('docs', 'doc_id',
+        |  'CASE WHEN lang = ''en'' THEN 600 ELSE 250 END') ORDER BY doc_id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val scalaSample = spark.table("docs")
+      .where(graft.text.TextOps.sampleGate(col("doc_id"),
+        when(col("lang") === "en", 600).otherwise(250)))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(sqlSample == scalaSample && sqlSample.nonEmpty)
+
+    // pii_scrub + sample_gate + term_counts scalar functions
+    val scrubbed = spark.sql(
+      """SELECT pii_scrub('mail bob@x.org or 10.0.0.1 call 555-1234').redacted AS r,
+        |       pii_scrub('mail bob@x.org or 10.0.0.1 call 555-1234').n_emails AS ne,
+        |       sample_gate(7, 1000) AS g,
+        |       term_counts('a b a')[0].term_freq AS tf""".stripMargin).collect()(0)
+    assert(scrubbed.getAs[String]("r") == "mail <EMAIL> or <IP> call <PHONE>")
+    assert(scrubbed.getAs[Long]("ne") == 1L)
+    assert(scrubbed.getAs[Boolean]("g"))
+    assert(scrubbed.getAs[Long]("tf") == 2L)
+  }
 }
