@@ -840,9 +840,24 @@ object Ann {
    * pruned pass whose output can itself be huge without ever pooling on
    * the driver. `ivfflat` prunes to the probed clusters (with
    * nprobe < nlist the result is approximate exactly like top-k search).
+   *
    * Graph/quantized engines reuse the serving path with geometrically
-   * expanding k until the k-th hit clears the radius — approximate like
-   * any graph traversal, and driver-bounded, so they suit *selective*
+   * expanding k (64, 256, 1024, …). Termination contract: the loop stops
+   * as soon as either (a) the k-th returned distance EXCEEDS the radius —
+   * every in-radius hit the traversal can reach has been captured, because
+   * the beam width grows with k (`l = max(k, searchComplexity)`) so a
+   * request for k results always searches at least that deep — or (b) the
+   * index returned fewer than k hits, i.e. the reachable node set is
+   * exhausted. Termination is guaranteed: k grows geometrically and the
+   * hit count is bounded by the index size.
+   *
+   * Completeness contract: results are a SUBSET of the exact answer
+   * (distances are re-checked against the radius), but rows can be MISSED
+   * exactly where top-k graph traversal would miss them — beam-search
+   * recall < 1. Raising `searchComplexity` raises the recall floor
+   * (AnnSpec pins ≥90% at sc=100 on the test corpus); for a guaranteed
+   *-complete answer use a flat/ivfflat index, whose radius pruning is
+   * exact. Driver memory is O(|hits|), so graph engines suit *selective*
    * radii; use an exact engine when the ball may contain a large fraction
    * of the corpus.
    */

@@ -99,6 +99,34 @@ class AnnSpec extends AnyFunSuite {
     assert(gotG.size >= (expect.size * 9) / 10, s"recall ${gotG.size}/${expect.size}")
   }
 
+  test("graph rangeSearch expanding-k: wide radius forces expansion, recall holds") {
+    import graft.functions._
+    // radius at the 300th-NN distance (of 500 rows): the initial k=64 pass
+    // cannot cover it, so the loop must expand 64 → 256 → 1024 and then
+    // stop on the exhaustion branch (hits < k). Termination + completeness
+    // per the rangeSearch scaladoc contract.
+    val d300 = emb.select(
+        array_distance_sq(toFloatVec(col("embedding")), floatVec(q0.toSeq)).as("d"))
+      .orderBy("d").limit(300).collect().map(_.getDouble(0)).last.toFloat
+    val expect = emb.select(col("vec_id"),
+        array_distance_sq(toFloatVec(col("embedding")), floatVec(q0.toSeq)).as("d"))
+      .where(col("d") <= d300.toDouble)
+      .collect().map(_.getLong(0)).toSet
+    assert(expect.size >= 300)
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_range_wide",
+      Ann.BuildParams(engine = "diskann", numShards = 2, maxDegree = 32,
+        buildComplexity = 64))
+    val got = Ann.rangeSearch(emb, "vec_id", "t_range_wide", q0, d300,
+      searchComplexity = 100).collect().map(_.getLong(0)).toSet
+    val dmap = emb.select(col("vec_id"),
+        array_distance_sq(toFloatVec(col("embedding")), floatVec(q0.toSeq)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.forall(id => dmap(id) <= d300 * (1.0 + 1e-6)),
+      "hits must honor the radius")
+    assert(got.size >= (expect.size * 9) / 10,
+      s"recall ${got.size}/${expect.size} after expansion")
+  }
+
   test("rangeSearchTable: flat == per-query brute filter; ivf pruning identical") {
     import graft.functions._
     val queries = emb.where(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
@@ -181,7 +209,15 @@ class AnnSpec extends AnyFunSuite {
       val res = Ann.searchBatch(emb, "vec_id", ix, qs, 3)
       assert(!res.queryExecution.optimizedPlan.toString.contains("Union"),
         s"$ix: batch plan must be a single broadcast plan, not a per-query union")
-      val rows = res.select(col("query_idx"), col("vec_id"), col("_distance")).collect()
+      // job count must be CONSTANT in nq (broadcast build + AQE stages of ONE
+      // plan — a regression to per-query serving would launch ≥512)
+      spark.sparkContext.setJobGroup(s"batch512-$ix", "nq=512 batch", false)
+      val rows = try res.select(col("query_idx"), col("vec_id"), col("_distance")).collect()
+        finally spark.sparkContext.clearJobGroup()
+      val nJobs = spark.sparkContext.statusTracker
+        .getJobIdsForGroup(s"batch512-$ix").length
+      assert(nJobs > 0 && nJobs <= 12,
+        s"$ix: nq=512 batch ran $nJobs jobs — per-query serving leaked back")
       assert(rows.length == 512 * 3, s"$ix: expected 512*3 rows, got ${rows.length}")
       val byQ = rows.groupBy(_.getInt(0))
       assert(byQ.size == 512 && byQ.values.forall(_.length == 3))
