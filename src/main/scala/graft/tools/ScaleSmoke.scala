@@ -1,0 +1,159 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.Ann
+import graft.text.TextOps
+
+/**
+ * 10× scale smoke: replicate sf0.1 with id offsets (text/vectors perturbed
+ * per replica so near-dup structure survives instead of collapsing to exact
+ * copies) and run the heavy distributed plans — searchTable grid,
+ * ngram_dup_pairs, dedup_minhash_keep, the tiled exact-cosine pair route,
+ * and IVF radius search — recording wall time and per-stage task-skew so a
+ * straggler or OOM at 10× the bench scale is caught empirically, not argued
+ * from the plan shape. Emits a BENCH-style JSON artifact (SCALE_r{N}.json).
+ */
+object ScaleSmoke {
+
+  /** (stageId, taskMs) sink for straggler ratios. */
+  private val taskTimes = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+
+  private class SkewListener extends SparkListener {
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      if (te.taskInfo != null && te.taskInfo.successful)
+        taskTimes.add((te.stageId, te.taskInfo.duration))
+  }
+
+  /** Worst max/median task-time ratio over stages with enough, big-enough
+   *  tasks to make skew meaningful (≥8 tasks, median ≥200 ms). */
+  private def worstSkew(): (Double, Int) = {
+    import scala.jdk.CollectionConverters._
+    val byStage = taskTimes.asScala.toSeq.groupBy(_._1)
+    val ratios = byStage.toSeq.flatMap { case (sid, ts) =>
+      val ds = ts.map(_._2.toDouble).sorted
+      if (ds.length < 8) None
+      else {
+        val med = ds(ds.length / 2)
+        if (med < 200.0) None else Some((ds.last / med, sid))
+      }
+    }
+    if (ratios.isEmpty) (1.0, -1)
+    else { val m = ratios.maxBy(_._1); (m._1, m._2) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outJson = if (args.length > 1) args(1) else "SCALE_r07.json"
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val scaleDir = s"target/scale$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.graft.ann.root", s"$scaleDir/indexes")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addSparkListener(new SkewListener)
+
+    // ---- replicate with id offsets (idempotent: skip if already written)
+    val off = 10000000L
+    def replicated(table: String, build: (DataFrame, Int) => DataFrame): DataFrame = {
+      val path = s"$scaleDir/$table.parquet"
+      if (!new java.io.File(path).exists()) {
+        val src = spark.read.parquet(s"$base/$table.parquet")
+        (0 until factor).map(r => build(src, r)).reduce(_ unionByName _)
+          .repartition(cpus.toInt).write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+    }
+    val docs10 = replicated("documents", (d, r) =>
+      d.withColumn("doc_id", col("doc_id") + lit(r * off))
+        .withColumn("text",
+          if (r == 0) col("text") else concat(col("text"), lit(s" replica$r"))))
+    val emb10 = replicated("embeddings", (d, r) =>
+      d.withColumn("vec_id", col("vec_id") + lit(r * off))
+        .withColumn("embedding",
+          if (r == 0) col("embedding")
+          else transform(col("embedding"), x => x + lit(r * 1e-4f))
+            .cast("array<float>")))
+    val nDocs = docs10.count(); val nVecs = emb10.count()
+    System.err.println(s"[scale] $nDocs docs, $nVecs vectors (${factor}x $base)")
+
+    // force every driver-local fast path OFF — this smoke tests the
+    // distributed routes that a 100 TB deployment would take
+    spark.conf.set("spark.graft.text.localNgramMaxBytes", "0")
+    spark.conf.set("spark.graft.text.localRareMaxBytes", "0")
+    spark.conf.set("spark.graft.neardup.broadcastMaxBytes", "0")
+    spark.conf.set("spark.graft.ann.localExactMaxBytes", "0")
+
+    val ops = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
+    def run(name: String)(body: => Long): Unit = {
+      taskTimes.clear()
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      // allow listener events to drain before reading skew
+      Thread.sleep(300)
+      val (skew, stage) = worstSkew()
+      ops(name) = Map("sec" -> sec, "rows" -> rows,
+        "worst_task_skew" -> skew, "skew_stage" -> stage)
+      System.err.println(f"[scale] $name%-22s $sec%7.2fs rows=$rows skew=$skew%.2f")
+    }
+
+    val q0 = {
+      val r = emb10.orderBy("vec_id").limit(1).collect()(0)
+      r.getSeq[Float](r.fieldIndex("embedding")).toArray
+    }
+
+    run("diskann_build") {
+      Ann.buildIndex(emb10, "embedding", "vec_id", "s10_disk",
+        Ann.BuildParams(engine = "diskann", numShards = 8,
+          maxDegree = 32, buildComplexity = 64))
+      nVecs
+    }
+    run("search_table_grid") {
+      val queries = emb10.where(col("vec_id") % 39L === 0L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.searchTable(queries, "qvec", emb10, "vec_id", "s10_disk", 10,
+        searchComplexity = 64).count()
+    }
+    run("ivfflat_build") {
+      Ann.buildIndex(emb10, "embedding", "vec_id", "s10_ivf",
+        Ann.BuildParams(engine = "ivfflat", nlist = 100, nprobe = 4))
+      nVecs
+    }
+    run("ann_range_ivf") {
+      // radius at the brute 200th-NN distance of q0 (exact via radii pruning)
+      val d = emb10.select(graft.functions.array_distance_sq(
+          graft.functions.toFloatVec(col("embedding")),
+          graft.functions.floatVec(q0.toSeq)).as("d"))
+        .orderBy("d").limit(200).collect().map(_.getDouble(0)).last.toFloat
+      Ann.rangeSearch(emb10, "vec_id", "s10_ivf", q0, d).count()
+    }
+    run("ngram_dup_pairs") {
+      TextOps.ngramDupPairs(docs10, "text", "doc_id").count()
+    }
+    run("dedup_minhash_keep") {
+      TextOps.dedupByMinhash(docs10, "text", "doc_id", minJaccard = 0.6).count()
+    }
+    run("neardup_cos_tiled") {
+      TextOps.cosineExactPairs(emb10, "embedding", "vec_id", 0.9).count()
+    }
+
+    val total = ops.values.map(_("sec").asInstanceOf[Double]).sum
+    val worst = ops.values.map(_("worst_task_skew").asInstanceOf[Double]).max
+    val opsJson = ops.map { case (k, v) =>
+      s""""$k":{"sec":${v("sec")},"rows":${v("rows")},""" +
+        s""""worst_task_skew":${v("worst_task_skew")},"skew_stage":${v("skew_stage")}}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"scale${factor}x_total","value":$total,"unit":"sec",""" +
+      s""""ops":$opsJson,"docs":$nDocs,"vectors":$nVecs,"base":"$base",""" +
+      s""""factor":$factor,"worst_task_skew":$worst}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes("UTF-8"))
+    spark.stop()
+  }
+}
