@@ -555,6 +555,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // enforcement step: the training corpus with contaminated docs dropped
+    "decontaminate_filter" -> ((s, dir) => {
+      TextOps.decontaminateFilter(t(s, dir, "documents"), "text", "doc_id",
+          id => id % 5 === 0)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // C4-style exact line dedup (3-word lines: the synthetic corpus has no
+    // sentence separators, so lines are fixed token windows)
+    "dedup_lines" -> ((s, dir) => {
+      TextOps.dedupLines(t(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy("doc_id")
+    }),
+
     // deterministic hash-gated stratified sampling (per-lang mix rates)
     "stratified_sample" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -611,12 +625,16 @@ object SparkEntry {
     // ---- text analysis (north-star pipeline ops; all codegen'd, no UDFs) ----
 
     "corpus_stats" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(explode(TextOps.tokens(col("text"))).as("tok"))
-      toks.agg(
-        count(lit(1)).as("total_tokens"),
-        countDistinct(col("tok")).as("vocab"),
-        sum(length(col("tok"))).cast("long").as("total_chars"))
+      // fused TermCounts: the aggregation sees one row per DISTINCT
+      // (doc, term) with its multiplicity instead of one row per token —
+      // same totals, a fraction of the exploded rows
+      val tc = t(s, dir, "documents")
+        .select(explode(TextOps.termCountsCol(col("text"))).as("tc"))
+      tc.agg(
+        sum(col("tc.term_freq")).cast("long").as("total_tokens"),
+        countDistinct(col("tc.term")).as("vocab"),
+        sum(length(col("tc.term")) * col("tc.term_freq"))
+          .cast("long").as("total_chars"))
     }),
 
     "token_count_regex" -> ((s, dir) => {
@@ -972,6 +990,38 @@ object SparkEntry {
         |JOIN (SELECT DISTINCT ngram FROM fng WHERE doc_id % 5 = 0) ev
         |  ON tr.ngram = ev.ngram
         |WHERE tr.doc_id % 5 <> 0 GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "decontaminate_filter" ->
+      """WITH toks AS (SELECT doc_id,
+        |   regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        | ng AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ngram
+        |   FROM toks, unnest(range(1, len(t)-3)) AS u(i) WHERE len(t) >= 5),
+        | keep AS (SELECT ngram FROM ng GROUP BY 1
+        |   HAVING count(*) BETWEEN 2 AND 50),
+        | fng AS (SELECT ng.doc_id, ng.ngram FROM ng JOIN keep USING (ngram)),
+        | bad AS (SELECT DISTINCT tr.doc_id FROM fng tr
+        |   JOIN (SELECT DISTINCT ngram FROM fng WHERE doc_id % 5 = 0) ev
+        |     ON tr.ngram = ev.ngram
+        |   WHERE tr.doc_id % 5 <> 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_lines" ->
+      """WITH toks AS (SELECT doc_id,
+        |   regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        | p AS (SELECT doc_id, i - 1 AS idx,
+        |     array_to_string(t[(i-1)*3+1:(i-1)*3+3], ' ') AS line
+        |   FROM toks, unnest(range(1, (len(t) + 2) // 3 + 1)) AS u(i)),
+        | keep AS (SELECT line, min(doc_id) AS keep_id FROM p GROUP BY 1),
+        | fi AS (SELECT doc_id, line, min(idx) AS fidx FROM p GROUP BY 1, 2)
+        |SELECT p.doc_id,
+        |  count(*)::BIGINT AS n_lines,
+        |  CAST(sum(CASE WHEN k.keep_id = p.doc_id AND p.idx = fi.fidx
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN k.keep_id = p.doc_id AND p.idx = fi.fidx
+        |    THEN p.line END, ' ' ORDER BY p.idx), '') AS text_dedup
+        |FROM p JOIN keep k USING (line)
+        |  JOIN fi ON fi.doc_id = p.doc_id AND fi.line = p.line
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stratified_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <

@@ -679,3 +679,70 @@ object TermCounts {
     counts
   }
 }
+
+/**
+ * `word_lines(text, k)` — NON-overlapping k-token lines of a document
+ * (space-joined; the last line may be shorter) in one compiled pass:
+ * the stride-k sibling of [[NgramsOfText]], replacing
+ * `transform(sequence(...), i -> array_join(slice(toks, i*k+1, k), ' '))`,
+ * whose per-element interpreted HOF dispatch dominated line-level dedup.
+ * Value-identical to that formulation (same `[a-z0-9]+` lowercase tokens).
+ */
+case class WordLines(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0, "line width must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_lines"
+
+  @inline private def isTok(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  override protected def nullSafeEval(s: Any): Any = {
+    val str = s.asInstanceOf[UTF8String].toLowerCase.toString
+    val len = str.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && !isTok(str.charAt(i))) i += 1
+      if (i < len) {
+        val s0 = i
+        while (i < len && isTok(str.charAt(i))) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = s0; ends(nTok) = i; nTok += 1
+      }
+    }
+    if (nTok == 0) return new GenericArrayData(Array.empty[Any])
+    val nLines = (nTok + k - 1) / k
+    val out = new Array[Any](nLines)
+    val sb = new java.lang.StringBuilder(64)
+    var w = 0
+    var li = 0
+    while (w < nTok) {
+      sb.setLength(0)
+      val end = math.min(w + k, nTok)
+      var j = w
+      while (j < end) {
+        if (j > w) sb.append(' ')
+        sb.append(str, starts(j), ends(j))
+        j += 1
+      }
+      out(li) = UTF8String.fromString(sb.toString)
+      li += 1
+      w += k
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -52,6 +52,13 @@ object TextOps {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
+  /** Fused per-document term frequencies over the same tokens:
+   *  `array<struct<term, term_freq>>` in one compiled pass
+   *  (graft.expressions.TermCounts) — exploding this yields one row per
+   *  DISTINCT (doc, term), not per token occurrence. */
+  def termCountsCol(text: Column): Column =
+    graft.functions.mkCol(graft.expressions.TermCounts(graft.functions.mkExpr(text)))
+
   /** BPE-ish token count: alphanumeric runs + individual punctuation marks. */
   def tokenCountRegex(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
@@ -164,8 +171,14 @@ object TextOps {
       block: DataFrame, blockTextCol: String, fpp: Double = 0.01): DataFrame = {
     val fpDf = df.withColumn("__fp", rollingHash(col(textCol)))
     val blockFp = block.select(rollingHash(col(blockTextCol)).as("__bfp"))
+    // size the Bloom from plan statistics instead of an exact count() — one
+    // fewer Spark job, and over/under-sizing only moves the FP rate (FPs are
+    // removed by the exact anti-join either way, so results are unchanged)
+    val stats = block.queryExecution.optimizedPlan.stats
+    val estRows = stats.rowCount.map(_.toLong)
+      .getOrElse((stats.sizeInBytes / 64).min(BigInt(Long.MaxValue)).toLong)
     val bloom = blockFp.stat.bloomFilter("__bfp",
-      math.max(1L, blockFp.count()), fpp)
+      math.min(1L << 28, math.max(1024L, estRows)), fpp)
     val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((fp: Long) => bloomB.value.mightContainLong(fp))
     // NULL text → NULL fingerprint → the UDF yields NULL, which fails BOTH
@@ -187,8 +200,7 @@ object TextOps {
    *  row_number window shuffles on the id — both scale-safe. */
   def rareTerms(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val termCounts = graft.functions.mkCol(
-      graft.expressions.TermCounts(graft.functions.mkExpr(col(textCol))))
+    val termCounts = termCountsCol(col(textCol))
     // size-gated driver route (same pattern as ngramPostingsLocal): one
     // narrow job evaluates the SAME fused TermCounts expression, the
     // vocabulary-sized df/rank bookkeeping runs on the driver. Distributed
@@ -933,6 +945,66 @@ object TextOps {
           .select(explode(filter(col("ids"), x => !evalPred(x))).as("id"))
           .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
     }
+  }
+
+  /**
+   * Decontamination as a FILTER: the surviving training corpus after
+   * dropping every train row whose count of (df-capped) shared n-grams with
+   * the eval split exceeds `maxOverlap` (0 = any overlap disqualifies) —
+   * the enforcement step over [[contaminationCounts]]'s report. Same
+   * bucketed shape; the final anti-join touches only the contaminated ids.
+   */
+  def decontaminateFilter(df: DataFrame, textCol: String, idCol: String,
+      evalPred: Column => Column, n: Int = 5, dfMax: Int = 50,
+      maxOverlap: Long = 0L): DataFrame = {
+    val bad = contaminationCounts(df, textCol, idCol, evalPred, n, dfMax)
+      .where(col("n_contaminated") > maxOverlap)
+      .select(col("id").as("__bad_id"))
+    df.where(!evalPred(col(idCol).cast(LongType)))
+      .join(bad, col(idCol) === col("__bad_id"), "left_anti")
+  }
+
+  // ------------------------------------------------------- line-level dedup
+
+  /** K-word lines of a document's text, space-joined — the unit of
+   *  C4-style line/paragraph dedup when the source carries no explicit
+   *  separators. One compiled pass (graft.expressions.WordLines) over the
+   *  same lowercase `[a-z0-9]+` tokens; the interpreted
+   *  `transform(sequence, i -> array_join(slice(...)))` formulation it
+   *  replaces is pinned value-identical in TextOpsSpec. */
+  def wordLines(text: Column, k: Int): Column =
+    graft.functions.mkCol(graft.expressions.WordLines(graft.functions.mkExpr(text), k))
+
+  /**
+   * Exact line-level dedup (C4 keeps one instance of every duplicated
+   * line): documents split into `wordsPerLine`-token lines; across the
+   * corpus each distinct line survives exactly ONCE — in its first
+   * occurrence position (min id, then min line index) — and every other
+   * instance is dropped. Returns per-doc `(id, n_lines, n_kept,
+   * text_dedup)` with `text_dedup` the kept lines re-joined in order.
+   *
+   * Shape: one explode, two line-keyed aggregations and a line-keyed join
+   * — all shuffles carry (line, id, idx) rows, never all-pairs; line
+   * buckets are as skewed as the corpus' duplicate mass, the same profile
+   * the n-gram span dedup handles. 100 TB-safe.
+   */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+      wordsPerLine: Int = 20): DataFrame = {
+    val p = df.select(col(idCol),
+        posexplode(wordLines(col(textCol), wordsPerLine))
+          .as(Seq("idx", "line")))
+    // the surviving instance of a line is its global first occurrence:
+    // lexicographic min over (id, idx) — ONE line-keyed aggregation
+    val first = p.groupBy("line")
+      .agg(min(struct(col(idCol).as("__kid"), col("idx").as("__kidx"))).as("__first"))
+    val kept = col(idCol) === col("__first.__kid") && col("idx") === col("__first.__kidx")
+    p.join(first, "line")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(kept, struct(col("idx"), col("line"))))),
+          s => s.getField("line")), " ").as("text_dedup"))
   }
 
   // ------------------------------------------------------ stratified sampling

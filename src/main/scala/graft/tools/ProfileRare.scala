@@ -25,6 +25,17 @@ object ProfileRare {
       val m = docs.select("doc_id", "text").collect().length
       println(f"  bare collect: ${(System.nanoTime() - t3) / 1e9}%6.2fs rows=$m")
     }
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val m = docs.select(org.apache.spark.sql.functions.posexplode(
+          TextOps.wordLines(org.apache.spark.sql.functions.col("text"), 3)))
+        .count()
+      val t1 = System.nanoTime()
+      val n = TextOps.dedupLines(docs, "text", "doc_id", 3)
+        .orderBy("doc_id").count()
+      println(f"dedup_lines trial $i: explode ${(t1 - t0) / 1e9}%6.2fs ($m lines) " +
+        f"full ${(System.nanoTime() - t1) / 1e9}%6.2fs rows=$n")
+    }
     // distributed fallback (the 100 TB plan): local gate off
     spark.conf.set("spark.graft.text.localRareMaxBytes", "0")
     for (i <- 1 to 3) {

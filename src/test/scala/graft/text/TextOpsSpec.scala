@@ -393,4 +393,54 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fused == naive)
     assert(fused((1L, "the", 3L)) && fused((1L, "42", 2L)))
   }
+
+  test("dedupLines: first occurrence survives, later instances drop") {
+    // doc 1: "a b c" twice (within-doc dup) + unique tail;
+    // doc 2 repeats doc 1's line → all instances beyond the first drop
+    val df = docs(
+      (1L, "a b c a b c x y z"),
+      (2L, "a b c q r s"))
+    val got = TextOps.dedupLines(df, "text", "doc_id", 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 3L, 2L, "a b c x y z")),
+      s"doc1 got ${got(0)}")
+    assert(got(1) == ((2L, 2L, 1L, "q r s")), s"doc2 got ${got(1)}")
+    // partial trailing line + empty doc
+    val df2 = docs((1L, "a b c d"), (2L, ""))
+    val got2 = TextOps.dedupLines(df2, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got2.toSeq == Seq((1L, 2L, 2L, "a b c d")), s"got ${got2.toSeq}")
+  }
+
+  test("decontaminateFilter drops exactly the contaminated train docs") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import org.apache.spark.sql.Column
+    val pred = (id: Column) => id % 5 === 0
+    val contaminated = TextOps.contaminationCounts(df, "text", "doc_id", pred)
+      .collect().map(_.getLong(0)).toSet
+    val survivors = TextOps.decontaminateFilter(df, "text", "doc_id", pred)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val train = df.where(col("doc_id") % 5 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(contaminated.nonEmpty && survivors == train -- contaminated)
+  }
+
+  test("WordLines expression == interpreted transform/slice formulation") {
+    val df = docs((1L, "The quick brown-fox jumps over 42 lazy dogs today ok"),
+      (2L, "one two three"), (3L, "solo"), (4L, ""), (5L, null.asInstanceOf[String]))
+    val k = 3
+    val toks = TextOps.tokens(col("text"))
+    val hof = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ((size(toks) + lit(k - 1)) / lit(k)).cast("int") - 1),
+        i => array_join(slice(toks, i * k + 1, lit(k)), " ")))
+    val rows = df.select(col("doc_id"),
+        TextOps.wordLines(col("text"), k).as("fused"), hof.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: ${r.getSeq[String](1)} != ${r.getSeq[String](2)}")
+    }
+  }
 }
