@@ -569,6 +569,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // greedy token-budget sequence packing per language (training batches)
+    "pack_sequences" -> ((s, dir) => {
+      TextOps.packSequences(t(s, dir, "documents"), "text", "doc_id",
+          "lang", 256L)
+        .orderBy("lang", "doc_id")
+    }),
+
     // deterministic hash-gated stratified sampling (per-lang mix rates)
     "stratified_sample" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1005,6 +1012,27 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH RECURSIVE d AS (SELECT lang, doc_id,
+        |   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |     AS n_tokens,
+        |   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |   FROM documents),
+        | packed AS (
+        |   SELECT lang, doc_id, n_tokens, rn, 0::BIGINT AS seq_id,
+        |     0::BIGINT AS seq_offset, n_tokens AS running
+        |   FROM d WHERE rn = 1
+        |   UNION ALL
+        |   SELECT d.lang, d.doc_id, d.n_tokens, d.rn,
+        |     CASE WHEN p.running + d.n_tokens > 256 THEN p.seq_id + 1
+        |          ELSE p.seq_id END,
+        |     CASE WHEN p.running + d.n_tokens > 256 THEN 0::BIGINT
+        |          ELSE p.running END,
+        |     CASE WHEN p.running + d.n_tokens > 256 THEN d.n_tokens
+        |          ELSE p.running + d.n_tokens END
+        |   FROM packed p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+        |SELECT lang, doc_id, n_tokens, seq_id, seq_offset
+        |FROM packed ORDER BY lang, doc_id""".stripMargin,
     "dedup_lines" ->
       """WITH toks AS (SELECT doc_id,
         |   regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),

@@ -1007,6 +1007,58 @@ object TextOps {
           s => s.getField("line")), " ").as("text_dedup"))
   }
 
+  // ------------------------------------------------------ sequence packing
+
+  /**
+   * Greedy token-budget sequence packing — the training-data step that
+   * concatenates documents into fixed-budget model sequences. Within each
+   * `groupCol` group (a natural packing domain: language, source, shard),
+   * documents are taken in id order and appended to the current sequence
+   * while they fit; a document that would overflow starts the next sequence
+   * (an oversize document gets a sequence of its own). Emits one row per
+   * document: `(group, id, n_tokens, seq_id, seq_offset)` — `seq_id` is the
+   * 0-based sequence index within the group, `seq_offset` the document's
+   * token offset inside its sequence.
+   *
+   * The scan is inherently sequential per group, so the plan is ONE shuffle
+   * (repartition by group) + sortWithinPartitions + a constant-memory
+   * `mapPartitions` running scan that resets at group boundaries — no
+   * group ever materializes in memory, which is the only shape that
+   * survives groups of billions of documents. Deterministic on any
+   * partition layout (each partition holds whole groups, scan order is the
+   * sorted order); the arithmetic is pure integers, so the DuckDB
+   * recursive-CTE oracle reproduces it bit-exactly.
+   */
+  def packSequences(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(budget > 0, "token budget must be positive")
+    val counted = df.select(
+        col(groupCol).cast("string").as("g"),
+        col(idCol).cast(LongType).as("id"),
+        size(tokens(col(textCol))).cast(LongType).as("n"))
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g"), col("id"))
+      .as[(String, Long, Long)]
+    val packed = counted.mapPartitions { it =>
+      var curGroup: String = null
+      var running = 0L
+      var seq = 0L
+      it.map { case (g, id, n) =>
+        if (g != curGroup) {
+          curGroup = g; seq = 0L; running = n
+          (g, id, n, 0L, 0L)
+        } else if (running + n > budget) {
+          seq += 1; val out = (g, id, n, seq, 0L); running = n; out
+        } else {
+          val out = (g, id, n, seq, running); running += n; out
+        }
+      }
+    }
+    packed.toDF(groupCol, idCol, "n_tokens", "seq_id", "seq_offset")
+  }
+
   // ------------------------------------------------------ stratified sampling
 
   /** Knuth multiplicative constant for the sampling gate. */

@@ -443,4 +443,42 @@ class TextOpsSpec extends AnyFunSuite {
         s"doc ${r.getLong(0)}: ${r.getSeq[String](1)} != ${r.getSeq[String](2)}")
     }
   }
+
+  test("packSequences: greedy fill, overflow starts new sequence, oversize isolated") {
+    import spark.implicits._
+    // group g: 3+3 fit in budget 7, next 3 overflows; 9-token doc is oversize
+    val df = Seq(
+      ("g", 1L, "a b c"), ("g", 2L, "d e f"), ("g", 3L, "g h i"),
+      ("g", 4L, "one two three four five six seven eight nine"),
+      ("g", 5L, "x y"),
+      ("h", 9L, "p q r")).toDF("lang", "doc_id", "text")
+    val got = TextOps.packSequences(df, "text", "doc_id", "lang", 7L)
+      .orderBy("lang", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("g", 1L, 3L, 0L, 0L),  // seq 0: docs 1+2 (6 of 7)
+      ("g", 2L, 3L, 0L, 3L),
+      ("g", 3L, 3L, 1L, 0L),  // overflow -> seq 1
+      ("g", 4L, 9L, 2L, 0L),  // oversize: own sequence
+      ("g", 5L, 2L, 3L, 0L),  // after oversize, running=9 > 7 -> new seq
+      ("h", 9L, 3L, 0L, 0L)), // fresh group restarts at seq 0
+      s"got $got")
+
+    // invariants on real data across partition layouts
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(parts: Int) = TextOps.packSequences(
+        docs.repartition(parts), "text", "doc_id", "lang", 256L)
+      .orderBy("lang", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val a = run(1); val b = run(7)
+    assert(a == b, "packing must not depend on input partitioning")
+    // every non-oversize sequence respects the budget
+    a.groupBy(x => (x._1, x._4)).foreach { case ((g, sid), rows) =>
+      val total = rows.map(_._3).sum
+      assert(total <= 256L || rows.length == 1,
+        s"sequence ($g, $sid) holds $total tokens across ${rows.length} docs")
+    }
+  }
 }

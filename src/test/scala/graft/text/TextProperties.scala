@@ -5,7 +5,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.expressions.NgramRepetition
+import graft.expressions.{NgramRepetition, TermCounts, WordLines}
 
 /** Property tests for the fused text kernels: the single-pass
  *  NgramRepetition counters must agree with a naive tokenize → slide →
@@ -47,5 +47,36 @@ object TextProperties extends Properties("graft.text") {
       val (total, maxC, dup) = (row.getLong(0), row.getLong(1), row.getLong(2))
       dup <= total && maxC <= total && (total == 0 || maxC >= 1) &&
         (dup == 0 || dup >= 2) && (maxC < 2 || dup >= maxC)
+    }
+
+  private def toksOf(text: String): Seq[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+
+  property("term_counts == naive groupBy; frequencies sum to token count") =
+    forAll(textGen) { text =>
+      val arr = TermCounts(Literal(UTF8String.fromString(text),
+          org.apache.spark.sql.types.StringType))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val got = (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        r.getUTF8String(0).toString -> r.getLong(1)
+      }
+      val toks = toksOf(text)
+      val expect = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      got.toMap == expect &&
+        got.map(_._2).sum == toks.length &&
+        got.map(_._1) == toks.distinct // first-occurrence order
+    }
+
+  property("word_lines: rejoining lines reconstructs the token stream") =
+    forAll(textGen, Gen.choose(1, 7)) { (text, k) =>
+      val arr = WordLines(Literal(UTF8String.fromString(text),
+          org.apache.spark.sql.types.StringType), k)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val lines = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+      val toks = toksOf(text)
+      lines.mkString(" ").trim == toks.mkString(" ") &&
+        lines.forall(l => l.split(" ").count(_.nonEmpty) <= k) &&
+        lines.dropRight(1).forall(l => l.split(" ").length == k)
     }
 }
