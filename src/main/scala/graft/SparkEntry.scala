@@ -191,20 +191,12 @@ object SparkEntry {
       nanoSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = nanoSession.read.parquet(s"$dir/events.parquet")
         .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
-      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
-      val gapUs = 30L * 60 * 1000000L
-      val prev = lag(col("tus"), 1).over(w)
-      // boundary contract: an event arriving EXACTLY gap after the previous
-      // one MERGES into the session (strict >), matching Structured
-      // Streaming's session_window, which merges windows when the next start
-      // equals the previous end (SessionizeSpec pins this empirically)
-      ev.withColumn("__new",
-          when(prev.isNull || col("tus") - prev > gapUs, 1L).otherwise(0L))
-        .withColumn("session_seq", sum(col("__new"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(min(col("tus")).as("session_start"), max(col("tus")).as("session_end"),
-          count(lit(1)).as("n_events"))
+      // one-shuffle per-user scan (Sessionize.sessionizeBatch) — row-identical
+      // to the lag → cumsum → groupBy windowed shape the oracle SQL runs,
+      // including the strict-> gap boundary that matches session_window
+      // (SessionizeSpec pins both)
+      graft.streaming.Sessionize.sessionizeBatch(ev, "user_id", "tus",
+          "event_id", 30L * 60 * 1000000L)
         .orderBy("user_id", "session_seq")
     }),
 

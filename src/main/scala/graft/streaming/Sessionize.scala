@@ -49,4 +49,71 @@ object Sessionize {
       .select(keys ++ Seq(col("session_start"), col("session_end"),
         col("n_events")): _*)
   }
+
+  /**
+   * Batch sessionization over integer event times (epoch micros) as ONE
+   * shuffle: repartition by user + sortWithinPartitions + a constant-memory
+   * `mapPartitions` scan that emits a session row whenever the gap is
+   * exceeded or the user changes. Replaces the two-window + aggregate
+   * formulation (lag → cumulative-sum session ids → groupBy), which carried
+   * the same exchange but paid two WindowExec passes and a hash aggregate
+   * over every event. Output: `(user, session_seq, session_start,
+   * session_end, n_events)` — identical rows to the windowed shape (the
+   * events_sessionize oracle), with the SAME strict-> gap boundary the
+   * streaming [[sessionize]] has (an event exactly `gapUs` later merges).
+   * Scale: no per-user state beyond the open session; a user's events never
+   * materialize as a group.
+   */
+  def sessionizeBatch(df: DataFrame, userCol: String, tsUsCol: String,
+      tieBreakCol: String, gapUs: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.select(
+        col(userCol).cast("long").as("u"),
+        col(tsUsCol).cast("long").as("t"),
+        col(tieBreakCol).cast("long").as("e"))
+      .repartition(col("u"))
+      .sortWithinPartitions(col("u"), col("t"), col("e"))
+      .as[(Long, Long, Long)]
+    val sessions = sorted.mapPartitions { it =>
+      new Iterator[(Long, Long, Long, Long, Long)] {
+        private var open = false
+        private var u = 0L
+        private var sq = 0L
+        private var start = 0L
+        private var end = 0L
+        private var n = 0L
+        private var pending: (Long, Long, Long, Long, Long) = null
+
+        private def close(): (Long, Long, Long, Long, Long) = {
+          open = false
+          (u, sq, start, end, n)
+        }
+        private def advance(): Unit = {
+          while (pending == null && it.hasNext) {
+            val (nu, t, _) = it.next()
+            if (!open) {
+              u = nu; sq = 1L; start = t; end = t; n = 1L; open = true
+            } else if (nu != u) {
+              pending = close()
+              u = nu; sq = 1L; start = t; end = t; n = 1L; open = true
+            } else if (t - end > gapUs) {
+              pending = close()
+              sq += 1; start = t; end = t; n = 1L; open = true
+            } else {
+              end = t; n += 1L
+            }
+          }
+          if (pending == null && open) pending = close()
+        }
+        override def hasNext: Boolean = { advance(); pending != null }
+        override def next(): (Long, Long, Long, Long, Long) = {
+          advance()
+          val out = pending; pending = null; out
+        }
+      }
+    }
+    sessions.toDF(userCol, "session_seq", "session_start", "session_end",
+      "n_events")
+  }
 }

@@ -121,4 +121,30 @@ class SessionizeSpec extends AnyFunSuite {
       assert(batch == expect, s"batch boundary diverged: $batch")
     } finally q.stop()
   }
+
+  test("sessionizeBatch scan == windowed lag/cumsum formulation on real events") {
+    val nano = spark.newSession()
+    nano.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = nano.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000L
+    val scan = Sessionize.sessionizeBatch(ev, "user_id", "tus", "event_id", gapUs)
+      .orderBy("user_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val prev = lag(col("tus"), 1).over(w)
+    val windowed = ev.withColumn("__new",
+        when(prev.isNull || col("tus") - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("tus")).as("session_start"), max(col("tus")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(scan.nonEmpty && scan == windowed)
+  }
 }
