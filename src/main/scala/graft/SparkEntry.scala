@@ -561,6 +561,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // feature-hashed term frequencies (hashing-vectorizer, sparse rows)
+    "hashed_tf" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.hashedTf(col("text"), 64)).as("h"))
+        .select(col("doc_id"), col("h.bucket").as("bucket"), col("h.tf").as("tf"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     // greedy token-budget sequence packing per language (training batches)
     "pack_sequences" -> ((s, dir) => {
       TextOps.packSequences(t(s, dir, "documents"), "text", "doc_id",
@@ -1004,6 +1012,12 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+    "hashed_tf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS term
+         |  FROM documents)
+         |SELECT doc_id, ${TextSql.rollingHash("term")} % 64 AS bucket,
+         |  count(*)::BIGINT AS tf
+         |FROM tok GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pack_sequences" ->
       """WITH RECURSIVE d AS (SELECT lang, doc_id,
         |   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)

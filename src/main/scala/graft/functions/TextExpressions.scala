@@ -746,3 +746,55 @@ case class WordLines(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * `hashed_tf(text, dim)` — feature-hashed term frequencies in one compiled
+ * pass: every `[a-z0-9]+` lowercase token maps to bucket
+ * `rolling_hash(token) % dim`, and the document's nonzero buckets emit as
+ * `array<struct<bucket long, tf long>>` sorted by bucket (the sparse form
+ * of a hashing-vectorizer row; integer-exact, so DuckDB reproduces it
+ * bit-for-bit via the same modular hash).
+ */
+case class HashedTf(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dim > 0, "hash dimension must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "hashed_tf"
+
+  override protected def nullSafeEval(s: Any): Any = {
+    val counts = TermCounts.count(s.asInstanceOf[UTF8String].toLowerCase.toString)
+    val acc = new Array[Long](dim)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val b = (TextHash.rollingHashString(e.getKey) % dim).toInt
+      acc(b) += e.getValue()(0)
+    }
+    var nz = 0
+    var i = 0
+    while (i < dim) { if (acc(i) != 0L) nz += 1; i += 1 }
+    val out = new Array[Any](nz)
+    var j = 0
+    i = 0
+    while (i < dim) {
+      if (acc(i) != 0L) {
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        row.setLong(0, i.toLong); row.setLong(1, acc(i))
+        out(j) = row
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1007,6 +1007,23 @@ object TextOps {
           s => s.getField("line")), " ").as("text_dedup"))
   }
 
+  // -------------------------------------------------------- feature hashing
+
+  /** Sparse feature-hashed term frequencies per document:
+   *  `array<struct<bucket, tf>>` with bucket = rolling_hash(token) % dim,
+   *  sorted by bucket (one compiled pass, graft.expressions.HashedTf). The
+   *  hashing-vectorizer step that turns text into fixed-width integer
+   *  features without a vocabulary build — no shuffle, pushes to the scan. */
+  def hashedTf(text: Column, dim: Int): Column =
+    graft.functions.mkCol(graft.expressions.HashedTf(graft.functions.mkExpr(text), dim))
+
+  /** Dense form of [[hashedTf]]: an `array<long>` of length `dim`. */
+  def hashedTfDense(text: Column, dim: Int): Column = {
+    val sparse = hashedTf(text, dim)
+    transform(sequence(lit(0L), lit(dim.toLong - 1L)), b =>
+      coalesce(element_at(map_from_entries(sparse), b), lit(0L)))
+  }
+
   // ------------------------------------------------------ sequence packing
 
   /**

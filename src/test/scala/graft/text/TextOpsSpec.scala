@@ -481,4 +481,28 @@ class TextOpsSpec extends AnyFunSuite {
         s"sequence ($g, $sid) holds $total tokens across ${rows.length} docs")
     }
   }
+
+  test("hashedTf: sparse == naive hash-mod recount; dense form consistent") {
+    val df = docs((1L, "The cat and the Cat sat"), (2L, ""), (3L, null.asInstanceOf[String]))
+    val dim = 8
+    val sparse = df.select(col("doc_id"),
+        TextOps.hashedTf(col("text"), dim).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    // naive recount for doc 1
+    val toks = "[a-z0-9]+".r.findAllIn("The cat and the Cat sat".toLowerCase).toSeq
+    val expect = toks.groupBy(t =>
+        graft.expressions.TextHash.rollingHashString(t) % dim)
+      .view.mapValues(_.size.toLong).toMap
+    val got1 = sparse(1L).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == expect)
+    assert(sparse(1L).map(_.getLong(0)).toSeq ==
+      sparse(1L).map(_.getLong(0)).toSeq.sorted, "buckets ascending")
+    assert(sparse(2L).isEmpty)
+    assert(sparse.get(3L).forall(_ == null) || !sparse.contains(3L))
+
+    val dense = df.where(col("doc_id") === 1L)
+      .select(TextOps.hashedTfDense(col("text"), dim)).head().getSeq[Long](0)
+    assert(dense.length == dim && dense.sum == toks.length)
+    expect.foreach { case (b, c) => assert(dense(b.toInt) == c) }
+  }
 }
