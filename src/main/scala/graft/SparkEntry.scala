@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.functions.{toFloatVec, floatVec, array_distance, array_inner_product,
   array_cosine_similarity}
 import graft.index.Ann
-import graft.text.{TextOps, TextSql}
+import graft.text.{Curate, TextOps, TextSql}
 import graft.search.Hybrid
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -561,6 +561,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // end-to-end curation audit: lang/quality/repetition gates → near-dup →
+    // eval holdout + contamination → hash-gate sampling, counts per reason
+    "curate_report" -> ((s, dir) => {
+      Curate.report(t(s, dir, "documents"), "text", "doc_id",
+        Curate.Config(langs = Set("en", "de"), minQuality = 0.3,
+          maxDupBigramFrac = 0.5, minJaccard = 0.6,
+          evalPred = id => id % 5 === 0, samplePermille = lit(700)))
+        .orderBy("reason")
+    }),
+
     // feature-hashed term frequencies (hashing-vectorizer, sparse rows)
     "hashed_tf" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1012,6 +1022,56 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+    "curate_report" -> {
+      val q = TextSql.qualityColumns("text").find(_._1 == "quality").get._2
+      val lng = TextSql.langId(TextSql.tokens("text"))
+      s"""WITH __rep AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS dbf
+         |  FROM (SELECT doc_id, count(*) AS c FROM (
+         |     SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+         |     FROM (SELECT doc_id, ${TextSql.tokens("text")} AS t FROM documents),
+         |          unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2)
+         |     GROUP BY doc_id, g) GROUP BY 1),
+         | __g AS (SELECT d.doc_id, d.text,
+         |   CASE WHEN ($lng) NOT IN ('en', 'de') THEN 'lang'
+         |        WHEN ($q) < 0.3 THEN 'quality'
+         |        WHEN coalesce(r.dbf, 0.0) > 0.5 THEN 'repetitive' END AS gate_reason
+         |   FROM documents d LEFT JOIN __rep r USING (doc_id)),
+         | __pass1 AS (SELECT doc_id, text FROM __g WHERE gate_reason IS NULL),
+         | ${TextSql.signaturesCte("__pass1", "text", "doc_id")},
+         | __jac AS (
+         |   SELECT c.id_b,
+         |     len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::DOUBLE
+         |      / (len(a.shingles) + len(b.shingles)
+         |         - len(list_filter(a.shingles, x -> list_contains(b.shingles, x))))::DOUBLE
+         |      AS jaccard
+         |   FROM __cands c JOIN __sigs a ON c.id_a = a.id JOIN __sigs b ON c.id_b = b.id),
+         | __nd AS (SELECT DISTINCT id_b AS doc_id FROM __jac WHERE jaccard >= 0.6),
+         | __pass2 AS (SELECT doc_id, text FROM __pass1
+         |   WHERE doc_id NOT IN (SELECT doc_id FROM __nd)),
+         | __t2 AS (SELECT doc_id, ${TextSql.tokens("text")} AS t FROM __pass2),
+         | __ng AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ngram
+         |   FROM __t2, unnest(range(1, len(t)-3)) AS u(i) WHERE len(t) >= 5),
+         | __keepng AS (SELECT ngram FROM __ng GROUP BY 1
+         |   HAVING count(*) BETWEEN 2 AND 50),
+         | __fng AS (SELECT __ng.doc_id, __ng.ngram
+         |   FROM __ng JOIN __keepng USING (ngram)),
+         | __bad AS (SELECT DISTINCT tr.doc_id FROM __fng tr
+         |   JOIN (SELECT DISTINCT ngram FROM __fng WHERE doc_id % 5 = 0) ev
+         |     ON tr.ngram = ev.ngram
+         |   WHERE tr.doc_id % 5 <> 0),
+         | __reasons AS (SELECT coalesce(g.gate_reason,
+         |     CASE WHEN g.doc_id IN (SELECT doc_id FROM __nd) THEN 'near_dup'
+         |          WHEN g.doc_id % 5 = 0 THEN 'eval_holdout'
+         |          WHEN g.doc_id IN (SELECT doc_id FROM __bad) THEN 'contaminated'
+         |          WHEN NOT (((g.doc_id % ${TextOps.HashMod}) * ${TextOps.SampleMult})
+         |            % 1000 < 700) THEN 'sampled_out'
+         |          ELSE 'kept' END) AS reason
+         |   FROM __g g)
+         |SELECT reason, count(*)::BIGINT AS n FROM __reasons
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "hashed_tf" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${TextSql.tokens("text")}) AS term
          |  FROM documents)
