@@ -798,3 +798,74 @@ case class HashedTf(child: Expression, dim: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * `stopword_hits(tokens, words)` — count (with multiplicity) of tokens in a
+ * fixed word set, one compiled pass. Replaces
+ * `size(filter(toks, t -> t.isInCollection(words)))`, whose per-element
+ * interpreted HOF dispatch made language-ID and quality gates the dominant
+ * cost of the curation pipeline. Count-identical by construction.
+ */
+case class StopwordHits(child: Expression, words: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "stopword_hits"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var hits = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && set.contains(a.getUTF8String(i))) hits += 1L
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * `token_len_sum(tokens)` — Σ length(token) in one compiled pass, replacing
+ * interpreted `aggregate(transform(toks, length), 0, +)` in the quality
+ * score. Lengths are in characters (codepoint-aware via UTF8String), same
+ * as Spark's `length`.
+ */
+case class TokenLenSum(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_len_sum"
+
+  override protected def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) sum += a.getUTF8String(i).numChars().toLong
+      i += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -35,7 +35,19 @@ object Curate {
       maxDupBigramFrac: Double = 0.5,
       minJaccard: Double = 0.6,
       evalPred: Column => Column = _ => lit(false),
-      samplePermille: Column = lit(1000))
+      samplePermille: Column = lit(1000),
+      /** Persist stage boundaries (gate survivors + the tiny drop sets) at
+       *  MEMORY_AND_DISK. The dedup and contamination stages each consume
+       *  the previous stage's output on several DAG branches; without a
+       *  materialization barrier the gate projections re-evaluate per
+       *  branch — the standard inter-stage persist every real curation run
+       *  does. Disable for one-pass/constrained-storage runs; results are
+       *  identical. Callers can `spark.catalog.clearCache()` afterwards. */
+      cacheIntermediates: Boolean = true)
+
+  private def maybeCache(df: DataFrame, on: Boolean): DataFrame =
+    if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
 
   /** Every input row + `drop_reason` (NULL = kept). */
   def tagged(df: DataFrame, textCol: String, idCol: String,
@@ -50,17 +62,17 @@ object Curate {
         when(!TextOps.langId(toks).isin(cfg.langs.toSeq: _*), "lang")
           .when(quality < cfg.minQuality, "quality")
           .when(rep > cfg.maxDupBigramFrac, "repetitive"))
-    val pass1 = gated.where(col("__gate_reason").isNull)
-      .select(col(idCol), col(textCol))
+    val pass1 = maybeCache(gated.where(col("__gate_reason").isNull)
+      .select(col(idCol), col(textCol)), cfg.cacheIntermediates)
     // stage 4: near-dup drop set over gate survivors
-    val ndDrop = TextOps.jaccardPairs(pass1, textCol, idCol,
+    val ndDrop = maybeCache(TextOps.jaccardPairs(pass1, textCol, idCol,
         minJaccard = cfg.minJaccard)
-      .select(col("id_b").as("__nd_id")).distinct()
+      .select(col("id_b").as("__nd_id")).distinct(), cfg.cacheIntermediates)
     val pass2 = pass1.join(ndDrop, col(idCol) === col("__nd_id"), "left_anti")
     // stage 6: contaminated train ids over dedup survivors
-    val contaminated = TextOps.contaminationCounts(pass2, textCol, idCol,
-        cfg.evalPred)
-      .select(col("id").as("__ct_id"))
+    val contaminated = maybeCache(TextOps.contaminationCounts(pass2, textCol,
+        idCol, cfg.evalPred)
+      .select(col("id").as("__ct_id")), cfg.cacheIntermediates)
     gated
       .join(ndDrop.withColumn("__nd", lit(true)),
         col(idCol) === col("__nd_id"), "left_outer").drop("__nd_id")

@@ -88,9 +88,16 @@ object TextOps {
    *  token stream (with multiplicity); predict the first language (in
    *  [[LangStopwords]] order) achieving the max count, or "und" when no
    *  stopword matched at all. */
+  /** Compiled stopword-hit count (with multiplicity) over a token array —
+   *  count-identical to `size(filter(toks, _.isInCollection(words)))`, one
+   *  fused pass instead of per-element interpreted HOF dispatch. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    graft.functions.mkCol(graft.expressions.StopwordHits(
+      graft.functions.mkExpr(toks), words))
+
   def langId(toks: Column): Column = {
     val counts = LangStopwords.map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isInCollection(words))).cast(LongType)
+      lang -> stopwordHits(toks, words)
     }
     val maxCount = greatest(counts.map(_._2): _*)
     val chain = counts.foldRight(lit("und")) { case ((lang, c), els) =>
@@ -108,13 +115,16 @@ object TextOps {
     val toks = tokens(text)
     val nChars = length(text).cast(LongType)
     val nToks = size(toks).cast(LongType)
-    val sumTokLen = aggregate(transform(toks, t => length(t).cast(LongType)),
-      lit(0L), (a, x) => a + x)
+    // fused integer counts (TokenLenSum / StopwordHits) — the double
+    // arithmetic below is unchanged, so values stay bit-identical to the
+    // interpreted aggregate/filter formulation and the DuckDB oracle
+    val sumTokLen = graft.functions.mkCol(graft.expressions.TokenLenSum(
+      graft.functions.mkExpr(toks)))
     val meanLen = when(nToks > 0, sumTokLen.cast(DoubleType) / nToks.cast(DoubleType))
       .otherwise(lit(0.0))
     val enStop = LangStopwords.head._2
     val stopRatio = when(nToks > 0,
-      size(filter(toks, t => t.isInCollection(enStop))).cast(DoubleType)
+      stopwordHits(toks, enStop).cast(DoubleType)
         / nToks.cast(DoubleType)).otherwise(lit(0.0))
     val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
       .cast(LongType)
@@ -206,7 +216,7 @@ object TextOps {
     // vocabulary-sized df/rank bookkeeping runs on the driver. Distributed
     // fallback below is the 100 TB path.
     val projected = df.select(col(idCol), col(textCol))
-    val est = projected.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = scanBoundedSizeEstimate(projected)
     val gate = df.sparkSession.conf
       .getOption("spark.graft.text.localRareMaxBytes")
       .map(_.toLong).getOrElse(64L << 20)
@@ -808,6 +818,36 @@ object TextOps {
       .where(size(col("ids")) >= 2 && size(col("ids")) <= dfMax)
   }
 
+  /**
+   * Size estimate for local-route gating that does not inflate on derived
+   * inputs: Catalyst's join statistics MULTIPLY, so a plan that merely
+   * filters a table through anti-join stages (e.g. a curation pipeline's
+   * gate → dedup survivors) reports sizes far beyond any data that can
+   * exist. When the plan contains no expanding operator (inner/outer
+   * joins, Generate), its output is bounded by what its leaf scans read —
+   * take the min of the plan estimate and the leaf-scan sum. Expanding
+   * plans keep the raw estimate (a cross join CAN outgrow its inputs, and
+   * over-estimating only costs the distributed route, never a driver OOM).
+   */
+  private[text] def scanBoundedSizeEstimate(df: DataFrame): BigInt = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    // walk the non-expanding spine: an anti/semi join's output is bounded by
+    // its LEFT child regardless of what the drop-set side's subtree looks
+    // like; only inner/outer joins and Generate on the spine can expand, and
+    // there the (possibly inflated) Catalyst estimate stands
+    def bound(plan: LogicalPlan): BigInt = plan match {
+      case j: Join if j.joinType == LeftAnti || j.joinType == LeftSemi =>
+        bound(j.left)
+      case p if p.children.isEmpty => p.stats.sizeInBytes
+      case j: Join => j.stats.sizeInBytes
+      case g: Generate => g.stats.sizeInBytes
+      case p => p.children.map(bound).sum
+    }
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.sizeInBytes.min(bound(plan))
+  }
+
   /** Size gate for the driver-local n-gram route (default 64 MB of scan
    *  input, same auto-route family as ExactServe / the local
    *  connected-components union-find): below it, the posting map fits the
@@ -835,7 +875,7 @@ object TextOps {
       ngramsOfTextCol(col(textCol), n).as("ngrams")) ++
       flagCol.map(_.as("flag"))
     val projected = df.select(cols: _*)
-    val est = projected.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = scanBoundedSizeEstimate(projected)
     if (est > localNgramMaxBytes(df)) return None
     val cap = dfMax + 1
     val map = new java.util.HashMap[String, java.util.LinkedHashSet[java.lang.Long]]()

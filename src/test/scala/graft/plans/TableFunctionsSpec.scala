@@ -254,4 +254,13 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(scrubbed.getAs[Boolean]("g"))
     assert(scrubbed.getAs[Long]("tf") == 2L)
   }
+
+  test("text TVF error paths: unknown table, bad eval predicate") {
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT * FROM rare_terms('no_such_table', 'text', 'doc_id')").collect())
+    assert(e1.getMessage != null)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM decontaminate('docs', 'text', 'doc_id', 'NOT A (((')").collect())
+    assert(e2.getMessage != null)
+  }
 }

@@ -505,4 +505,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(dense.length == dim && dense.sum == toks.length)
     expect.foreach { case (b, c) => assert(dense(b.toInt) == c) }
   }
+
+  test("fused kernels agree with HOF formulations on unicode text") {
+    // unicode uppercase (lowered to non-ascii), CJK, emoji, combining marks
+    val uni = "\u00c9clair CAF\u00c9 42 \u4e2d\u6587 \ud83d\ude00 na\u00efve ZEBRA zebra"
+    val df = docs((1L, uni))
+    val toks = TextOps.tokens(col("text"))
+    // TermCounts vs explode+groupBy
+    val fusedTc = df.select(explode(TextOps.termCountsCol(col("text"))).as("tc"))
+      .select(col("tc.term"), col("tc.term_freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val naiveTc = df.select(explode(toks).as("t")).groupBy("t").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fusedTc == naiveTc)
+    // WordLines vs transform/slice
+    val k = 2
+    val hof = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ((size(toks) + lit(k - 1)) / lit(k)).cast("int") - 1),
+        i => array_join(slice(toks, i * k + 1, lit(k)), " ")))
+    val r = df.select(TextOps.wordLines(col("text"), k).as("f"), hof.as("h")).head()
+    assert(r.getSeq[String](0) == r.getSeq[String](1))
+  }
 }
