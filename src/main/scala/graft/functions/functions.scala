@@ -94,6 +94,19 @@ object functions {
       require(exprs.length == 1, "term_counts expects (text)")
       TermCounts(exprs.head)
     }, "built-in")
+    def intLit(fn: String, e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn $what must be an integer literal, got $other")
+    }
+    reg.createOrReplaceTempFunction("hashed_tf", exprs => {
+      require(exprs.length == 2, "hashed_tf expects (text, dim)")
+      HashedTf(exprs.head, intLit("hashed_tf", exprs(1), "dim"))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("word_lines", exprs => {
+      require(exprs.length == 2, "word_lines expects (text, k)")
+      WordLines(exprs.head, intLit("word_lines", exprs(1), "k"))
+    }, "built-in")
     // composed text operators, built as direct Catalyst trees (the same
     // nodes TextOps' Column formulations analyze into — results identical)
     reg.createOrReplaceTempFunction("pii_scrub", exprs => {

@@ -35,6 +35,10 @@ import graft.search.Hybrid
  *   SELECT * FROM decontaminate('documents', 'text', 'doc_id', 'doc_id % 5 = 0')
  *   SELECT * FROM stratified_sample('documents', 'doc_id',
  *                                   'CASE WHEN lang = ''en'' THEN 600 ELSE 250 END')
+ *   SELECT * FROM dedup_lines('documents', 'text', 'doc_id', 20)
+ *   SELECT * FROM pack_sequences('documents', 'text', 'doc_id', 'lang', 2048)
+ *   SELECT * FROM curate_report('documents', 'text', 'doc_id', 'en,de',
+ *                               eval_pred => 'doc_id % 5 = 0')
  *
  * Tables are referenced by NAME (views work: `CREATE TEMP VIEW queries AS
  * SELECT ...` replaces the reference's TABLE-valued subquery inputs — Spark
@@ -345,6 +349,50 @@ object TableFunctions {
       val df = spark.table(str(fn, a("table")))
       plan(df.where(graft.text.TextOps.sampleGate(
         df(str(fn, a("id_col"))), rate)))
+    },
+    "dedup_lines" -> { args =>
+      val fn = "dedup_lines"
+      val a = splitArgs(fn, args, Seq("table", "text_col", "id_col",
+        "words_per_line"), 3)
+      plan(graft.text.TextOps.dedupLines(spark.table(str(fn, a("table"))),
+        str(fn, a("text_col")), str(fn, a("id_col")),
+        a.get("words_per_line").map(int(fn, _)).getOrElse(20)))
+    },
+    "pack_sequences" -> { args =>
+      val fn = "pack_sequences"
+      val a = splitArgs(fn, args, Seq("table", "text_col", "id_col",
+        "group_col", "budget"), 5)
+      plan(graft.text.TextOps.packSequences(spark.table(str(fn, a("table"))),
+        str(fn, a("text_col")), str(fn, a("id_col")),
+        str(fn, a("group_col")), int(fn, a("budget")).toLong))
+    },
+    "curate_report" -> { args =>
+      val fn = "curate_report"
+      // langs: comma-separated keep-list; eval_pred: SQL boolean over the
+      // id column marking the holdout split
+      val a = splitArgs(fn, args, Seq("table", "text_col", "id_col", "langs",
+        "min_quality", "max_dup_bigram_frac", "min_jaccard", "eval_pred",
+        "sample_permille"), 4)
+      val evalPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        a.get("eval_pred") match {
+          case Some(e) =>
+            val parsed = org.apache.spark.sql.graftshim.GraftShim.column(
+              spark.sessionState.sqlParser.parseExpression(str(fn, e)))
+            _ => parsed
+          case None => _ => org.apache.spark.sql.functions.lit(false)
+        }
+      val cfg = graft.text.Curate.Config(
+        langs = str(fn, a("langs")).split(",").map(_.trim).toSet,
+        minQuality = a.get("min_quality").map(dbl(fn, _)).getOrElse(0.25),
+        maxDupBigramFrac = a.get("max_dup_bigram_frac").map(dbl(fn, _))
+          .getOrElse(0.5),
+        minJaccard = a.get("min_jaccard").map(dbl(fn, _)).getOrElse(0.6),
+        evalPred = evalPred,
+        samplePermille = a.get("sample_permille")
+          .map(e => org.apache.spark.sql.functions.lit(int(fn, e)))
+          .getOrElse(org.apache.spark.sql.functions.lit(1000)))
+      plan(graft.text.Curate.report(spark.table(str(fn, a("table"))),
+        str(fn, a("text_col")), str(fn, a("id_col")), cfg))
     }
   )
 

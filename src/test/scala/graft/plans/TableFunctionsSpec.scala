@@ -263,4 +263,37 @@ class TableFunctionsSpec extends AnyFunSuite {
       "SELECT * FROM decontaminate('docs', 'text', 'doc_id', 'NOT A (((')").collect())
     assert(e2.getMessage != null)
   }
+
+  test("pure SQL: dedup_lines, pack_sequences, curate_report, hashed_tf, word_lines") {
+    val sqlLines = spark.sql(
+      "SELECT * FROM dedup_lines('docs', 'text', 'doc_id', 3) ORDER BY doc_id")
+      .collect().map(_.toSeq).toSeq
+    val scalaLines = graft.text.TextOps.dedupLines(
+        spark.table("docs"), "text", "doc_id", 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(sqlLines.nonEmpty && sqlLines == scalaLines)
+
+    val sqlPack = spark.sql(
+      "SELECT * FROM pack_sequences('docs', 'text', 'doc_id', 'lang', 256) ORDER BY lang, doc_id")
+      .collect().map(_.toSeq).toSeq
+    val scalaPack = graft.text.TextOps.packSequences(
+        spark.table("docs"), "text", "doc_id", "lang", 256L)
+      .orderBy("lang", "doc_id").collect().map(_.toSeq).toSeq
+    assert(sqlPack == scalaPack && sqlPack.nonEmpty)
+
+    val report = spark.sql(
+      """SELECT * FROM curate_report('docs', 'text', 'doc_id', 'en,de',
+        |  min_quality => 0.3, eval_pred => 'doc_id % 5 = 0',
+        |  sample_permille => 700) ORDER BY reason""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report.values.sum == spark.table("docs").count())
+    assert(report.contains("kept"))
+
+    val row = spark.sql(
+      """SELECT hashed_tf('a b a', 8) AS h, word_lines('a b c d e', 2) AS w""")
+      .collect()(0)
+    val h = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(h.map(_.getLong(1)).sum == 3L)
+    assert(row.getSeq[String](1) == Seq("a b", "c d", "e"))
+  }
 }
