@@ -141,6 +141,20 @@ object ScaleSmoke {
     run("neardup_cos_tiled") {
       TextOps.cosineExactPairs(emb10, "embedding", "vec_id", 0.9).count()
     }
+    run("dedup_lines") {
+      TextOps.dedupLines(docs10, "text", "doc_id", 3).count()
+    }
+    run("pack_sequences") {
+      TextOps.packSequences(docs10, "text", "doc_id", "lang", 256L).count()
+    }
+    run("curate_report") {
+      import graft.text.Curate
+      Curate.report(docs10, "text", "doc_id",
+        Curate.Config(langs = Set("en", "de"), minQuality = 0.3,
+          maxDupBigramFrac = 0.5, minJaccard = 0.6,
+          evalPred = id => id % 5 === 0,
+          samplePermille = org.apache.spark.sql.functions.lit(700))).count()
+    }
 
     val total = ops.values.map(_("sec").asInstanceOf[Double]).sum
     val worst = ops.values.map(_("worst_task_skew").asInstanceOf[Double]).max
