@@ -842,6 +842,8 @@ object TextOps {
       case p if p.children.isEmpty => p.stats.sizeInBytes
       case j: Join => j.stats.sizeInBytes
       case g: Generate => g.stats.sizeInBytes
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand =>
+        e.stats.sizeInBytes // rollup/cube multiply rows
       case p => p.children.map(bound).sum
     }
     val plan = df.queryExecution.optimizedPlan
