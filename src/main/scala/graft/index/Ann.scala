@@ -894,8 +894,16 @@ object Ann {
             Row(h._1, h._2)).asJava,
           StructType(Seq(StructField("__ann_id", LongType),
             StructField("_distance", FloatType))))
-        df.where(col(idColumn).isin(within.map(h =>
-            java.lang.Long.valueOf(h._1)).toSeq: _*))
+        // the inner join below already restricts to the hit ids; the isin
+        // only exists to PUSH that filter into the base scan, so it is
+        // gated like notTombstoned — a wide radius can return unbounded
+        // hit counts and a literal In list would blow up plan size
+        val fetched =
+          if (within.length <= TombInlineMax)
+            df.where(col(idColumn).isin(within.map(h =>
+              java.lang.Long.valueOf(h._1)).toSeq: _*))
+          else df
+        fetched
           .join(broadcast(distDf), col(idColumn) === col("__ann_id"))
           .drop("__ann_id")
           .orderBy(col("_distance"), col(idColumn))

@@ -170,6 +170,25 @@ object TableFunctions {
 
   private def spark: SparkSession = SparkSession.active
 
+  /**
+   * Parse an eval-split predicate string into a GENUINE function of the id
+   * expression: every reference to `idCol` in the parsed tree is substituted
+   * with the lambda's argument. A constant closure (`_ => parsed`) would
+   * break `contaminationCounts`' distributed route, which applies the
+   * predicate to higher-order-function ELEMENT variables over plans where
+   * the id column does not exist.
+   */
+  private def evalPredFromSql(fn: String, predSql: String, idCol: String):
+      org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.graftshim.GraftShim
+    val parsed = spark.sessionState.sqlParser.parseExpression(predSql)
+    (id: org.apache.spark.sql.Column) => GraftShim.column(parsed.transform {
+      case a: UnresolvedAttribute if a.name.equalsIgnoreCase(idCol) =>
+        GraftShim.expression(id)
+    })
+  }
+
   /** (name, builder) for every table function. */
   private def builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "ann_search" -> { args =>
@@ -325,16 +344,14 @@ object TableFunctions {
     },
     "decontaminate" -> { args =>
       val fn = "decontaminate"
-      // eval_pred: a SQL boolean expression over the table's columns naming
-      // the held-out eval split, e.g. 'doc_id % 5 = 0'
+      // eval_pred: a SQL boolean expression over the id column naming the
+      // held-out eval split, e.g. 'doc_id % 5 = 0'
       val a = splitArgs(fn, args,
         Seq("table", "text_col", "id_col", "eval_pred", "n", "df_max"), 4)
-      val predSql = str(fn, a("eval_pred"))
-      val pred = org.apache.spark.sql.graftshim.GraftShim.column(
-        spark.sessionState.sqlParser.parseExpression(predSql))
+      val idCol = str(fn, a("id_col"))
       plan(graft.text.TextOps.contaminationCounts(
         spark.table(str(fn, a("table"))), str(fn, a("text_col")),
-        str(fn, a("id_col")), _ => pred,
+        idCol, evalPredFromSql(fn, str(fn, a("eval_pred")), idCol),
         n = a.get("n").map(int(fn, _)).getOrElse(5),
         dfMax = a.get("df_max").map(int(fn, _)).getOrElse(50)))
     },
@@ -375,10 +392,7 @@ object TableFunctions {
         "sample_permille"), 4)
       val evalPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         a.get("eval_pred") match {
-          case Some(e) =>
-            val parsed = org.apache.spark.sql.graftshim.GraftShim.column(
-              spark.sessionState.sqlParser.parseExpression(str(fn, e)))
-            _ => parsed
+          case Some(e) => evalPredFromSql(fn, str(fn, e), str(fn, a("id_col")))
           case None => _ => org.apache.spark.sql.functions.lit(false)
         }
       val cfg = graft.text.Curate.Config(

@@ -68,10 +68,13 @@ object Sessionize {
       tieBreakCol: String, gapUs: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sorted = df.select(
+    // a NULL user or event time is not sessionizable — dropped, documented
+    val sorted = df
+      .where(col(userCol).isNotNull && col(tsUsCol).isNotNull)
+      .select(
         col(userCol).cast("long").as("u"),
         col(tsUsCol).cast("long").as("t"),
-        col(tieBreakCol).cast("long").as("e"))
+        coalesce(col(tieBreakCol).cast("long"), lit(Long.MaxValue)).as("e"))
       .repartition(col("u"))
       .sortWithinPartitions(col("u"), col("t"), col("e"))
       .as[(Long, Long, Long)]

@@ -39,10 +39,16 @@ object StreamingPack {
     require(budget > 0, "token budget must be positive")
     val spark = stream.sparkSession
     import spark.implicits._
-    val typed = stream.select(
+    // NULL text packs as a zero-token document; rows without an id are
+    // dropped (cannot be assigned a sequence) — same contract as the batch
+    // packSequences
+    val typed = stream
+      .where(col(idCol).isNotNull)
+      .select(
         col(groupCol).cast("string").as("g"),
         col(idCol).cast(LongType).as("id"),
-        size(TextOps.tokens(col(textCol))).cast(LongType).as("n"))
+        coalesce(size(TextOps.tokens(col(textCol))).cast(LongType), lit(0L))
+          .as("n"))
       .as[InRow]
     typed.groupByKey(_.g)
       .flatMapGroupsWithState(OutputMode.Append(),

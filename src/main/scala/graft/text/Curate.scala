@@ -87,16 +87,24 @@ object Curate {
       .drop("__gate_reason", "__nd", "__ct")
   }
 
+  /** The curated corpus from an already-[[tagged]] frame — when a run needs
+   *  BOTH the corpus and the report, call `tagged` once (persist it) and
+   *  derive both views, rather than paying the full pipeline twice. */
+  def curateOf(taggedDf: DataFrame): DataFrame =
+    taggedDf.where(col("drop_reason").isNull).drop("drop_reason")
+
+  /** Audit report over an already-[[tagged]] frame. */
+  def reportOf(taggedDf: DataFrame): DataFrame =
+    taggedDf.groupBy(coalesce(col("drop_reason"), lit("kept")).as("reason"))
+      .agg(count(lit(1)).as("n"))
+
   /** The curated training corpus (rows surviving every stage). */
   def curate(df: DataFrame, textCol: String, idCol: String,
       cfg: Config): DataFrame =
-    tagged(df, textCol, idCol, cfg)
-      .where(col("drop_reason").isNull).drop("drop_reason")
+    curateOf(tagged(df, textCol, idCol, cfg))
 
   /** Audit report: rows per drop reason (`kept` for survivors). */
   def report(df: DataFrame, textCol: String, idCol: String,
       cfg: Config): DataFrame =
-    tagged(df, textCol, idCol, cfg)
-      .groupBy(coalesce(col("drop_reason"), lit("kept")).as("reason"))
-      .agg(count(lit(1)).as("n"))
+    reportOf(tagged(df, textCol, idCol, cfg))
 }

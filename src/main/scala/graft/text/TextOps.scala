@@ -181,14 +181,19 @@ object TextOps {
       block: DataFrame, blockTextCol: String, fpp: Double = 0.01): DataFrame = {
     val fpDf = df.withColumn("__fp", rollingHash(col(textCol)))
     val blockFp = block.select(rollingHash(col(blockTextCol)).as("__bfp"))
-    // size the Bloom from plan statistics instead of an exact count() — one
-    // fewer Spark job, and over/under-sizing only moves the FP rate (FPs are
-    // removed by the exact anti-join either way, so results are unchanged)
+    // size the Bloom from JOIN-SAFE plan statistics instead of an exact
+    // count() — one fewer Spark job, and over/under-sizing only moves the
+    // FP rate (FPs are removed by the exact anti-join either way, so
+    // results are unchanged). scanBoundedSizeEstimate keeps a derived
+    // block plan (joins inflate Catalyst stats multiplicatively) from
+    // ballooning the expected-item count into a multi-hundred-MB filter;
+    // the 2^26 cap bounds the broadcast at ~80 MB even then.
     val stats = block.queryExecution.optimizedPlan.stats
     val estRows = stats.rowCount.map(_.toLong)
-      .getOrElse((stats.sizeInBytes / 64).min(BigInt(Long.MaxValue)).toLong)
+      .getOrElse((scanBoundedSizeEstimate(block) / 64)
+        .min(BigInt(Long.MaxValue)).toLong)
     val bloom = blockFp.stat.bloomFilter("__bfp",
-      math.min(1L << 28, math.max(1024L, estRows)), fpp)
+      math.min(1L << 26, math.max(1024L, estRows)), fpp)
     val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((fp: Long) => bloomB.value.mightContainLong(fp))
     // NULL text → NULL fingerprint → the UDF yields NULL, which fails BOTH
@@ -227,11 +232,14 @@ object TextOps {
       .select(col(idCol), explode(termCounts).as("tc"))
       .select(col(idCol), col("tc.term").as("term"), col("tc.term_freq").as("term_freq"))
     // tf is unique per (doc, term) → doc frequency = row count per term;
-    // vocabulary-sized (Heaps' law, ≪ corpus) → broadcast back, no tf shuffle
+    // vocabulary-sized (Heaps' law, ≪ corpus) — but NOT forced broadcast:
+    // this branch only runs above the local gate, where a web-scale
+    // vocabulary (10^8+ tokens) could OOM the driver; AQE converts the join
+    // to broadcast at runtime from docFreq's ACTUAL size when it is small
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("doc_freq"), col("term_freq").desc, col("term"))
-    tf.join(broadcast(docFreq), "term")
+    tf.join(docFreq, "term")
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .where(col("rnk") <= k)
       .select(col(idCol), col("term"), col("doc_freq"), col("term_freq"), col("rnk"))
@@ -1093,20 +1101,27 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     require(budget > 0, "token budget must be positive")
-    val counted = df.select(
+    // NULL text packs as a zero-token document; rows without an id cannot
+    // be assigned a sequence and are dropped; a NULL group is its own
+    // group (the `started` flag below — not a null sentinel — keeps its
+    // first document at seq_id 0)
+    val counted = df
+      .where(col(idCol).isNotNull)
+      .select(
         col(groupCol).cast("string").as("g"),
         col(idCol).cast(LongType).as("id"),
-        size(tokens(col(textCol))).cast(LongType).as("n"))
+        coalesce(size(tokens(col(textCol))).cast(LongType), lit(0L)).as("n"))
       .repartition(col("g"))
       .sortWithinPartitions(col("g"), col("id"))
       .as[(String, Long, Long)]
     val packed = counted.mapPartitions { it =>
+      var started = false
       var curGroup: String = null
       var running = 0L
       var seq = 0L
       it.map { case (g, id, n) =>
-        if (g != curGroup) {
-          curGroup = g; seq = 0L; running = n
+        if (!started || !java.util.Objects.equals(g, curGroup)) {
+          started = true; curGroup = g; seq = 0L; running = n
           (g, id, n, 0L, 0L)
         } else if (running + n > budget) {
           seq += 1; val out = (g, id, n, seq, 0L); running = n; out

@@ -296,4 +296,20 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(h.map(_.getLong(1)).sum == 3L)
     assert(row.getSeq[String](1) == Seq("a b", "c d", "e"))
   }
+
+  test("decontaminate TVF survives the DISTRIBUTED route (eval_pred substitution)") {
+    // force the distributed n-gram fallback: the SQL eval predicate must be
+    // a genuine function of the id (applied to HOF element variables), not
+    // a captured column reference
+    spark.conf.set("spark.graft.text.localNgramMaxBytes", "0")
+    try {
+      val sql = spark.sql(
+        "SELECT * FROM decontaminate('docs', 'text', 'doc_id', 'doc_id % 5 = 0') ORDER BY id")
+        .collect().map(_.toSeq).toSeq
+      val scala = graft.text.TextOps.contaminationCounts(
+          spark.table("docs"), "text", "doc_id", id => id % 5 === 0)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(sql == scala && sql.nonEmpty)
+    } finally spark.conf.unset("spark.graft.text.localNgramMaxBytes")
+  }
 }

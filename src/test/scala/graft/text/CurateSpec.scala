@@ -33,7 +33,9 @@ class CurateSpec extends AnyFunSuite {
       val keptTagged = tagged.where(col("drop_reason").isNull)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(kept == keptTagged && kept.nonEmpty)
-      val report = Curate.report(docs, "text", "doc_id", cfg)
+      // derive the report from the SAME tagged frame (the tagged-once
+      // pattern reportOf/curateOf exist for)
+      val report = Curate.reportOf(tagged)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(report.values.sum == docs.count())
       assert(report("kept") == kept.size)

@@ -527,4 +527,39 @@ class TextOpsSpec extends AnyFunSuite {
     val r = df.select(TextOps.wordLines(col("text"), k).as("f"), hof.as("h")).head()
     assert(r.getSeq[String](0) == r.getSeq[String](1))
   }
+
+  test("packSequences: NULL text counts 0 tokens, NULL ids drop, NULL group packs alone") {
+    import spark.implicits._
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), "g", "a b c"),
+      (java.lang.Long.valueOf(2L), "g", null.asInstanceOf[String]),  // 0 tokens
+      (java.lang.Long.valueOf(3L), "g", "d e"),
+      (null.asInstanceOf[java.lang.Long], "g", "x y"),               // no id: dropped
+      (java.lang.Long.valueOf(7L), null.asInstanceOf[String],
+        "one two three four five six seven eight"))                  // null group, oversize
+    .toDF("doc_id", "lang", "text")
+    val got = TextOps.packSequences(df, "text", "doc_id", "lang", 7L)
+      .orderBy("doc_id")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (Some("g"), 1L, 3L, 0L, 0L),
+      (Some("g"), 2L, 0L, 0L, 3L),  // zero-token doc occupies no budget
+      (Some("g"), 3L, 2L, 0L, 3L),
+      (None, 7L, 8L, 0L, 0L)),      // NULL group's oversize first doc is seq 0
+      s"got $got")
+  }
+
+  test("sessionizeBatch drops NULL user/ts rows instead of crashing") {
+    import spark.implicits._
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(1000L), 1L),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long], 2L),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5000L), 3L))
+      .toDF("user_id", "tus", "event_id")
+    val got = graft.streaming.Sessionize
+      .sessionizeBatch(df, "user_id", "tus", "event_id", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 1L, 1L)))
+  }
 }
