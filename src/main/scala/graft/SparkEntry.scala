@@ -313,7 +313,7 @@ object SparkEntry {
         .select(col("vec_id"),
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
         .orderBy(col("__dd"), col("vec_id"))
-        .rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), i + 1L) }
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
         .toDF("vec_id", "rank")
         .orderBy("rank")
     }),

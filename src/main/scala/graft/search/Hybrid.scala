@@ -91,7 +91,7 @@ object Hybrid {
   private def rankOrdered(top: DataFrame, rankName: String): DataFrame = {
     val spark = top.sparkSession
     val ranked = top.select(col("id")).rdd
-      .zipWithIndex.map { case (r, i) => Row(r.getLong(0), (i + 1).toInt) }
+      .zipWithIndex().map { case (r, i) => Row(r.getLong(0), (i + 1).toInt) }
     spark.createDataFrame(ranked, StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField(rankName, IntegerType, nullable = false))))
