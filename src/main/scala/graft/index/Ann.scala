@@ -1311,6 +1311,64 @@ object Ann {
         base("id").as("row_id") :+ col("__dd").cast(FloatType).as("_distance"): _*)
   }
 
+  /**
+   * Measured recall@k of an index against exact brute force, over a
+   * deterministic sample of the base table's own vectors — the operability
+   * check a deployment runs after building or appending (is this index
+   * still serving what an exact scan would?). Returns ONE row:
+   * `(name, k, sample_n, recall)`.
+   *
+   * Shape: the sample (first `sampleN` ids) searches through the index via
+   * the TABLE path (one grid/gemm plan, not per-query jobs); the exact side
+   * scores the same broadcast query block against the full base in one
+   * distributed pass with a per-query top-k window. Output joins are
+   * k·sampleN-bounded. Both sides honor the index's own metric.
+   */
+  def measureRecall(df: DataFrame, vecCol: String, idColumn: String,
+      name: String, k: Int, sampleN: Int,
+      searchComplexity: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meta = IndexCatalog.load(root(spark), name)
+    // materialize the (sampleN-bounded) query block as a fresh local
+    // relation: it is joined against its OWN source table on both branches,
+    // and shared lineage would make every column reference ambiguous
+    val qRows = df.select(col(idColumn).cast(LongType).as("__rq_id"),
+        toFloatVec(col(vecCol)).as("__qv"))
+      .orderBy("__rq_id").limit(sampleN).collect()
+    val queries = spark.createDataFrame(qRows.toSeq.asJava,
+      StructType(Seq(StructField("__rq_id", LongType),
+        StructField("__qv", ArrayType(FloatType)))))
+    val approx = searchTable(queries, "__qv", df, idColumn, name, k,
+        searchComplexity)
+      .select(col("__rq_id"), col(idColumn).cast(LongType).as("__bid"))
+    val base = df.select(col(idColumn).cast(LongType).as("__bid"),
+      toFloatVec(col(vecCol)).as("__bv"))
+    val normUdf = udf { (v: Array[Float]) => VectorOps.normalize(v.clone()) }
+    val qNorm = if (meta.metricObj eq Metric.Cosine) normUdf(col("__qv"))
+      else col("__qv")
+    val distCol = meta.metricObj match {
+      case Metric.L2 => graft.functions.array_distance_sq(col("__bv"), col("__q"))
+      case _ => graft.functions.array_negative_inner_product(col("__bv"), col("__q"))
+    }
+    val bNorm = if (meta.metricObj eq Metric.Cosine) normUdf(col("__bv"))
+      else col("__bv")
+    val w = Window.partitionBy("__rq_id").orderBy(col("__d"), col("__bid"))
+    val exact = base.withColumn("__bv", bNorm)
+      .crossJoin(broadcast(queries.withColumn("__q", qNorm).drop("__qv")))
+      .withColumn("__d", distCol)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("__rq_id"), col("__bid"))
+    // both sides are k·sampleN-bounded: intersect on the driver (also
+    // avoids the shared-lineage self-join ambiguity on __rq_id)
+    val a = approx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nq = e.map(_._1).size.toLong
+    val recall = if (e.isEmpty) 0.0 else a.intersect(e).size.toDouble / e.size
+    Seq((name, k, nq, recall)).toDF("name", "k", "sample_n", "recall")
+  }
+
   /** `faiss_gpu_info()` analog: the JVM engine has no GPU backend; cluster
    *  parallelism is the replacement lever (reference src/faiss_fn_gpu.cpp). */
   def gpuInfo(spark: SparkSession): DataFrame = {

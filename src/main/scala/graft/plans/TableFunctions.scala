@@ -284,6 +284,18 @@ object TableFunctions {
       if (args.nonEmpty) err("faiss_gpu_info", "takes no arguments")
       plan(Ann.gpuInfo(spark))
     },
+    "ann_recall" -> { args =>
+      val fn = "ann_recall"
+      val a = splitArgs(fn, args,
+        Seq("table", "index", "k", "sample_n", "search_complexity"), 2)
+      val index = str(fn, a("index"))
+      val meta = IndexCatalog.load(Ann.root(spark), index)
+      plan(Ann.measureRecall(spark.table(str(fn, a("table"))),
+        meta.column, meta.idColumn, index,
+        a.get("k").map(int(fn, _)).getOrElse(10),
+        a.get("sample_n").map(int(fn, _)).getOrElse(100),
+        a.get("search_complexity").map(int(fn, _)).getOrElse(0)))
+    },
     "ann_create_index" -> { args =>
       val fn = "ann_create_index"
       val a = splitArgs(fn, args,

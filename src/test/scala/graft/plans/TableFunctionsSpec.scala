@@ -312,4 +312,23 @@ class TableFunctionsSpec extends AnyFunSuite {
       assert(sql == scala && sql.nonEmpty)
     } finally spark.conf.unset("spark.graft.text.localNgramMaxBytes")
   }
+
+  test("ann_recall: flat index measures 1.0, diskann clears the floor") {
+    spark.sql(
+      "SELECT * FROM ann_create_index('emb', 'embedding', 'vec_id', 'rc_flat', 'Flat')")
+      .collect()
+    val flat = spark.sql(
+      "SELECT * FROM ann_recall('emb', 'rc_flat', 10, 50)").collect()(0)
+    assert(flat.getAs[String]("name") == "rc_flat")
+    assert(flat.getAs[Long]("sample_n") == 50L)
+    assert(flat.getAs[Double]("recall") == 1.0,
+      s"flat exact serving must have perfect recall, got $flat")
+    spark.sql(
+      "SELECT * FROM ann_create_index('emb', 'embedding', 'vec_id', 'rc_g', 'DiskANN32')")
+      .collect()
+    val g = spark.sql(
+      "SELECT * FROM ann_recall('emb', 'rc_g', 10, 50, search_complexity => 128)")
+      .collect()(0)
+    assert(g.getAs[Double]("recall") >= 0.9, s"graph recall too low: $g")
+  }
 }
