@@ -562,4 +562,25 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
     assert(got == Seq((1L, 1L, 1L)))
   }
+
+  test("scanBoundedSizeEstimate: anti-join chains bounded by leaves, joins/rollups not") {
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val raw = TextOps.scanBoundedSizeEstimate(base)
+    // an anti-join filter chain can only SHRINK the left side, whatever the
+    // drop-set subtree looks like — the estimate must not exceed the base
+    val dropSet = base.where(col("doc_id") % 3 === 0)
+      .join(base.where(col("doc_id") % 5 === 0), Seq("doc_id"))
+      .select(col("doc_id").as("__d"))
+    val filtered = base.join(dropSet, col("doc_id") === col("__d"), "left_anti")
+    assert(TextOps.scanBoundedSizeEstimate(filtered) <= raw * 2,
+      "anti-join chain must stay leaf-bounded (catalyst join stats multiply)")
+    // an inner join CAN expand: the estimate must keep catalyst's number,
+    // which for a self-join is far above the single-scan size
+    val joined = base.join(base.withColumnRenamed("doc_id", "d2"),
+      col("doc_id") <= col("d2"))
+    assert(TextOps.scanBoundedSizeEstimate(joined) > raw * 10,
+      "expanding joins must not be capped by leaf sizes")
+  }
 }
