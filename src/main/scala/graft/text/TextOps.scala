@@ -777,6 +777,37 @@ object TextOps {
     df.join(drop, col(idCol) === col("drop_id"), "left_anti")
   }
 
+  /**
+   * Converged near-dup dedup that keeps the BEST document of every
+   * duplicate cluster instead of the min-id one — what a curation run
+   * actually wants when duplicates differ in quality (truncated copies,
+   * boilerplate-wrapped mirrors). `scoreCol` is any per-row expression
+   * (e.g. `qualityColumns(...)("quality")`); the survivor is the cluster
+   * member with the highest score, ties broken by MIN id, so the choice is
+   * total and deterministic. Same shuffle shape as
+   * [[dedupByMinhashConverged]] plus ONE k-bounded aggregation over the
+   * cluster members (clusters ≪ corpus).
+   */
+  def dedupByMinhashKeepBest(df: DataFrame, textCol: String, idCol: String,
+      scoreCol: Column, shingleK: Int = 3, minJaccard: Double = 0.6): DataFrame = {
+    val pairs = jaccardPairs(df, textCol, idCol, shingleK, minJaccard)
+    val comps = connectedComponents(pairs) // (id, component) — members only
+    val scored = df.select(col(idCol).cast(LongType).as("__sid"),
+      scoreCol.cast(DoubleType).as("__score"))
+    // per cluster: argmax(score, tiebreak min id) via one max(struct(...))
+    // — score packed with the NEGATED id so larger struct = better score,
+    // then smaller id
+    val member = comps.join(scored, col("id") === col("__sid"))
+    val keep = member.groupBy("component")
+      .agg(max(struct(col("__score"), (-col("id")).as("__nid"))).as("__best"))
+      .select((-col("__best.__nid")).as("__keep_id"))
+    val clusterIds = comps.select(col("id").as("__cid"))
+    // drop every cluster member except its chosen survivor
+    val drop = clusterIds.join(keep, col("__cid") === col("__keep_id"), "left_anti")
+      .select(col("__cid").as("__drop_id"))
+    df.join(drop, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   // -------------------------------------------- substring (n-gram span) dedup
 
   /** Token n-grams of `toksCol` as space-joined strings (empty when the doc

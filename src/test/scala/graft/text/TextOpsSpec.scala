@@ -583,4 +583,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.scanBoundedSizeEstimate(joined) > raw * 10,
       "expanding joins must not be capped by leaf sizes")
   }
+
+  test("dedupByMinhashKeepBest keeps the highest-scoring cluster member") {
+    import spark.implicits._
+    // 1~2~3 form a near-dup chain; 4 is unrelated. Scores favor doc 2.
+    val mid = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docA = (1 to 45).map(i => s"w$i").mkString(" ") + " xa ya za aa ba"
+    val docC = (6 to 50).map(i => s"w$i").mkString(" ") + " xc yc zc cc dc"
+    val other = (100 to 150).map(i => s"q$i").mkString(" ")
+    val df = Seq((1L, docA, 0.2), (2L, mid, 0.9), (3L, docC, 0.5),
+      (4L, other, 0.1)).toDF("doc_id", "text", "score")
+    val kept = TextOps.dedupByMinhashKeepBest(df, "text", "doc_id",
+        col("score"), minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L), s"expected best-of-cluster, got $kept")
+    // score ties fall back to min id
+    val tied = Seq((1L, docA, 0.5), (2L, mid, 0.5), (3L, docC, 0.5),
+      (4L, other, 0.5)).toDF("doc_id", "text", "score")
+    val keptTied = TextOps.dedupByMinhashKeepBest(tied, "text", "doc_id",
+        col("score"), minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptTied == Seq(1L, 4L), s"tie must keep min id, got $keptTied")
+  }
 }
