@@ -181,6 +181,9 @@ object TextOps {
       block: DataFrame, blockTextCol: String, fpp: Double = 0.01): DataFrame = {
     val fpDf = df.withColumn("__fp", rollingHash(col(textCol)))
     val blockFp = block.select(rollingHash(col(blockTextCol)).as("__bfp"))
+    // an EMPTY blocklist drops nothing — and Spark's bloomFilter aggregate
+    // NPEs on zero rows, so the guard is correctness, not just a shortcut
+    if (blockFp.isEmpty) return df
     // size the Bloom from JOIN-SAFE plan statistics instead of an exact
     // count() — one fewer Spark job, and over/under-sizing only moves the
     // FP rate (FPs are removed by the exact anti-join either way, so

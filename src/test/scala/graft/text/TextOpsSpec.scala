@@ -605,4 +605,26 @@ class TextOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(keptTied == Seq(1L, 4L), s"tie must keep min id, got $keptTied")
   }
+
+  test("operators handle an EMPTY corpus without exceptions") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.rareTerms(empty, "text", "doc_id", 3).count() == 0)
+    assert(TextOps.dedupLines(empty, "text", "doc_id", 3).count() == 0)
+    assert(TextOps.packSequences(empty, "text", "doc_id", "text", 10L).count() == 0)
+    assert(TextOps.dedupByMinhash(empty, "text", "doc_id").count() == 0)
+    assert(TextOps.contaminationCounts(empty, "text", "doc_id",
+      id => id % 2 === 0).count() == 0)
+    val block = Seq(Tuple1("bad")).toDF("text")
+    assert(TextOps.blocklistAntiJoin(empty, "text", "doc_id", block, "text")
+      .count() == 0)
+    // and a non-empty corpus against an EMPTY blocklist passes through
+    val docs2 = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    val emptyBlock = Seq.empty[Tuple1[String]].toDF("text")
+    assert(TextOps.blocklistAntiJoin(docs2, "text", "doc_id", emptyBlock, "text")
+      .count() == 2)
+    val rep = Curate.report(empty, "text", "doc_id", Curate.Config())
+      .collect()
+    assert(rep.isEmpty || rep.forall(_.getLong(1) == 0L))
+  }
 }
