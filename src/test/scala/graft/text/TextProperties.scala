@@ -79,4 +79,44 @@ object TextProperties extends Properties("graft.text") {
         lines.forall(l => l.split(" ").count(_.nonEmpty) <= k) &&
         lines.dropRight(1).forall(l => l.split(" ").length == k)
     }
+
+  private lazy val sparkForProps: org.apache.spark.sql.SparkSession = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  property("dedup_lines == naive global first-occurrence keep rule") = {
+    val docGen = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "ab"))
+      .map(_.mkString(" "))
+    forAll(Gen.listOfN(6, docGen), Gen.choose(1, 3)) { (texts, k) =>
+      import sparkForProps.implicits._
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.text.TextOps.dedupLines(
+          rows.toDF("doc_id", "text"), "text", "doc_id", k)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      // naive reference: global (doc, idx)-lexicographic first instance of
+      // every distinct line survives
+      val lines = rows.flatMap { case (id, t) =>
+        val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+        toks.grouped(k).map(_.mkString(" ")).zipWithIndex
+          .map { case (l, i) => (id, i.toLong, l) }.toSeq
+      }
+      val keeper = lines.groupBy(_._3).view
+        .mapValues(_.map(x => (x._1, x._2)).min).toMap
+      val expect = lines.groupBy(_._1).view.mapValues { ls =>
+        val kept = ls.filter(x => keeper(x._3) == ((x._1, x._2)))
+          .sortBy(_._2)
+        (ls.size.toLong, kept.size.toLong, kept.map(_._3).mkString(" "))
+      }.toMap
+      val ok = got == expect
+      if (!ok) println(s"texts=$texts k=$k got=$got expect=$expect")
+      ok
+    }
+  }
 }
