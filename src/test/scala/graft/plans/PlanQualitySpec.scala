@@ -138,4 +138,27 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*(1)"), s"expected WholeStageCodegen stage:\n$p")
   }
+
+  test("round-7 operators: no cartesian products, packing keeps ONE exchange") {
+    import graft.text.TextOps
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for ((name, df) <- Seq(
+        "dedup_lines" -> TextOps.dedupLines(docs, "text", "doc_id", 3),
+        "pack_sequences" -> TextOps.packSequences(docs, "text", "doc_id", "lang", 256L),
+        "hashed_tf" -> docs.select(explode(TextOps.hashedTf(col("text"), 64))),
+        "rare_terms_dist" -> {
+          spark.conf.set("spark.graft.text.localRareMaxBytes", "0")
+          try TextOps.rareTerms(docs, "text", "doc_id", 3)
+          finally spark.conf.unset("spark.graft.text.localRareMaxBytes")
+        })) {
+      val pl = plan(df)
+      assert(!pl.contains("CartesianProduct"), s"$name went cartesian:\n$pl")
+    }
+    // the packing scan's contract: exactly one shuffle (the group
+    // repartition) — a second exchange means the sort or scan lost the
+    // partitioning
+    val packPlan = plan(TextOps.packSequences(docs, "text", "doc_id", "lang", 256L))
+    val exchanges = "Exchange".r.findAllIn(packPlan).length
+    assert(exchanges == 1, s"pack_sequences expected 1 exchange, got $exchanges:\n$packPlan")
+  }
 }
