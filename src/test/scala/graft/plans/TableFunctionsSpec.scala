@@ -223,14 +223,23 @@ class TableFunctionsSpec extends AnyFunSuite {
       .orderBy("doc_id", "rnk").collect().map(_.toSeq).toSeq
     assert(sqlRare.nonEmpty && sqlRare == scalaRare)
 
-    // decontaminate TVF: eval predicate as a SQL string over the id column
+    // contamination_counts TVF (the report): eval predicate as a SQL string
     val sqlDecon = spark.sql(
-      "SELECT * FROM decontaminate('docs', 'text', 'doc_id', 'doc_id % 5 = 0') ORDER BY id")
+      "SELECT * FROM contamination_counts('docs', 'text', 'doc_id', 'doc_id % 5 = 0') ORDER BY id")
       .collect().map(_.toSeq).toSeq
     val scalaDecon = graft.text.TextOps.contaminationCounts(
         spark.table("docs"), "text", "doc_id", id => id % 5 === 0)
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(sqlDecon == scalaDecon && sqlDecon.nonEmpty)
+
+    // decontaminate TVF (the filter): returns the surviving corpus rows
+    val sqlFilt = spark.sql(
+      "SELECT doc_id FROM decontaminate('docs', 'text', 'doc_id', 'doc_id % 5 = 0') ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val scalaFilt = graft.text.TextOps.decontaminateFilter(
+        spark.table("docs"), "text", "doc_id", id => id % 5 === 0)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(sqlFilt == scalaFilt && sqlFilt.nonEmpty)
 
     // stratified_sample TVF: per-stratum rate expression in SQL
     val sqlSample = spark.sql(
@@ -297,14 +306,14 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](1) == Seq("a b", "c d", "e"))
   }
 
-  test("decontaminate TVF survives the DISTRIBUTED route (eval_pred substitution)") {
+  test("contamination_counts TVF survives the DISTRIBUTED route (eval_pred substitution)") {
     // force the distributed n-gram fallback: the SQL eval predicate must be
     // a genuine function of the id (applied to HOF element variables), not
     // a captured column reference
     spark.conf.set("spark.graft.text.localNgramMaxBytes", "0")
     try {
       val sql = spark.sql(
-        "SELECT * FROM decontaminate('docs', 'text', 'doc_id', 'doc_id % 5 = 0') ORDER BY id")
+        "SELECT * FROM contamination_counts('docs', 'text', 'doc_id', 'doc_id % 5 = 0') ORDER BY id")
         .collect().map(_.toSeq).toSeq
       val scala = graft.text.TextOps.contaminationCounts(
           spark.table("docs"), "text", "doc_id", id => id % 5 === 0)
@@ -321,6 +330,7 @@ class TableFunctionsSpec extends AnyFunSuite {
       "SELECT * FROM ann_recall('emb', 'rc_flat', 10, 50)").collect()(0)
     assert(flat.getAs[String]("name") == "rc_flat")
     assert(flat.getAs[Long]("sample_n") == 50L)
+    assert(flat.getAs[Long]("eff_n") == 50L)
     assert(flat.getAs[Double]("recall") == 1.0,
       s"flat exact serving must have perfect recall, got $flat")
     spark.sql(
