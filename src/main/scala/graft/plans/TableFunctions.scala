@@ -32,7 +32,9 @@ import graft.search.Hybrid
  *   SELECT * FROM ann_vacuum('docs_idx')
  *   SELECT * FROM diskann_streaming_build('/path/file.bin', 'idx')
  *   SELECT * FROM rare_terms('documents', 'text', 'doc_id', 3)
+ *   SELECT * FROM contamination_counts('documents', 'text', 'doc_id', 'doc_id % 5 = 0')
  *   SELECT * FROM decontaminate('documents', 'text', 'doc_id', 'doc_id % 5 = 0')
+ *                                            -- the FILTER: surviving corpus rows
  *   SELECT * FROM stratified_sample('documents', 'doc_id',
  *                                   'CASE WHEN lang = ''en'' THEN 600 ELSE 250 END')
  *   SELECT * FROM dedup_lines('documents', 'text', 'doc_id', 20)
@@ -354,8 +356,10 @@ object TableFunctions {
       plan(graft.text.TextOps.rareTerms(spark.table(str(fn, a("table"))),
         str(fn, a("text_col")), str(fn, a("id_col")), k))
     },
-    "decontaminate" -> { args =>
-      val fn = "decontaminate"
+    // the per-doc overlap REPORT (id, n_contaminated) — diagnosis, not
+    // enforcement; `decontaminate` below is the filter that acts on it
+    "contamination_counts" -> { args =>
+      val fn = "contamination_counts"
       // eval_pred: a SQL boolean expression over the id column naming the
       // held-out eval split, e.g. 'doc_id % 5 = 0'
       val a = splitArgs(fn, args,
@@ -366,6 +370,23 @@ object TableFunctions {
         idCol, evalPredFromSql(fn, str(fn, a("eval_pred")), idCol),
         n = a.get("n").map(int(fn, _)).getOrElse(5),
         dfMax = a.get("df_max").map(int(fn, _)).getOrElse(50)))
+    },
+    // decontamination as a FILTER: the surviving training corpus (rows of
+    // `table` minus the eval split minus rows overlapping it beyond
+    // max_overlap) — the name now does what it says; the report that used
+    // to live under this name is `contamination_counts`
+    "decontaminate" -> { args =>
+      val fn = "decontaminate"
+      val a = splitArgs(fn, args,
+        Seq("table", "text_col", "id_col", "eval_pred", "n", "df_max",
+          "max_overlap"), 4)
+      val idCol = str(fn, a("id_col"))
+      plan(graft.text.TextOps.decontaminateFilter(
+        spark.table(str(fn, a("table"))), str(fn, a("text_col")),
+        idCol, evalPredFromSql(fn, str(fn, a("eval_pred")), idCol),
+        n = a.get("n").map(int(fn, _)).getOrElse(5),
+        dfMax = a.get("df_max").map(int(fn, _)).getOrElse(50),
+        maxOverlap = a.get("max_overlap").map(int(fn, _).toLong).getOrElse(0L)))
     },
     "stratified_sample" -> { args =>
       val fn = "stratified_sample"

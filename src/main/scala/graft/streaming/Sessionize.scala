@@ -63,43 +63,52 @@ object Sessionize {
    * streaming [[sessionize]] has (an event exactly `gapUs` later merges).
    * Scale: no per-user state beyond the open session; a user's events never
    * materialize as a group.
+   *
+   * NULL handling (the return contract): a NULL user sessionizes as its OWN
+   * group — matching `Window.partitionBy`, where NULL keys form one
+   * partition — and emits sessions with a NULL `user` column. A NULL event
+   * time is DROPPED: an event with no time cannot be placed on the session
+   * timeline (the windowed formulation would sort it first and fold it into
+   * the earliest session via null-comparison artifacts, which is an
+   * accident of `lag`, not a semantics). Pinned by SessionizeSpec.
    */
   def sessionizeBatch(df: DataFrame, userCol: String, tsUsCol: String,
       tieBreakCol: String, gapUs: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // a NULL user or event time is not sessionizable — dropped, documented
     val sorted = df
-      .where(col(userCol).isNotNull && col(tsUsCol).isNotNull)
+      .where(col(tsUsCol).isNotNull)
       .select(
-        col(userCol).cast("long").as("u"),
+        col(userCol).isNull.as("un"),
+        coalesce(col(userCol).cast("long"), lit(0L)).as("u"),
         col(tsUsCol).cast("long").as("t"),
         coalesce(col(tieBreakCol).cast("long"), lit(Long.MaxValue)).as("e"))
-      .repartition(col("u"))
-      .sortWithinPartitions(col("u"), col("t"), col("e"))
-      .as[(Long, Long, Long)]
+      .repartition(col("un"), col("u"))
+      .sortWithinPartitions(col("un"), col("u"), col("t"), col("e"))
+      .as[(Boolean, Long, Long, Long)]
     val sessions = sorted.mapPartitions { it =>
-      new Iterator[(Long, Long, Long, Long, Long)] {
+      new Iterator[(Option[Long], Long, Long, Long, Long)] {
         private var open = false
+        private var un = false
         private var u = 0L
         private var sq = 0L
         private var start = 0L
         private var end = 0L
         private var n = 0L
-        private var pending: (Long, Long, Long, Long, Long) = null
+        private var pending: (Option[Long], Long, Long, Long, Long) = null
 
-        private def close(): (Long, Long, Long, Long, Long) = {
+        private def close(): (Option[Long], Long, Long, Long, Long) = {
           open = false
-          (u, sq, start, end, n)
+          (if (un) None else Some(u), sq, start, end, n)
         }
         private def advance(): Unit = {
           while (pending == null && it.hasNext) {
-            val (nu, t, _) = it.next()
+            val (nun, nu, t, _) = it.next()
             if (!open) {
-              u = nu; sq = 1L; start = t; end = t; n = 1L; open = true
-            } else if (nu != u) {
+              un = nun; u = nu; sq = 1L; start = t; end = t; n = 1L; open = true
+            } else if (nun != un || nu != u) {
               pending = close()
-              u = nu; sq = 1L; start = t; end = t; n = 1L; open = true
+              un = nun; u = nu; sq = 1L; start = t; end = t; n = 1L; open = true
             } else if (t - end > gapUs) {
               pending = close()
               sq += 1; start = t; end = t; n = 1L; open = true
@@ -110,7 +119,7 @@ object Sessionize {
           if (pending == null && open) pending = close()
         }
         override def hasNext: Boolean = { advance(); pending != null }
-        override def next(): (Long, Long, Long, Long, Long) = {
+        override def next(): (Option[Long], Long, Long, Long, Long) = {
           advance()
           val out = pending; pending = null; out
         }

@@ -45,13 +45,38 @@ object Curate {
        *  identical. Callers can `spark.catalog.clearCache()` afterwards. */
       cacheIntermediates: Boolean = true)
 
-  private def maybeCache(df: DataFrame, on: Boolean): DataFrame =
-    if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else df
+  /** A pipeline result plus ownership of the intermediate stage caches it
+   *  persisted: call [[release]] once `df` (and anything derived from it)
+   *  is materialized, so long-lived sessions don't accumulate cached
+   *  stages across repeated runs. Releasing earlier is safe — stages
+   *  recompute — it just forfeits the barrier. */
+  final case class Staged(df: DataFrame, private val caches: Seq[DataFrame]) {
+    def release(): Unit = caches.foreach(_.unpersist(blocking = false))
+  }
 
-  /** Every input row + `drop_reason` (NULL = kept). */
+  /** Every input row + `drop_reason` (NULL = kept), with the stage caches
+   *  owned by the caller via [[Staged.release]]. */
+  def taggedStaged(df: DataFrame, textCol: String, idCol: String,
+      cfg: Config): Staged = {
+    val caches = Seq.newBuilder[DataFrame]
+    def maybeCache(d: DataFrame): DataFrame =
+      if (cfg.cacheIntermediates) {
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        caches += d
+        d
+      } else d
+    Staged(taggedImpl(df, textCol, idCol, cfg, maybeCache), caches.result())
+  }
+
+  /** Every input row + `drop_reason` (NULL = kept). Stage caches stay
+   *  persisted until `spark.catalog.clearCache()`; a long-lived session
+   *  should prefer [[taggedStaged]] and release them. */
   def tagged(df: DataFrame, textCol: String, idCol: String,
-      cfg: Config): DataFrame = {
+      cfg: Config): DataFrame =
+    taggedStaged(df, textCol, idCol, cfg).df
+
+  private def taggedImpl(df: DataFrame, textCol: String, idCol: String,
+      cfg: Config, maybeCache: DataFrame => DataFrame): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val quality = TextOps.qualityColumns(col(textCol))
       .find(_._1 == "quality").get._2
@@ -63,16 +88,16 @@ object Curate {
           .when(quality < cfg.minQuality, "quality")
           .when(rep > cfg.maxDupBigramFrac, "repetitive"))
     val pass1 = maybeCache(gated.where(col("__gate_reason").isNull)
-      .select(col(idCol), col(textCol)), cfg.cacheIntermediates)
+      .select(col(idCol), col(textCol)))
     // stage 4: near-dup drop set over gate survivors
     val ndDrop = maybeCache(TextOps.jaccardPairs(pass1, textCol, idCol,
         minJaccard = cfg.minJaccard)
-      .select(col("id_b").as("__nd_id")).distinct(), cfg.cacheIntermediates)
+      .select(col("id_b").as("__nd_id")).distinct())
     val pass2 = pass1.join(ndDrop, col(idCol) === col("__nd_id"), "left_anti")
     // stage 6: contaminated train ids over dedup survivors
     val contaminated = maybeCache(TextOps.contaminationCounts(pass2, textCol,
         idCol, cfg.evalPred)
-      .select(col("id").as("__ct_id")), cfg.cacheIntermediates)
+      .select(col("id").as("__ct_id")))
     gated
       .join(ndDrop.withColumn("__nd", lit(true)),
         col(idCol) === col("__nd_id"), "left_outer").drop("__nd_id")

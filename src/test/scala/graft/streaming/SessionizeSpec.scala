@@ -147,4 +147,28 @@ class SessionizeSpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4))).toSeq
     assert(scan.nonEmpty && scan == windowed)
   }
+
+  test("sessionizeBatch: NULL users form their own group; NULL times drop") {
+    import spark.implicits._
+    val gapUs = 100L
+    val ev = Seq[(Option[Long], Option[Long], Long)](
+      (Some(1L), Some(1000L), 1L),   // user 1, one session of two events
+      (Some(1L), Some(1050L), 2L),
+      (Some(0L), Some(1000L), 3L),   // user 0 must NOT absorb the NULL user
+      (None, Some(1000L), 4L),       // NULL user: own group...
+      (None, Some(1050L), 5L),       //   ...same session
+      (None, Some(5000L), 6L),       //   ...second session after the gap
+      (Some(1L), None, 7L)           // NULL time: dropped
+    ).toDF("user_id", "tus", "event_id")
+    val out = Sessionize.sessionizeBatch(ev, "user_id", "tus", "event_id", gapUs)
+      .orderBy(col("user_id").asc_nulls_last, col("session_seq"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (Some(0L), 1L, 1000L, 1000L, 1L),
+      (Some(1L), 1L, 1000L, 1050L, 2L),
+      (None, 1L, 1000L, 1050L, 2L),
+      (None, 2L, 5000L, 5000L, 1L)))
+  }
 }

@@ -550,7 +550,7 @@ class TextOpsSpec extends AnyFunSuite {
       s"got $got")
   }
 
-  test("sessionizeBatch drops NULL user/ts rows instead of crashing") {
+  test("sessionizeBatch: NULL ts drops, NULL user sessionizes as its own group") {
     import spark.implicits._
     val df = Seq(
       (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(1000L), 1L),
@@ -559,8 +559,10 @@ class TextOpsSpec extends AnyFunSuite {
       .toDF("user_id", "tus", "event_id")
     val got = graft.streaming.Sessionize
       .sessionizeBatch(df, "user_id", "tus", "event_id", 100L)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
-    assert(got == Seq((1L, 1L, 1L)))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(4)))
+      .sortBy(t => t._1.getOrElse(Long.MaxValue)).toSeq
+    assert(got == Seq((Some(1L), 1L, 1L), (None, 1L, 1L)))
   }
 
   test("scanBoundedSizeEstimate: anti-join chains bounded by leaves, joins/rollups not") {
