@@ -221,13 +221,17 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     // index selection: same source files + same column + compatible metric
-    // (reference FindAnnIndex, src/ann_optimizer.cpp:260-345)
+    // (reference FindAnnIndex, src/ann_optimizer.cpp:260-345). When several
+    // indexes cover the same scan, prefer an EXACT-serving engine (flat) —
+    // the result-preserving choice — then tiebreak by name, so selection is
+    // DETERMINISTIC (catalog listing order is filesystem order).
     val rootDir = Ann.root(spark)
-    val meta = IndexCatalog.list(rootDir).find { m =>
+    val meta = IndexCatalog.list(rootDir).filter { m =>
       m.sourceFiles.nonEmpty && m.sourceFiles.toSet == rootPaths &&
         m.column == colSide.name && m.metric == requiredMetric &&
         m.dim == query.length
-    }.getOrElse(return None)
+    }.sortBy(m => (if (m.engine == "flat") 0 else 1, m.name))
+      .headOption.getOrElse(return None)
 
     // cost gates (reference src/ann_optimizer.cpp:459-472)
     val rows = meta.numVectors

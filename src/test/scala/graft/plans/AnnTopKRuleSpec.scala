@@ -173,4 +173,34 @@ class AnnTopKRuleSpec extends AnyFunSuite {
     val vals = d.collect().map(_.getDouble(1))
     assert(vals.toSeq == vals.sorted.toSeq)
   }
+
+  test("driver entry ann_rewrite_topk goes through the rewrite and is exact") {
+    builtOnce // diskann indexes on the same files exist — flat must still win
+    val df = graft.SparkEntry.queries("ann_rewrite_topk")(spark, sf)
+    // the entry itself require()s the marker; assert plan shape here too so a
+    // silent fallback (or a lost marker) fails the suite, not just the driver
+    assert(isRewritten(df))
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewriteEnabled", "false")
+    val brute = emb.select(col("vec_id"),
+        array_distance(toFloatVec(col("embedding")), floatVec(q.toSeq)).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewriteEnabled", "true")
+    // FLAT index behind the rewrite → bit-identical to brute force, in order
+    assert(got.toSeq == brute.toSeq)
+  }
+
+  test("index selection prefers the exact engine when several cover the scan") {
+    builtOnce
+    Ann.buildIndex(emb, "embedding", "vec_id", "a_flat_first",
+      Ann.BuildParams(engine = "flat"))
+    try {
+      val d = emb.orderBy(array_distance(toFloatVec(col("embedding")),
+        floatVec(q.toSeq))).limit(10)
+      val plan = d.queryExecution.optimizedPlan.toString
+      assert(plan.contains("ann_index_scan['a_flat_first']"),
+        s"expected the flat index to be selected over diskann, got:\n$plan")
+    } finally Ann.drop(spark, "a_flat_first")
+  }
 }
