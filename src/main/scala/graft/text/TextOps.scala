@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1121,34 +1121,60 @@ object TextOps {
    * 0-based sequence index within the group, `seq_offset` the document's
    * token offset inside its sequence.
    *
-   * The scan is inherently sequential per group, so the plan is ONE shuffle
-   * (repartition by group) + sortWithinPartitions + a constant-memory
-   * `mapPartitions` running scan that resets at group boundaries — no
-   * group ever materializes in memory, which is the only shape that
-   * survives groups of billions of documents. Deterministic on any
-   * partition layout (each partition holds whole groups, scan order is the
-   * sorted order); the arithmetic is pure integers, so the DuckDB
-   * recursive-CTE oracle reproduces it bit-exactly.
+   * The scan is inherently sequential per group — but "group" is NOT the
+   * parallelism unit: [[SegmentedPack]] range-partitions on (group, id), so
+   * a group that dominates the corpus (one language at 95% of 100 TB)
+   * still spreads over every task. Partition boundaries are composed
+   * EXACTLY (bit-identical to the serial scan and the DuckDB recursive-CTE
+   * oracle, pinned by PackSequencesSkewSpec): per range, the greedy
+   * breaks are a function of the group-local token prefix sums plus one
+   * incoming scalar (the open sequence's token base), which the driver
+   * chains across ranges with a binary search per boundary. Deterministic
+   * on any partition layout; pure integer arithmetic.
+   *
+   * A budget above `spark.graft.pack.maxComposeBudget` (default 16M
+   * tokens) falls back to the serial per-group scan, whose boundary
+   * "head windows" the composition would otherwise have to collect (up
+   * to one entry per token of budget per boundary).
    */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
       groupCol: String, budget: Long): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     require(budget > 0, "token budget must be positive")
-    // NULL text packs as a zero-token document; rows without an id cannot
-    // be assigned a sequence and are dropped; a NULL group is its own
-    // group (the `started` flag below — not a null sentinel — keeps its
-    // first document at seq_id 0)
-    val counted = df
-      .where(col(idCol).isNotNull)
+    val counted = countedForPack(df, textCol, idCol, groupCol)
+    val maxCompose = spark.conf.getOption("spark.graft.pack.maxComposeBudget")
+      .map(_.toLong).getOrElse(16L * 1024 * 1024)
+    if (budget <= maxCompose)
+      SegmentedPack.pack(counted, budget, groupCol, idCol)
+    else packSequencesSerial(counted, budget, groupCol, idCol)
+  }
+
+  /** NULL text packs as a zero-token document; rows without an id cannot
+   *  be assigned a sequence and are dropped; a NULL group is its own group. */
+  private[text] def countedForPack(df: DataFrame, textCol: String, idCol: String,
+      groupCol: String): Dataset[(String, Long, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull)
       .select(
         col(groupCol).cast("string").as("g"),
         col(idCol).cast(LongType).as("id"),
         coalesce(size(tokens(col(textCol))).cast(LongType), lit(0L)).as("n"))
+      .as[(String, Long, Long)]
+  }
+
+  /** The one-task-per-group serial scan (pre-round-8 shape): ONE shuffle +
+   *  sortWithinPartitions + a constant-memory scan that resets at group
+   *  boundaries. Kept as the huge-budget fallback and as the parity
+   *  reference for [[SegmentedPack]]'s specs. */
+  private[text] def packSequencesSerial(counted: Dataset[(String, Long, Long)],
+      budget: Long, groupCol: String, idCol: String): DataFrame = {
+    val spark = counted.sparkSession
+    import spark.implicits._
+    val sorted = counted
       .repartition(col("g"))
       .sortWithinPartitions(col("g"), col("id"))
-      .as[(String, Long, Long)]
-    val packed = counted.mapPartitions { it =>
+    val packed = sorted.mapPartitions { it =>
       var started = false
       var curGroup: String = null
       var running = 0L

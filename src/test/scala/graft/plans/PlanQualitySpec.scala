@@ -154,11 +154,21 @@ class PlanQualitySpec extends AnyFunSuite {
       val pl = plan(df)
       assert(!pl.contains("CartesianProduct"), s"$name went cartesian:\n$pl")
     }
-    // the packing scan's contract: exactly one shuffle (the group
-    // repartition) — a second exchange means the sort or scan lost the
-    // partitioning
-    val packPlan = plan(TextOps.packSequences(docs, "text", "doc_id", "lang", 256L))
-    val exchanges = "Exchange".r.findAllIn(packPlan).length
-    assert(exchanges == 1, s"pack_sequences expected 1 exchange, got $exchanges:\n$packPlan")
+    // the segmented packing engine's contract: exactly ONE shuffle (the
+    // range repartition) in the whole lineage — its passes must reuse that
+    // shuffle's output, never add exchanges. The result is an RDD-backed
+    // frame, so count ShuffleDependency in the RDD lineage, not Exchange
+    // nodes in the SQL plan.
+    val packRdd = TextOps.packSequences(docs, "text", "doc_id", "lang", 256L).rdd
+    def countShuffles(r: org.apache.spark.rdd.RDD[_],
+        seen: scala.collection.mutable.Set[Int]): Int =
+      if (!seen.add(r.id)) 0
+      else r.dependencies.map {
+        case s: org.apache.spark.ShuffleDependency[_, _, _] =>
+          1 + countShuffles(s.rdd, seen)
+        case d => countShuffles(d.rdd, seen)
+      }.sum
+    val shuffles = countShuffles(packRdd, scala.collection.mutable.Set.empty)
+    assert(shuffles == 1, s"pack_sequences expected 1 shuffle in lineage, got $shuffles")
   }
 }
