@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
  * kernel, never materializing the partition).
  *
  * Image decode is REAL (`javax.imageio`: PNG/JPEG/GIF/BMP → luminance
- * grid-pool features, [[imageFeatures]]). Audio/video codecs are not
- * available on a bare JVM, so those kernels remain deterministic STUBS
- * (clearly marked) over raw bytes; the Spark-side plumbing — schema, batch
- * shape, partitioning, the feature column feeding the ANN index — is real
- * and tested either way. Swapping a stub for a JNI/javacpp codec changes
- * one function.
+ * grid-pool features, [[imageFeatures]]). Audio decode is REAL
+ * (`javax.sound.sampled`: WAV/AIFF/AU PCM → per-band RMS features,
+ * [[audioFeatures]] — driver-checked bit-exactly via `multimodal_audio`).
+ * Video codecs are not available on a bare JVM, so that kernel remains a
+ * deterministic STUB (clearly marked) over raw bytes; the Spark-side
+ * plumbing — schema, batch shape, partitioning, the feature column feeding
+ * the ANN index — is real and tested either way. Swapping the stub for a
+ * JNI/javacpp codec changes one function.
  */
 object Multimodal {
 
@@ -100,6 +102,113 @@ object Multimodal {
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  // ------------------------------------------------------- real audio kernel
+
+  /**
+   * REAL audio decode via `javax.sound.sampled` (WAV/AIFF/AU — the formats a
+   * bare JVM ships): decode → 16-bit PCM → mono mix → `bands` equal time
+   * windows → RMS per window, as a flat feature vector in [0,1]. The audio
+   * analog of [[imageFeatures]]' grid pool: shaped like an embedding, feeds
+   * the ANN index directly.
+   *
+   * All accumulation is double-precision; for PCM input the decode is
+   * bit-faithful, so a synthesized constant-amplitude band round-trips to
+   * exactly `round(amp·32767)/32768` — which is what the `multimodal_audio`
+   * DuckDB oracle recomputes analytically.
+   *
+   * Returns null when the payload is not decodable audio — callers choose
+   * the fallback (featurizeAudio uses the byte-histogram stub).
+   */
+  def audioFeatures(payload: Array[Byte], bands: Int = 8): Array[Float] = {
+    if (payload == null || payload.length == 0) return null
+    import javax.sound.sampled.{AudioSystem, AudioFormat}
+    val in = try {
+      AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    } catch { case scala.util.control.NonFatal(_) => return null }
+    try {
+      val base = in.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        base.getSampleRate, 16, base.getChannels, base.getChannels * 2,
+        base.getSampleRate, false)
+      val pcm = if (base.matches(target)) in
+        else AudioSystem.getAudioInputStream(target, in)
+      val bytes = pcm.readAllBytes()
+      val ch = base.getChannels
+      val nFrames = bytes.length / (2 * ch)
+      if (nFrames == 0) return null
+      val sums = new Array[Double](bands)
+      val counts = new Array[Long](bands)
+      var f = 0
+      while (f < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = (f * ch + c) * 2
+          val s = (((bytes(off + 1): Int) << 8) | (bytes(off) & 0xff)).toShort
+          acc += s / 32768.0
+          c += 1
+        }
+        val v = acc / ch
+        val b = math.min(f * bands / nFrames, bands - 1)
+        sums(b) += v * v
+        counts(b) += 1L
+        f += 1
+      }
+      Array.tabulate(bands)(b =>
+        if (counts(b) == 0L) 0.0f else math.sqrt(sums(b) / counts(b)).toFloat)
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally in.close()
+  }
+
+  /** Batched per-partition audio featurization: decode each payload with
+   *  [[audioFeatures]]; non-audio payloads fall back to the byte-histogram
+   *  stub so a mixed binary corpus featurizes in one pass. Adds
+   *  `features ARRAY<FLOAT>` (length `bands`) and `decoded BOOLEAN`. */
+  def featurizeAudio(df: DataFrame, payloadCol: String, bands: Int = 8): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("features", ArrayType(FloatType, containsNull = false)),
+      StructField("decoded", BooleanType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val af = audioFeatures(payload, bands)
+        val f = if (af != null) af
+          else if (payload == null) new Array[Float](bands)
+          else stubFeatures(payload, bands)
+        Row.fromSeq(r.toSeq ++ Seq(f.toSeq, af != null))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic 16-bit mono PCM WAV test signal: `bands` segments of
+   *  `samplesPerBand` samples, segment `b` a square wave of constant
+   *  amplitude `round(((seed·7 + b) % 16 + 1)/32 · 32767)` — so each band's
+   *  RMS is analytically `round(amp·32767)/32768`, reproducible in plain
+   *  SQL (the `multimodal_audio` oracle). Also the fixture MultimodalSpec
+   *  decodes. */
+  def synthWav(seed: Long, bands: Int, samplesPerBand: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioSystem, AudioFormat, AudioInputStream, AudioFileFormat}
+    val n = bands * samplesPerBand
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val b = i / samplesPerBand
+      val amp = ((seed * 7 + b) % 16 + 1) / 32.0
+      val mag = Math.round(amp * 32767.0).toInt
+      val s = if (i % 2 == 0) mag else -mag
+      raw(i * 2) = (s & 0xff).toByte
+      raw(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   // ------------------------------------------------------------ stub kernels

@@ -112,6 +112,38 @@ class MultimodalSpec extends AnyFunSuite {
       "gray level 120 probe should match image 10 (gray 120)")
   }
 
+  test("audioFeatures decodes a real WAV; band RMS matches the analytic value") {
+    // constant-amplitude square wave per band -> RMS == round(amp*32767)/32768
+    val bands = 4
+    val wav = Multimodal.synthWav(seed = 5L, bands, samplesPerBand = 64)
+    val got = Multimodal.audioFeatures(wav, bands)
+    assert(got != null && got.length == bands)
+    val expect = (0 until bands).map { b =>
+      val amp = ((5L * 7 + b) % 16 + 1) / 32.0
+      (Math.round(amp * 32767.0) / 32768.0).toFloat
+    }
+    assert(got.toSeq == expect, s"got ${got.toSeq} expected $expect")
+    // not-audio payloads return null from the kernel
+    assert(Multimodal.audioFeatures("not a wav".getBytes, bands) == null)
+    assert(Multimodal.audioFeatures(Array.emptyByteArray, bands) == null)
+  }
+
+  test("featurizeAudio: real decode for WAVs, stub fallback for blobs") {
+    import spark.implicits._
+    val rows = (0 until 8).map(i =>
+      (i.toLong, Multimodal.synthWav(i.toLong, 4, 64))) :+
+      (99L, Array.tabulate(64)(j => (j % 251).toByte))
+    val df = rows.toDF("media_id", "payload").repartition(3)
+    val out = Multimodal.featurizeAudio(df, "payload", bands = 4)
+    val got = out.select("media_id", "features", "decoded").collect()
+      .map(r => r.getLong(0) -> (r.getAs[scala.collection.Seq[Float]](1), r.getBoolean(2)))
+      .toMap
+    assert(got(99L)._2 == false, "blob must report decoded=false")
+    assert((0 until 8).forall(i => got(i.toLong)._2), "all WAVs must decode")
+    assert(got(3L)._1 == Multimodal.audioFeatures(
+      Multimodal.synthWav(3L, 4, 64), 4).toSeq)
+  }
+
   test("explodeFrames: stride sampling with frame index") {
     val df = mediaDf().where(col("media_id") === 0L)
     val frames = Multimodal.explodeFrames(df, "payload", frameSize = 50, stride = 2)
