@@ -820,6 +820,25 @@ object Ann {
     } else df
   }
 
+  /** Whether to round-robin-rebalance the probed scan in the exact TABLE
+   *  paths. Per-task work there is sum(size(cluster) x probing-queries) —
+   *  a popularity-weighted product byte-based file bin-packing cannot see
+   *  (7.0x task skew at 1.5M vectors x 512 queries, AnnScaleSmoke; 3.3x
+   *  after rebalance). The extra exchange only pays off when the batch is
+   *  big enough that the compute stage dominates its cost AND the tail
+   *  matters, so it gates on the query block's estimated row count
+   *  (plan stats / row width): few-query lookups keep the direct
+   *  cluster-pruned scan. `spark.graft.ann.rebalanceProbedScan`
+   *  force-overrides (true/false). */
+  private def rebalanceProbedScan(spark: SparkSession, queriesDf: DataFrame,
+      dim: Int): Boolean =
+    spark.conf.getOption("spark.graft.ann.rebalanceProbedScan") match {
+      case Some(v) => v.toBoolean
+      case None =>
+        val est = queriesDf.queryExecution.optimizedPlan.stats.sizeInBytes
+        est / math.max(1, dim * 4) >= 64
+    }
+
   /** Engine-semantics distance column: squared L2 / negated IP / negated cos. */
   private def metricDistanceCol(metric: Metric, vec: Column, query: Array[Float]): Column = {
     val q = graft.functions.floatVec(query.toSeq)
@@ -1301,16 +1320,29 @@ object Ann {
           .withColumn("__lutoff", lutUdf(col("__q"), col("__probe")))
         val adcUdf = udf((lutV: Array[Float], off: Float, code: Array[Byte]) =>
           PqCodec.adc(lutV, cbK, code) + off)
-        (base.join(broadcast(probed), base("cluster") === probed("__probe")),
-          adcUdf(col("__lutoff._1"), col("__lutoff._2"), base("code")))
+        // same popularity-skew rebalance as the ivfflat probe join below
+        val stream = if (rebalanceProbedScan(spark, queriesDf, meta.dim))
+          base.repartition(spark.sessionState.conf.numShufflePartitions) else base
+        (stream.join(broadcast(probed), stream("cluster") === probed("__probe")),
+          adcUdf(col("__lutoff._1"), col("__lutoff._2"), stream("code")))
       case "ivfflat" if meta.nprobe < meta.nlist =>
         val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
         val centsB = spark.sparkContext.broadcast(cents)
         val nprobe = meta.nprobe
         val probeUdf = udf((v: Array[Float]) => KMeansLite.nearestP(centsB.value, v, nprobe))
         val probed = prepped.withColumn("__probe", explode(probeUdf(col("__q"))))
-        (base.join(broadcast(probed), base("cluster") === probed("__probe")),
-          distTo(base("vec"), col("__q")))
+        // per-task work here is sum over the task's clusters of
+        // size(cluster) x queries-probing(cluster) — a popularity-weighted
+        // product the byte-based file bin-packing cannot see, which showed
+        // up as 7x task skew at 1.5M vectors x 512 queries (AnnScaleSmoke).
+        // A round-robin rebalance of the scanned rows equalizes it; the
+        // extra exchange moves only the base subset and is gated so
+        // small-query lookups (where DPP cluster pruning is the win) keep
+        // the direct scan.
+        val stream = if (rebalanceProbedScan(spark, queriesDf, meta.dim))
+          base.repartition(spark.sessionState.conf.numShufflePartitions) else base
+        (stream.join(broadcast(probed), stream("cluster") === probed("__probe")),
+          distTo(stream("vec"), col("__q")))
       case _ =>
         (base.crossJoin(broadcast(prepped)), distTo(base("vec"), col("__q")))
     }

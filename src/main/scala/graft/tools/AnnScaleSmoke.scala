@@ -86,11 +86,20 @@ object AnnScaleSmoke {
 
     // shard count chosen so ONE SHARD EXCEEDS the mmap threshold: the build
     // must produce files ShardCache will serve via DiskannMmapIndex
-    val shards = 4
-    run("diskann_build") {
+    // 8 shards: each ~85 MB (past the 64 MB mmap threshold), and the build
+    // parallelizes across tasks. Degree/complexity sized for uniform-random
+    // 64-d — the HARDEST neighborhood structure a graph index faces (real
+    // embeddings cluster; this corpus has no manifold to exploit) — so the
+    // recall bar is met on the adversarial case, not a friendly one.
+    val shards = 8
+    // SPARK_GRAFT_ANN_REUSE=1: dev-iteration switch — reuse indexes already
+    // on disk from a prior run (serve ops only; build timings not recorded)
+    val reuse = sys.env.get("SPARK_GRAFT_ANN_REUSE").contains("1") &&
+      IndexCatalog.list(Ann.root(spark)).exists(_.name == "as_disk")
+    if (!reuse) run("diskann_build") {
       Ann.buildIndex(emb, "embedding", "vec_id", "as_disk",
         Ann.BuildParams(engine = "diskann", numShards = shards,
-          maxDegree = 32, buildComplexity = 64))
+          maxDegree = 48, buildComplexity = 96))
       n
     }
     val shardBytes = IndexCatalog.load(Ann.root(spark), "as_disk")
@@ -99,7 +108,7 @@ object AnnScaleSmoke {
     System.err.println(s"[annscale] max shard $shardBytes bytes, " +
       s"mmap threshold ${ShardCache.mmapThreshold} -> mmap=$mmapEngaged")
 
-    run("ivfflat_build") {
+    if (!reuse) run("ivfflat_build") {
       Ann.buildIndex(emb, "embedding", "vec_id", "as_ivf",
         Ann.BuildParams(engine = "ivfflat", nlist = 256, nprobe = 8))
       n
@@ -114,16 +123,16 @@ object AnnScaleSmoke {
       .getSeq[Float](1).toArray
 
     run("search_single") {
-      Ann.search(emb, "vec_id", "as_disk", q0, 10, searchComplexity = 128).count()
+      Ann.search(emb, "vec_id", "as_disk", q0, 10, searchComplexity = 256).count()
     }
     run("search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_disk", 10,
-        searchComplexity = 128).count()
+        searchComplexity = 256).count()
     }
     run("search_batch_512q") {
       val qs = queries.orderBy("qid").collect().map(_.getSeq[Float](1).toArray).toSeq
       Ann.searchBatch(emb, "vec_id", "as_disk", qs, 10,
-        searchComplexity = 128).count()
+        searchComplexity = 256).count()
     }
     run("ivf_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivf", 10).count()
@@ -133,7 +142,7 @@ object AnnScaleSmoke {
     var recall = 0.0
     run("recall_at10_200q") {
       val r = Ann.measureRecall(emb, "embedding", "vec_id", "as_disk",
-        k = 10, sampleN = 200, searchComplexity = 128).collect()(0)
+        k = 10, sampleN = 200, searchComplexity = 256).collect()(0)
       recall = r.getAs[Double]("recall")
       r.getAs[Long]("eff_n")
     }
