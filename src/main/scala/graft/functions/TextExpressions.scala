@@ -299,39 +299,24 @@ case class NgramsOfText(child: Expression, n: Int, distinct: Boolean)
 }
 
 /**
- * `ngram_repetition(text, n)` — Gopher-style repetition counters over the
- * sliding token n-grams of a document in one fused pass: lower → tokenize
- * (same scanner as [[NgramsOfText]]) → count n-grams → STRUCT(total,
- * max_count, dup_count). `total` is the number of n-gram occurrences,
- * `max_count` the occurrences of the most frequent n-gram, `dup_count` the
- * occurrences belonging to n-grams appearing more than once. Counting is by
- * exact n-gram string, so the counters are value-identical to exploding
- * [[NgramsOfText]] and re-grouping — minus the explode and the two shuffles
- * that plan costs per document batch (DuckDB oracle: GROUP BY
- * array_to_string(t[i:i+n-1], ' ') then max/sum per doc). The repetition
- * *fractions* (quality-filter signals per Gopher §A.1.1) are single double
- * divisions of these exact integers, computed in the caller so both engines
- * perform the identical IEEE op.
+ * Static compiled kernels for the hottest fused text expressions
+ * ([[TermCounts]], [[NgramRepetition]], [[WordLines]]). A standalone object
+ * (no companion class) guarantees Java static forwarders, so generated
+ * whole-stage code calls these directly — the expressions codegen to one
+ * static call instead of paying the CodegenFallback boundary (boxed eval
+ * dispatch + broken codegen span). `-Dgraft.text.forceInterpreted=true`
+ * flips the three expressions back to CodegenFallback for A/B profiling
+ * (tools/ProfileTextKernels; numbers in the scaladoc there).
  */
-case class NgramRepetition(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(n > 0, "n-gram size must be positive")
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires STRING, got ${other.catalogString}")
-  }
-  override def dataType: DataType = StructType(Seq(
-    StructField("total", LongType, nullable = false),
-    StructField("max_count", LongType, nullable = false),
-    StructField("dup_count", LongType, nullable = false)))
-  override def prettyName: String = "ngram_repetition"
+object TextKernels {
+  def forceInterpreted: Boolean =
+    sys.props.get("graft.text.forceInterpreted").contains("true")
 
   @inline private def isTok(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
 
-  override protected def nullSafeEval(s: Any): Any = {
-    val str = s.asInstanceOf[UTF8String].toLowerCase.toString
+  /** Token spans of an already-lowered string: (starts, ends, count). */
+  private def tokenSpans(str: String): (Array[Int], Array[Int], Int) = {
     val len = str.length
     var starts = new Array[Int](16)
     var ends = new Array[Int](16)
@@ -349,6 +334,13 @@ case class NgramRepetition(child: Expression, n: Int)
         starts(nTok) = s0; ends(nTok) = i; nTok += 1
       }
     }
+    (starts, ends, nTok)
+  }
+
+  /** [[NgramRepetition]] kernel. */
+  def ngramRepetition(s: UTF8String, n: Int): InternalRow = {
+    val str = s.toLowerCase.toString
+    val (starts, ends, nTok) = tokenSpans(str)
     val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
     if (nTok < n) {
       row.setLong(0, 0L); row.setLong(1, 0L); row.setLong(2, 0L)
@@ -382,6 +374,91 @@ case class NgramRepetition(child: Expression, n: Int)
     row.setLong(0, total); row.setLong(1, maxC); row.setLong(2, dup)
     row
   }
+
+  /** [[TermCounts]] kernel. */
+  def termCounts(s: UTF8String): ArrayData = {
+    val counts = TermCounts.count(s.toLowerCase.toString)
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      row.update(0, UTF8String.fromString(e.getKey))
+      row.setLong(1, e.getValue()(0))
+      out(j) = row
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[WordLines]] kernel. */
+  def wordLines(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toLowerCase.toString
+    val (starts, ends, nTok) = tokenSpans(str)
+    if (nTok == 0) return new GenericArrayData(Array.empty[Any])
+    val nLines = (nTok + k - 1) / k
+    val out = new Array[Any](nLines)
+    val sb = new java.lang.StringBuilder(64)
+    var w = 0
+    var li = 0
+    while (w < nTok) {
+      sb.setLength(0)
+      val end = math.min(w + k, nTok)
+      var j = w
+      while (j < end) {
+        if (j > w) sb.append(' ')
+        sb.append(str, starts(j), ends(j))
+        j += 1
+      }
+      out(li) = UTF8String.fromString(sb.toString)
+      li += 1
+      w += k
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/**
+ * `ngram_repetition(text, n)` — Gopher-style repetition counters over the
+ * sliding token n-grams of a document in one fused pass: lower → tokenize
+ * (same scanner as [[NgramsOfText]]) → count n-grams → STRUCT(total,
+ * max_count, dup_count). `total` is the number of n-gram occurrences,
+ * `max_count` the occurrences of the most frequent n-gram, `dup_count` the
+ * occurrences belonging to n-grams appearing more than once. Counting is by
+ * exact n-gram string, so the counters are value-identical to exploding
+ * [[NgramsOfText]] and re-grouping — minus the explode and the two shuffles
+ * that plan costs per document batch (DuckDB oracle: GROUP BY
+ * array_to_string(t[i:i+n-1], ' ') then max/sum per doc). The repetition
+ * *fractions* (quality-filter signals per Gopher §A.1.1) are single double
+ * divisions of these exact integers, computed in the caller so both engines
+ * perform the identical IEEE op.
+ *
+ * Codegens to one static [[TextKernels]] call inside the whole-stage span
+ * (CodegenFallback only under `-Dgraft.text.forceInterpreted=true`, the
+ * A/B profile switch).
+ */
+case class NgramRepetition(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n-gram size must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("max_count", LongType, nullable = false),
+    StructField("dup_count", LongType, nullable = false)))
+  override def prettyName: String = "ngram_repetition"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.ngramRepetition(s.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (TextKernels.forceInterpreted) super[CodegenFallback].doGenCode(ctx, ev)
+    else defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextKernels.ngramRepetition($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -634,21 +711,13 @@ case class TermCounts(child: Expression)
     StructField("term_freq", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "term_counts"
 
-  override protected def nullSafeEval(s: Any): Any = {
-    val counts = TermCounts.count(s.asInstanceOf[UTF8String].toLowerCase.toString)
-    val out = new Array[Any](counts.size)
-    val it = counts.entrySet().iterator()
-    var j = 0
-    while (it.hasNext) {
-      val e = it.next()
-      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
-      row.update(0, UTF8String.fromString(e.getKey))
-      row.setLong(1, e.getValue()(0))
-      out(j) = row
-      j += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.termCounts(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (TextKernels.forceInterpreted) super[CodegenFallback].doGenCode(ctx, ev)
+    else defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextKernels.termCounts($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -699,49 +768,13 @@ case class WordLines(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_lines"
 
-  @inline private def isTok(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.wordLines(s.asInstanceOf[UTF8String], k)
 
-  override protected def nullSafeEval(s: Any): Any = {
-    val str = s.asInstanceOf[UTF8String].toLowerCase.toString
-    val len = str.length
-    var starts = new Array[Int](16)
-    var ends = new Array[Int](16)
-    var nTok = 0
-    var i = 0
-    while (i < len) {
-      while (i < len && !isTok(str.charAt(i))) i += 1
-      if (i < len) {
-        val s0 = i
-        while (i < len && isTok(str.charAt(i))) i += 1
-        if (nTok == starts.length) {
-          starts = java.util.Arrays.copyOf(starts, nTok * 2)
-          ends = java.util.Arrays.copyOf(ends, nTok * 2)
-        }
-        starts(nTok) = s0; ends(nTok) = i; nTok += 1
-      }
-    }
-    if (nTok == 0) return new GenericArrayData(Array.empty[Any])
-    val nLines = (nTok + k - 1) / k
-    val out = new Array[Any](nLines)
-    val sb = new java.lang.StringBuilder(64)
-    var w = 0
-    var li = 0
-    while (w < nTok) {
-      sb.setLength(0)
-      val end = math.min(w + k, nTok)
-      var j = w
-      while (j < end) {
-        if (j > w) sb.append(' ')
-        sb.append(str, starts(j), ends(j))
-        j += 1
-      }
-      out(li) = UTF8String.fromString(sb.toString)
-      li += 1
-      w += k
-    }
-    new GenericArrayData(out)
-  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (TextKernels.forceInterpreted) super[CodegenFallback].doGenCode(ctx, ev)
+    else defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextKernels.wordLines($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
