@@ -800,6 +800,28 @@ object SparkEntry {
       out
     }),
 
+    // REAL video decode, driver-checked: synthesize a deterministic
+    // uncompressed-DIB RIFF/AVI per doc (8 solid-gray 8x8 frames), run it
+    // through the container parser + frame decoder + grid-pooled
+    // brightness/motion featurizer, and let DuckDB recompute every feature
+    // analytically — the kernel's accumulations are integer sums with ONE
+    // double division, so values are bit-reproducible in plain SQL
+    "multimodal_video" -> ((s, dir) => {
+      val aviUdf = udf((id: Long) => graft.multimodal.Multimodal.synthAvi(id, 8))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), aviUdf(col("doc_id")).as("payload"))
+      val feat = graft.multimodal.Multimodal.featurizeVideo(docs, "payload",
+        grid = 2, maxFrames = 8)
+      feat.where(col("decoded"))
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("i", "v")))
+        .withColumn("cell", (col("i") % 4).cast("long"))
+        .withColumn("kind", when(col("i") < 4, "b").otherwise("m"))
+        .groupBy("doc_id", "cell")
+        .agg(max(when(col("kind") === "b", col("v"))).as("brightness"),
+          max(when(col("kind") === "m", col("v"))).as("motion"))
+        .orderBy("doc_id", "cell")
+    }),
+
     // ---- hybrid BM25 + vector search with RRF fusion (SURVEY §2.1 #16) ----
 
     // BM25 ranks over the FULL documents corpus, vector ranks over the FULL
@@ -1311,6 +1333,19 @@ object SparkEntry {
         |  ))::BIGINT AS cnt
         |FROM documents d, (SELECT unnest(range(0, 16)) AS bin) b
         |ORDER BY doc_id, bin""".stripMargin,
+    // analytic round-trip of the synthesized solid-gray DIB frames: frame f
+    // is gray g(f) = ((doc_id*13+f) % 32)*8; a 2x2 cell holds 16 pixels so
+    // its per-frame channel sum is 48*g(f); brightness = sum_f(48 g)/(3*255*16*8),
+    // motion = sum_{f}|48 dg|/(3*255*16*7) — integer sums, one division each
+    "multimodal_video" ->
+      """SELECT d.doc_id, c.cell,
+        |  (SELECT SUM(((d.doc_id*13 + f.f) % 32) * 8) FROM
+        |     (SELECT unnest(range(8)) AS f) f) * 48 / (3.0*255*16*8) AS brightness,
+        |  (SELECT SUM(ABS(((d.doc_id*13 + f.f + 1) % 32) * 8
+        |                  - ((d.doc_id*13 + f.f) % 32) * 8)) FROM
+        |     (SELECT unnest(range(7)) AS f) f) * 48 / (3.0*255*16*7) AS motion
+        |FROM documents d, (SELECT unnest(range(4)) AS cell) c
+        |ORDER BY doc_id, cell""".stripMargin,
     // analytic round-trip of the synthesized square wave: band RMS ==
     // round(amp*32767)/32768 with amp = ((doc_id*7 + band) % 16 + 1)/32
     "multimodal_audio" ->

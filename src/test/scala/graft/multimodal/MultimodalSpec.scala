@@ -144,6 +144,79 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.synthWav(3L, 4, 64), 4).toSeq)
   }
 
+  test("aviFrames + videoFeatures: real RIFF parse, exact DIB decode, " +
+      "analytic brightness/motion") {
+    val frames = 8
+    val avi = Multimodal.synthAvi(seed = 5L, frames)
+    val fs = Multimodal.aviFrames(avi)
+    assert(fs != null && fs.length == frames)
+    assert(fs.forall(f => f.width == 8 && f.height == 8))
+    // every pixel of frame f is solid gray ((5*13+f) % 32)*8
+    fs.zipWithIndex.foreach { case (f, fi) =>
+      val g = (((5L * 13 + fi) % 32) * 8).toByte
+      assert(f.rgb.forall(_ == g), s"frame $fi not solid gray $g")
+    }
+    val got = Multimodal.videoFeatures(avi, grid = 2, maxFrames = frames)
+    val grays = (0 until frames).map(f => ((5L * 13 + f) % 32) * 8)
+    val expB = grays.sum * 48 / (3.0 * 255 * 16 * 8)
+    val expM = grays.sliding(2).map(p => math.abs(p(1) - p(0))).sum * 48 /
+      (3.0 * 255 * 16 * 7)
+    assert(got.length == 8)
+    assert((0 until 4).forall(c => got(c) == expB), s"brightness ${got.toSeq}")
+    assert((4 until 8).forall(c => got(c) == expM), s"motion ${got.toSeq}")
+    // not-video payloads return null from the kernel
+    assert(Multimodal.aviFrames("not an avi at all".getBytes) == null)
+    assert(Multimodal.videoFeatures(Array.emptyByteArray) == null)
+  }
+
+  test("aviFrames decodes MJPEG (00dc) chunks through ImageIO") {
+    // minimal RIFF/AVI: header + movi LIST holding two JPEG frames
+    def jpeg(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val f1 = jpeg(30); val f2 = jpeg(220)
+    def pad(n: Int) = n + (n & 1)
+    val moviSize = 4 + (8 + pad(f1.length)) + (8 + pad(f2.length))
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + moviSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); bb.putInt(4 + 8 + moviSize); cc("AVI ")
+    cc("LIST"); bb.putInt(moviSize); cc("movi")
+    for (f <- Seq(f1, f2)) {
+      cc("00dc"); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    val avi = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val fs = Multimodal.aviFrames(avi)
+    assert(fs != null && fs.length == 2)
+    // JPEG is lossy: assert brightness ORDERING, not exact values
+    def mean(f: Multimodal.Frame): Double =
+      f.rgb.map(_ & 0xff).sum.toDouble / f.rgb.length
+    assert(mean(fs(0)) < 80 && mean(fs(1)) > 170,
+      s"decoded means ${mean(fs(0))}, ${mean(fs(1))}")
+  }
+
+  test("featurizeVideo: real decode for AVIs, stub fallback for blobs") {
+    import spark.implicits._
+    val rows = (0 until 6).map(i => (i.toLong, Multimodal.synthAvi(i.toLong, 8))) :+
+      (99L, Array.tabulate(64)(j => (j % 251).toByte))
+    val df = rows.toDF("media_id", "payload").repartition(3)
+    val out = Multimodal.featurizeVideo(df, "payload", grid = 2, maxFrames = 8)
+    val got = out.select("media_id", "features", "decoded").collect()
+      .map(r => r.getLong(0) -> (r.getAs[scala.collection.Seq[Double]](1), r.getBoolean(2)))
+      .toMap
+    assert(got(99L)._2 == false, "blob must report decoded=false")
+    assert((0 until 6).forall(i => got(i.toLong)._2), "all AVIs must decode")
+    assert(got(4L)._1 == Multimodal.videoFeatures(
+      Multimodal.synthAvi(4L, 8), 2, 8).toSeq)
+  }
+
   test("explodeFrames: stride sampling with frame index") {
     val df = mediaDf().where(col("media_id") === 0L)
     val frames = Multimodal.explodeFrames(df, "payload", frameSize = 50, stride = 2)
