@@ -42,7 +42,8 @@ object Curate {
        *  materialization barrier the gate projections re-evaluate per
        *  branch — the standard inter-stage persist every real curation run
        *  does. Disable for one-pass/constrained-storage runs; results are
-       *  identical. Callers can `spark.catalog.clearCache()` afterwards. */
+       *  identical. Use [[taggedStaged]] to release the caches once the
+       *  result is materialized (long-lived sessions). */
       cacheIntermediates: Boolean = true)
 
   /** A pipeline result plus ownership of the intermediate stage caches it
