@@ -1132,10 +1132,16 @@ object TextOps {
    * chains across ranges with a binary search per boundary. Deterministic
    * on any partition layout; pure integer arithmetic.
    *
-   * A budget above `spark.graft.pack.maxComposeBudget` (default 16M
-   * tokens) falls back to the serial per-group scan, whose boundary
-   * "head windows" the composition would otherwise have to collect (up
-   * to one entry per token of budget per boundary).
+   * Routing (both routes spec-pinned bit-identical): inputs whose
+   * scan-bounded plan estimate is under `spark.graft.pack.serialMaxBytes`
+   * (default 64 MB; 0 forces segmented) take the SERIAL one-shuffle scan —
+   * at toy scale the segmented engine's range sampling + composition
+   * passes are pure fixed cost, and a 64 MB corpus has no straggler
+   * problem a single task can't absorb. A budget above
+   * `spark.graft.pack.maxComposeBudget` (default 16M tokens) also falls
+   * back to the serial scan, whose boundary "head windows" the
+   * composition would otherwise have to collect (up to one entry per
+   * token of budget per boundary).
    */
   def packSequences(df: DataFrame, textCol: String, idCol: String,
       groupCol: String, budget: Long): DataFrame = {
@@ -1144,9 +1150,11 @@ object TextOps {
     val counted = countedForPack(df, textCol, idCol, groupCol)
     val maxCompose = spark.conf.getOption("spark.graft.pack.maxComposeBudget")
       .map(_.toLong).getOrElse(16L * 1024 * 1024)
-    if (budget <= maxCompose)
-      SegmentedPack.pack(counted, budget, groupCol, idCol)
-    else packSequencesSerial(counted, budget, groupCol, idCol)
+    val serialMax = spark.conf.getOption("spark.graft.pack.serialMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    if (budget > maxCompose || scanBoundedSizeEstimate(df) <= serialMax)
+      packSequencesSerial(counted, budget, groupCol, idCol)
+    else SegmentedPack.pack(counted, budget, groupCol, idCol)
   }
 
   /** NULL text packs as a zero-token document; rows without an id cannot

@@ -87,6 +87,7 @@ object ScaleSmoke {
     spark.conf.set("spark.graft.text.localRareMaxBytes", "0")
     spark.conf.set("spark.graft.neardup.broadcastMaxBytes", "0")
     spark.conf.set("spark.graft.ann.localExactMaxBytes", "0")
+    spark.conf.set("spark.graft.pack.serialMaxBytes", "0") // segmented route
 
     val ops = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
     def run(name: String)(body: => Long): Unit = {

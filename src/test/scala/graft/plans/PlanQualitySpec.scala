@@ -158,8 +158,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // range repartition) in the whole lineage — its passes must reuse that
     // shuffle's output, never add exchanges. The result is an RDD-backed
     // frame, so count ShuffleDependency in the RDD lineage, not Exchange
-    // nodes in the SQL plan.
-    val packRdd = TextOps.packSequences(docs, "text", "doc_id", "lang", 256L).rdd
+    // nodes in the SQL plan. (The size gate would route this toy corpus
+    // serial — force the segmented engine, the one under test.)
+    spark.conf.set("spark.graft.pack.serialMaxBytes", "0")
+    val packRdd =
+      try TextOps.packSequences(docs, "text", "doc_id", "lang", 256L).rdd
+      finally spark.conf.unset("spark.graft.pack.serialMaxBytes")
     def countShuffles(r: org.apache.spark.rdd.RDD[_],
         seen: scala.collection.mutable.Set[Int]): Int =
       if (!seen.add(r.id)) 0

@@ -16,6 +16,9 @@ class PackSequencesSkewSpec extends AnyFunSuite {
       .master("local[4]")
       // small ranges on purpose: groups MUST cross partition boundaries
       .config("spark.sql.shuffle.partitions", "7")
+      // force the SEGMENTED route (the size gate would send these toy
+      // corpora down the serial path, which is the parity REFERENCE here)
+      .config("spark.graft.pack.serialMaxBytes", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
