@@ -1436,9 +1436,18 @@ object Ann {
     val hits = scored.count { r =>
       !r.isNullAt(3) && kth.get(r.getLong(0)).exists(r.getDouble(1) <= _)
     }
+    // Metric note (changed round 8): `recall` is DISTANCE-THRESHOLDED — an
+    // index hit counts when its distance ≤ the exact k-th distance, so ties
+    // at the boundary are not penalized for the exact side's arbitrary id
+    // tiebreak. `recall_ids` is the stricter classic id-set recall
+    // (hit iff the returned id is in the exact top-k id set); emit both so
+    // trends stay comparable with pre-round-8 numbers and the 0.9 scale bar
+    // can name which metric it is pinned to.
+    val idHits = scored.count(r => r.getInt(2) <= k && !r.isNullAt(3)).toLong
     val recall = if (denom == 0) 0.0 else hits.toDouble / denom
-    Seq((name, k, sampleN.toLong, qRows.length.toLong, recall))
-      .toDF("name", "k", "sample_n", "eff_n", "recall")
+    val recallIds = if (denom == 0) 0.0 else idHits.toDouble / denom
+    Seq((name, k, sampleN.toLong, qRows.length.toLong, recall, recallIds))
+      .toDF("name", "k", "sample_n", "eff_n", "recall", "recall_ids")
   }
 
   /** `faiss_gpu_info()` analog: the JVM engine has no GPU backend; cluster

@@ -127,13 +127,15 @@ object Multimodal {
     val in = try {
       AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
     } catch { case scala.util.control.NonFatal(_) => return null }
+    // The conversion stream wraps `in`; closing it closes both. Track it so
+    // the finally releases whichever stream is outermost.
+    var pcm: javax.sound.sampled.AudioInputStream = in
     try {
       val base = in.getFormat
       val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
         base.getSampleRate, 16, base.getChannels, base.getChannels * 2,
         base.getSampleRate, false)
-      val pcm = if (base.matches(target)) in
-        else AudioSystem.getAudioInputStream(target, in)
+      if (!base.matches(target)) pcm = AudioSystem.getAudioInputStream(target, in)
       val bytes = pcm.readAllBytes()
       val ch = base.getChannels
       val nFrames = bytes.length / (2 * ch)
@@ -159,7 +161,7 @@ object Multimodal {
       Array.tabulate(bands)(b =>
         if (counts(b) == 0L) 0.0f else math.sqrt(sums(b) / counts(b)).toFloat)
     } catch { case scala.util.control.NonFatal(_) => null }
-    finally in.close()
+    finally pcm.close()
   }
 
   /** Batched per-partition audio featurization: decode each payload with
@@ -316,8 +318,13 @@ object Multimodal {
    */
   def videoFeatures(payload: Array[Byte], grid: Int = 2,
       maxFrames: Int = 64): Array[Double] = {
-    val fs = aviFrames(payload, maxFrames)
-    if (fs == null) return null
+    val fs0 = aviFrames(payload, maxFrames)
+    if (fs0 == null) return null
+    // Cell pixel counts are taken from frame 0, so frames of a different
+    // size (legal for arbitrary MJPEG `00dc` chunks) would mis-bin and can
+    // leave cellPix entries at 0 → NaN/Infinity features. Keep only frames
+    // matching frame 0's dimensions.
+    val fs = fs0.filter(f => f.width == fs0(0).width && f.height == fs0(0).height)
     val cells = grid * grid
     val n = fs.length
     // per-frame per-cell integer channel sums
@@ -346,12 +353,16 @@ object Multimodal {
       var bSum = 0L
       var fi = 0
       while (fi < n) { bSum += cellSums(fi)(c); fi += 1 }
-      out(c) = bSum.toDouble / (3.0 * 255 * cellPix(c) * n)
+      // cellPix(c) == 0 when the frame is smaller than the grid (e.g. a
+      // 1×1 frame with grid=2): emit 0.0 rather than NaN/Infinity.
+      out(c) =
+        if (cellPix(c) == 0L) 0.0 else bSum.toDouble / (3.0 * 255 * cellPix(c) * n)
       var mSum = 0L
       fi = 1
       while (fi < n) { mSum += math.abs(cellSums(fi)(c) - cellSums(fi - 1)(c)); fi += 1 }
       out(cells + c) =
-        if (n < 2) 0.0 else mSum.toDouble / (3.0 * 255 * cellPix(c) * (n - 1))
+        if (n < 2 || cellPix(c) == 0L) 0.0
+        else mSum.toDouble / (3.0 * 255 * cellPix(c) * (n - 1))
       c += 1
     }
     out

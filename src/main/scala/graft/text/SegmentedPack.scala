@@ -290,9 +290,14 @@ private[text] object SegmentedPack {
         }
       }
     }
+    // Nullability must match packSequencesSerial's tuple-encoder schema
+    // (String nullable, Longs non-null) — routing is size-gated, so the two
+    // routes must be indistinguishable to strict sinks/unions.
     spark.createDataFrame(outRdd, StructType(Seq(
-      StructField(groupCol, StringType), StructField(idCol, LongType),
-      StructField("n_tokens", LongType), StructField("seq_id", LongType),
-      StructField("seq_offset", LongType))))
+      StructField(groupCol, StringType, nullable = true),
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("seq_id", LongType, nullable = false),
+      StructField("seq_offset", LongType, nullable = false))))
   }
 }
