@@ -763,6 +763,39 @@ object SparkEntry {
       df
     }),
 
+    // the FILTERED rewrite path (reference README.md:164, src/ann_optimizer
+    // .cpp:479-481; test/sql/diskann_optimizer.test:66-88): a WHERE clause
+    // between the scan and the top-k makes the rule over-fetch k·mult + 100
+    // (default 130 for k=10), keep the user Filter to re-filter, and
+    // re-limit. Against the FLAT index the over-fetched window is the exact
+    // global top-130, and the vec_id % 3 filter keeps ≥ 77 of those at every
+    // shipped SF, so the filtered top-10 is bit-exact vs DuckDB's
+    // post-filter sort. The entry hard-fails unless the rewrite fired AND
+    // the over-fetch engaged (In-list strictly larger than k).
+    "ann_rewrite_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_rewrite_f",
+        Ann.BuildParams(engine = "flat"))
+      graft.plans.Graft.init(s)
+      val df = emb
+        .where(col("vec_id") % 3 =!= 0)
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("_distance"))
+        .orderBy(col("_distance")).limit(10)
+      val inSizes = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.exists(_.isInstanceOf[graft.plans.AnnRewrittenMarker]) =>
+          f.condition.collectFirst {
+            case in: org.apache.spark.sql.catalyst.expressions.In => in.list.size
+          }.getOrElse(0)
+      }
+      require(inSizes.nonEmpty,
+        "ann_rewrite_filtered: AnnTopKRule did not rewrite the filtered plan")
+      require(inSizes.exists(_ > 10),
+        s"ann_rewrite_filtered: overfetch did not engage (In sizes $inSizes, want > k=10)")
+      df
+    }),
+
     "neardup_cos_exact" -> ((s, dir) =>
       graft.text.TextOps.cosineExactPairs(
         t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)),
@@ -1317,6 +1350,15 @@ object SparkEntry {
       s"""SELECT vec_id,
          | list_distance(CAST(embedding AS DOUBLE[]), $q64Sql) AS _distance
          |FROM embeddings ORDER BY _distance, vec_id LIMIT 10""".stripMargin,
+    // exact despite the overfetch: the FLAT index's top-130 is the exact
+    // global top-130 and ≥ 77 of them pass vec_id % 3 != 0 at every shipped
+    // SF (checked), so re-filter + re-limit == DuckDB's post-filter top-10;
+    // filtered top-11 distances are distinct, so ordering is deterministic
+    "ann_rewrite_filtered" ->
+      s"""SELECT vec_id,
+         | list_distance(CAST(embedding AS DOUBLE[]), $q64Sql) AS _distance
+         |FROM embeddings WHERE vec_id % 3 != 0
+         |ORDER BY _distance, vec_id LIMIT 10""".stripMargin,
     "neardup_cos_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim
