@@ -19,9 +19,16 @@ import java.nio.channels.FileChannel
  * PersistenceSpec).
  *
  * Read-only by design: appends go to new delta shards (Ann.append), never
- * into a served image. SQ8-quantized shards keep the heap path — their
- * search must read dequantized values to preserve quantized semantics,
- * while this class serves the full-precision region.
+ * into a served image.
+ *
+ * SQ8-quantized shards serve from the mapped SQ8 APPENDIX (round-9): the
+ * cursor dequantizes the u8 codes straight out of the mapped region into a
+ * scratch row and runs the SAME Simd array kernels as the heap SQ8 cursor
+ * (VamanaIndex.newCursor), so quantized mmap and quantized heap serving are
+ * bit-identical — and the full-precision vector region's pages are never
+ * touched during search, which is where the reference's ~4x vector-memory
+ * reduction (rust_lib/src/provider.rs:161-241) materializes at serve time:
+ * resident set = quantized codes + adjacency, not raw floats.
  */
 final class DiskannMmapIndex private (
     buf: ByteBuffer, // mapped image, little-endian, position 0
@@ -32,7 +39,13 @@ final class DiskannMmapIndex private (
     val metric: Metric,
     val entryPoints: Array[Int],
     vecOff: Int,
-    adjOff: Int) extends GraphIndex with NodeStore {
+    adjOff: Int,
+    // SQ8 appendix (quantized serving); sq8DataOff < 0 = full-precision shard
+    sq8Min: Array[Float],
+    sq8Scale: Array[Float],
+    sq8DataOff: Long) extends GraphIndex with NodeStore {
+
+  def isQuantized: Boolean = sq8DataOff >= 0
 
   def size: Int = n
 
@@ -40,11 +53,30 @@ final class DiskannMmapIndex private (
     throw new UnsupportedOperationException(
       "mmap-served shard is read-only; appends create delta shards")
 
+  /** Dequantize node `id` from the mapped SQ8 codes — same arithmetic as
+   *  Sq8Data.dequantizeInto, so values match the heap reader bit-exactly. */
+  private def dequantizeInto(bb: ByteBuffer, id: Int, out: Array[Float],
+      outOff: Int): Unit = {
+    val off = sq8DataOff + id.toLong * dim
+    var d = 0
+    while (d < dim) {
+      out(outOff + d) =
+        sq8Min(d) + ((bb.get((off + d).toInt) & 0xff) / 255.0f) * sq8Scale(d)
+      d += 1
+    }
+  }
+
   def vector(id: Int): Array[Float] = {
     require(id >= 0 && id < n, s"label $id out of range [0, $n)")
     val out = new Array[Float](dim)
-    val fb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
-    fb.get(vecOff / 4 + id * dim, out, 0, dim)
+    if (isQuantized) {
+      // quantized semantics: reads return dequantized values (heap parity —
+      // VamanaIndex.vector dequantizes when quantized)
+      dequantizeInto(buf.duplicate().order(ByteOrder.LITTLE_ENDIAN), id, out, 0)
+    } else {
+      val fb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+      fb.get(vecOff / 4 + id * dim, out, 0, dim)
+    }
     out
   }
 
@@ -91,7 +123,26 @@ final class DiskannMmapIndex private (
    *  ZERO-COPY out of the mapped image (SimdKernels.l2SqBB/dotBB — lane
    *  structure mirrors the array kernels, keeping mmap and heap serving
    *  bit-identical). */
-  def newCursor(): NodeCursor = new NodeCursor {
+  def newCursor(): NodeCursor = if (isQuantized) new NodeCursor {
+    // quantized serving: dequantize mapped u8 codes into a private scratch
+    // row, then the SAME array kernels as the heap SQ8 cursor
+    // (VamanaIndex.newCursor) — bit-identical distances; the raw float
+    // region is never read, so its pages stay non-resident
+    private val qb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    private val ib = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN).asIntBuffer()
+    private val adjIntBase = adjOff / 4
+    private val scratch = new Array[Float](dim)
+    def dist(id: Int, q: Array[Float]): Float = {
+      dequantizeInto(qb, id, scratch, 0)
+      if (metric eq Metric.L2) Simd.l2Sq(scratch, 0, q, 0, dim)
+      else -Simd.dot(scratch, 0, q, 0, dim)
+    }
+    override def gatherable: Boolean = true
+    override def copyVector(id: Int, dst: Array[Float], dstOff: Int): Unit =
+      dequantizeInto(qb, id, dst, dstOff)
+    def neighborsInto(id: Int, out: Array[Int]): Int =
+      readNeighbors(ib, adjIntBase, id, out)
+  } else new NodeCursor {
     private val vb = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN)
     private val ib = buf.duplicate().order(ByteOrder.LITTLE_ENDIAN).asIntBuffer()
     private val adjIntBase = adjOff / 4
@@ -123,32 +174,38 @@ final class DiskannMmapIndex private (
     override def copyVector(id: Int, dst: Array[Float], dstOff: Int): Unit =
       gatherFb.get(vecOff / 4 + id * dim, dst, dstOff, dim)
 
-    def neighborsInto(id: Int, out: Array[Int]): Int = {
-      val base = adjIntBase + id * maxDegree
-      var j = 0
-      var done = false
-      while (j < maxDegree && !done) {
-        val nb = ib.get(base + j)
-        if (nb == DiskannFormat.PadSentinel) done = true
-        else if (nb < 0 || nb >= n)
-          // mapped bytes are untrusted: any id outside [0, n) that isn't the
-          // pad sentinel is corruption — fail like a parse error, not an
-          // IndexOutOfBounds from a negative buffer offset later
-          throw new IOException(
-            s".diskann mmap: corrupt adjacency for node $id: neighbor $nb outside [0, $n)")
-        else { out(j) = nb; j += 1 }
-      }
-      j
+    def neighborsInto(id: Int, out: Array[Int]): Int =
+      readNeighbors(ib, adjIntBase, id, out)
+  }
+
+  private def readNeighbors(ib: java.nio.IntBuffer, adjIntBase: Int, id: Int,
+      out: Array[Int]): Int = {
+    val base = adjIntBase + id * maxDegree
+    var j = 0
+    var done = false
+    while (j < maxDegree && !done) {
+      val nb = ib.get(base + j)
+      if (nb == DiskannFormat.PadSentinel) done = true
+      else if (nb < 0 || nb >= n)
+        // mapped bytes are untrusted: any id outside [0, n) that isn't the
+        // pad sentinel is corruption — fail like a parse error, not an
+        // IndexOutOfBounds from a negative buffer offset later
+        throw new IOException(
+          s".diskann mmap: corrupt adjacency for node $id: neighbor $nb outside [0, $n)")
+      else { out(j) = nb; j += 1 }
     }
+    j
   }
 }
 
 object DiskannMmapIndex {
 
   /**
-   * Map `path` and parse its header. Returns null when the shard carries an
-   * SQ8 appendix (quantized semantics require the heap reader) so callers
-   * fall back without a second header parse.
+   * Map `path` and parse its header. Shards with an SQ8 appendix are served
+   * QUANTIZED from the mapped codes (round-9; previously they fell back to
+   * the heap reader). Returns null only when the appendix is structurally
+   * present but unparseable — callers fall back to the heap reader, whose
+   * own parse raises the descriptive error.
    */
   def open(path: String, cosineMetadata: Boolean = false): DiskannMmapIndex = {
     val f = new File(path)
@@ -180,12 +237,36 @@ object DiskannMmapIndex {
       val adjOff = vecOff + n.toLong * dim * 4
       val end = adjOff + n.toLong * maxDeg * 4
       if (end > len) fail(path, s"file truncated: need $end bytes, have $len")
+      // optional SQ8 appendix: small bounded reads (tag + header + params)
+      // BEFORE mapping; the bulk qdata region is only ever touched lazily
+      // through the map during search
+      var sq8Min: Array[Float] = null
+      var sq8Scale: Array[Float] = null
+      var sq8DataOff = -1L
       if (len > end + 4) {
         val tag = new Array[Byte](4)
         raf.seek(end)
         raf.readFully(tag)
-        if (tag(0) == 'S' && tag(1) == 'Q' && tag(2) == '8' && tag(3) == 0)
-          return null // SQ8 shard: quantized semantics need the heap reader
+        if (tag(0) == 'S' && tag(1) == 'Q' && tag(2) == '8' && tag(3) == 0) {
+          val hdr2 = new Array[Byte](12)
+          raf.readFully(hdr2)
+          val h2 = ByteBuffer.wrap(hdr2).order(ByteOrder.LITTLE_ENDIAN)
+          val sqDim = h2.getInt(0)
+          val qlen = h2.getLong(4)
+          val dataOff = end + 4 + 12 + sqDim.toLong * 8
+          if (sqDim != dim || qlen != n.toLong * dim || dataOff + qlen > len)
+            return null // malformed appendix: heap reader raises the real error
+          val params = new Array[Byte](sqDim * 8)
+          raf.readFully(params)
+          val pb = ByteBuffer.wrap(params).order(ByteOrder.LITTLE_ENDIAN)
+          sq8Min = new Array[Float](sqDim)
+          sq8Scale = new Array[Float](sqDim)
+          var d = 0
+          while (d < sqDim) { sq8Min(d) = pb.getFloat(d * 4); d += 1 }
+          d = 0
+          while (d < sqDim) { sq8Scale(d) = pb.getFloat((sqDim + d) * 4); d += 1 }
+          sq8DataOff = dataOff
+        }
       }
       val buf = raf.getChannel.map(FileChannel.MapMode.READ_ONLY, 0, len)
       buf.order(ByteOrder.LITTLE_ENDIAN)
@@ -195,7 +276,7 @@ object DiskannMmapIndex {
       val metric = Metric.fromCode(metricCode, cosine = cosineMetadata)
       new DiskannMmapIndex(buf, dim, n, maxDeg,
         if (buildComplexity > 0) buildComplexity else VamanaIndex.DefaultBuildComplexity,
-        metric, eps, vecOff.toInt, adjOff.toInt)
+        metric, eps, vecOff.toInt, adjOff.toInt, sq8Min, sq8Scale, sq8DataOff)
     } finally raf.close()
   }
 

@@ -37,7 +37,9 @@ object ShardCache {
       val graph: GraphIndex =
         if (diskannPath.endsWith(".hnsw")) HnswFormat.readFile(diskannPath)
         else if (f.length() >= mmapThreshold) {
-          // null = SQ8 appendix present (quantized search needs heap decode)
+          // SQ8 shards serve quantized from the mapped appendix; null only
+          // on a malformed appendix — the heap reader then raises the
+          // descriptive parse error
           val mapped = DiskannMmapIndex.open(diskannPath, cosineMetadata = cosine)
           if (mapped != null) mapped
           else DiskannFormat.readFile(diskannPath, cosineMetadata = cosine)

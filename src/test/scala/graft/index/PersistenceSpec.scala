@@ -77,9 +77,34 @@ class PersistenceSpec extends AnyFunSuite {
         // vector() reconstruction must match too (vacuum/merge path)
         assert(heap.vector(0).toSeq == mm.vector(0).toSeq)
       }
-      // SQ8 shards refuse the mmap path (quantized search semantics)
+      // SQ8 shards serve QUANTIZED from the mapped appendix (round-9):
+      // bit-identical to the heap SQ8 reader — same dequantize arithmetic,
+      // same array kernels
       val sq8Meta = IndexCatalog.load(root, "p_sq8")
-      assert(DiskannMmapIndex.open(sq8Meta.shards.head.file) == null)
+      for (sh <- sq8Meta.shards) {
+        val heap = DiskannFormat.readFile(sh.file)
+        val mm = DiskannMmapIndex.open(sh.file)
+        assert(mm != null, "SQ8 shard must open via mmap (quantized route)")
+        assert(mm.isQuantized, "SQ8 shard must serve quantized")
+        for (probe <- 0 until 5) {
+          val pq = (0 until 64).map(i => ((i * 13 + probe * 7) % 32) / 32.0f).toArray
+          val (hi, hd) = heap.search(pq, 10, 64)
+          val (mi, md) = mm.search(pq, 10, 64)
+          assert(hi.toSeq == mi.toSeq, s"SQ8 mmap ids differ on shard ${sh.file}")
+          assert(hd.toSeq == md.toSeq, s"SQ8 mmap distances differ on shard ${sh.file}")
+        }
+        // vector() must return DEQUANTIZED values on both routes
+        assert(heap.vector(0).toSeq == mm.vector(0).toSeq)
+        // batch == per-query on the quantized mmap route
+        val qs = (0 until 3).map(p =>
+          (0 until 64).map(i => ((i * 11 + p * 5) % 32) / 32.0f).toArray).toArray
+        val batch = mm.searchBatch(qs, 10, 64)
+        qs.zipWithIndex.foreach { case (pq, bi) =>
+          val (si, sd) = mm.search(pq, 10, 64)
+          assert(batch(bi)._1.toSeq == si.toSeq && batch(bi)._2.toSeq == sd.toSeq,
+            "SQ8 mmap batch differs from per-query")
+        }
+      }
       // end-to-end: force every shard through mmap serving via the threshold
       System.setProperty("graft.ann.mmapThreshold", "0")
       try {
@@ -87,6 +112,17 @@ class PersistenceSpec extends AnyFunSuite {
         val viaMmap = Ann.search(df2, "vec_id", "p_diskann", q, 10, searchComplexity = 128)
           .collect().map(_.getLong(0)).toSeq
         assert(viaMmap == before, "mmap-served search differs from heap-served")
+        val sq8Heap = {
+          System.clearProperty("graft.ann.mmapThreshold")
+          ShardCache.invalidate()
+          Ann.search(df2, "vec_id", "p_sq8", q, 10, searchComplexity = 128)
+            .collect().map(_.getLong(0)).toSeq
+        }
+        System.setProperty("graft.ann.mmapThreshold", "0")
+        ShardCache.invalidate()
+        val sq8Mmap = Ann.search(df2, "vec_id", "p_sq8", q, 10, searchComplexity = 128)
+          .collect().map(_.getLong(0)).toSeq
+        assert(sq8Mmap == sq8Heap, "quantized mmap serving differs from heap")
       } finally {
         System.clearProperty("graft.ann.mmapThreshold")
         ShardCache.invalidate()
