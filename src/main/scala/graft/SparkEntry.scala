@@ -796,6 +796,38 @@ object SparkEntry {
       df
     }),
 
+    // GRAPH-index selection in the rewrite, driver-checked (the reference
+    // rewrites onto its DiskANN index, src/ann_optimizer.cpp:260-345; our
+    // rule prefers exact engines when several indexes cover a scan, so this
+    // entry uses the one (metric, column) combo only a graph index serves —
+    // cosine — and pins the selection via the marker's index name + catalog
+    // engine). Rows-only by nature: graph search is approximate, so there
+    // is no bit-exact oracle; the driver's rows>0 check plus the two
+    // `require`s still turn a silent selection regression into a hard fail.
+    "ann_rewrite_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_rewrite_g",
+        Ann.BuildParams(engine = "diskann", metric = "cosine", numShards = 2))
+      graft.plans.Graft.init(s)
+      val df = emb
+        .select(col("vec_id"),
+          array_cosine_similarity(toFloatVec(col("embedding")), floatVec(Q64))
+            .as("sim"))
+        .orderBy(col("sim").desc).limit(10)
+      val markers = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case m: graft.plans.AnnRewrittenMarker => m.indexName
+          }
+      }.flatten
+      require(markers.contains("v_rewrite_g"),
+        s"ann_rewrite_graph: rule did not select the graph index (markers $markers)")
+      val engine = graft.index.IndexCatalog.load(Ann.root(s), "v_rewrite_g").engine
+      require(engine == "diskann",
+        s"ann_rewrite_graph: selected index is not a graph engine ($engine)")
+      df
+    }),
+
     "neardup_cos_exact" -> ((s, dir) =>
       graft.text.TextOps.cosineExactPairs(
         t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)),

@@ -1249,6 +1249,43 @@ object Ann {
    *  distance expression ([[exactScanIds]]); pq/ivfpq rank by the same float
    *  ADC accumulation ([[pqScanIds]]/[[ivfPqScanIds]]), so near-float-ties
    *  select the same rows whether a query arrives alone or in a batch. */
+  /** Executor-JVM-wide ADC lookup-table cache for the TABLE-path quantized
+   *  scores in [[scoreTableExact]], scoped per plan by a driver-issued
+   *  token (captured in the scoring UDF's closure, so task retries see the
+   *  same token). Keyed (qid, probe); a hit verifies the stored query
+   *  bit-for-bit (`Arrays.equals`) before use, so a `__qid` that maps to a
+   *  different query in a later re-execution can never serve a stale table
+   *  — the qid is a cache locator, the query content is the authority.
+   *  At most 4 plan tokens stay resident (LRU); per-token footprint is
+   *  #queries × nprobe × m·k floats, the same bytes the broadcast payload
+   *  itself already carried when the LUT rode on the broadcast side. */
+  private object AdcLutCache {
+    final case class Entry(q: Array[Float], lut: Array[Float], off: Float)
+    private type Sub = java.util.concurrent.ConcurrentHashMap[(Long, Int), Entry]
+    private val tokens = new java.util.LinkedHashMap[Long, Sub](8, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, Sub]): Boolean =
+        size > 4
+    }
+    def get(token: Long, qid: Long, probe: Int, q: Array[Float])
+        (compute: => (Array[Float], Float)): Entry = {
+      val m = tokens.synchronized {
+        var mm = tokens.get(token)
+        if (mm == null) { mm = new Sub(); tokens.put(token, mm) }
+        mm
+      }
+      val key = (qid, probe)
+      val hit = m.get(key)
+      if (hit != null && java.util.Arrays.equals(hit.q, q)) hit
+      else {
+        val (l, o) = compute
+        val e = Entry(q, l, o)
+        m.put(key, e)
+        e
+      }
+    }
+  }
+  private val adcPlanTokens = new java.util.concurrent.atomic.AtomicLong()
+
   private def scoreTableExact(queriesDf: DataFrame, queryVecColumn: String,
       meta: IndexMeta, k: Int, tomb: Set[Long]): DataFrame = {
     val spark = queriesDf.sparkSession
@@ -1287,21 +1324,29 @@ object Ann {
     // a query table that also has id/vec/cluster columns can't capture them
     val base = spark.read.parquet(meta.sourcePath)
     // per-engine (joined plan, ranking score). pq/ivfpq never decode: the
-    // broadcast side carries each query's ADC lookup table and the score is
-    // PqCodec.adc over the codes — the very accumulation the single-query
-    // scans rank by, and m byte-lookups per pair instead of a d-float
-    // reconstruction.
+    // score is PqCodec.adc over the codes — the very accumulation the
+    // single-query scans rank by, and m byte-lookups per pair instead of a
+    // d-float reconstruction. Each (query, probe)'s m·k-float lookup table
+    // is NOT carried on the joined rows: shipping it per row cost ~8 KB of
+    // UDF array conversion per pair (measured 161 s for 512 queries ×
+    // nprobe 32 at 1.5M vectors — ~100M joined rows ≈ 800 GB of copying vs
+    // 7.8 s for the ivfflat join of the same shape). The executor computes
+    // each LUT once via [[AdcLutCache]]; the row carries only (__qid,
+    // __probe) and the d-float query it already carries for re-ranking.
     val (joined, rawScore): (DataFrame, Column) = meta.engine match {
       case "pq" =>
         val cb = PqCodec.read(s"$dirPath/pq.bin")
         val cbB = spark.sparkContext.broadcast(cb)
         val cbK = cb.k
-        val lutUdf = udf((q: Array[Float]) => PqCodec.lut(cbB.value, q, l2))
+        val token = adcPlanTokens.incrementAndGet()
         val adcQ = if (meta.opq) col("__qadc") else col("__q")
-        val withLut = prepped.withColumn("__lut", lutUdf(adcQ))
-        val adcUdf = udf((lutV: Array[Float], code: Array[Byte]) =>
-          PqCodec.adc(lutV, cbK, code))
-        (base.crossJoin(broadcast(withLut)), adcUdf(col("__lut"), base("code")))
+        val adcUdf = udf((qid: Long, q: Array[Float], code: Array[Byte]) => {
+          val e = AdcLutCache.get(token, qid, -1, q)(
+            (PqCodec.lut(cbB.value, q, l2), 0.0f))
+          PqCodec.adc(e.lut, cbK, code)
+        })
+        (base.crossJoin(broadcast(prepped)),
+          adcUdf(col("__qid"), adcQ, base("code")))
       case "ivfpq" =>
         // probe join on the cluster column (prunes when nprobe < nlist,
         // degrades to a full cluster-partitioned scan otherwise); per
@@ -1314,26 +1359,26 @@ object Ann {
         val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
         val centsB = spark.sparkContext.broadcast(cents)
         val nprobe = meta.nprobe
+        val token = adcPlanTokens.incrementAndGet()
         val probeUdf = udf((v: Array[Float]) => KMeansLite.nearestP(centsB.value, v, nprobe))
-        val lutUdf = udf((q: Array[Float], p: Int) => {
-          val c = centsB.value(p)
-          if (l2) {
-            val qr = new Array[Float](q.length)
-            var i = 0
-            while (i < q.length) { qr(i) = q(i) - c(i); i += 1 }
-            (PqCodec.lut(cbB.value, qr, l2 = true), 0.0f)
-          } else (PqCodec.lut(cbB.value, q, l2 = false), -VectorOps.dot(q, c))
+        val adcUdf = udf((qid: Long, probe: Int, q: Array[Float], code: Array[Byte]) => {
+          val e = AdcLutCache.get(token, qid, probe, q) {
+            val c = centsB.value(probe)
+            if (l2) {
+              val qr = new Array[Float](q.length)
+              var i = 0
+              while (i < q.length) { qr(i) = q(i) - c(i); i += 1 }
+              (PqCodec.lut(cbB.value, qr, l2 = true), 0.0f)
+            } else (PqCodec.lut(cbB.value, q, l2 = false), -VectorOps.dot(q, c))
+          }
+          PqCodec.adc(e.lut, cbK, code) + e.off
         })
-        val probed = prepped
-          .withColumn("__probe", explode(probeUdf(col("__q"))))
-          .withColumn("__lutoff", lutUdf(col("__q"), col("__probe")))
-        val adcUdf = udf((lutV: Array[Float], off: Float, code: Array[Byte]) =>
-          PqCodec.adc(lutV, cbK, code) + off)
+        val probed = prepped.withColumn("__probe", explode(probeUdf(col("__q"))))
         // same popularity-skew rebalance as the ivfflat probe join below
         val stream = if (rebalanceProbedScan(spark, queriesDf, meta.dim))
           base.repartition(spark.sessionState.conf.numShufflePartitions) else base
         (stream.join(broadcast(probed), stream("cluster") === probed("__probe")),
-          adcUdf(col("__lutoff._1"), col("__lutoff._2"), stream("code")))
+          adcUdf(col("__qid"), col("__probe"), col("__q"), stream("code")))
       case "ivfflat" if meta.nprobe < meta.nlist =>
         val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
         val centsB = spark.sparkContext.broadcast(cents)

@@ -169,12 +169,25 @@ object AnnScaleSmoke {
         Ann.BuildParams(engine = "ivfpq", nlist = 256, nprobe = 32, pqM = 8))
       n
     }
+    // RFlat refine: the accuracy knob — same ADC candidate ranking, then an
+    // exact re-rank of refineFactor·k candidates against the raw vectors
+    // (which the index must therefore keep — the storage win is traded
+    // back). Measured beside plain ivfpq so the matrix shows both ends.
+    if (!haveIndex("as_ivfpqr")) run("ivfpqr_build") {
+      Ann.buildIndex(emb, "embedding", "vec_id", "as_ivfpqr",
+        Ann.BuildParams(engine = "ivfpq", nlist = 256, nprobe = 32, pqM = 8,
+          refine = true))
+      n
+    }
     run("sq8_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_sq8", 10,
         searchComplexity = 256).count()
     }
     run("ivfpq_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfpq", 10).count()
+    }
+    run("ivfpqr_search_table_512q") {
+      Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfpqr", 10).count()
     }
 
     // ---- measured recall@10 vs exact brute force over the full corpus ----
@@ -194,6 +207,8 @@ object AnnScaleSmoke {
     System.err.println(f"[annscale] sq8 recall@10 = $sq8Recall%.4f (ids $sq8RecallIds%.4f)")
     val (pqRecall, pqRecallIds) = recallOf("as_ivfpq", "ivfpq_recall_at10_200q")
     System.err.println(f"[annscale] ivfpq recall@10 = $pqRecall%.4f (ids $pqRecallIds%.4f)")
+    val (pqrRecall, pqrRecallIds) = recallOf("as_ivfpqr", "ivfpqr_recall_at10_200q")
+    System.err.println(f"[annscale] ivfpq+rflat recall@10 = $pqrRecall%.4f (ids $pqrRecallIds%.4f)")
 
     // ---- quantized memory accounting (measured, not claimed) ----
     // Regions a search actually reads per route (exact byte math from the
@@ -247,9 +262,12 @@ object AnnScaleSmoke {
     val ivfpqBytes =
       if (haveIndex("as_ivfpq")) dirBytes(IndexCatalog.load(Ann.root(spark), "as_ivfpq").sourcePath)
       else 0L
+    val ivfpqrBytes =
+      if (haveIndex("as_ivfpqr")) dirBytes(IndexCatalog.load(Ann.root(spark), "as_ivfpqr").sourcePath)
+      else 0L
     System.err.println(
       f"[annscale] ivf storage ${ivfBytes / 1e6}%.1f MB vs ivfpq ${ivfpqBytes / 1e6}%.1f MB " +
-      f"(${ivfBytes.toDouble / math.max(1, ivfpqBytes)}%.1fx)")
+      f"(${ivfBytes.toDouble / math.max(1, ivfpqBytes)}%.1fx); ivfpq+rflat ${ivfpqrBytes / 1e6}%.1f MB")
 
     // ---- serve-latency percentiles (round-9 verdict item 3): 200 warm ----
     // sequential single-query searches against the mmap-served graph.
@@ -312,6 +330,8 @@ object AnnScaleSmoke {
       s""""ivfpq":{"recall_at10":$pqRecall,"recall_at10_ids":$pqRecallIds,""" +
       s""""ivf_storage_bytes":$ivfBytes,"ivfpq_storage_bytes":$ivfpqBytes,""" +
       s""""storage_ratio":${ivfBytes.toDouble / math.max(1, ivfpqBytes)}},""" +
+      s""""ivfpq_rflat":{"recall_at10":$pqrRecall,"recall_at10_ids":$pqrRecallIds,""" +
+      s""""storage_bytes":$ivfpqrBytes},""" +
       s""""latency":$latJson,""" +
       s""""worst_task_skew":$worst}"""
     println(json)
