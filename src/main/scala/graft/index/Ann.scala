@@ -1254,18 +1254,27 @@ object Ann {
    *  token (captured in the scoring UDF's closure, so task retries see the
    *  same token). Keyed (qid, probe); a hit verifies the stored query
    *  bit-for-bit (`Arrays.equals`) before use, so a `__qid` that maps to a
-   *  different query in a later re-execution can never serve a stale table
-   *  — the qid is a cache locator, the query content is the authority.
-   *  At most 4 plan tokens stay resident (LRU); per-token footprint is
-   *  #queries × nprobe × m·k floats, the same bytes the broadcast payload
-   *  itself already carried when the LUT rode on the broadcast side. */
-  private object AdcLutCache {
+   *  different query in a later re-execution (task retry, stage
+   *  re-attempt, speculative duplicate) can never serve a stale table —
+   *  the qid is a cache locator, the query content is the authority, and a
+   *  mismatch recomputes from the authoritative bytes (pinned by
+   *  AdcLutCacheSpec). At most 4 plan tokens stay resident (LRU), and
+   *  entries are held through [[java.lang.ref.SoftReference]]s so a
+   *  finished plan's LUTs (#queries × nprobe × m·k floats — ~136 MB for
+   *  512 q × nprobe 32 × 8×256 floats) are reclaimable under heap
+   *  pressure instead of pinning executor heap until 4 newer plans arrive;
+   *  a collected entry is indistinguishable from a miss and recomputes. */
+  private[graft] object AdcLutCache {
     final case class Entry(q: Array[Float], lut: Array[Float], off: Float)
-    private type Sub = java.util.concurrent.ConcurrentHashMap[(Long, Int), Entry]
+    private type Ref = java.lang.ref.SoftReference[Entry]
+    private type Sub = java.util.concurrent.ConcurrentHashMap[(Long, Int), Ref]
     private val tokens = new java.util.LinkedHashMap[Long, Sub](8, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[Long, Sub]): Boolean =
         size > 4
     }
+    /** Compute invocations — observability for AdcLutCacheSpec only. */
+    private[graft] val computes = new java.util.concurrent.atomic.AtomicLong()
+    private[graft] def residentTokens: Int = tokens.synchronized(tokens.size)
     def get(token: Long, qid: Long, probe: Int, q: Array[Float])
         (compute: => (Array[Float], Float)): Entry = {
       val m = tokens.synchronized {
@@ -1274,12 +1283,14 @@ object Ann {
         mm
       }
       val key = (qid, probe)
-      val hit = m.get(key)
+      val ref = m.get(key)
+      val hit = if (ref == null) null else ref.get()
       if (hit != null && java.util.Arrays.equals(hit.q, q)) hit
       else {
+        computes.incrementAndGet()
         val (l, o) = compute
         val e = Entry(q, l, o)
-        m.put(key, e)
+        m.put(key, new Ref(e))
         e
       }
     }
