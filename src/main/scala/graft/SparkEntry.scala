@@ -33,6 +33,30 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Read events.parquet robustly across testdata generations. Older fixtures
+    * wrote `ts` as parquet TIMESTAMP(NANOS), which Spark can only read as a
+    * nanos-as-long LongType (legacy conf); newer fixtures write
+    * TIMESTAMP_NTZ(µs), which reads as a timestamp. Returns the original
+    * columns plus `tus` = epoch micros as LONG — identical under both shapes
+    * (DuckDB's parquet reader truncates a NANOS column to µs the same way).
+    * The legacy conf is scoped to a child session (shared SparkContext,
+    * isolated SQLConf) so concurrent queries never observe the toggle; on a
+    * µs file the conf is a no-op. UTC pins the NTZ→epoch interpretation to
+    * DuckDB's naive-timestamp `epoch_us` semantics.
+    */
+  def readEvents(s: SparkSession, dir: String): DataFrame = {
+    val child = s.newSession()
+    child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    child.conf.set("spark.sql.session.timeZone", "UTC")
+    val ev = child.read.parquet(s"$dir/events.parquet")
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("tus", expr("ts div 1000"))
+      case _ =>
+        ev.withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * ANN top-k over the embeddings table through the DiskANN index path. */
   def entry(spark: SparkSession): DataFrame = {
@@ -152,16 +176,12 @@ object SparkEntry {
     }),
 
     "events_agg" -> ((s, dir) => {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as long
-      // (nanosAsLong); group by hour as epoch seconds so the oracle compare is
-      // integer-exact in both engines. The conf is scoped to a child session
-      // (shared SparkContext, isolated SQLConf) so concurrent queries on the
-      // main session never observe the toggle.
-      val nanoSession = s.newSession()
-      nanoSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = nanoSession.read.parquet(s"$dir/events.parquet")
-      ev.groupBy(col("event_type"),
-          ((col("ts") - col("ts") % 3600000000000L) / 1000000000L)
+      // group by hour as epoch seconds so the oracle compare is integer-exact
+      // in both engines; readEvents normalizes ts to epoch-µs `tus` across
+      // testdata generations (TIMESTAMP(NANOS) vs TIMESTAMP_NTZ(µs)).
+      readEvents(s, dir)
+        .groupBy(col("event_type"),
+          ((col("tus") - col("tus") % 3600000000L) / 1000000L)
             .cast("long").as("h"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
         .orderBy("event_type", "h")
@@ -170,9 +190,7 @@ object SparkEntry {
     // semi-structured JSON: extract a typed field from the props payload
     // and aggregate — codegen'd get_json_object, integer-exact outputs
     "events_json" -> ((s, dir) => {
-      val nanoSession = s.newSession()
-      nanoSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      nanoSession.read.parquet(s"$dir/events.parquet")
+      readEvents(s, dir)
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
@@ -181,16 +199,13 @@ object SparkEntry {
     }),
 
     // gaps-and-islands sessionization over the event stream: a >30-min gap
-    // starts a new session. Timestamps truncate to exact epoch-micros longs
-    // (`div` = integer division; DuckDB's parquet reader truncates the
-    // TIMESTAMP_NANOS column to µs the same way), so the whole computation
-    // — gap compare, session ids, min/max — is integer-exact in both
-    // engines. Partition-parallel by user_id.
+    // starts a new session. Timestamps are exact epoch-micros longs via
+    // readEvents, so the whole computation — gap compare, session ids,
+    // min/max — is integer-exact in both engines. Partition-parallel by
+    // user_id.
     "events_sessionize" -> ((s, dir) => {
-      val nanoSession = s.newSession()
-      nanoSession.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = nanoSession.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
+      val ev = readEvents(s, dir)
+        .select(col("user_id"), col("tus"), col("event_id"))
       // one-shuffle per-user scan (Sessionize.sessionizeBatch) — row-identical
       // to the lag → cumsum → groupBy windowed shape the oracle SQL runs,
       // including the strict-> gap boundary that matches session_window
@@ -734,6 +749,16 @@ object SparkEntry {
         Ann.BuildParams(engine = "flat"))
       Ann.indexScan(s, "v_scan", q64Arr, 10)
         .orderBy("_distance", "row_id")
+    }),
+
+    // job-free single-query serving surface over an EXACT engine → the
+    // local route's arithmetic is bit-oracle-able, same contract as
+    // ann_index_scan (searchHits already returns (distance, id)-sorted rows)
+    "ann_serve_local" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_servelocal",
+        Ann.BuildParams(engine = "flat"))
+      Ann.searchHits(s, "v_servelocal", q64Arr, 10)
     }),
 
     // ---- transparent optimizer rewrite (SURVEY §2.1 #8/#21), driver-checked:
@@ -1369,6 +1394,13 @@ object SparkEntry {
          |  FROM embeddings ORDER BY __dd, vec_id LIMIT 10
          |) ORDER BY _distance, vec_id""".stripMargin,
     "ann_index_scan" ->
+      s"""SELECT row_id, _distance FROM (
+         |  SELECT vec_id AS row_id,
+         |    CAST(${d2Sql("embedding", q64Sql)} AS FLOAT) AS _distance,
+         |    ${d2Sql("embedding", q64Sql)} AS __dd
+         |  FROM embeddings ORDER BY __dd, vec_id LIMIT 10
+         |) ORDER BY _distance, row_id""".stripMargin,
+    "ann_serve_local" ->
       s"""SELECT row_id, _distance FROM (
          |  SELECT vec_id AS row_id,
          |    CAST(${d2Sql("embedding", q64Sql)} AS FLOAT) AS _distance,

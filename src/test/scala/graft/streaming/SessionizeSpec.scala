@@ -123,10 +123,8 @@ class SessionizeSpec extends AnyFunSuite {
   }
 
   test("sessionizeBatch scan == windowed lag/cumsum formulation on real events") {
-    val nano = spark.newSession()
-    nano.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = nano.read.parquet("/root/testdata/sf0.01/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
+    val ev = graft.SparkEntry.readEvents(spark, "/root/testdata/sf0.01")
+      .select(col("user_id"), col("tus"), col("event_id"))
     val gapUs = 30L * 60 * 1000000L
     val scan = Sessionize.sessionizeBatch(ev, "user_id", "tus", "event_id", gapUs)
       .orderBy("user_id", "session_seq")
