@@ -46,26 +46,49 @@ object Bench {
     val buildTimed = Set("streaming_build_info")
     val buildTrials =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUILD_TRIALS", "5").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val nTrials = if (buildTimed(name)) math.max(trials, buildTrials) else trials
-      val times = (1 to math.max(1, nTrials)).flatMap { i =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case t: Throwable =>
-          System.err.println(s"[bench] $name trial $i FAILED: $t")
-          None
+    // Duration-scaled trials: min-of-2 is enough for sub-second entries
+    // (host-load spikes are longer than the entry, so one of two trials is
+    // clean), but a multi-second entry overlaps any spike on BOTH trials —
+    // min-of-2 once misreported a 0.17 s window query as 3.99 s on a loaded
+    // driver host. Any entry whose FIRST trial exceeds slowSec gets
+    // slowTrials total, so the min is taken over enough samples to find a
+    // clean one.
+    val slowSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_SEC", "2.0").toDouble
+    val slowTrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_TRIALS", "5").toInt
+    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.map {
+      case (name, fn) =>
+        var target =
+          math.max(1, if (buildTimed(name)) math.max(trials, buildTrials) else trials)
+        var times = Vector.empty[Double]
+        var i = 0
+        while (i < target) {
+          i += 1
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            times :+= (System.nanoTime() - t0) / 1e9
+          } catch { case t: Throwable =>
+            System.err.println(s"[bench] $name trial $i FAILED: $t")
+          }
+          if (i == 1 && times.headOption.exists(_ > slowSec))
+            target = math.max(target, slowTrials)
         }
-      }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+        name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.nonEmpty) fmt(ts.min) else "-1.0")
+    }.mkString("{", ",", "}")
+    // per-trial times so the artifact shows spread: a real regression is
+    // slow on EVERY trial; driver-host jitter is slow on some and not others
+    val tj = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // failed queries (-1 markers) stay visible per-query but don't skew the total
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
     val bt = buildTimed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build_timed":$bt,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"trial_times":$tj,"build_timed":$bt,"slow_sec":$slowSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
