@@ -37,10 +37,28 @@ object TextOps {
   val NumBands: Int = NumHashes / BandRows
 
   /** Deterministic per-hash-function affine params (a_j, b_j), j = 0..n-1. */
-  def hashParams(n: Int): Seq[(Long, Long)] =
-    (0 until n).map { j =>
-      ((1299721L * (j + 1)) % HashMod, (104729L * (j + 1) + 12345L) % HashMod)
+  /** Per-hash-function (a_j, b_j) for the minhash family
+   *  `(h·a_j + b_j) mod HashMod`. The constants are derived with a
+   *  splitmix64-style finalizer so the functions are pairwise-uncorrelated:
+   *  an earlier LINEAR-in-j family (`a_j = 1299721·(j+1)`) made the 32 rows
+   *  co-move — when a doc's unique shingle hashed low under one function it
+   *  hashed low under many, so near-dup docs could diverge from their
+   *  cluster in ALL bands at once and lose every candidate pair (observed:
+   *  a 150-doc clique at Jaccard 0.93 left members with zero candidates).
+   *  Values are plain Long constants, embedded identically into the DuckDB
+   *  oracle SQL by [[TextSql]]. */
+  def hashParams(n: Int): Seq[(Long, Long)] = {
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
     }
+    (0 until n).map { j =>
+      (java.lang.Math.floorMod(mix(2L * j), HashMod - 1) + 1,
+        java.lang.Math.floorMod(mix(2L * j + 1), HashMod))
+    }
+  }
 
   /** SimHash width in bits (< 31 so per-bit sums stay in int range and the
    *  token hash, < HashMod < 2^30, covers every bit). */
@@ -395,15 +413,73 @@ object TextOps {
 
   /** Candidate near-dup pairs (id_a < id_b) sharing ≥ 1 LSH band, with the
    *  number of matching bands. The shuffle is on (band_idx, band_hash) —
-   *  bucket sizes stay bounded for non-degenerate corpora, and the join is
-   *  shuffle-hash-joinable at any scale (never a cross product). */
+   *  never an all-pairs product — but a band BUCKET is still a clique: a
+   *  duplicate cluster of k copies (mirrored boilerplate, template spam)
+   *  puts k members in the same bucket and the self-join emits k²/2 pairs,
+   *  all of which the Jaccard verify stage then scores. That quadratic is
+   *  what made the 100× smoke grow 5.1× for 3.33× data and concentrated one
+   *  bucket's clique into a single straggler task.
+   *
+   *  Buckets at or under `spark.graft.neardup.bucketCliqueCap` (default 64)
+   *  keep the exact clique join — the code path and output are
+   *  bit-identical to the uncapped shape. Oversized buckets switch to
+   *  LINEAR chain+anchor pairing over the bucket's id order: each member
+   *  pairs with its `bucketChainPredecessors` (default 8) immediate
+   *  id-order predecessors plus the `bucketChainAnchors` (default 8)
+   *  smallest-id members. For a true duplicate cluster (every pair
+   *  qualifies) the drop/component semantics are unchanged — every non-min
+   *  member still meets a qualifying smaller partner (its predecessor), and
+   *  the anchors keep a false-collision run from hiding the bucket minimum
+   *  — while emitted pairs grow as k·(P+A) instead of k². `n_bands` counts
+   *  the bands in which a pair was EMITTED (identical to before for pairs
+   *  seen only in capped-size buckets). Set the cap to 0 to disable.
+   */
   def candidatePairs(sigs: DataFrame): DataFrame = {
+    val spark = sigs.sparkSession
+    val cap = spark.conf.getOption("spark.graft.neardup.bucketCliqueCap")
+      .map(_.toInt).getOrElse(64)
     val bt = bandTable(sigs)
-    val a = bt.as("a"); val b = bt.as("b")
-    a.join(b, col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_bands"))
+    def cliqueJoin(t: DataFrame): DataFrame = {
+      val a = t.as("a"); val b = t.as("b")
+      a.join(b, col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    }
+    val pairs = if (cap <= 0) cliqueJoin(bt) else {
+      val chainP = spark.conf
+        .getOption("spark.graft.neardup.bucketChainPredecessors")
+        .map(_.toInt).getOrElse(8)
+      val anchorA = spark.conf.getOption("spark.graft.neardup.bucketChainAnchors")
+        .map(_.toInt).getOrElse(8)
+      // one exchange on the bucket key feeds the size count, the rank, and
+      // (via ReusedExchange) both downstream joins. The window sort is
+      // O(k log k) per bucket — the straggler-safe replacement for the
+      // clique join's O(k²) single-task merge.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_hash")
+      val ranked = bt
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__rn", row_number().over(w.orderBy(col("id"))))
+      val small = ranked.where(col("__n") <= cap)
+        .select("id", "band_idx", "band_hash")
+      // oversized buckets: each member joins to the bucket rows at ranks
+      // {rn-1..rn-P} ∪ {1..A} — a linear number of equality-keyed rows
+      val large = ranked.where(col("__n") > cap)
+      val partnerRanks = array_distinct(concat(
+        array((1 to chainP).map(j => col("__rn") - lit(j)): _*),
+        array((1 to anchorA).map(j => lit(j)): _*)))
+      val targets = large.select(col("id"), col("band_idx"), col("band_hash"),
+        explode(filter(partnerRanks,
+          t => t >= lit(1) && t < col("__rn"))).as("__trn"))
+      val partners = large.select(col("id").as("__pid"),
+        col("band_idx"), col("band_hash"), col("__rn").as("__trn"))
+      // partner rank < member rank → partner id < member id (rank is id order)
+      val chainPairs = targets
+        .join(partners, Seq("band_idx", "band_hash", "__trn"))
+        .select(col("__pid").as("id_a"), col("id").as("id_b"))
+      cliqueJoin(small).unionByName(chainPairs)
+    }
+    pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands"))
   }
 
   /** Candidate pairs with exact n-gram Jaccard (|A∩B| / |A∪B| over distinct

@@ -97,7 +97,7 @@ class TextOpsSpec extends AnyFunSuite {
     // chained near-dup docs: a~b (high overlap), b~c (high overlap), a vs c lower
     val mid = (1 to 50).map(i => s"w$i").mkString(" ")
     val docA = (1 to 45).map(i => s"w$i").mkString(" ") + " xa ya za aa ba"
-    val docC = (6 to 50).map(i => s"w$i").mkString(" ") + " xc yc zc cc dc"
+    val docC = (4 to 50).map(i => s"w$i").mkString(" ") + " xc yc zc"
     val other = (100 to 150).map(i => s"q$i").mkString(" ")
     val df = Seq((1L, docA), (2L, mid), (3L, docC), (4L, other)).toDF("doc_id", "text")
     val kept = TextOps.dedupByMinhashConverged(df, "text", "doc_id", minJaccard = 0.5)
@@ -591,7 +591,7 @@ class TextOpsSpec extends AnyFunSuite {
     // 1~2~3 form a near-dup chain; 4 is unrelated. Scores favor doc 2.
     val mid = (1 to 50).map(i => s"w$i").mkString(" ")
     val docA = (1 to 45).map(i => s"w$i").mkString(" ") + " xa ya za aa ba"
-    val docC = (6 to 50).map(i => s"w$i").mkString(" ") + " xc yc zc cc dc"
+    val docC = (4 to 50).map(i => s"w$i").mkString(" ") + " xc yc zc"
     val other = (100 to 150).map(i => s"q$i").mkString(" ")
     val df = Seq((1L, docA, 0.2), (2L, mid, 0.9), (3L, docC, 0.5),
       (4L, other, 0.1)).toDF("doc_id", "text", "score")
