@@ -879,6 +879,30 @@ object Ann {
   }
 
   /**
+   * Single-query serving surface: top k·oversample `(row_id, _distance)` as
+   * a LOCAL relation — no Spark job anywhere on the path. The search itself
+   * already runs driver-local for eligible indexes (graph engines under
+   * [[localSearchMaxShards]] serve from the mmap shard cache; small exact/
+   * quantized engines from [[ExactServe]]); what made [[search]]'s e2e p50
+   * ~70× the in-process search cost was the base-row fetch-back JOB, which
+   * exists only to attach base-table columns. A serving caller that needs
+   * ids + distances (the reference's `ann_search` row shape,
+   * src/ann_search.cpp:55-195) skips it entirely: the collected hits
+   * materialize as a `LocalRelation`, so `.collect()` is job-free and
+   * end-to-end latency ≈ the index search itself. Bit-parity with
+   * [[search]]'s `(id, _distance)` projection is pinned by AnnServeLocalSpec.
+   * Falls back to a distributed scan + collect transparently for indexes
+   * too large for the local routes.
+   */
+  def searchHits(spark: SparkSession, name: String, query: Array[Float],
+      k: Int, searchComplexity: Int = 0, oversample: Int = 1): DataFrame = {
+    val hits = collectHits(spark, name, query, k, searchComplexity, oversample)
+    spark.createDataFrame(hits.toSeq.map(h => Row(h._1, h._2)).asJava,
+      StructType(Seq(StructField("row_id", LongType, nullable = false),
+        StructField("_distance", FloatType, nullable = false))))
+  }
+
+  /**
    * `ann_range_search`: every row within `radius` of `query` under the
    * index's engine distance semantics (squared L2 / negated IP / negated
    * cosine — same `_distance` column as [[search]]); the FAISS

@@ -298,6 +298,17 @@ object AnnScaleSmoke {
       }.sorted
       qs200.length.toLong
     }
+    // the job-free serving surface (Ann.searchHits → LocalRelation): e2e
+    // for an ids+distances caller, the r9-item-6 driver-local serve
+    var e2eLocalLat: Array[Double] = Array()
+    run("latency_e2e_local_200q") {
+      e2eLocalLat = qs200.map { q =>
+        val t0 = System.nanoTime()
+        Ann.searchHits(spark, "as_disk", q, 10, searchComplexity = 256).collect()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      qs200.length.toLong
+    }
     val latJson = if (searchLat.isEmpty || e2eLat.isEmpty) "null" else {
       System.err.println(
         f"[annscale] latency: search p50 ${pct(searchLat, 0.5)}%.1f / p95 " +
@@ -308,6 +319,9 @@ object AnnScaleSmoke {
       s""""p95":${pct(searchLat, 0.95)},"p99":${pct(searchLat, 0.99)}},""" +
       s""""e2e_ms":{"p50":${pct(e2eLat, 0.50)},"p95":${pct(e2eLat, 0.95)},""" +
       s""""p99":${pct(e2eLat, 0.99)}},""" +
+      (if (e2eLocalLat.isEmpty) "" else
+        s""""e2e_local_ms":{"p50":${pct(e2eLocalLat, 0.50)},""" +
+        s""""p95":${pct(e2eLocalLat, 0.95)},"p99":${pct(e2eLocalLat, 0.99)}},""") +
       s""""job_overhead_p50_ms":${pct(e2eLat, 0.50) - pct(searchLat, 0.50)}}"""
     }
 
