@@ -1291,7 +1291,8 @@ object Ann {
   private[graft] object AdcLutCache {
     final case class Entry(q: Array[Float], lut: Array[Float], off: Float)
     private type Ref = java.lang.ref.SoftReference[Entry]
-    private type Sub = java.util.concurrent.ConcurrentHashMap[(Long, Int), Ref]
+    private[graft] type Sub =
+      java.util.concurrent.ConcurrentHashMap[java.lang.Long, Ref]
     private val tokens = new java.util.LinkedHashMap[Long, Sub](8, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[Long, Sub]): Boolean =
         size > 4
@@ -1299,25 +1300,40 @@ object Ann {
     /** Compute invocations — observability for AdcLutCacheSpec only. */
     private[graft] val computes = new java.util.concurrent.atomic.AtomicLong()
     private[graft] def residentTokens: Int = tokens.synchronized(tokens.size)
-    def get(token: Long, qid: Long, probe: Int, q: Array[Float])
+    /** Resolve the per-plan sub-map ONCE (global lock + LRU touch). Callers
+     *  on the per-row hot path hold the Sub and go through [[getIn]], which
+     *  is lock-free — routing every row through this synchronized block
+     *  serialized all 32 scoring threads (the ~100M-row probe join spent
+     *  more time contending here than computing distances). */
+    private[graft] def subFor(token: Long): Sub = tokens.synchronized {
+      var mm = tokens.get(token)
+      if (mm == null) { mm = new Sub(); tokens.put(token, mm) }
+      mm
+    }
+    /** (qid, probe) packed to one boxed-Long CHM key. qids on this path are
+     *  driver-assigned indexes (< 2^31); probe is -1 (pq) or < nlist. */
+    @inline private def key(qid: Long, probe: Int): java.lang.Long =
+      java.lang.Long.valueOf((qid << 32) | (probe.toLong & 0xffffffffL))
+    def getIn(m: Sub, qid: Long, probe: Int, q: Array[Float])
         (compute: => (Array[Float], Float)): Entry = {
-      val m = tokens.synchronized {
-        var mm = tokens.get(token)
-        if (mm == null) { mm = new Sub(); tokens.put(token, mm) }
-        mm
-      }
-      val key = (qid, probe)
-      val ref = m.get(key)
+      val k = key(qid, probe)
+      val ref = m.get(k)
       val hit = if (ref == null) null else ref.get()
-      if (hit != null && java.util.Arrays.equals(hit.q, q)) hit
+      // reference fast-path: the frozen-broadcast route hands every call
+      // for a qid the SAME array instance, so `eq` short-circuits the
+      // content verify without weakening it (eq ⇒ equals)
+      if (hit != null && ((hit.q eq q) || java.util.Arrays.equals(hit.q, q))) hit
       else {
         computes.incrementAndGet()
         val (l, o) = compute
         val e = Entry(q, l, o)
-        m.put(key, new Ref(e))
+        m.put(k, new Ref(e))
         e
       }
     }
+    def get(token: Long, qid: Long, probe: Int, q: Array[Float])
+        (compute: => (Array[Float], Float)): Entry =
+      getIn(subFor(token), qid, probe, q)(compute)
   }
   private val adcPlanTokens = new java.util.concurrent.atomic.AtomicLong()
 
@@ -1351,6 +1367,30 @@ object Ann {
     // [[searchTable]] keys qids across a real shuffle and uses
     // zipWithUniqueId instead — see its comment.
     val prepped = prepped1.withColumn("__qid", monotonically_increasing_id())
+    // pq/ivfpq only: FREEZE the (broadcast-small) query table at plan time —
+    // one collect of the queries subtree, qids assigned by driver index, and
+    // a broadcast (qid → ADC query) map. The scoring UDF then carries ONLY
+    // (__qid[, __probe], code) primitives per joined row: shipping the
+    // d-float query array on every row cost ~45 s for 512 queries × nprobe
+    // 32 at 1.5M vectors (per-row ArrayData→Array[Float] conversion over
+    // ~100M pairs) vs ivfflat's 5.6 s codegen join of the same shape. The
+    // frozen map is immutable across task retries, and executors resolve the
+    // SAME broadcast array instance every call, so the AdcLutCache content
+    // verify hits its reference fast-path.
+    def frozenQueries(adcCol: String): (DataFrame,
+        org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) = {
+      val rows = prepped1.collect()
+      val schema2 = prepped1.schema.add("__qid", LongType, nullable = false)
+      val withQid = rows.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i.toLong) }
+      val dfQ = spark.createDataFrame(
+        java.util.Arrays.asList(withQid: _*), schema2)
+      val idx = prepped1.schema.fieldIndex(adcCol)
+      // qid IS the array index — the per-row hot path resolves a query by
+      // plain array indexing, no boxed map lookup
+      val qArr: Array[Array[Float]] = rows.map(_.getSeq[Float](idx).toArray)
+      (dfQ, spark.sparkContext.broadcast(qArr))
+    }
     def distTo(vc: Column, qc: Column): Column = meta.metricObj match {
       case Metric.L2 => array_distance_sq(vc, qc)
       case _ => array_negative_inner_product(vc, qc)
@@ -1368,20 +1408,19 @@ object Ann {
     // 7.8 s for the ivfflat join of the same shape). The executor computes
     // each LUT once via [[AdcLutCache]]; the row carries only (__qid,
     // __probe) and the d-float query it already carries for re-ranking.
-    val (joined, rawScore): (DataFrame, Column) = meta.engine match {
+    val (joined, rawScore, qSide, frozenOut): (DataFrame, Column, DataFrame, Option[DataFrame]) = meta.engine match {
       case "pq" =>
         val cb = PqCodec.read(s"$dirPath/pq.bin")
         val cbB = spark.sparkContext.broadcast(cb)
-        val cbK = cb.k
         val token = adcPlanTokens.incrementAndGet()
-        val adcQ = if (meta.opq) col("__qadc") else col("__q")
-        val adcUdf = udf((qid: Long, q: Array[Float], code: Array[Byte]) => {
-          val e = AdcLutCache.get(token, qid, -1, q)(
-            (PqCodec.lut(cbB.value, q, l2), 0.0f))
-          PqCodec.adc(e.lut, cbK, code)
-        })
-        (base.crossJoin(broadcast(prepped)),
-          adcUdf(col("__qid"), adcQ, base("code")))
+        val (frozen, qMapB) =
+          frozenQueries(if (meta.opq) "__qadc" else "__q")
+        val state = new AdcScoreState(cbB, null, qMapB, l2, token)
+        val score = graft.functions.mkCol(PqAdcScore(
+          graft.functions.mkExpr(col("__qid")),
+          graft.functions.mkExpr(lit(-1)),
+          graft.functions.mkExpr(base("code")), state))
+        (base.crossJoin(broadcast(frozen)), score, frozen, Some(frozen))
       case "ivfpq" =>
         // probe join on the cluster column (prunes when nprobe < nlist,
         // degrades to a full cluster-partitioned scan otherwise); per
@@ -1396,24 +1435,18 @@ object Ann {
         val nprobe = meta.nprobe
         val token = adcPlanTokens.incrementAndGet()
         val probeUdf = udf((v: Array[Float]) => KMeansLite.nearestP(centsB.value, v, nprobe))
-        val adcUdf = udf((qid: Long, probe: Int, q: Array[Float], code: Array[Byte]) => {
-          val e = AdcLutCache.get(token, qid, probe, q) {
-            val c = centsB.value(probe)
-            if (l2) {
-              val qr = new Array[Float](q.length)
-              var i = 0
-              while (i < q.length) { qr(i) = q(i) - c(i); i += 1 }
-              (PqCodec.lut(cbB.value, qr, l2 = true), 0.0f)
-            } else (PqCodec.lut(cbB.value, q, l2 = false), -VectorOps.dot(q, c))
-          }
-          PqCodec.adc(e.lut, cbK, code) + e.off
-        })
-        val probed = prepped.withColumn("__probe", explode(probeUdf(col("__q"))))
+        val (frozen, qMapB) = frozenQueries("__q")
+        val state = new AdcScoreState(cbB, centsB, qMapB, l2, token)
+        val probed = frozen.withColumn("__probe", explode(probeUdf(col("__q"))))
         // same popularity-skew rebalance as the ivfflat probe join below
         val stream = if (rebalanceProbedScan(spark, queriesDf, meta.dim))
           base.repartition(spark.sessionState.conf.numShufflePartitions) else base
+        val score = graft.functions.mkCol(PqAdcScore(
+          graft.functions.mkExpr(col("__qid")),
+          graft.functions.mkExpr(col("__probe")),
+          graft.functions.mkExpr(stream("code")), state))
         (stream.join(broadcast(probed), stream("cluster") === probed("__probe")),
-          adcUdf(col("__qid"), col("__probe"), col("__q"), stream("code")))
+          score, probed, Some(frozen))
       case "ivfflat" if meta.nprobe < meta.nlist =>
         val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
         val centsB = spark.sparkContext.broadcast(cents)
@@ -1431,27 +1464,58 @@ object Ann {
         val stream = if (rebalanceProbedScan(spark, queriesDf, meta.dim))
           base.repartition(spark.sessionState.conf.numShufflePartitions) else base
         (stream.join(broadcast(probed), stream("cluster") === probed("__probe")),
-          distTo(stream("vec"), col("__q")))
+          distTo(stream("vec"), col("__q")), probed, None)
       case _ =>
-        (base.crossJoin(broadcast(prepped)), distTo(base("vec"), col("__q")))
+        (base.crossJoin(broadcast(prepped)), distTo(base("vec"), col("__q")),
+          prepped, None)
     }
     val live0 = if (tomb.isEmpty) joined
       else joined.where(notTombstoned(base("id"), tomb))
-    // refined: per-query candidate cut by the SAME float ADC ranking the
-    // single-query codes-only scan uses, then exact re-rank on the stored
-    // raw vectors in double (mirrors refineStage's two phases)
-    val (live, finalScore) =
-      if (meta.refine) {
-        val cw = Window.partitionBy("__qid").orderBy(rawScore, base("id"))
-        (live0.withColumn("__crn", row_number().over(cw))
-          .where(col("__crn") <= k * refineFactor(spark)),
-          distTo(base("vec"), col("__q")))
-      } else (live0, rawScore)
-    val unfiltered = live.withColumn("__dd", finalScore)
-    val w = Window.partitionBy("__qid").orderBy(col("__dd"), base("id"))
-    unfiltered.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
-      .select(inSchema.fieldNames.map(f => prepped(f)).toSeq :+
-        base("id").as("row_id") :+ col("__dd").cast(FloatType).as("_distance"): _*)
+    frozenOut match {
+      case Some(qOut) =>
+        // NARROW ranking for the frozen-query engines: the probe join's
+        // ~(queries x nprobe x cluster-size) rows shuffle only
+        // (__qid, id, score) through the ranking window - ~24 bytes/row
+        // instead of the ~0.5 KB query payload - and the query fields (for
+        // refine, also the raw vectors) rejoin AFTER the k-cut, when at
+        // most k*refineFactor rows per query remain. Safe here exactly
+        // because qOut is a driver-frozen LocalRelation: its two plan
+        // occurrences are deterministic row-for-row, which the lazy
+        // mono-qid side of flat/ivfflat cannot promise.
+        val scoredN = live0.select(col("__qid"), base("id").as("__rid"),
+          rawScore.as("__rawdd"))
+        val w1 = Window.partitionBy("__qid").orderBy(col("__rawdd"), col("__rid"))
+        // name-based refs after the using-column join: dataset-tagged
+        // qOut(f) refs would trip DetectAmbiguousSelfJoin (qOut is already
+        // in scoredN's lineage); the narrow side carries only __-prefixed
+        // columns, so user field names resolve uniquely
+        val outCols = inSchema.fieldNames.map(f => col(f)).toSeq
+        if (!meta.refine) {
+          scoredN.withColumn("__rn", row_number().over(w1)).where(col("__rn") <= k)
+            .join(broadcast(qOut), "__qid")
+            .select(outCols :+ col("__rid").as("row_id") :+
+              col("__rawdd").cast(FloatType).as("_distance"): _*)
+        } else {
+          // refine: exact double re-rank of the ADC top k*refineFactor,
+          // same candidate cut and fold order as refineStage
+          val cand = scoredN.withColumn("__crn", row_number().over(w1))
+            .where(col("__crn") <= k * refineFactor(spark))
+          val bv = base.select(col("id").as("__rid"), col("vec"))
+          val rejoined = cand.join(bv, "__rid")
+            .join(broadcast(qOut), "__qid")
+            .withColumn("__dd", distTo(col("vec"), col("__q")))
+          val w2 = Window.partitionBy("__qid").orderBy(col("__dd"), col("__rid"))
+          rejoined.withColumn("__rn", row_number().over(w2)).where(col("__rn") <= k)
+            .select(outCols :+ col("__rid").as("row_id") :+
+              col("__dd").cast(FloatType).as("_distance"): _*)
+        }
+      case None =>
+        val unfiltered = live0.withColumn("__dd", rawScore)
+        val w = Window.partitionBy("__qid").orderBy(col("__dd"), base("id"))
+        unfiltered.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+          .select(inSchema.fieldNames.map(f => qSide(f)).toSeq :+
+            base("id").as("row_id") :+ col("__dd").cast(FloatType).as("_distance"): _*)
+    }
   }
 
   /**

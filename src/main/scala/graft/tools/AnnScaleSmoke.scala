@@ -203,6 +203,10 @@ object AnnScaleSmoke {
     }
     val (recall, recallIds) = recallOf("as_disk", "recall_at10_200q")
     System.err.println(f"[annscale] recall@10 = $recall%.4f (ids $recallIds%.4f, bar 0.9)")
+    // the IVF probe ceiling (nprobe 8/256 on clusterless data): quantized
+    // IVF variants can never beat this — it contextualizes ivfpq's recall
+    val (ivfRecall, ivfRecallIds) = recallOf("as_ivf", "ivf_recall_at10_200q")
+    System.err.println(f"[annscale] ivfflat recall@10 = $ivfRecall%.4f (ids $ivfRecallIds%.4f)")
     val (sq8Recall, sq8RecallIds) = recallOf("as_sq8", "sq8_recall_at10_200q")
     System.err.println(f"[annscale] sq8 recall@10 = $sq8Recall%.4f (ids $sq8RecallIds%.4f)")
     val (pqRecall, pqRecallIds) = recallOf("as_ivfpq", "ivfpq_recall_at10_200q")
@@ -335,6 +339,7 @@ object AnnScaleSmoke {
       s""""ops":$opsJson,"vectors":$n,"dim":$dim,"shards":$shards,""" +
       s""""max_shard_bytes":$shardBytes,"mmap_threshold":${ShardCache.mmapThreshold},""" +
       s""""mmap_engaged":$mmapEngaged,"recall_at10":$recall,"recall_at10_ids":$recallIds,""" +
+      s""""ivfflat":{"recall_at10":$ivfRecall,"recall_at10_ids":$ivfRecallIds},""" +
       s""""sq8":{"recall_at10":$sq8Recall,"recall_at10_ids":$sq8RecallIds,""" +
       s""""quantized_mmap_engaged":$quantizedMmap,""" +
       s""""mmap_route_heap_bytes":$mmapHeap,"heap_route_heap_bytes":$heapRouteHeap,""" +
