@@ -104,4 +104,38 @@ class AdcLutCacheSpec extends AnyFunSuite {
     // not thrash the cache
     assert(AdcLutCache.computes.get() == before)
   }
+
+  test("packed (qid, probe) keys never collide: distinct probes, and pq's -1") {
+    val token = freshToken()
+    val q = vec(16)
+    // same qid across probe -1 (pq), 0 and 1 (ivfpq): three distinct entries
+    val lm1 = AdcLutCache.get(token, 7L, -1, q)((PqCodec.lut(cb, q, l2 = true), 0f))
+    val l0 = AdcLutCache.get(token, 7L, 0, q)((PqCodec.lut(cb, q, l2 = false), 1f))
+    val l1 = AdcLutCache.get(token, 7L, 1, q)((PqCodec.lut(cb, q, l2 = false), 2f))
+    assert(lm1.off == 0f && l0.off == 1f && l1.off == 2f)
+    // and each key still HITS its own entry
+    val before = AdcLutCache.computes.get()
+    assert(AdcLutCache.get(token, 7L, -1, q)(sys.error("must hit")).off == 0f)
+    assert(AdcLutCache.get(token, 7L, 0, q)(sys.error("must hit")).off == 1f)
+    assert(AdcLutCache.get(token, 7L, 1, q)(sys.error("must hit")).off == 2f)
+    assert(AdcLutCache.computes.get() == before)
+  }
+
+  test("getIn on a resolved sub-map behaves like get (the lock-free hot path)") {
+    val token = freshToken()
+    val q = vec(16)
+    val sub = AdcLutCache.subFor(token)
+    val e1 = AdcLutCache.getIn(sub, 3L, 5, q)((PqCodec.lut(cb, q, l2 = true), 0f))
+    val before = AdcLutCache.computes.get()
+    // hit through BOTH surfaces; the content verify takes the reference
+    // fast-path when the very same array instance returns
+    val e2 = AdcLutCache.getIn(sub, 3L, 5, q)(sys.error("must hit"))
+    val e3 = AdcLutCache.get(token, 3L, 5, q)(sys.error("must hit"))
+    assert((e2 eq e1) && (e3 eq e1))
+    assert(AdcLutCache.computes.get() == before)
+    // different content under the same key still recomputes (stale guard)
+    val qB = vec(16) // same dim, different content
+    val e4 = AdcLutCache.getIn(sub, 3L, 5, qB)((PqCodec.lut(cb, qB, l2 = true), 9f))
+    assert(e4.off == 9f)
+  }
 }

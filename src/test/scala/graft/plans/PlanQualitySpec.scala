@@ -175,4 +175,24 @@ class PlanQualitySpec extends AnyFunSuite {
     val shuffles = countShuffles(packRdd, scala.collection.mutable.Set.empty)
     assert(shuffles == 1, s"pack_sequences expected 1 shuffle in lineage, got $shuffles")
   }
+
+  test("quantized table scoring stays inside whole-stage codegen (no UDF boundary)") {
+    import graft.index.Ann
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Ann.buildIndex(emb, "embedding", "vec_id", "planq_ivfpq",
+      Ann.BuildParams(engine = "ivfpq", nlist = 8, nprobe = 2, pqM = 8))
+    val queries = emb.limit(4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val df = Ann.searchTable(queries, "qvec", emb, "vec_id", "planq_ivfpq", 5)
+    df.collect() // finalize AQE so codegen `*(n)` markers appear
+    val p = df.queryExecution.executedPlan.toString
+    val scoreLines = p.linesIterator.filter(_.contains("pq_adc_score")).toSeq
+    assert(scoreLines.nonEmpty, s"expected pq_adc_score in the plan:\n$p")
+    // `*(n)` prefixes mark whole-stage-codegen spans; the scoring project
+    // must carry one, or the whole probe-join stage falls back to
+    // interpreted row processing (the regression that cost 30s vs 5.6s at
+    // 1.5M x 512q)
+    assert(scoreLines.exists(_.contains("*(")),
+      s"pq_adc_score fell out of codegen:\n${scoreLines.mkString("\n")}\n$p")
+  }
 }
