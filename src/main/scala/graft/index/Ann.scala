@@ -1603,6 +1603,78 @@ object Ann {
       .toDF("name", "k", "sample_n", "eff_n", "recall", "recall_ids")
   }
 
+  /** Recall@k for SEVERAL indexes over the same corpus, computing the exact
+   *  brute-force ground truth ONCE per distinct metric instead of once per
+   *  index. The full-corpus crossJoin (the expensive side: N·sampleN
+   *  distance evaluations) is shared; each index then pays only its own
+   *  searchTable probe plus one broadcast-join scan of the corpus to score
+   *  its ≤ k·sampleN hits. Every distance on both sides of every comparison
+   *  comes from the same codegen expression over the same column values as
+   *  [[measureRecall]], so the two surfaces are bit-identical per name
+   *  (RecallManySpec pins parity on all three metrics). One output row per
+   *  index name; semantics of `recall` vs `recall_ids` as in
+   *  [[measureRecall]]. */
+  def measureRecallMany(df: DataFrame, vecCol: String, idColumn: String,
+      names: Seq[String], k: Int, sampleN: Int,
+      searchComplexity: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val metas = names.map(nm => nm -> IndexCatalog.load(root(spark), nm))
+    val qRows = df.select(col(idColumn).cast(LongType).as("__rq_id"),
+        toFloatVec(col(vecCol)).as("__qv"))
+      .orderBy("__rq_id").limit(sampleN).collect()
+    val queries = spark.createDataFrame(qRows.toSeq.asJava,
+      StructType(Seq(StructField("__rq_id", LongType),
+        StructField("__qv", ArrayType(FloatType)))))
+    val base = df.select(col(idColumn).cast(LongType).as("__bid"),
+      toFloatVec(col(vecCol)).as("__bv"))
+    def distFor(m: graft.core.Metric) = m match {
+      case Metric.L2 => array_distance_sq(col("__bv"), col("__q"))
+      case Metric.Cosine => -array_cosine_similarity(col("__bv"), col("__q"))
+      case _ => array_negative_inner_product(col("__bv"), col("__q"))
+    }
+    // shared exact side: top-k ids + distances per query, one crossJoin per
+    // DISTINCT metric (indexes over one corpus usually share one metric)
+    val exactByMetric = metas.map(_._2.metricObj).distinct.map { m =>
+      val w = Window.partitionBy("__rq_id").orderBy(col("__d"), col("__bid"))
+      val rows = base
+        .crossJoin(broadcast(queries.withColumnRenamed("__qv", "__q")))
+        .withColumn("__d", distFor(m))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= k)
+        .select(col("__rq_id"), col("__bid"), col("__d"))
+        .collect()
+      m -> rows
+    }.toMap
+    val out = metas.map { case (nm, meta) =>
+      val exact = exactByMetric(meta.metricObj)
+      val kth = exact.groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getDouble(2)).max
+      }
+      val exactIds = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val denom = exact.length.toLong
+      val approx = searchTable(queries, "__qv", df, idColumn, nm, k,
+          searchComplexity)
+        .select(col("__rq_id"), col(idColumn).cast(LongType).as("__bid"))
+      // score the hits with one broadcast-join scan of base: same distance
+      // expression and inputs as the exact side, so ties compare bit-equal
+      val hitRows = base
+        .join(broadcast(approx), Seq("__bid"))
+        .join(broadcast(queries.withColumnRenamed("__qv", "__q")), Seq("__rq_id"))
+        .withColumn("__d", distFor(meta.metricObj))
+        .select(col("__rq_id"), col("__bid"), col("__d"))
+        .collect()
+      val hits = hitRows.count(r =>
+        kth.get(r.getLong(0)).exists(r.getDouble(2) <= _)).toLong
+      val idHits = hitRows.count(r =>
+        exactIds((r.getLong(0), r.getLong(1)))).toLong
+      val recall = if (denom == 0) 0.0 else hits.toDouble / denom
+      val recallIds = if (denom == 0) 0.0 else idHits.toDouble / denom
+      (nm, k, sampleN.toLong, qRows.length.toLong, recall, recallIds)
+    }
+    out.toDF("name", "k", "sample_n", "eff_n", "recall", "recall_ids")
+  }
+
   /** `faiss_gpu_info()` analog: the JVM engine has no GPU backend; cluster
    *  parallelism is the replacement lever (reference src/faiss_fn_gpu.cpp). */
   def gpuInfo(spark: SparkSession): DataFrame = {
