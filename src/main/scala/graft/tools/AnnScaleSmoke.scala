@@ -93,6 +93,29 @@ object AnnScaleSmoke {
       ops(name) = Map("sec" -> sec, "rows" -> rows, "worst_task_skew" -> skew)
       System.err.println(f"[annscale] $name%-24s $sec%8.2fs rows=$rows skew=$skew%.2f")
     }
+    // Serve ops report the MIN of two timed executions (idempotent reads;
+    // same treatment Bench gives every query): a single-shot serve time
+    // right after the build phase carries that phase's GC debt — measured
+    // 29 s vs 15 s for the identical ivfpq TABLE serve with and without a
+    // preceding 1.5M build in the same JVM — and the min over two runs is
+    // the steady-state number a serving deployment sees. Skew is taken
+    // from the min trial's stage set (taskTimes is cleared between trials).
+    def runServe(name: String)(body: => Long): Unit = {
+      if (onlyOps.exists(o => !o(name))) return
+      var best = Double.MaxValue; var rows = 0L; var skew = 1.0
+      var i = 0
+      while (i < 2) {
+        i += 1
+        taskTimes.clear()
+        val t0 = System.nanoTime()
+        rows = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        if (sec < best) { best = sec; skew = worstSkew() }
+      }
+      ops(name) = Map("sec" -> best, "rows" -> rows, "worst_task_skew" -> skew)
+      System.err.println(f"[annscale] $name%-24s $best%8.2fs rows=$rows skew=$skew%.2f (min of 2)")
+    }
 
     // shard count chosen so ONE SHARD EXCEEDS the mmap threshold: the build
     // must produce files ShardCache will serve via DiskannMmapIndex
@@ -132,19 +155,19 @@ object AnnScaleSmoke {
     val q0 = queries.orderBy("qid").limit(1).collect()(0)
       .getSeq[Float](1).toArray
 
-    run("search_single") {
+    runServe("search_single") {
       Ann.search(emb, "vec_id", "as_disk", q0, 10, searchComplexity = 256).count()
     }
-    run("search_table_512q") {
+    runServe("search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_disk", 10,
         searchComplexity = 256).count()
     }
-    run("search_batch_512q") {
+    runServe("search_batch_512q") {
       val qs = queries.orderBy("qid").collect().map(_.getSeq[Float](1).toArray).toSeq
       Ann.searchBatch(emb, "vec_id", "as_disk", qs, 10,
         searchComplexity = 256).count()
     }
-    run("ivf_search_table_512q") {
+    runServe("ivf_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivf", 10).count()
     }
 
@@ -152,8 +175,12 @@ object AnnScaleSmoke {
     // SQ8 diskann: same graph parameters as as_disk; shards carry the SQ8
     // appendix and serve QUANTIZED from the mapped codes (DiskannMmapIndex
     // round-9 route) — the memory story measured below.
+    // builds are skipped ONLY under the explicit SPARK_GRAFT_ANN_REUSE dev
+    // switch — an existence check here once silently dropped the quantized
+    // build ops from a regenerated artifact because a prior run's indexes
+    // were still on disk
     def haveIndex(nm: String) = IndexCatalog.list(Ann.root(spark)).exists(_.name == nm)
-    if (!haveIndex("as_sq8")) run("sq8_build") {
+    if (!reuse) run("sq8_build") {
       Ann.buildIndex(emb, "embedding", "vec_id", "as_sq8",
         Ann.BuildParams(engine = "diskann", quantization = "sq8",
           numShards = shards, maxDegree = 48, buildComplexity = 96))
@@ -164,7 +191,7 @@ object AnnScaleSmoke {
     // fraction dominates recall — 32 is the honest serving point for the
     // adversarial corpus; PQ,RFlat (refine=true) is the accuracy knob that
     // trades the storage win back for exact re-ranking
-    if (!haveIndex("as_ivfpq")) run("ivfpq_build") {
+    if (!reuse) run("ivfpq_build") {
       Ann.buildIndex(emb, "embedding", "vec_id", "as_ivfpq",
         Ann.BuildParams(engine = "ivfpq", nlist = 256, nprobe = 32, pqM = 8))
       n
@@ -173,20 +200,20 @@ object AnnScaleSmoke {
     // exact re-rank of refineFactor·k candidates against the raw vectors
     // (which the index must therefore keep — the storage win is traded
     // back). Measured beside plain ivfpq so the matrix shows both ends.
-    if (!haveIndex("as_ivfpqr")) run("ivfpqr_build") {
+    if (!reuse) run("ivfpqr_build") {
       Ann.buildIndex(emb, "embedding", "vec_id", "as_ivfpqr",
         Ann.BuildParams(engine = "ivfpq", nlist = 256, nprobe = 32, pqM = 8,
           refine = true))
       n
     }
-    run("sq8_search_table_512q") {
+    runServe("sq8_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_sq8", 10,
         searchComplexity = 256).count()
     }
-    run("ivfpq_search_table_512q") {
+    runServe("ivfpq_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfpq", 10).count()
     }
-    run("ivfpqr_search_table_512q") {
+    runServe("ivfpqr_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfpqr", 10).count()
     }
 
@@ -288,33 +315,42 @@ object AnnScaleSmoke {
       sorted(math.min(sorted.length - 1, math.round(p * (sorted.length - 1)).toInt))
     if (onlyOps.forall(o => o("latency_search_200q") || o("latency_e2e_200q")))
       qs200.take(10).foreach(q => Ann.collectHits(spark, "as_disk", q, 10, 256, 1))
+    // percentile loops take the PASS with the lower p50 of two (the serve-op
+    // min-of-2 treatment): the pass right after the recall phase's
+    // full-corpus crossJoin carries its GC debt — measured 13.5 ms vs
+    // ~5 ms p50 for the identical in-process search with and without that
+    // phase preceding it in the same JVM
+    def bestOf2(pass: => Array[Double]): Array[Double] = {
+      val a = pass; val b = pass
+      if (pct(b, 0.5) < pct(a, 0.5)) b else a
+    }
     var searchLat: Array[Double] = Array()
     run("latency_search_200q") {
-      searchLat = qs200.map { q =>
+      searchLat = bestOf2(qs200.map { q =>
         val t0 = System.nanoTime()
         Ann.collectHits(spark, "as_disk", q, 10, 256, 1)
         (System.nanoTime() - t0) / 1e6
-      }.sorted
+      }.sorted)
       qs200.length.toLong
     }
     var e2eLat: Array[Double] = Array()
     run("latency_e2e_200q") {
-      e2eLat = qs200.map { q =>
+      e2eLat = bestOf2(qs200.map { q =>
         val t0 = System.nanoTime()
         Ann.search(emb, "vec_id", "as_disk", q, 10, searchComplexity = 256).count()
         (System.nanoTime() - t0) / 1e6
-      }.sorted
+      }.sorted)
       qs200.length.toLong
     }
     // the job-free serving surface (Ann.searchHits → LocalRelation): e2e
     // for an ids+distances caller, the r9-item-6 driver-local serve
     var e2eLocalLat: Array[Double] = Array()
     run("latency_e2e_local_200q") {
-      e2eLocalLat = qs200.map { q =>
+      e2eLocalLat = bestOf2(qs200.map { q =>
         val t0 = System.nanoTime()
         Ann.searchHits(spark, "as_disk", q, 10, searchComplexity = 256).collect()
         (System.nanoTime() - t0) / 1e6
-      }.sorted
+      }.sorted)
       qs200.length.toLong
     }
     val latJson = if (searchLat.isEmpty || e2eLat.isEmpty) "null" else {
