@@ -188,15 +188,155 @@ final class VamanaIndex(
     label
   }
 
+  /**
+   * Parallel graph construction for the tail of a bulk build (native DiskANN
+   * builds its graph with an OpenMP parallel insert loop over per-node
+   * locks; this is the same shape for one shard built inside one Spark task
+   * that has `spark.task.cpus` > 1 — locally, idle cores of a small-task
+   * stage). `threads <= 1` falls back to the serial, deterministic [[add]]
+   * loop; with more threads the vectors/ids/labels are still assigned in
+   * input order (the id↔label mapping is deterministic), but edge sets vary
+   * run-to-run like any racy approximate-graph build.
+   *
+   * Safety: all vectors and adjacency rows are pre-stored serially before
+   * workers start, so the backing arrays never reallocate mid-build and a
+   * racy reader can only ever observe valid (possibly stale) labels;
+   * adjacency writes happen under striped per-node locks. Unprocessed nodes
+   * have no in-edges, so greedy searches cannot reach them — matching the
+   * serial build's "only previously inserted nodes are candidates"
+   * semantics.
+   */
+  def addAllParallel(vs: Array[Array[Float]], threads: Int): Unit = {
+    require(sq8 == null, "cannot insert into a quantized index")
+    if (vs.isEmpty) return
+    if (threads <= 1 || vs.length < VamanaIndex.MinParallelBatch) {
+      vs.foreach(add); return
+    }
+    var skip = 0
+    if (count == 0) { add(vs(0)); skip = 1 } // anchor entry point serially
+    val base = count
+    val m = vs.length - skip
+    ensureCapacity(base + m)
+    var j = 0
+    while (j < m) {
+      val v = vs(skip + j)
+      require(v.length == dim, s"expected dimension $dim, got ${v.length}")
+      System.arraycopy(v, 0, vecs, (base + j) * dim, dim)
+      adj(base + j) = new Array[Int](slackDegree)
+      degree(base + j) = 0
+      j += 1
+    }
+    count = base + m
+    val next = new java.util.concurrent.atomic.AtomicInteger(base)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val workers = Array.tabulate(threads) { _ =>
+      val t = new Thread(() => {
+        try {
+          val beam = new BeamSearcher(this)
+          val q = new Array[Float](dim)
+          var label = next.getAndIncrement()
+          while (label < base + m && failure.get == null) {
+            System.arraycopy(vecs, label * dim, q, 0, dim)
+            insertEdges(label, q, beam)
+            label = next.getAndIncrement()
+          }
+        } catch { case e: Throwable => failure.compareAndSet(null, e) }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    workers.foreach(_.join())
+    if (failure.get != null) throw failure.get
+    lastBuildThreads = threads
+  }
+
+  /** Worker count of the last parallel build; finalizePruning reuses it so
+   *  an explicitly-parallel build also finalizes in parallel, while serial
+   *  builds keep the single-threaded path. */
+  @volatile private var lastBuildThreads = 1
+
+  // striped per-node write locks for the parallel build (reads stay lock-free)
+  @transient private lazy val buildLocks: Array[AnyRef] = Array.fill(1024)(new AnyRef)
+  @inline private def lockFor(node: Int): AnyRef = buildLocks(node & 1023)
+
+  /** One node's edge construction — the parallel-build worker body: greedy
+   *  search + robust prune (lock-free reads), then locked adjacency write
+   *  (merging back-edges that landed concurrently) and back-edge repair. */
+  private def insertEdges(label: Int, v: Array[Float], beam: BeamSearcher): Unit = {
+    beam.search(v, buildComplexity, buildComplexity, excludeSelf = label)
+    val chosen = robustPrune(label, beam.visitedIds, beam.visitedDists,
+      beam.visitedCount, maxDegree)
+    lockFor(label).synchronized {
+      val d0 = degree(label)
+      val existing = Arrays.copyOf(adj(label), d0)
+      var i = 0
+      while (i < chosen.length) { adj(label)(i) = chosen(i); i += 1 }
+      var dl = chosen.length
+      var e = 0
+      while (e < d0 && dl < adj(label).length) {
+        val b = existing(e)
+        var dup = false; var c = 0
+        while (c < chosen.length && !dup) { if (chosen(c) == b) dup = true; c += 1 }
+        if (!dup) { adj(label)(dl) = b; dl += 1 }
+        e += 1
+      }
+      degree(label) = dl
+      if (dl >= adj(label).length) pruneNode(label)
+    }
+    var i = 0
+    while (i < chosen.length) {
+      val q = chosen(i)
+      lockFor(q).synchronized {
+        if (!containsNeighbor(q, label)) {
+          if (degree(q) < adj(q).length) {
+            adj(q)(degree(q)) = label
+            degree(q) += 1
+          }
+          if (degree(q) >= adj(q).length) pruneNode(q)
+        }
+      }
+      i += 1
+    }
+  }
+
   /** Prune every node back to ≤ maxDegree (slack buffers may be overfull
    *  after a build); call before serialization or when a strict degree
    *  bound is needed. */
-  def finalizePruning(): Unit = {
-    var i = 0
-    while (i < count) {
-      if (degree(i) > maxDegree) pruneNode(i)
-      i += 1
+  def finalizePruning(): Unit = finalizePruning(lastBuildThreads)
+
+  /** Per-node pruning is independent (each prune writes only its own node's
+   *  adjacency and reads only other nodes' VECTORS), so the parallel variant
+   *  is lock-free AND bit-deterministic — same result for any thread count. */
+  def finalizePruning(threads: Int): Unit = {
+    if (threads <= 1 || count < VamanaIndex.MinParallelBatch) {
+      var i = 0
+      while (i < count) {
+        if (degree(i) > maxDegree) pruneNode(i)
+        i += 1
+      }
+      return
     }
+    val next = new java.util.concurrent.atomic.AtomicInteger(0)
+    val chunk = 1024
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val workers = Array.tabulate(threads) { _ =>
+      val t = new Thread(() => {
+        try {
+          var lo = next.getAndAdd(chunk)
+          while (lo < count && failure.get == null) {
+            val hi = math.min(lo + chunk, count)
+            var i = lo
+            while (i < hi) {
+              if (degree(i) > maxDegree) pruneNode(i)
+              i += 1
+            }
+            lo = next.getAndAdd(chunk)
+          }
+        } catch { case e: Throwable => failure.compareAndSet(null, e) }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    workers.foreach(_.join())
+    if (failure.get != null) throw failure.get
   }
 
   @inline private def containsNeighbor(node: Int, target: Int): Boolean = {
@@ -346,6 +486,8 @@ object VamanaIndex {
   val DefaultMaxDegree = 64
   val DefaultBuildComplexity = 128
   val DefaultAlpha = 1.2f
+  /** Below this batch size thread spin-up outweighs the parallel win. */
+  val MinParallelBatch = 2048
 
   /** Build from an iterator (per-shard build inside a Spark task). */
   def build(vectors: Iterator[Array[Float]], dim: Int, metric: Metric,

@@ -53,7 +53,11 @@ object Ann {
       efConstruction: Int = HnswIndex.DefaultEfConstruction,
       pqM: Int = 8,                        // pq: subquantizer count (dim % pqM == 0)
       refine: Boolean = false,             // pq/ivfpq: RFlat exact re-rank stage
-      opq: Boolean = false)                // pq: learned OPQ rotation pre-transform
+      opq: Boolean = false,                // pq: learned OPQ rotation pre-transform
+      // graph build threads per shard task (VamanaIndex.addAllParallel);
+      // >1 on a cluster requires spark.task.cpus to match. 1 = serial,
+      // deterministic build.
+      buildThreads: Int = 1)
 
   /** Engines whose shards are graph files searched via ShardCache (hnsw
    *  reuses the diskann shard lifecycle; its IndexMeta stores m in
@@ -233,6 +237,7 @@ object Ann {
     // driver-side so it reaches executor closures on a real cluster)
     val pilotSeed = spark.conf.getOption("spark.graft.ann.pilotSeed")
       .forall(_.toBoolean)
+    val buildThreads = params.buildThreads
     val shardMetas = repart.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       val m = Metric.fromName(metricName)
@@ -273,15 +278,31 @@ object Ann {
           while (p < nRows && taken < pilot) {
             isPilot(p) = true; taken += 1; p += stride
           }
-          def insert(i: Int): Unit = {
-            val (id, v) = rows(i)
-            ix.add(if (normalize) VectorOps.normalize(v.clone()) else v)
-            ids += id
+          def prep(i: Int): Array[Float] = {
+            val v = rows(i)._2
+            if (normalize) VectorOps.normalize(v.clone()) else v
           }
+          // ids follow label order: pilot block first, then the tail — the
+          // id↔label mapping is identical on the serial and parallel routes
           var i = 0
-          while (i < nRows) { if (isPilot(i)) insert(i); i += 1 }
+          while (i < nRows) { if (isPilot(i)) ids += rows(i)._1; i += 1 }
           i = 0
-          while (i < nRows) { if (!isPilot(i)) insert(i); i += 1 }
+          while (i < nRows) { if (!isPilot(i)) ids += rows(i)._1; i += 1 }
+          val vx = ix.asInstanceOf[VamanaIndex]
+          i = 0
+          while (i < nRows) { if (isPilot(i)) vx.add(prep(i)); i += 1 }
+          if (buildThreads > 1) {
+            // tail inserted by a per-shard worker pool (idle task cores;
+            // cluster equivalent: spark.task.cpus = buildThreads)
+            val tail = Array.newBuilder[Array[Float]]
+            tail.sizeHint(nRows - taken)
+            i = 0
+            while (i < nRows) { if (!isPilot(i)) tail += prep(i); i += 1 }
+            vx.addAllParallel(tail.result(), buildThreads)
+          } else {
+            i = 0
+            while (i < nRows) { if (!isPilot(i)) vx.add(prep(i)); i += 1 }
+          }
         }
       }
       if (bad >= 0) throw new IllegalArgumentException(

@@ -125,6 +125,12 @@ object AnnScaleSmoke {
     // embeddings cluster; this corpus has no manifold to exploit) — so the
     // recall bar is met on the adversarial case, not a friendly one.
     val shards = 8
+    // per-shard build threads: 8 build tasks on a local[32] JVM leave 24
+    // cores idle — the parallel insert loop (VamanaIndex.addAllParallel)
+    // uses them. Cluster equivalent: spark.task.cpus = buildThreads.
+    val buildThreads = sys.env.getOrElse("SPARK_GRAFT_ANN_BUILD_THREADS",
+      math.max(1, cpus.toInt / shards).toString).toInt
+    System.err.println(s"[annscale] graph build threads per shard: $buildThreads")
     // SPARK_GRAFT_ANN_REUSE=1: dev-iteration switch — reuse indexes already
     // on disk from a prior run (serve ops only; build timings not recorded)
     val reuse = sys.env.get("SPARK_GRAFT_ANN_REUSE").contains("1") &&
@@ -132,7 +138,7 @@ object AnnScaleSmoke {
     if (!reuse) run("diskann_build") {
       Ann.buildIndex(emb, "embedding", "vec_id", "as_disk",
         Ann.BuildParams(engine = "diskann", numShards = shards,
-          maxDegree = 48, buildComplexity = 96))
+          maxDegree = 48, buildComplexity = 96, buildThreads = buildThreads))
       n
     }
     val shardBytes = IndexCatalog.load(Ann.root(spark), "as_disk")
@@ -183,7 +189,8 @@ object AnnScaleSmoke {
     if (!reuse) run("sq8_build") {
       Ann.buildIndex(emb, "embedding", "vec_id", "as_sq8",
         Ann.BuildParams(engine = "diskann", quantization = "sq8",
-          numShards = shards, maxDegree = 48, buildComplexity = 96))
+          numShards = shards, maxDegree = 48, buildComplexity = 96,
+          buildThreads = buildThreads))
       n
     }
     // nprobe 32/256: uniform-random vectors have no cluster structure for
