@@ -1900,6 +1900,22 @@ object Ann {
     updated
   }
 
+  /** Serve-time probe width, matching FAISS's MUTABLE `index.nprobe` field
+   *  (the reference carries nprobe as a runtime search parameter beside the
+   *  built structure, src/include/faiss_index.hpp:38-43): rewrites the
+   *  catalog metadata so every serve surface — single-query, batch, TABLE,
+   *  range — picks up the new probe set on its next plan. The stored IVF
+   *  assignment is untouched; `nprobe = nlist` makes the scan exact. */
+  def setNprobe(spark: SparkSession, name: String, nprobe: Int): IndexMeta = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val meta = IndexCatalog.load(root(spark), name)
+    require(meta.engine == "ivfflat" || meta.engine == "ivfpq",
+      s"nprobe applies to IVF engines; '$name' is ${meta.engine}")
+    val updated = meta.copy(nprobe = math.min(nprobe, meta.nlist))
+    IndexCatalog.save(root(spark), updated)
+    updated
+  }
+
   /** Vacuum: rebuild shards without tombstoned rows, clear tombstones
    *  (reference src/diskann_index.cpp:701-741). */
   def vacuum(spark: SparkSession, name: String): IndexMeta = {

@@ -177,6 +177,34 @@ object AnnScaleSmoke {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivf", 10).count()
     }
 
+    // ---- serve-time nprobe sweep (Ann.setNprobe — FAISS's mutable
+    // index.nprobe): the SAME built IVF structure at widened probe sets,
+    // measured as catalog clones so the shared-ground-truth recall pass
+    // scores every width against one exact truth. This is the recall/latency
+    // trade-off curve the SERVING.md matrix cites for the probe-bound rows.
+    val ivfSweep = Seq(32, 64)
+    def haveIdx(nm: String) = IndexCatalog.list(Ann.root(spark)).exists(_.name == nm)
+    if (haveIdx("as_ivf")) {
+      val ivfMeta = IndexCatalog.load(Ann.root(spark), "as_ivf")
+      ivfSweep.foreach { np =>
+        IndexCatalog.save(Ann.root(spark),
+          ivfMeta.copy(name = s"as_ivf_np$np", nprobe = np))
+        // clones share the cluster-partitioned parquet via sourcePath; only
+        // the tiny per-index sidecars (centroids, radii) need copying
+        Seq("centroids.bin", "radii.bin").foreach { f =>
+          val src = java.nio.file.Paths.get(
+            IndexCatalog.indexDir(Ann.root(spark), "as_ivf"), f)
+          if (java.nio.file.Files.exists(src))
+            java.nio.file.Files.copy(src, java.nio.file.Paths.get(
+              IndexCatalog.indexDir(Ann.root(spark), s"as_ivf_np$np"), f),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        runServe(s"ivf_search_table_512q_np$np") {
+          Ann.searchTable(queries, "qvec", emb, "vec_id", s"as_ivf_np$np", 10).count()
+        }
+      }
+    }
+
     // ---- quantized serving at scale (round-9 verdict item 2) ----
     // SQ8 diskann: same graph parameters as as_disk; shards carry the SQ8
     // appendix and serve QUANTIZED from the mapped codes (DiskannMmapIndex
@@ -230,7 +258,9 @@ object AnnScaleSmoke {
     // and every engine's hits are scored against it with a broadcast-join
     // scan — ~5× less smoke wall-time than the per-engine measureRecall
     // loop rounds 8-10 ran, with spec-pinned bit-parity (RecallManySpec).
-    val recallEngines = Seq("as_disk", "as_ivf", "as_sq8", "as_ivfpq", "as_ivfpqr")
+    val sweepNames = ivfSweep.map(np => s"as_ivf_np$np").filter(haveIdx)
+    val recallEngines =
+      Seq("as_disk", "as_ivf", "as_sq8", "as_ivfpq", "as_ivfpqr") ++ sweepNames
     var recallByName = Map.empty[String, (Double, Double)]
     run("recall_at10_200q_5engines") {
       val rows = Ann.measureRecallMany(emb, "embedding", "vec_id",
@@ -245,6 +275,13 @@ object AnnScaleSmoke {
     // IVF variants can never beat this — it contextualizes ivfpq's recall
     val (ivfRecall, ivfRecallIds) = recallByName("as_ivf")
     System.err.println(f"[annscale] ivfflat recall@10 = $ivfRecall%.4f (ids $ivfRecallIds%.4f)")
+    val sweepRecalls = sweepNames.flatMap { nm =>
+      recallByName.get(nm).map { case (r, _) =>
+        val np = nm.stripPrefix("as_ivf_np").toInt
+        System.err.println(f"[annscale] ivfflat nprobe=$np recall@10 = $r%.4f")
+        np -> r
+      }
+    }
     val (sq8Recall, sq8RecallIds) = recallByName("as_sq8")
     System.err.println(f"[annscale] sq8 recall@10 = $sq8Recall%.4f (ids $sq8RecallIds%.4f)")
     val (pqRecall, pqRecallIds) = recallByName("as_ivfpq")
@@ -386,7 +423,9 @@ object AnnScaleSmoke {
       s""""ops":$opsJson,"vectors":$n,"dim":$dim,"shards":$shards,""" +
       s""""max_shard_bytes":$shardBytes,"mmap_threshold":${ShardCache.mmapThreshold},""" +
       s""""mmap_engaged":$mmapEngaged,"recall_at10":$recall,"recall_at10_ids":$recallIds,""" +
-      s""""ivfflat":{"recall_at10":$ivfRecall,"recall_at10_ids":$ivfRecallIds},""" +
+      s""""ivfflat":{"recall_at10":$ivfRecall,"recall_at10_ids":$ivfRecallIds,""" +
+      s""""nprobe_sweep":{"8":$ivfRecall${sweepRecalls.map { case (np, r) =>
+        s""","$np":$r""" }.mkString}}},""" +
       s""""sq8":{"recall_at10":$sq8Recall,"recall_at10_ids":$sq8RecallIds,""" +
       s""""quantized_mmap_engaged":$quantizedMmap,""" +
       s""""mmap_route_heap_bytes":$mmapHeap,"heap_route_heap_bytes":$heapRouteHeap,""" +

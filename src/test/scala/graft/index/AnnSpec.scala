@@ -309,6 +309,26 @@ class AnnSpec extends AnyFunSuite {
     assert(got.count(truth) >= 7, s"ivf recall ${got.count(truth)}/10")
   }
 
+  test("setNprobe: runtime probe width; nprobe=nlist makes IVF exact") {
+    // FAISS's mutable index.nprobe analog: same built structure, widened
+    // probe set at serve time (faiss_index.hpp:38-43 runtime parameter)
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_ivf_np",
+      Ann.BuildParams(engine = "ivfflat", nlist = 16, nprobe = 1))
+    val narrow = Ann.search(emb, "vec_id", "t_ivf_np", q0, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val updated = Ann.setNprobe(spark, "t_ivf_np", 16)
+    assert(updated.nprobe == 16)
+    val wide = Ann.search(emb, "vec_id", "t_ivf_np", q0, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(wide == bruteTop(10, q0), "probe-all IVF must equal brute force")
+    assert(narrow.nonEmpty, "narrow-probe search must still return rows")
+    // nprobe is capped at nlist and rejected for non-IVF engines
+    assert(Ann.setNprobe(spark, "t_ivf_np", 999).nprobe == 16)
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_flat_np",
+      Ann.BuildParams(engine = "flat"))
+    assertThrows[IllegalArgumentException](Ann.setNprobe(spark, "t_flat_np", 2))
+  }
+
   test("sharded recall: 8-shard diskann fan-out merge stays >= 0.9") {
     // SURVEY §7.3 hard part: sharded graphs lose global connectivity — but
     // the per-shard search is near-exhaustive on small shards and the merge
