@@ -333,6 +333,26 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "ann_merge_flat" -> ((s, dir) => {
+      // MergeIndexes' exact-engine instantiation (FAISS IndexFlat merge_from):
+      // two half-corpus flat indexes merged, searched — EXACT, so the whole
+      // merge operator is hash-checked against the brute-force oracle
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb.where(col("vec_id") % 2 === 0), "embedding", "vec_id",
+        "v_mf1", Ann.BuildParams(engine = "flat"))
+      Ann.buildIndex(emb.where(col("vec_id") % 2 === 1), "embedding", "vec_id",
+        "v_mf2", Ann.BuildParams(engine = "flat"))
+      Ann.merge(s, "v_mf1", "v_mf2")
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_mf1", q64Arr, 10)
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
+        .orderBy(col("__dd"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
     "ann_ivf_pruned" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_ivf",
@@ -1077,6 +1097,10 @@ object SparkEntry {
          | list_distance(CAST(embedding AS DOUBLE[]), $q64Sql) AS _distance
          |FROM embeddings ORDER BY vec_id""".stripMargin,
     "ann_ivf_exact" ->
+      s"""SELECT vec_id, row_number() OVER (
+         |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
+         |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
+    "ann_merge_flat" ->
       s"""SELECT vec_id, row_number() OVER (
          |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
          |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,

@@ -2040,10 +2040,11 @@ object Ann {
     val r = root(spark)
     val t = IndexCatalog.load(r, target)
     val s = IndexCatalog.load(r, source)
-    require(isGraphEngine(t.engine) && s.engine == t.engine,
-      s"merge supports graph engines of matching type (got ${t.engine}/${s.engine})")
+    require((isGraphEngine(t.engine) || t.engine == "flat") && s.engine == t.engine,
+      s"merge supports graph or flat engines of matching type (got ${t.engine}/${s.engine})")
     require(t.dim == s.dim && t.metric == s.metric,
       s"incompatible indexes: ${t.dim}/${t.metric} vs ${s.dim}/${s.metric}")
+    if (t.engine == "flat") return mergeFlat(spark, r, t, s)
     val tDir = new java.io.File(IndexCatalog.indexDir(r, target))
     val adopted = s.shards.zipWithIndex.map { case (sh, i) =>
       val srcExt = sh.file.substring(sh.file.lastIndexOf('.') + 1)
@@ -2059,6 +2060,38 @@ object Ann {
     if (tomb.nonEmpty) IndexCatalog.writeTombstones(r, target, tomb)
     val updated = t.copy(shards = t.shards ++ adopted,
       numVectors = t.numVectors + s.numVectors, numDeleted = tomb.size.toLong)
+    IndexCatalog.save(r, updated)
+    updated
+  }
+
+  /** Flat-engine merge (FAISS `IndexFlat::merge_from` analog): adopt the
+   *  source's parquet data files into the target's storage directory. The
+   *  merged index stays EXACT — searches scan the union — which makes this
+   *  the oracle-checkable instantiation of the merge operator (graph merges
+   *  adopt approximate shards and are checked by parity specs instead). */
+  private def mergeFlat(spark: SparkSession, r: String,
+      t: IndexMeta, s: IndexMeta): IndexMeta = {
+    import java.nio.file.{Files, Paths}
+    val tData = Paths.get(t.sourcePath)
+    val sData = Paths.get(s.sourcePath)
+    require(Files.isDirectory(tData) && Files.isDirectory(sData),
+      s"flat merge expects parquet storage dirs (${t.sourcePath}, ${s.sourcePath})")
+    val it = Files.list(sData).iterator()
+    var i = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val nm = f.getFileName.toString
+      if (nm.endsWith(".parquet") || nm.startsWith("part-")) {
+        Files.copy(f, tData.resolve(s"merged-${t.shards.size}-$i-$nm"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        i += 1
+      }
+    }
+    val tomb = IndexCatalog.readTombstones(r, t.name) ++
+      IndexCatalog.readTombstones(r, s.name)
+    if (tomb.nonEmpty) IndexCatalog.writeTombstones(r, t.name, tomb)
+    val updated = t.copy(numVectors = t.numVectors + s.numVectors,
+      numDeleted = tomb.size.toLong)
     IndexCatalog.save(r, updated)
     updated
   }

@@ -309,6 +309,22 @@ class AnnSpec extends AnyFunSuite {
     assert(got.count(truth) >= 7, s"ivf recall ${got.count(truth)}/10")
   }
 
+  test("merge: flat indexes merge exactly (FAISS IndexFlat merge_from analog)") {
+    Ann.buildIndex(emb.where(col("vec_id") % 2 === 0), "embedding", "vec_id",
+      "t_mfa", Ann.BuildParams(engine = "flat"))
+    Ann.buildIndex(emb.where(col("vec_id") % 2 === 1), "embedding", "vec_id",
+      "t_mfb", Ann.BuildParams(engine = "flat"))
+    val m = Ann.merge(spark, "t_mfa", "t_mfb")
+    assert(m.numVectors == emb.count())
+    val got = Ann.search(emb, "vec_id", "t_mfa", q0, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == bruteTop(10, q0), "merged flat search must equal brute force")
+    // mixed-engine merges stay rejected
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_mfg",
+      Ann.BuildParams(engine = "diskann", numShards = 1))
+    assertThrows[IllegalArgumentException](Ann.merge(spark, "t_mfa", "t_mfg"))
+  }
+
   test("setNprobe: runtime probe width; nprobe=nlist makes IVF exact") {
     // FAISS's mutable index.nprobe analog: same built structure, widened
     // probe set at serve time (faiss_index.hpp:38-43 runtime parameter)
