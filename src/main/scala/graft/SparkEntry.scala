@@ -300,6 +300,21 @@ object SparkEntry {
         .select("query_idx", "vec_id", "_distance")
     }),
 
+    "ann_batch_exact" -> ((s, dir) => {
+      // the lock-step batch surface's exact-engine instantiation: 3 queries
+      // against a flat index in ONE batch plan — hash-oracled like
+      // ann_search_table (the graph-engine ann_batch stays rows-only)
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_batch_ex",
+        Ann.BuildParams(engine = "flat"))
+      val qs = emb.where(col("vec_id") < 3).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+      Ann.searchBatch(emb, "vec_id", "v_batch_ex", qs, 5)
+        .select(col("query_idx").cast("long").as("query_idx"),
+          col("vec_id").as("rid"), col("_distance"))
+        .orderBy("query_idx", "_distance", "rid")
+    }),
+
     // the reference's SQL bench shape (bench/metal_diskann_bench.sql:31-39):
     // 50 top-k=10 queries against a DiskANN index, batch-searched
     "ann_batch50" -> ((s, dir) => {
@@ -1104,6 +1119,18 @@ object SparkEntry {
       s"""SELECT vec_id, row_number() OVER (
          |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
          |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
+    "ann_batch_exact" ->
+      s"""WITH q AS (SELECT vec_id AS query_idx, embedding AS qv FROM embeddings WHERE vec_id < 3),
+         |scored AS (
+         |  SELECT q.query_idx, e.vec_id AS rid,
+         |    ${d2Sql("e.embedding", "q.qv::DOUBLE[]")} AS __dd
+         |  FROM q CROSS JOIN embeddings e
+         |)
+         |SELECT query_idx, rid, CAST(__dd AS FLOAT) AS _distance FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_idx ORDER BY __dd, rid) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5
+         |ORDER BY query_idx, _distance, rid""".stripMargin,
     "ann_search_table" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
          |scored AS (
