@@ -253,7 +253,8 @@ object AnnScaleSmoke {
     }
 
     // ---- measured recall@10 vs exact brute force over the full corpus ----
-    // One measureRecallMany call for all five engines: the exact ground
+    // One measureRecallMany call for every engine (5 built + nprobe-sweep
+    // clones): the exact ground
     // truth (1.5M × 200q crossJoin, the expensive side) is computed ONCE
     // and every engine's hits are scored against it with a broadcast-join
     // scan — ~5× less smoke wall-time than the per-engine measureRecall
@@ -262,7 +263,7 @@ object AnnScaleSmoke {
     val recallEngines =
       Seq("as_disk", "as_ivf", "as_sq8", "as_ivfpq", "as_ivfpqr") ++ sweepNames
     var recallByName = Map.empty[String, (Double, Double)]
-    run("recall_at10_200q_5engines") {
+    run("recall_at10_200q_all") {
       val rows = Ann.measureRecallMany(emb, "embedding", "vec_id",
         recallEngines, k = 10, sampleN = 200, searchComplexity = 256).collect()
       recallByName = rows.map(r => r.getAs[String]("name") ->

@@ -118,7 +118,10 @@ object ScaleSmoke {
     run("diskann_build") {
       Ann.buildIndex(emb10, "embedding", "vec_id", "s10_disk",
         Ann.BuildParams(engine = "diskann", numShards = 8,
-          maxDegree = 32, buildComplexity = 64))
+          maxDegree = 32, buildComplexity = 64,
+          // 8 build tasks on local[32]: give each task its idle cores
+          // (cluster equivalent: spark.task.cpus)
+          buildThreads = math.max(1, cpus.toInt / 8)))
       nVecs
     }
     run("search_table_grid") {
