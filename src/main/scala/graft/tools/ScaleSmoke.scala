@@ -27,20 +27,38 @@ object ScaleSmoke {
   }
 
   /** Worst max/median task-time ratio over stages with enough, big-enough
-   *  tasks to make skew meaningful (≥8 tasks, median ≥200 ms). */
-  private def worstSkew(): (Double, Int) = {
+   *  tasks to make skew meaningful (≥8 tasks, median ≥200 ms) — plus the
+   *  same ratio restricted to MAJOR stages (≥5% of the op's total
+   *  task-time). A single GC pause in a 0.5-s stage prints a 3-4×
+   *  max/median ratio with zero data skew (measured: curate_report's
+   *  heaviest stages run ratio ≤1.06 while a 0.6-s-median stage hit 2.3×
+   *  on one paused task); the straggler that matters at cluster scale is
+   *  the one in a stage that carries weight. */
+  private def worstSkew(): (Double, Int, Double, Int) = {
     import scala.jdk.CollectionConverters._
     val byStage = taskTimes.asScala.toSeq.groupBy(_._1)
+    val totalMs = byStage.valuesIterator.flatMap(_.iterator.map(_._2.toDouble)).sum
     val ratios = byStage.toSeq.flatMap { case (sid, ts) =>
       val ds = ts.map(_._2.toDouble).sorted
       if (ds.length < 8) None
       else {
         val med = ds(ds.length / 2)
-        if (med < 200.0) None else Some((ds.last / med, sid))
+        if (med < 200.0) None
+        else {
+          if (sys.env.get("SPARK_GRAFT_SCALE_STAGE_DETAIL").contains("1"))
+            System.err.println(f"[scale]   stage $sid%4d tasks=${ds.length}%3d " +
+              f"med=${med / 1e3}%6.2fs max=${ds.last / 1e3}%6.2fs ratio=${ds.last / med}%.2f")
+          Some((ds.last / med, sid, ds.sum))
+        }
       }
     }
-    if (ratios.isEmpty) (1.0, -1)
-    else { val m = ratios.maxBy(_._1); (m._1, m._2) }
+    if (ratios.isEmpty) (1.0, -1, 1.0, -1)
+    else {
+      val m = ratios.maxBy(_._1)
+      val major = ratios.filter(_._3 >= 0.05 * totalMs)
+      val mm = if (major.isEmpty) (1.0, -1, 0.0) else major.maxBy(_._1)
+      (m._1, m._2, mm._1, mm._2)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -104,10 +122,12 @@ object ScaleSmoke {
       val sec = (System.nanoTime() - t0) / 1e9
       // allow listener events to drain before reading skew
       Thread.sleep(300)
-      val (skew, stage) = worstSkew()
+      val (skew, stage, majorSkew, majorStage) = worstSkew()
       ops(name) = Map("sec" -> sec, "rows" -> rows,
-        "worst_task_skew" -> skew, "skew_stage" -> stage)
-      System.err.println(f"[scale] $name%-22s $sec%7.2fs rows=$rows skew=$skew%.2f")
+        "worst_task_skew" -> skew, "skew_stage" -> stage,
+        "major_stage_skew" -> majorSkew, "major_skew_stage" -> majorStage)
+      System.err.println(f"[scale] $name%-22s $sec%7.2fs rows=$rows " +
+        f"skew=$skew%.2f major=$majorSkew%.2f")
     }
 
     val q0 = {
@@ -169,13 +189,16 @@ object ScaleSmoke {
 
     val total = ops.values.map(_("sec").asInstanceOf[Double]).sum
     val worst = ops.values.map(_("worst_task_skew").asInstanceOf[Double]).max
+    val worstMajor = ops.values.map(_("major_stage_skew").asInstanceOf[Double]).max
     val opsJson = ops.map { case (k, v) =>
       s""""$k":{"sec":${v("sec")},"rows":${v("rows")},""" +
-        s""""worst_task_skew":${v("worst_task_skew")},"skew_stage":${v("skew_stage")}}"""
+        s""""worst_task_skew":${v("worst_task_skew")},"skew_stage":${v("skew_stage")},""" +
+        s""""major_stage_skew":${v("major_stage_skew")},"major_skew_stage":${v("major_skew_stage")}}"""
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"scale${factor}x_total","value":$total,"unit":"sec",""" +
       s""""ops":$opsJson,"docs":$nDocs,"vectors":$nVecs,"base":"$base",""" +
-      s""""factor":$factor,"worst_task_skew":$worst}"""
+      s""""factor":$factor,"worst_task_skew":$worst,""" +
+      s""""worst_major_stage_skew":$worstMajor}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes("UTF-8"))
