@@ -53,6 +53,7 @@ object Ann {
       efConstruction: Int = HnswIndex.DefaultEfConstruction,
       pqM: Int = 8,                        // pq: subquantizer count (dim % pqM == 0)
       refine: Boolean = false,             // pq/ivfpq: RFlat exact re-rank stage
+      refineK: Int = 0,                    // RFlat k_factor (0 = session conf)
       opq: Boolean = false,                // pq: learned OPQ rotation pre-transform
       // graph build threads per shard task (VamanaIndex.addAllParallel);
       // >1 on a cluster requires spark.task.cpus to match. 1 = serial,
@@ -477,7 +478,7 @@ object Ann {
       maxDegree = params.pqM, // pq reuses the maxDegree slot for m
       buildComplexity = 0, alpha = 0f, quantized = true, numVectors = n,
       numDeleted = 0L, shards = Nil, sourcePath = out, refine = params.refine,
-      opq = params.opq)
+      refineK = params.refineK, opq = params.opq)
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -545,7 +546,8 @@ object Ann {
     val meta = IndexMeta(name, "ivfpq", "vec", "id", dim, metric.name,
       maxDegree = params.pqM, buildComplexity = 0, alpha = 0f, quantized = true,
       numVectors = n, numDeleted = 0L, shards = Nil, sourcePath = out,
-      nlist = params.nlist, nprobe = params.nprobe, refine = params.refine)
+      nlist = params.nlist, nprobe = params.nprobe, refine = params.refine,
+      refineK = params.refineK)
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -622,6 +624,11 @@ object Ann {
     math.max(1, spark.conf.getOption("spark.graft.ann.refineFactor")
       .map(_.toInt).getOrElse(4))
 
+  /** Per-index RFlat k_factor (FAISS `IndexRefineFlat.k_factor`, a mutable
+   *  index field): `meta.refineK` when set, else the session conf. */
+  def refineFactor(spark: SparkSession, meta: IndexMeta): Int =
+    if (meta.refineK > 0) meta.refineK else refineFactor(spark)
+
   /** RFlat refine stage (FAISS IndexRefineFlat), two-phase: (1) the ADC
    *  top (fetchK · spark.graft.ann.refineFactor, default 4) candidate IDS
    *  come from the codes-only scan — the raw `vec` column is never read at
@@ -631,7 +638,7 @@ object Ann {
   private def refineStage(spark: SparkSession, meta: IndexMeta, scored: DataFrame,
       query: Array[Float], fetchK: Int): DataFrame = {
     val candIds = scored.orderBy(col("__dd"), col("row_id"))
-      .limit(fetchK * refineFactor(spark))
+      .limit(fetchK * refineFactor(spark, meta))
       .select(col("row_id")).collect().map(_.getLong(0))
     val exact = metricDistanceCol(meta.metricObj, col("vec"), query)
     spark.read.parquet(meta.sourcePath)
@@ -1520,7 +1527,7 @@ object Ann {
           // refine: exact double re-rank of the ADC top k*refineFactor,
           // same candidate cut and fold order as refineStage
           val cand = scoredN.withColumn("__crn", row_number().over(w1))
-            .where(col("__crn") <= k * refineFactor(spark))
+            .where(col("__crn") <= k * refineFactor(spark, meta))
           val bv = base.select(col("id").as("__rid"), col("vec"))
           val rejoined = cand.join(bv, "__rid")
             .join(broadcast(qOut), "__qid")

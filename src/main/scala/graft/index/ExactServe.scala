@@ -182,7 +182,7 @@ private[graft] object ExactServe {
       // RFlat: exact double re-rank of the ADC top (fetchK · refineFactor),
       // same candidate cut and fold order as the distributed refineStage
       val idPos = d.ids.zipWithIndex.toMap
-      val refined = arr.take(fetchK * Ann.refineFactor(spark)).map { t =>
+      val refined = arr.take(fetchK * Ann.refineFactor(spark, meta)).map { t =>
         val v = d.vecs(idPos(t._2))
         var sEd = 0.0; var j = 0
         if (l2) while (j < v.length) {

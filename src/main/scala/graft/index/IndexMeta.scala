@@ -35,6 +35,9 @@ case class IndexMeta(
     nlist: Int = 0,               // ivfflat
     nprobe: Int = 1,              // ivfflat
     refine: Boolean = false,      // pq/ivfpq: RFlat exact re-rank stage
+    refineK: Int = 0,             // RFlat k_factor override (0 = session conf);
+                                  // FAISS IndexRefineFlat.k_factor is likewise
+                                  // a per-index mutable field
     opq: Boolean = false,         // pq: rotation.bin pre-transform (OPQ)
     version: Int = 1,
     // root paths of the source relation the index was built over (when the

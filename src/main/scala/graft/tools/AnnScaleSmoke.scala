@@ -271,6 +271,29 @@ object AnnScaleSmoke {
     runServe("ivfpqr_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfpqr", 10).count()
     }
+    // ---- RFlat k_factor sweep (IndexMeta.refineK — FAISS's mutable
+    // IndexRefineFlat.k_factor): the default k_factor=4 re-ranks only 40
+    // ADC candidates, so refine recall is bounded by ADC's top-40 quality,
+    // far below the nprobe=32 CANDIDATE ceiling the probe sweep measures.
+    // kf=16 re-ranks 160 — the knob that shows refine recovering toward
+    // that ceiling. Same catalog-clone trick as the nprobe sweep: shared
+    // cluster-partitioned parquet, tiny sidecars copied.
+    if (haveIdx("as_ivfpqr")) {
+      val pqrMeta = IndexCatalog.load(Ann.root(spark), "as_ivfpqr")
+      IndexCatalog.save(Ann.root(spark),
+        pqrMeta.copy(name = "as_ivfpqr_kf16", refineK = 16))
+      Seq("centroids.bin", "radii.bin", "pq.bin", "rotation.bin").foreach { f =>
+        val src = java.nio.file.Paths.get(
+          IndexCatalog.indexDir(Ann.root(spark), "as_ivfpqr"), f)
+        if (java.nio.file.Files.exists(src))
+          java.nio.file.Files.copy(src, java.nio.file.Paths.get(
+            IndexCatalog.indexDir(Ann.root(spark), "as_ivfpqr_kf16"), f),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      runServe("ivfpqr_kf16_search_table_512q") {
+        Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfpqr_kf16", 10).count()
+      }
+    }
 
     // ---- measured recall@10 vs exact brute force over the full corpus ----
     // One measureRecallMany call for every engine (5 built + nprobe-sweep
@@ -281,7 +304,8 @@ object AnnScaleSmoke {
     // loop rounds 8-10 ran, with spec-pinned bit-parity (RecallManySpec).
     val sweepNames = ivfSweep.map(np => s"as_ivf_np$np").filter(haveIdx)
     val recallEngines =
-      Seq("as_disk", "as_ivf", "as_sq8", "as_ivfpq", "as_ivfpqr") ++ sweepNames
+      Seq("as_disk", "as_ivf", "as_sq8", "as_ivfpq", "as_ivfpqr") ++ sweepNames ++
+        Seq("as_ivfpqr_kf16").filter(haveIdx)
     var recallByName = Map.empty[String, (Double, Double)]
     run("recall_at10_200q_all") {
       val rows = Ann.measureRecallMany(emb, "embedding", "vec_id",
@@ -309,6 +333,9 @@ object AnnScaleSmoke {
     System.err.println(f"[annscale] ivfpq recall@10 = $pqRecall%.4f (ids $pqRecallIds%.4f)")
     val (pqrRecall, pqrRecallIds) = recallByName("as_ivfpqr")
     System.err.println(f"[annscale] ivfpq+rflat recall@10 = $pqrRecall%.4f (ids $pqrRecallIds%.4f)")
+    val pqrKf16Recall = recallByName.get("as_ivfpqr_kf16").map(_._1)
+    pqrKf16Recall.foreach(r =>
+      System.err.println(f"[annscale] ivfpq+rflat kf16 recall@10 = $r%.4f"))
 
     // ---- quantized memory accounting (measured, not claimed) ----
     // Regions a search actually reads per route (exact byte math from the
@@ -459,6 +486,7 @@ object AnnScaleSmoke {
       s""""ivf_storage_bytes":$ivfBytes,"ivfpq_storage_bytes":$ivfpqBytes,""" +
       s""""storage_ratio":${ivfBytes.toDouble / math.max(1, ivfpqBytes)}},""" +
       s""""ivfpq_rflat":{"recall_at10":$pqrRecall,"recall_at10_ids":$pqrRecallIds,""" +
+      pqrKf16Recall.map(r => s""""recall_at10_kf16":$r,""").getOrElse("") +
       s""""storage_bytes":$ivfpqrBytes},""" +
       s""""latency":$latJson,""" +
       s""""worst_task_skew":$worst,"worst_major_stage_skew":$worstMajor}"""

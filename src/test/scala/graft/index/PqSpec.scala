@@ -160,6 +160,51 @@ class PqSpec extends AnyFunSuite {
     assert(r2.length == 5 && r2(0).getLong(0) == 42L)
   }
 
+  test("refineK: per-index k_factor overrides session conf; saturating = exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    val rnd3 = new scala.util.Random(133)
+    // UNCLUSTERED vectors: ADC ranking is genuinely lossy here, so a narrow
+    // refine window measurably differs from a saturating one
+    val n = 600L
+    val data = (0L until n).map(i =>
+      (i, Array.fill(dim)(rnd3.nextFloat()).toSeq)).toDF("id", "vec")
+    val q = data.where(col("id") === 7L).collect()(0).getSeq[Float](1).toArray
+    val exact = data.select(col("id"),
+        array_distance_sq(toFloatVec(col("vec")), floatVec(q.toSeq)).as("d"))
+      .orderBy(col("d"), col("id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    Ann.buildIndexFactory(data, "vec", "id", "kf_base", "PQ8,RFlat")
+    // catalog clone with a saturating per-index k_factor: k*refineK >= n
+    // means the refine stage re-ranks EVERY row exactly -> result must be
+    // the exact top-10, regardless of how lossy the ADC ranking is
+    val meta = IndexCatalog.load(Ann.root(spark), "kf_base")
+    IndexCatalog.save(Ann.root(spark), meta.copy(name = "kf_sat", refineK = 60))
+    val pqPath = s"${IndexCatalog.indexDir(Ann.root(spark), "kf_base")}/pq.bin"
+    java.nio.file.Files.copy(java.nio.file.Paths.get(pqPath),
+      java.nio.file.Paths.get(
+        s"${IndexCatalog.indexDir(Ann.root(spark), "kf_sat")}/pq.bin"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // session conf pinned NARROW: meta.refineK must win over it
+    spark.conf.set("spark.graft.ann.refineFactor", "1")
+    try {
+      val sat = Ann.search(data, "id", "kf_sat", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(sat == exact, s"saturating refineK must equal exact: $sat vs $exact")
+      // refineK = 0 falls back to the conf (factor 1 -> re-rank only the ADC
+      // top-10; the ADC ORDER inside that set can't add new ids)
+      val narrow = Ann.search(data, "id", "kf_base", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(narrow.size == 10)
+      // the same override must hold on the TABLE path (frozen-query refine)
+      val qdf = Seq((7L, q.toSeq)).toDF("qid", "qvec")
+      val satTbl = Ann.searchTable(qdf, "qvec", data, "id", "kf_sat", 10)
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(satTbl == exact, s"table-path saturating refineK: $satTbl vs $exact")
+    } finally spark.conf.unset("spark.graft.ann.refineFactor")
+  }
+
   test("codebook: encode/decode reconstructs clustered points; adc == l2 to reconstruction") {
     val data = clustered(400).map(_._2).toArray
     val cb = PqCodec.train(data, m = 4, k = 32)
