@@ -588,6 +588,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // df-cap audit companion (no silent truncation): how many n-gram
+    // buckets the pair ops above kept vs dropped as over-cap boilerplate
+    "ngram_cap_audit" -> ((s, dir) =>
+      TextOps.ngramBucketStats(t(s, dir, "documents"), "text")),
+
     // benchmark decontamination: train docs (id % 5 != 0) sharing any
     // duplicated 5-gram with the eval split (id % 5 == 0)
     "decontaminate" -> ((s, dir) => {
@@ -1211,6 +1216,21 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_ngrams
         |FROM fng a JOIN fng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""".stripMargin,
+    "ngram_cap_audit" ->
+      """WITH toks AS (SELECT doc_id,
+        |   regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        | ng AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS ngram
+        |   FROM toks, unnest(range(1, len(t)-3)) AS u(i) WHERE len(t) >= 5),
+        | dfs AS (SELECT ngram, count(*) AS df FROM ng GROUP BY 1)
+        |SELECT count(*) AS ngrams_total,
+        |  CAST(coalesce(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS ngrams_singleton,
+        |  CAST(coalesce(sum(CASE WHEN df BETWEEN 2 AND 50 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS ngrams_kept,
+        |  CAST(coalesce(sum(CASE WHEN df > 50 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS ngrams_dropped_over_cap,
+        |  CAST(coalesce(max(df), 0) AS BIGINT) AS max_df
+        |FROM dfs""".stripMargin,
     "decontaminate" ->
       """WITH toks AS (SELECT doc_id,
         |   regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),

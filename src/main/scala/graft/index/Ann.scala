@@ -1923,6 +1923,19 @@ object Ann {
     updated
   }
 
+  /** Serve-time RFlat k_factor update (FAISS `IndexRefineFlat.k_factor` is
+   *  likewise mutable post-build): widens/narrows the exact re-rank window
+   *  without rebuilding. 0 restores the session-conf fallback. */
+  def setRefineK(spark: SparkSession, name: String, refineK: Int): IndexMeta = {
+    require(refineK >= 0, s"refineK must be >= 0 (got $refineK)")
+    val meta = IndexCatalog.load(root(spark), name)
+    require(meta.refine,
+      s"refineK applies to RFlat indexes; '$name' has no refine stage")
+    val updated = meta.copy(refineK = refineK)
+    IndexCatalog.save(root(spark), updated)
+    updated
+  }
+
   /** Vacuum: rebuild shards without tombstoned rows, clear tombstones
    *  (reference src/diskann_index.cpp:701-741). */
   def vacuum(spark: SparkSession, name: String): IndexMeta = {

@@ -1028,6 +1028,32 @@ object TextOps {
       }
   }
 
+  /** Cap audit for the df-capped n-gram bucket ops ([[ngramDupPairs]],
+   *  [[contaminationCounts]]): one row of bucket-population counters —
+   *  `ngrams_total`, `ngrams_singleton` (df = 1, no pair signal),
+   *  `ngrams_kept` (df ∈ [2, dfMax], the buckets the pair ops consume),
+   *  `ngrams_dropped_over_cap` (df > dfMax, treated as boilerplate and
+   *  SKIPPED), and `max_df`. The df cap is a documented precision/scale
+   *  trade-off; this is its no-silent-truncation companion — a corpus
+   *  where the duplication structure itself exceeds dfMax (e.g. >dfMax
+   *  near-identical copies of a document) reports zero pairs, and this
+   *  audit is how a pipeline distinguishes "no duplication" from "the
+   *  duplication saturated the cap" (and decides to raise dfMax). Pure
+   *  codegen two-level aggregation: no posting list is ever materialized —
+   *  an exact per-n-gram `count`, then one global fold. */
+  def ngramBucketStats(df: DataFrame, textCol: String,
+      n: Int = 5, dfMax: Int = 50): DataFrame =
+    df.select(explode(ngramsOfTextCol(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("ngrams_total"),
+        coalesce(sum(when(col("df") === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("ngrams_singleton"),
+        coalesce(sum(when(col("df").between(2L, dfMax.toLong), 1L)
+          .otherwise(0L)), lit(0L)).as("ngrams_kept"),
+        coalesce(sum(when(col("df") > dfMax.toLong, 1L).otherwise(0L)), lit(0L))
+          .as("ngrams_dropped_over_cap"),
+        coalesce(max(col("df")), lit(0L)).as("max_df"))
+
   /** Exact substring-level near-dup detection (the n-gram-span analog of
    *  suffix-array training-data dedup): document pairs sharing at least
    *  `minShared` distinct token n-grams → (id_a, id_b, shared_ngrams).

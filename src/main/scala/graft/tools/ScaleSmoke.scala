@@ -166,6 +166,19 @@ object ScaleSmoke {
     run("ngram_dup_pairs") {
       TextOps.ngramDupPairs(docs10, "text", "doc_id").count()
     }
+    // cap audit beside the pair count: at replication factors above dfMax
+    // (default 50) EVERY duplicated n-gram's bucket exceeds the cap, so the
+    // pair op correctly reports 0 pairs — `rows` here is the count of
+    // DROPPED (over-cap) buckets, the artifact's proof the zero above is
+    // cap saturation, not absence of duplication
+    run("ngram_cap_audit") {
+      val r = TextOps.ngramBucketStats(docs10, "text").collect()(0)
+      System.err.println(s"[scale]   ngram buckets: total=${r.getAs[Long]("ngrams_total")} " +
+        s"kept=${r.getAs[Long]("ngrams_kept")} " +
+        s"dropped_over_cap=${r.getAs[Long]("ngrams_dropped_over_cap")} " +
+        s"max_df=${r.getAs[Long]("max_df")}")
+      r.getAs[Long]("ngrams_dropped_over_cap")
+    }
     run("dedup_minhash_keep") {
       TextOps.dedupByMinhash(docs10, "text", "doc_id", minJaccard = 0.6).count()
     }

@@ -202,6 +202,15 @@ class PqSpec extends AnyFunSuite {
       val satTbl = Ann.searchTable(qdf, "qvec", data, "id", "kf_sat", 10)
         .collect().map(_.getAs[Long]("id")).toSet
       assert(satTbl == exact, s"table-path saturating refineK: $satTbl vs $exact")
+      // serve-time mutation (FAISS k_factor is mutable post-build): widening
+      // kf_base in place must give the exact answer without a rebuild
+      assert(Ann.setRefineK(spark, "kf_base", 60).refineK == 60)
+      val mutated = Ann.search(data, "id", "kf_base", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(mutated == exact, s"setRefineK(60) must equal exact: $mutated")
+      intercept[IllegalArgumentException] {
+        Ann.setRefineK(spark, "kf_base", -1)
+      }
     } finally spark.conf.unset("spark.graft.ann.refineFactor")
   }
 

@@ -237,6 +237,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L, 2L)), pairs.toSeq.toString)
   }
 
+  test("ngramBucketStats: cap audit separates kept / dropped / singleton buckets") {
+    val span = "w1 w2 w3 w4 w5 w6"               // 2 distinct 5-grams, df=2
+    val boiler = "b1 b2 b3 b4 b5"                // 1 five-gram in all 4 docs
+    val df = docs(
+      (1L, s"$boiler unique1 $span"),
+      (2L, s"$boiler unique2 $span"),
+      (3L, s"$boiler unique3 other words entirely here now"),
+      (4L, s"$boiler unique4 more filler tokens to pad out"))
+    val r = TextOps.ngramBucketStats(df, "text", n = 5, dfMax = 3).collect()(0)
+    assert(r.getAs[Long]("max_df") == 4L)                       // the boiler gram
+    assert(r.getAs[Long]("ngrams_dropped_over_cap") == 1L)      // df=4 > 3
+    assert(r.getAs[Long]("ngrams_kept") == 2L)                  // the span's two
+    assert(r.getAs[Long]("ngrams_total") ==
+      r.getAs[Long]("ngrams_singleton") + r.getAs[Long]("ngrams_kept") +
+      r.getAs[Long]("ngrams_dropped_over_cap"))
+    // the audit explains a zero pair count: raising dfMax above max_df makes
+    // the dropped bucket reappear in the kept class
+    val r2 = TextOps.ngramBucketStats(df, "text", n = 5, dfMax = 4).collect()(0)
+    assert(r2.getAs[Long]("ngrams_dropped_over_cap") == 0L)
+    assert(r2.getAs[Long]("ngrams_kept") == 3L)
+    // empty corpus: all counters zero, no NULLs
+    val e = TextOps.ngramBucketStats(docs(), "text").collect()(0)
+    assert(Seq("ngrams_total", "ngrams_singleton", "ngrams_kept",
+      "ngrams_dropped_over_cap", "max_df").forall(c => e.getAs[Long](c) == 0L))
+  }
+
   test("contaminationCounts: train docs sharing eval n-grams, counted once") {
     val span = "c1 c2 c3 c4 c5"
     val df = docs(
