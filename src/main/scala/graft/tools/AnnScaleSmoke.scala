@@ -173,6 +173,19 @@ object AnnScaleSmoke {
       n
     }
 
+    // hnsw at the same scale: insertion is serial per shard (HNSW's level
+    // structure owns its insert order — no addAllParallel analog), so
+    // parallelism comes from the SHARD axis instead: 32 shards = 32
+    // concurrent build tasks (cluster: spread across executors). Serving
+    // fans every query across the 32 shard-local graphs and merges top-k —
+    // the same grid plan as diskann, more smaller cells.
+    val hnswShards = 32
+    if (!reuse) run("hnsw_build") {
+      Ann.buildIndex(emb, "embedding", "vec_id", "as_hnsw",
+        Ann.BuildParams(engine = "hnsw", numShards = hnswShards))
+      n
+    }
+
     // ---- serve: every search surface against the mmap-resident shards ----
     val qRows = emb.where(col("vec_id") % (n / 512) === 0L).limit(512)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -195,6 +208,11 @@ object AnnScaleSmoke {
     }
     runServe("ivf_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivf", 10).count()
+    }
+    if (IndexCatalog.list(Ann.root(spark)).exists(_.name == "as_hnsw"))
+      runServe("hnsw_search_table_512q") {
+      Ann.searchTable(queries, "qvec", emb, "vec_id", "as_hnsw", 10,
+        searchComplexity = 256).count()
     }
 
     // ---- serve-time nprobe sweep (Ann.setNprobe — FAISS's mutable
@@ -305,7 +323,7 @@ object AnnScaleSmoke {
     val sweepNames = ivfSweep.map(np => s"as_ivf_np$np").filter(haveIdx)
     val recallEngines =
       Seq("as_disk", "as_ivf", "as_sq8", "as_ivfpq", "as_ivfpqr") ++ sweepNames ++
-        Seq("as_ivfpqr_kf16").filter(haveIdx)
+        Seq("as_ivfpqr_kf16", "as_hnsw").filter(haveIdx)
     var recallByName = Map.empty[String, (Double, Double)]
     run("recall_at10_200q_all") {
       val rows = Ann.measureRecallMany(emb, "embedding", "vec_id",
@@ -336,6 +354,9 @@ object AnnScaleSmoke {
     val pqrKf16Recall = recallByName.get("as_ivfpqr_kf16").map(_._1)
     pqrKf16Recall.foreach(r =>
       System.err.println(f"[annscale] ivfpq+rflat kf16 recall@10 = $r%.4f"))
+    val hnswRecall = recallByName.get("as_hnsw").map(_._1)
+    hnswRecall.foreach(r =>
+      System.err.println(f"[annscale] hnsw recall@10 = $r%.4f ($hnswShards shards)"))
 
     // ---- quantized memory accounting (measured, not claimed) ----
     // Regions a search actually reads per route (exact byte math from the
@@ -488,6 +509,8 @@ object AnnScaleSmoke {
       s""""ivfpq_rflat":{"recall_at10":$pqrRecall,"recall_at10_ids":$pqrRecallIds,""" +
       pqrKf16Recall.map(r => s""""recall_at10_kf16":$r,""").getOrElse("") +
       s""""storage_bytes":$ivfpqrBytes},""" +
+      hnswRecall.map(r =>
+        s""""hnsw":{"recall_at10":$r,"shards":$hnswShards},""").getOrElse("") +
       s""""latency":$latJson,""" +
       s""""worst_task_skew":$worst,"worst_major_stage_skew":$worstMajor}"""
     println(json)
