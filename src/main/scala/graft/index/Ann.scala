@@ -863,17 +863,28 @@ object Ann {
    *  (7.0x task skew at 1.5M vectors x 512 queries, AnnScaleSmoke; 3.3x
    *  after rebalance). The extra exchange only pays off when the batch is
    *  big enough that the compute stage dominates its cost AND the tail
-   *  matters, so it gates on the query block's estimated row count
-   *  (plan stats / row width): few-query lookups keep the direct
-   *  cluster-pruned scan. `spark.graft.ann.rebalanceProbedScan`
-   *  force-overrides (true/false). */
+   *  matters, so it gates on the query block's estimated row count.
+   *  Row count comes from CBO stats or the LocalRelation's own length
+   *  before falling back to bytes/row-width: `ArrayType.defaultSize`
+   *  counts a dim-float vector as 4 bytes, so a driver-built
+   *  LocalRelation of 200 queries sizes like ~15 — the bytes heuristic
+   *  alone silently skipped the rebalance for in-memory query batches
+   *  and left a 45x hot-cell task on the clustered 1.5M corpus (popular
+   *  central cells bin-packed into one scan split). Few-query lookups
+   *  keep the direct cluster-pruned scan.
+   *  `spark.graft.ann.rebalanceProbedScan` force-overrides (true/false). */
   private def rebalanceProbedScan(spark: SparkSession, queriesDf: DataFrame,
       dim: Int): Boolean =
     spark.conf.getOption("spark.graft.ann.rebalanceProbedScan") match {
       case Some(v) => v.toBoolean
       case None =>
-        val est = queriesDf.queryExecution.optimizedPlan.stats.sizeInBytes
-        est / math.max(1, dim * 4) >= 64
+        val plan = queriesDf.queryExecution.optimizedPlan
+        val nQueries: BigInt = plan.stats.rowCount.getOrElse(plan match {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            BigInt(l.data.length)
+          case _ => plan.stats.sizeInBytes / math.max(1, dim * 4)
+        })
+        nQueries >= 64
     }
 
   /** Engine-semantics distance column: squared L2 / negated IP / negated cos. */

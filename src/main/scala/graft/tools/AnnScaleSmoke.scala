@@ -64,7 +64,20 @@ object AnnScaleSmoke {
     val nVecs = sys.env.getOrElse("SPARK_GRAFT_ANN_VECS", "1500000").toLong
     val dim = 64
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val workDir = s"target/annscale$nVecs"
+    // SPARK_GRAFT_ANN_MODE=clustered swaps the uniform-random corpus (the
+    // adversarial case: no neighborhood structure for IVF/PQ to exploit)
+    // for a mixture-of-clusters corpus shaped like real embedding tables:
+    // K centers uniform in [0,1]^64, each vector = its center + small
+    // per-dim jitter. Between-center L2 ≈ sqrt(64/6) ≈ 3.3 while
+    // within-cluster L2 ≈ 0.5, so true top-10 neighbors co-locate in one
+    // natural cluster — the regime where IVF probe recall and PQ ADC
+    // ranking are meaningful rather than probe-fraction-bound.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_ANN_MODE", "uniform")
+    require(mode == "uniform" || mode == "clustered", s"bad mode $mode")
+    val kClusters = sys.env.getOrElse("SPARK_GRAFT_ANN_CLUSTERS", "1024").toInt
+    val workDir =
+      if (mode == "clustered") s"target/annscale${nVecs}_cl$kClusters"
+      else s"target/annscale$nVecs"
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -79,17 +92,28 @@ object AnnScaleSmoke {
     // ---- corpus: deterministic, generated in parallel, persisted once ----
     val path = s"$workDir/embeddings.parquet"
     if (!new java.io.File(path).exists()) {
-      spark.range(nVecs).toDF("vec_id")
-        .select(col("vec_id"),
+      def u01(seed: org.apache.spark.sql.Column) =
+        pmod(xxhash64(seed), lit(100000L)).cast("double") / lit(100000.0)
+      val vec =
+        if (mode == "clustered") {
+          val cid = pmod(xxhash64(col("vec_id"), lit(0x5eedL)),
+            lit(kClusters.toLong))
+          transform(sequence(lit(0), lit(dim - 1)), d =>
+            (u01(cid * lit(dim) + d + lit(7000000000L)) +
+              (u01(col("vec_id") * lit(dim) + d) - lit(0.5)) * lit(0.12))
+              .cast("float"))
+        } else
           transform(sequence(lit(0), lit(dim - 1)),
-            d => (pmod(xxhash64(col("vec_id") * lit(dim) + d), lit(100000L))
-              .cast("double") / lit(100000.0)).cast("float")).as("embedding"))
+            d => u01(col("vec_id") * lit(dim) + d).cast("float"))
+      spark.range(nVecs).toDF("vec_id")
+        .select(col("vec_id"), vec.as("embedding"))
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(path)
     }
     val emb = spark.read.parquet(path)
     val n = emb.count()
-    System.err.println(s"[annscale] corpus: $n vectors x $dim dims")
+    System.err.println(s"[annscale] corpus: $n vectors x $dim dims, mode=$mode" +
+      (if (mode == "clustered") s" ($kClusters clusters)" else ""))
 
     val ops = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Any]]
     // dev-iteration switch: SPARK_GRAFT_ANN_OPS=a,b runs only the named ops
@@ -167,9 +191,21 @@ object AnnScaleSmoke {
     System.err.println(s"[annscale] max shard $shardBytes bytes, " +
       s"mmap threshold ${ShardCache.mmapThreshold} -> mmap=$mmapEngaged")
 
+    // IVF cell count must track data shape (FAISS guidance nlist ≈ √N):
+    // on the uniform corpus structure doesn't exist, so more/smaller cells
+    // only shrink the probed fraction — 256 is the honest point there; on
+    // the clustered corpus nlist MUST reach the natural cluster count or
+    // every cell spans several blobs and PQ residuals carry between-blob
+    // variance (measured: kf16 recall 0.26 at nlist 256 vs the nlist-1024
+    // run). The clustered default probes the same 12.5% cell fraction.
+    val nlist = sys.env.get("SPARK_GRAFT_ANN_NLIST").map(_.toInt)
+      .getOrElse(if (mode == "clustered") 1024 else 256)
+    val ivfNprobe = sys.env.get("SPARK_GRAFT_ANN_NPROBE").map(_.toInt)
+      .getOrElse(8)
+    val pqNprobe = math.max(ivfNprobe, 32)
     if (!reuse) run("ivfflat_build") {
       Ann.buildIndex(emb, "embedding", "vec_id", "as_ivf",
-        Ann.BuildParams(engine = "ivfflat", nlist = 256, nprobe = 8))
+        Ann.BuildParams(engine = "ivfflat", nlist = nlist, nprobe = ivfNprobe))
       n
     }
 
@@ -266,7 +302,8 @@ object AnnScaleSmoke {
     // trades the storage win back for exact re-ranking
     if (!reuse) run("ivfpq_build") {
       Ann.buildIndex(emb, "embedding", "vec_id", "as_ivfpq",
-        Ann.BuildParams(engine = "ivfpq", nlist = 256, nprobe = 32, pqM = 8))
+        Ann.BuildParams(engine = "ivfpq", nlist = nlist, nprobe = pqNprobe,
+          pqM = 8))
       n
     }
     // RFlat refine: the accuracy knob — same ADC candidate ranking, then an
@@ -275,8 +312,8 @@ object AnnScaleSmoke {
     // back). Measured beside plain ivfpq so the matrix shows both ends.
     if (!reuse) run("ivfpqr_build") {
       Ann.buildIndex(emb, "embedding", "vec_id", "as_ivfpqr",
-        Ann.BuildParams(engine = "ivfpq", nlist = 256, nprobe = 32, pqM = 8,
-          refine = true))
+        Ann.BuildParams(engine = "ivfpq", nlist = nlist, nprobe = pqNprobe,
+          pqM = 8, refine = true))
       n
     }
     runServe("sq8_search_table_512q") {
@@ -293,23 +330,29 @@ object AnnScaleSmoke {
     // IndexRefineFlat.k_factor): the default k_factor=4 re-ranks only 40
     // ADC candidates, so refine recall is bounded by ADC's top-40 quality,
     // far below the nprobe=32 CANDIDATE ceiling the probe sweep measures.
-    // kf=16 re-ranks 160 — the knob that shows refine recovering toward
-    // that ceiling. Same catalog-clone trick as the nprobe sweep: shared
-    // cluster-partitioned parquet, tiny sidecars copied.
+    // kf=16 re-ranks 160, kf=64 re-ranks 640 — the widening windows that
+    // show refine recovering toward that ceiling (on the clustered corpus
+    // the window must approach the natural-cluster population before
+    // within-blob ADC noise stops costing recall). Same catalog-clone trick
+    // as the nprobe sweep: shared cluster-partitioned parquet, tiny
+    // sidecars copied.
+    val kfSweep = Seq(16, 64)
     if (haveIdx("as_ivfpqr")) {
       val pqrMeta = IndexCatalog.load(Ann.root(spark), "as_ivfpqr")
-      IndexCatalog.save(Ann.root(spark),
-        pqrMeta.copy(name = "as_ivfpqr_kf16", refineK = 16))
-      Seq("centroids.bin", "radii.bin", "pq.bin", "rotation.bin").foreach { f =>
-        val src = java.nio.file.Paths.get(
-          IndexCatalog.indexDir(Ann.root(spark), "as_ivfpqr"), f)
-        if (java.nio.file.Files.exists(src))
-          java.nio.file.Files.copy(src, java.nio.file.Paths.get(
-            IndexCatalog.indexDir(Ann.root(spark), "as_ivfpqr_kf16"), f),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-      runServe("ivfpqr_kf16_search_table_512q") {
-        Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfpqr_kf16", 10).count()
+      kfSweep.foreach { kf =>
+        IndexCatalog.save(Ann.root(spark),
+          pqrMeta.copy(name = s"as_ivfpqr_kf$kf", refineK = kf))
+        Seq("centroids.bin", "radii.bin", "pq.bin", "rotation.bin").foreach { f =>
+          val src = java.nio.file.Paths.get(
+            IndexCatalog.indexDir(Ann.root(spark), "as_ivfpqr"), f)
+          if (java.nio.file.Files.exists(src))
+            java.nio.file.Files.copy(src, java.nio.file.Paths.get(
+              IndexCatalog.indexDir(Ann.root(spark), s"as_ivfpqr_kf$kf"), f),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        runServe(s"ivfpqr_kf${kf}_search_table_512q") {
+          Ann.searchTable(queries, "qvec", emb, "vec_id", s"as_ivfpqr_kf$kf", 10).count()
+        }
       }
     }
 
@@ -323,7 +366,7 @@ object AnnScaleSmoke {
     val sweepNames = ivfSweep.map(np => s"as_ivf_np$np").filter(haveIdx)
     val recallEngines =
       Seq("as_disk", "as_ivf", "as_sq8", "as_ivfpq", "as_ivfpqr") ++ sweepNames ++
-        Seq("as_ivfpqr_kf16", "as_hnsw").filter(haveIdx)
+        (kfSweep.map(kf => s"as_ivfpqr_kf$kf") :+ "as_hnsw").filter(haveIdx)
     var recallByName = Map.empty[String, (Double, Double)]
     run("recall_at10_200q_all") {
       val rows = Ann.measureRecallMany(emb, "embedding", "vec_id",
@@ -351,9 +394,12 @@ object AnnScaleSmoke {
     System.err.println(f"[annscale] ivfpq recall@10 = $pqRecall%.4f (ids $pqRecallIds%.4f)")
     val (pqrRecall, pqrRecallIds) = recallByName("as_ivfpqr")
     System.err.println(f"[annscale] ivfpq+rflat recall@10 = $pqrRecall%.4f (ids $pqrRecallIds%.4f)")
-    val pqrKf16Recall = recallByName.get("as_ivfpqr_kf16").map(_._1)
-    pqrKf16Recall.foreach(r =>
-      System.err.println(f"[annscale] ivfpq+rflat kf16 recall@10 = $r%.4f"))
+    val pqrKfRecalls = kfSweep.flatMap { kf =>
+      recallByName.get(s"as_ivfpqr_kf$kf").map { case (r, _) =>
+        System.err.println(f"[annscale] ivfpq+rflat kf$kf recall@10 = $r%.4f")
+        kf -> r
+      }
+    }
     val hnswRecall = recallByName.get("as_hnsw").map(_._1)
     hnswRecall.foreach(r =>
       System.err.println(f"[annscale] hnsw recall@10 = $r%.4f ($hnswShards shards)"))
@@ -491,6 +537,8 @@ object AnnScaleSmoke {
         s""""major_stage_skew":${v("major_stage_skew")}}"""
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"ann_scale_total","value":$total,"unit":"sec",""" +
+      s""""mode":"$mode","nlist":$nlist,"nprobe":$ivfNprobe,""" +
+      (if (mode == "clustered") s""""clusters":$kClusters,""" else "") +
       s""""ops":$opsJson,"vectors":$n,"dim":$dim,"shards":$shards,""" +
       s""""max_shard_bytes":$shardBytes,"mmap_threshold":${ShardCache.mmapThreshold},""" +
       s""""mmap_engaged":$mmapEngaged,"recall_at10":$recall,"recall_at10_ids":$recallIds,""" +
@@ -507,7 +555,8 @@ object AnnScaleSmoke {
       s""""ivf_storage_bytes":$ivfBytes,"ivfpq_storage_bytes":$ivfpqBytes,""" +
       s""""storage_ratio":${ivfBytes.toDouble / math.max(1, ivfpqBytes)}},""" +
       s""""ivfpq_rflat":{"recall_at10":$pqrRecall,"recall_at10_ids":$pqrRecallIds,""" +
-      pqrKf16Recall.map(r => s""""recall_at10_kf16":$r,""").getOrElse("") +
+      pqrKfRecalls.map { case (kf, r) =>
+        s""""recall_at10_kf$kf":$r,""" }.mkString +
       s""""storage_bytes":$ivfpqrBytes},""" +
       hnswRecall.map(r =>
         s""""hnsw":{"recall_at10":$r,"shards":$hnswShards},""").getOrElse("") +

@@ -309,6 +309,41 @@ class AnnSpec extends AnyFunSuite {
     assert(got.count(truth) >= 7, s"ivf recall ${got.count(truth)}/10")
   }
 
+  test("probed-scan rebalance engages for in-memory query batches") {
+    // The gate must count QUERIES, not plan bytes: ArrayType.defaultSize
+    // prices a 64-float vector at 4 bytes, so a driver-built LocalRelation
+    // of 200 queries sized like ~15 under the old bytes heuristic and the
+    // hot-cell rebalance silently skipped (measured 45x task skew on the
+    // clustered 1.5M corpus — popular central cells bin-packed into one
+    // scan split). Large in-memory batch → RoundRobin exchange; a few-query
+    // lookup keeps the direct cluster-pruned scan.
+    Ann.buildIndex(emb, "embedding", "vec_id", "t_ivf_rb",
+      Ann.BuildParams(engine = "ivfflat", nlist = 8, nprobe = 2))
+    val prevLocal = spark.conf.getOption("spark.graft.ann.localExactMaxBytes")
+    spark.conf.set("spark.graft.ann.localExactMaxBytes", "0")
+    try {
+      import spark.implicits._
+      def qBatch(n: Int) = emb.orderBy("vec_id").limit(n)
+        .select(col("vec_id").as("qid"),
+          graft.functions.toFloatVec(col("embedding")).as("qv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .toSeq.toDF("qid", "qv")
+      def hasRoundRobin(n: Int): Boolean =
+        Ann.searchTable(qBatch(n), "qv", emb, "vec_id", "t_ivf_rb", 5)
+          .queryExecution.executedPlan.toString.toLowerCase
+          .contains("roundrobin")
+      assert(hasRoundRobin(64),
+        "64-query LocalRelation batch must take the rebalanced scan")
+      assert(!hasRoundRobin(8),
+        "8-query lookup must keep the direct cluster-pruned scan")
+    } finally {
+      prevLocal match {
+        case Some(v) => spark.conf.set("spark.graft.ann.localExactMaxBytes", v)
+        case None => spark.conf.unset("spark.graft.ann.localExactMaxBytes")
+      }
+    }
+  }
+
   test("merge: flat indexes merge exactly (FAISS IndexFlat merge_from analog)") {
     Ann.buildIndex(emb.where(col("vec_id") % 2 === 0), "embedding", "vec_id",
       "t_mfa", Ann.BuildParams(engine = "flat"))
