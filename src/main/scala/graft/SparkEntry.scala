@@ -984,6 +984,37 @@ object SparkEntry {
       TextOps.dedupByMinhash(t(s, dir, "documents"), "text", "doc_id",
           minJaccard = 0.6)
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // duplicate clusters as connected components over verified near-dup
+    // pairs (chains a~b~c collapse even when a≁c) — oracled against a
+    // recursive-CTE transitive closure in DuckDB
+    "dup_clusters" -> ((s, dir) => {
+      val pairs = TextOps.jaccardPairs(t(s, dir, "documents"), "text",
+        "doc_id", minJaccard = 0.6)
+      TextOps.connectedComponents(pairs).orderBy("id")
+    }),
+
+    // keep the BEST member of every duplicate cluster (longest doc, min-id
+    // tiebreak) instead of the min-id member — the quality-aware variant
+    "dedup_minhash_best" -> ((s, dir) => {
+      TextOps.dedupByMinhashKeepBest(t(s, dir, "documents"), "text", "doc_id",
+          scoreCol = col("n_chars"), minJaccard = 0.6)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // corpus-trained bigram-LM fluency scores (CCNet-style LM filtering)
+    "lm_score" -> ((s, dir) => {
+      TextOps.lmScore(t(s, dir, "documents"), "text", "doc_id", minCount = 2)
+        .orderBy("doc_id")
+    }),
+
+    // budgeted domain mixing: src0 capped at 120 docs, src1 at 60, every
+    // other source at 15 — rates below AND at 1.0 both exercised at sf0.01+
+    "domain_mix" -> ((s, dir) => {
+      TextOps.domainMix(t(s, dir, "documents"), "source", "doc_id",
+          targets = Map("src0" -> 120L, "src1" -> 60L), defaultTarget = 15L)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
     })
   )
 
@@ -1546,6 +1577,66 @@ object SparkEntry {
          |)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM __jac WHERE jaccard >= 0.6)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "dup_clusters" ->
+      s"""WITH RECURSIVE ${TextSql.signaturesCte()},
+         |${TextSql.componentsCte(0.6)}
+         |SELECT id, component FROM __comp ORDER BY id""".stripMargin,
+    "dedup_minhash_best" ->
+      s"""WITH RECURSIVE ${TextSql.signaturesCte()},
+         |${TextSql.componentsCte(0.6)},
+         |__keep AS (
+         |  SELECT id FROM (
+         |    SELECT m.id,
+         |      row_number() OVER (PARTITION BY m.component
+         |                         ORDER BY d.n_chars DESC, m.id ASC) AS rn
+         |    FROM __comp m JOIN documents d ON d.doc_id = m.id)
+         |  WHERE rn = 1
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM __comp)
+         |   OR doc_id IN (SELECT id FROM __keep)
+         |ORDER BY doc_id""".stripMargin,
+    "lm_score" ->
+      s"""WITH __toks AS (
+         |  SELECT doc_id, ${TextSql.tokens("text")} AS toks FROM documents),
+         |__posn AS (
+         |  SELECT doc_id, toks, unnest(range(1, len(toks))) AS pos FROM __toks),
+         |__bg AS (
+         |  SELECT doc_id, pos, toks[pos] || ' ' || toks[pos + 1] AS bg
+         |  FROM __posn),
+         |__uni AS (
+         |  SELECT w, count(*)::BIGINT AS cu
+         |  FROM (SELECT unnest(toks) AS w FROM __toks) GROUP BY w),
+         |__bgc AS (
+         |  SELECT bg, count(*)::BIGINT AS cb FROM __bg
+         |  GROUP BY bg HAVING count(*) >= 2),
+         |__probs AS (
+         |  SELECT b.doc_id, b.pos,
+         |    CASE WHEN c.cb IS NULL THEN 0.0
+         |         ELSE c.cb::DOUBLE / u.cu::DOUBLE END AS p
+         |  FROM __bg b
+         |  LEFT JOIN __bgc c ON b.bg = c.bg
+         |  LEFT JOIN __uni u ON string_split(b.bg, ' ')[1] = u.w),
+         |__doc AS (
+         |  SELECT doc_id, list(p ORDER BY pos) AS ps
+         |  FROM __probs GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(len(ps), 0)::BIGINT AS n_bigrams,
+         |  coalesce(len(list_filter(ps, x -> x = 0.0)), 0)::BIGINT AS n_oov,
+         |  coalesce(list_sum(ps) / len(ps)::DOUBLE, 0.0) AS mean_cond_prob
+         |FROM documents d LEFT JOIN __doc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "domain_mix" ->
+      s"""WITH __n AS (
+         |  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN __n USING (source)
+         |WHERE (d.doc_id % ${TextOps.HashMod}) * ${TextOps.SampleMult}
+         |        % 1000000
+         |    < floor(least(1.0,
+         |        (CASE d.source WHEN 'src0' THEN 120.0 WHEN 'src1' THEN 60.0
+         |                       ELSE 15.0 END) / n::DOUBLE) * 1000000.0)::BIGINT
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

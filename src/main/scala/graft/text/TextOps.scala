@@ -1321,6 +1321,100 @@ object TextOps {
     pmod(pmod(idCol.cast(LongType), lit(HashMod)) * lit(SampleMult), lit(1000L)) <
       permille.cast(LongType)
 
+  /** Budgeted domain mixing: downsample each domain to (at most) a target
+   *  row budget — the rebalancing step every training-mix recipe runs after
+   *  curation (a Pile/ROOTS-style "give me N_web docs of web, N_code of
+   *  code, …" mix; Gao et al. 2020 §2 weights components exactly this way).
+   *  Per domain d with n_d rows the keep-rate is
+   *  `min(1, target_d / n_d)`; rows pass the same multiplicative hash gate
+   *  as [[sampleGate]], at millionth granularity so large corpora hit small
+   *  rates accurately. Domains absent from `targets` use `defaultTarget`.
+   *
+   *  Scale shape: one tiny per-domain count aggregate (rows = #domains)
+   *  broadcast back onto the scan, then a pure codegen'd integer gate — no
+   *  data shuffle of the corpus itself, deterministic on any cluster
+   *  size/retry, and the kept set for a smaller budget is a SUBSET of any
+   *  larger budget's (the gate threshold is monotone in the rate), so mixes
+   *  can be grown without resampling. All arithmetic (one multiply, one
+   *  divide, a floor) is reproduced bit-exactly by the SQL oracle. */
+  def domainMix(df: DataFrame, domainCol: String, idCol: String,
+      targets: Map[String, Long], defaultTarget: Long): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val targetExpr = targets.foldLeft(lit(defaultTarget.toDouble)) {
+      case (els, (d, tgt)) =>
+        when(col(domainCol) === lit(d), lit(tgt.toDouble)).otherwise(els)
+    }
+    val rate = least(lit(1.0), targetExpr / col("__n").cast(DoubleType))
+    val gate = pmod(
+      pmod(col(idCol).cast(LongType), lit(HashMod)) * lit(SampleMult),
+      lit(1000000L))
+    df.join(broadcast(counts), Seq(domainCol))
+      .where(gate < floor(rate * lit(1000000.0)).cast(LongType))
+      .drop("__n")
+  }
+
+  // --------------------------------------------------- bigram-LM fluency
+
+  /** Corpus-trained bigram-LM fluency score per document — the Spark-native
+   *  shape of LM-based quality filtering (CCNet, Wenzek et al. 2020, scores
+   *  documents with a KenLM and drops the high-perplexity tail; the
+   *  reference delegates all text scoring to its host engine, so this is a
+   *  from-scratch design). The model is trained ON the corpus in the same
+   *  DAG: unigram and (`minCount`-pruned) bigram occurrence counts, then
+   *  each document is scored by the MLE conditional probability of its own
+   *  bigram sequence. Output per doc:
+   *    - `n_bigrams`: token bigrams in the doc,
+   *    - `n_oov`: bigrams pruned from the model (count < `minCount`) — the
+   *      disfluency signal,
+   *    - `mean_cond_prob`: mean over bigrams (w1,w2) of c(w1 w2)/c(w1),
+   *      OOV bigrams contributing 0. Low = unusual/noisy word sequences.
+   *
+   *  Scale shape: two corpus-wide count aggregations (shuffles keyed on the
+   *  term — map-side partial aggregation applies), one shuffle join of the
+   *  exploded doc-bigram stream against each count table, and a per-doc
+   *  fold. No driver state, no all-pairs, no UDFs. The `minCount` prune is
+   *  the standard LM-size control: hapax bigrams (the vast majority at any
+   *  scale, by Zipf) never enter the join's build side.
+   *
+   *  Determinism: every probability is ONE long/long division, and the
+   *  per-doc mean sums them in TOKEN-POSITION order via an explicit
+   *  sequential fold (`sort_array` + `aggregate` here; `list(p ORDER BY
+   *  pos)` + `list_sum` — also a sequential fold — in the DuckDB oracle),
+   *  so the doubles are bit-identical across engines. */
+  def lmScore(df: DataFrame, textCol: String, idCol: String,
+      minCount: Long = 2): DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("__id"),
+      tokens(col(textCol)).as("__toks"))
+    val uni = base.select(explode(col("__toks")).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__cu"))
+    val bg = base.select(col("__id"),
+      posexplode(ngramsCol(col("__toks"), 2)).as(Seq("__pos", "__bg")))
+    val bgc = bg.groupBy("__bg").agg(count(lit(1)).as("__cb"))
+      .where(col("__cb") >= minCount)
+    val probs = bg
+      .join(bgc, Seq("__bg"), "left")
+      .join(uni, element_at(split(col("__bg"), " "), 1) === col("__w1"), "left")
+      .select(col("__id"), col("__pos"),
+        when(col("__cb").isNull, lit(0.0))
+          .otherwise(col("__cb").cast(DoubleType) / col("__cu").cast(DoubleType))
+          .as("__p"))
+    val perDoc = probs.groupBy("__id").agg(
+      sort_array(collect_list(struct(col("__pos"), col("__p")))).as("__pp"))
+    val pp = col("__pp")
+    val scored = perDoc.select(col("__id"),
+      size(pp).cast(LongType).as("__nb"),
+      size(filter(pp, x => x.getField("__p") === lit(0.0)))
+        .cast(LongType).as("__no"),
+      (aggregate(pp, lit(0.0), (acc, x) => acc + x.getField("__p"))
+        / size(pp).cast(DoubleType)).as("__mp"))
+    df.select(col(idCol))
+      .join(scored, col(idCol).cast(LongType) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__no"), lit(0L)).as("n_oov"),
+        coalesce(col("__mp"), lit(0.0)).as("mean_cond_prob"))
+  }
+
   // ------------------------------------------------------------- PII scrub
 
   /** PII patterns (all matched by Spark's builtin codegen'd regexp

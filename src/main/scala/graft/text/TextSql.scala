@@ -95,6 +95,36 @@ object TextSql {
       }
     })
 
+  /** Near-dup connected-components CTE chain over [[signaturesCte]]'s
+   *  candidates: `__jac` = verified pairs at `minJaccard` (the oracle
+   *  analog of [[TextOps.jaccardPairs]]), `__reach` = recursive min-label
+   *  reachability, `__comp` = (id, component = min id of the cluster) —
+   *  exactly [[TextOps.connectedComponents]]'s contract. The enclosing
+   *  query must open with `WITH RECURSIVE`. */
+  def componentsCte(minJaccard: Double): String =
+    s"""__jac AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM __cands c
+       |  JOIN __sigs a ON c.id_a = a.id
+       |  JOIN __sigs b ON c.id_b = b.id
+       |  WHERE len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))::DOUBLE
+       |     / (len(a.shingles) + len(b.shingles)
+       |        - len(list_filter(a.shingles, x -> list_contains(b.shingles, x))))::DOUBLE
+       |    >= $minJaccard
+       |),
+       |__edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM __jac
+       |  UNION SELECT id_b, id_a FROM __jac
+       |),
+       |__reach(id, comp) AS (
+       |  SELECT a, a FROM __edges
+       |  UNION
+       |  SELECT e.a, r.comp FROM __edges e JOIN __reach r ON e.b = r.id
+       |),
+       |__comp AS (
+       |  SELECT id, min(comp) AS component FROM __reach GROUP BY id
+       |)""".stripMargin
+
   /** Per-doc signatures CTE over `documents` (id, shingles, sig, bands) —
    *  the oracle analog of [[TextOps.signatures]]. */
   def signaturesCte(table: String = "documents", textCol: String = "text",
