@@ -41,6 +41,11 @@ import graft.search.Hybrid
  *   SELECT * FROM pack_sequences('documents', 'text', 'doc_id', 'lang', 2048)
  *   SELECT * FROM curate_report('documents', 'text', 'doc_id', 'en,de',
  *                               eval_pred => 'doc_id % 5 = 0')
+ *   SELECT * FROM dup_clusters('documents', 'text', 'doc_id', 0.6)
+ *   SELECT * FROM dedup_minhash_best('documents', 'text', 'doc_id', 'n_chars')
+ *   SELECT * FROM lm_score('documents', 'text', 'doc_id', 2)
+ *   SELECT * FROM domain_mix('documents', 'source', 'doc_id',
+ *                            'web:1000,code:500', 100)
  *
  * Tables are referenced by NAME (views work: `CREATE TEMP VIEW queries AS
  * SELECT ...` replaces the reference's TABLE-valued subquery inputs — Spark
@@ -440,6 +445,57 @@ object TableFunctions {
           .getOrElse(org.apache.spark.sql.functions.lit(1000)))
       plan(graft.text.Curate.report(spark.table(str(fn, a("table"))),
         str(fn, a("text_col")), str(fn, a("id_col")), cfg))
+    },
+    // duplicate clusters: (id, component = min id) over verified near-dup
+    // pairs — chains collapse transitively
+    "dup_clusters" -> { args =>
+      val fn = "dup_clusters"
+      val a = splitArgs(fn, args, Seq("table", "text_col", "id_col",
+        "min_jaccard"), 3)
+      plan(graft.text.TextOps.connectedComponents(
+        graft.text.TextOps.jaccardPairs(spark.table(str(fn, a("table"))),
+          str(fn, a("text_col")), str(fn, a("id_col")),
+          minJaccard = a.get("min_jaccard").map(dbl(fn, _)).getOrElse(0.6))))
+    },
+    // keep the best-scoring member of each duplicate cluster; score_expr is
+    // a SQL expression over the table's columns, e.g. 'n_chars' or a
+    // quality formula
+    "dedup_minhash_best" -> { args =>
+      val fn = "dedup_minhash_best"
+      val a = splitArgs(fn, args, Seq("table", "text_col", "id_col",
+        "score_expr", "min_jaccard"), 4)
+      val score = org.apache.spark.sql.graftshim.GraftShim.column(
+        spark.sessionState.sqlParser.parseExpression(str(fn, a("score_expr"))))
+      plan(graft.text.TextOps.dedupByMinhashKeepBest(
+        spark.table(str(fn, a("table"))), str(fn, a("text_col")),
+        str(fn, a("id_col")), score,
+        minJaccard = a.get("min_jaccard").map(dbl(fn, _)).getOrElse(0.6)))
+    },
+    "lm_score" -> { args =>
+      val fn = "lm_score"
+      val a = splitArgs(fn, args, Seq("table", "text_col", "id_col",
+        "min_count"), 3)
+      plan(graft.text.TextOps.lmScore(spark.table(str(fn, a("table"))),
+        str(fn, a("text_col")), str(fn, a("id_col")),
+        a.get("min_count").map(int(fn, _).toLong).getOrElse(2L)))
+    },
+    // targets: 'domain:budget,domain:budget' per-domain row budgets;
+    // unlisted domains use default_target
+    "domain_mix" -> { args =>
+      val fn = "domain_mix"
+      val a = splitArgs(fn, args, Seq("table", "domain_col", "id_col",
+        "targets", "default_target"), 5)
+      val targets = str(fn, a("targets")).split(",").iterator
+        .map(_.trim).filter(_.nonEmpty).map { kv =>
+          kv.split(":") match {
+            case Array(k, v) => k.trim -> v.trim.toLong
+            case _ => throw new IllegalArgumentException(
+              s"$fn: bad targets entry '$kv' (want domain:budget)")
+          }
+        }.toMap
+      plan(graft.text.TextOps.domainMix(spark.table(str(fn, a("table"))),
+        str(fn, a("domain_col")), str(fn, a("id_col")),
+        targets, int(fn, a("default_target")).toLong))
     }
   )
 

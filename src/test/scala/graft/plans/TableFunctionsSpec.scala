@@ -306,6 +306,49 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](1) == Seq("a b", "c d", "e"))
   }
 
+  test("pure SQL: dup_clusters, dedup_minhash_best, lm_score, domain_mix") {
+    import org.apache.spark.sql.functions.col
+    val sqlCc = spark.sql(
+      "SELECT * FROM dup_clusters('docs', 'text', 'doc_id', 0.6) ORDER BY id")
+      .collect().map(_.toSeq).toSeq
+    val scalaCc = graft.text.TextOps.connectedComponents(
+        graft.text.TextOps.jaccardPairs(spark.table("docs"), "text", "doc_id",
+          minJaccard = 0.6))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(sqlCc == scalaCc)
+
+    // score as a SQL expression over the table's own columns
+    val sqlBest = spark.sql(
+      "SELECT doc_id FROM dedup_minhash_best('docs', 'text', 'doc_id', 'n_chars') ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val scalaBest = graft.text.TextOps.dedupByMinhashKeepBest(
+        spark.table("docs"), "text", "doc_id", col("n_chars"))
+      .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(sqlBest == scalaBest && sqlBest.nonEmpty)
+
+    val sqlLm = spark.sql(
+      "SELECT * FROM lm_score('docs', 'text', 'doc_id', 2) ORDER BY doc_id")
+      .collect().map(_.toSeq).toSeq
+    val scalaLm = graft.text.TextOps.lmScore(spark.table("docs"), "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(sqlLm == scalaLm && sqlLm.nonEmpty)
+
+    val sqlMix = spark.sql(
+      """SELECT doc_id FROM domain_mix('docs', 'source', 'doc_id',
+        |  'src0:5,src1:3', 2) ORDER BY doc_id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val scalaMix = graft.text.TextOps.domainMix(spark.table("docs"),
+        "source", "doc_id", Map("src0" -> 5L, "src1" -> 3L), 2L)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(sqlMix == scalaMix && sqlMix.nonEmpty)
+
+    // bad targets string fails cleanly
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM domain_mix('docs', 'source', 'doc_id', 'nonsense', 2)")
+      .collect())
+    assert(e.getMessage != null)
+  }
+
   test("contamination_counts TVF survives the DISTRIBUTED route (eval_pred substitution)") {
     // force the distributed n-gram fallback: the SQL eval predicate must be
     // a genuine function of the id (applied to HOF element variables), not
