@@ -30,6 +30,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Xms=Xmx + pre-touch: with a large lazily-committed heap, G1 spreads
+  // allocation over fresh regions and the hot loop pays kernel first-touch
+  // page faults continuously (measured on the 100x smoke's minhash op,
+  // 32 threads: 64g heap un-pretouched ran 54-280 s with 15m SYS time vs
+  // 1m17s at 8g; pre-touched 64g runs 24 s, faster than 8g). Same flags a
+  // production Spark executor should carry (spark.executor.extraJavaOptions).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  "-XX:+AlwaysPreTouch",
+) ++
+  // extra JVM flags for profiling runs (e.g. SPARK_JVM_OPTS="-Xlog:gc" to
+  // attribute wall-time anomalies to collector behavior) — space-separated
+  sys.env.get("SPARK_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq.filter(_.nonEmpty))
 Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")

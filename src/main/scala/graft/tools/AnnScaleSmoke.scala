@@ -536,7 +536,9 @@ object AnnScaleSmoke {
         s""""worst_task_skew":${v("worst_task_skew")},""" +
         s""""major_stage_skew":${v("major_stage_skew")}}"""
     }.mkString("{", ",", "}")
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val json = s"""{"metric":"ann_scale_total","value":$total,"unit":"sec",""" +
+      s""""heap_gb":${f"$heapGb%.1f"},""" +
       s""""mode":"$mode","nlist":$nlist,"nprobe":$ivfNprobe,""" +
       (if (mode == "clustered") s""""clusters":$kClusters,""" else "") +
       s""""ops":$opsJson,"vectors":$n,"dim":$dim,"shards":$shards,""" +

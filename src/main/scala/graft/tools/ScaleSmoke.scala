@@ -208,9 +208,13 @@ object ScaleSmoke {
         s""""worst_task_skew":${v("worst_task_skew")},"skew_stage":${v("skew_stage")},""" +
         s""""major_stage_skew":${v("major_stage_skew")},"major_skew_stage":${v("major_skew_stage")}}"""
     }.mkString("{", ",", "}")
+    // heap matters for reading growth ratios across octaves: a shuffle that
+    // fits at one octave and spills at the next shows superlinear wall time
+    // with zero data skew — record the budget so artifacts are comparable
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val json = s"""{"metric":"scale${factor}x_total","value":$total,"unit":"sec",""" +
       s""""ops":$opsJson,"docs":$nDocs,"vectors":$nVecs,"base":"$base",""" +
-      s""""factor":$factor,"worst_task_skew":$worst,""" +
+      s""""factor":$factor,"heap_gb":${f"$heapGb%.1f"},"worst_task_skew":$worst,""" +
       s""""worst_major_stage_skew":$worstMajor}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
