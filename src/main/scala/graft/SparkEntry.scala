@@ -1015,6 +1015,23 @@ object SparkEntry {
       TextOps.domainMix(t(s, dir, "documents"), "source", "doc_id",
           targets = Map("src0" -> 120L, "src1" -> 60L), defaultTarget = 15L)
         .select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
+
+    // token-budget domain mixing: src0's budget exceeds its corpus (rate 1),
+    // src1/default sample down — both regimes exercised at sf0.01+
+    "domain_mix_tokens" -> ((s, dir) => {
+      TextOps.domainMixTokens(t(s, dir, "documents"), "source", "text",
+          "doc_id", targets = Map("src0" -> 100000L, "src1" -> 700L),
+          defaultTarget = 400L)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
+
+    // fixpoint near-dup dedup: ONE survivor (min id) per connected
+    // component — chains a~b~c keep a single representative even when a≁c
+    "dedup_minhash_cc" -> ((s, dir) => {
+      TextOps.dedupByMinhashConverged(t(s, dir, "documents"), "text",
+          "doc_id", minJaccard = 0.6)
+        .select(col("doc_id")).orderBy("doc_id")
     })
   )
 
@@ -1627,6 +1644,25 @@ object SparkEntry {
          |  coalesce(list_sum(ps) / len(ps)::DOUBLE, 0.0) AS mean_cond_prob
          |FROM documents d LEFT JOIN __doc USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "domain_mix_tokens" ->
+      s"""WITH __n AS (
+         |  SELECT source,
+         |    sum(len(${TextSql.tokens("text")}))::BIGINT AS nt
+         |  FROM documents GROUP BY source)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN __n USING (source)
+         |WHERE (d.doc_id % ${TextOps.HashMod}) * ${TextOps.SampleMult}
+         |        % 1000000
+         |    < floor(least(1.0,
+         |        (CASE d.source WHEN 'src0' THEN 100000.0 WHEN 'src1' THEN 700.0
+         |                       ELSE 400.0 END) / nt::DOUBLE) * 1000000.0)::BIGINT
+         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_minhash_cc" ->
+      s"""WITH RECURSIVE ${TextSql.signaturesCte()},
+         |${TextSql.componentsCte(0.6)}
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM __comp WHERE id <> component)
+         |ORDER BY doc_id""".stripMargin,
     "domain_mix" ->
       s"""WITH __n AS (
          |  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source)

@@ -1353,6 +1353,32 @@ object TextOps {
       .drop("__n")
   }
 
+  /** [[domainMix]] with budgets in TOKENS — the unit real training mixes
+   *  are specified in (a 500B-token recipe says "30B of code, 5B of
+   *  books", not row counts). Per domain d the keep-rate is
+   *  `min(1, target_tokens_d / tokens_d)` with tokens_d = Σ doc token
+   *  counts ([[tokens]] — same tokenizer as the LM/quality ops), so the
+   *  EXPECTED kept token mass matches the budget under the uniform hash
+   *  gate; the same broadcast-counts + codegen-gate shape as the row
+   *  variant (one extra sum in the tiny per-domain aggregate, still zero
+   *  corpus shuffle). */
+  def domainMixTokens(df: DataFrame, domainCol: String, textCol: String,
+      idCol: String, targets: Map[String, Long], defaultTarget: Long): DataFrame = {
+    val counts = df.groupBy(col(domainCol))
+      .agg(sum(size(tokens(col(textCol))).cast(LongType)).as("__nt"))
+    val targetExpr = targets.foldLeft(lit(defaultTarget.toDouble)) {
+      case (els, (d, tgt)) =>
+        when(col(domainCol) === lit(d), lit(tgt.toDouble)).otherwise(els)
+    }
+    val rate = least(lit(1.0), targetExpr / col("__nt").cast(DoubleType))
+    val gate = pmod(
+      pmod(col(idCol).cast(LongType), lit(HashMod)) * lit(SampleMult),
+      lit(1000000L))
+    df.join(broadcast(counts), Seq(domainCol))
+      .where(gate < floor(rate * lit(1000000.0)).cast(LongType))
+      .drop("__nt")
+  }
+
   // --------------------------------------------------- bigram-LM fluency
 
   /** Corpus-trained bigram-LM fluency score per document — the Spark-native

@@ -57,6 +57,30 @@ class MixLmSpec extends AnyFunSuite {
     assert(all.size == 100) // rate 1.0 everywhere
   }
 
+  test("domainMixTokens: token-budgeted rates — over-budget domains keep " +
+    "all; under-budget domains drop toward the token target") {
+    // web: 60 docs x 4 tokens = 240 tokens; code: 30 x 4 = 120; books: 10 x 4
+    val df = corpus((0L until 100L).map(i =>
+      (i, if (i < 60) "web" else if (i < 90) "code" else "books",
+        s"tok a b c")): _*)
+    val out = TextOps.domainMixTokens(df, "source", "text", "doc_id",
+      targets = Map("web" -> 80L, "books" -> 999L), defaultTarget = 60L)
+    val byDomain = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("books") == 10L) // budget 999 > 40 tokens -> keep all
+    // web rate 80/240 = 1/3 -> ~20 of 60 docs; assert real downsampling
+    assert(byDomain("web") > 5L && byDomain("web") < 40L)
+    assert(byDomain.getOrElse("code", 0L) < 30L) // rate 60/120
+    // same gate as domainMix: a domain at equal rate keeps identical ids
+    val rows = TextOps.domainMix(df, "source", "doc_id",
+        targets = Map("web" -> 20L), defaultTarget = 1000L)
+      .where(col("source") === "web").select("doc_id").collect().map(_.getLong(0)).toSet
+    val toks = TextOps.domainMixTokens(df, "source", "text", "doc_id",
+        targets = Map("web" -> 80L), defaultTarget = 999999L)
+      .where(col("source") === "web").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows == toks) // 20/60 rows == 80/240 tokens -> same rate, same ids
+  }
+
   // -------------------------------------------------------------- lmScore
 
   test("lmScore: MLE conditional probs with minCount pruning, hand-checked") {
