@@ -1032,6 +1032,18 @@ object SparkEntry {
       TextOps.dedupByMinhashConverged(t(s, dir, "documents"), "text",
           "doc_id", minJaccard = 0.6)
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // incremental ingest dedup: the doc_id%10==0 slice plays the "new
+    // batch", the rest the existing corpus; new docs near-duplicating any
+    // corpus doc are dropped (within-batch dups deliberately kept)
+    "dedup_vs_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.dedupVsCorpus(
+          docs.where(pmod(col("doc_id"), lit(10)) === 0),
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+          "text", "doc_id", minJaccard = 0.6)
+        .select(col("doc_id")).orderBy("doc_id")
     })
   )
 
@@ -1657,6 +1669,15 @@ object SparkEntry {
          |        (CASE d.source WHEN 'src0' THEN 100000.0 WHEN 'src1' THEN 700.0
          |                       ELSE 400.0 END) / nt::DOUBLE) * 1000000.0)::BIGINT
          |ORDER BY d.doc_id""".stripMargin,
+    "dedup_vs_corpus" ->
+      s"""WITH ${TextSql.signaturesCte()},
+         |${TextSql.jaccardCte(0.6)}
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 10 = 0
+         |  AND doc_id NOT IN (
+         |    SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END
+         |    FROM __jac WHERE (id_a % 10 = 0) <> (id_b % 10 = 0))
+         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_cc" ->
       s"""WITH RECURSIVE ${TextSql.signaturesCte()},
          |${TextSql.componentsCte(0.6)}

@@ -845,6 +845,39 @@ object TextOps {
     labels
   }
 
+  /**
+   * Incremental corpus dedup — the daily-ingest shape: drop rows of
+   * `newDf` that near-duplicate (Jaccard ≥ `minJaccard`) ANY row of the
+   * existing `corpusDf`. Ids must be disjoint across the two frames (true
+   * for any monotonically assigned corpus id space). Implemented as
+   * [[jaccardPairs]] over the tagged union, keeping only CROSS-frame
+   * pairs — so it inherits the band-bucket join, the bucket-clique cap,
+   * and every skew protection the in-frame path has, instead of
+   * maintaining a second LSH join code path. Within-batch duplicates are
+   * deliberately NOT dropped here (that is [[dedupByMinhash]] on the
+   * batch); composing the two gives the full ingest pipeline. At 100 TB
+   * the corpus side's signatures can be precomputed and persisted — the
+   * band join then reads them instead of re-shingling the archive.
+   */
+  def dedupVsCorpus(newDf: DataFrame, corpusDf: DataFrame, textCol: String,
+      idCol: String, shingleK: Int = 3, minJaccard: Double = 0.6): DataFrame = {
+    val u = newDf.select(col(idCol), col(textCol)).withColumn("__new", lit(true))
+      .unionByName(
+        corpusDf.select(col(idCol), col(textCol)).withColumn("__new", lit(false)))
+    val pairs = jaccardPairs(u, textCol, idCol, shingleK, minJaccard)
+    val flags = u.select(col(idCol).cast(LongType).as("__fid"), col("__new"))
+    val matched = pairs
+      .join(flags.select(col("__fid").as("__ida"), col("__new").as("__na")),
+        col("id_a") === col("__ida"))
+      .join(flags.select(col("__fid").as("__idb"), col("__new").as("__nb")),
+        col("id_b") === col("__idb"))
+      .where(col("__na") =!= col("__nb")) // cross-frame pairs only
+      .select(when(col("__na"), col("id_a")).otherwise(col("id_b"))
+        .as("__drop_id"))
+      .distinct()
+    newDf.join(matched, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Fixpoint dedup: keep one representative (min id) per near-dup
    *  connected component; rows without any near-dup edge always survive. */
   def dedupByMinhashConverged(df: DataFrame, textCol: String, idCol: String,

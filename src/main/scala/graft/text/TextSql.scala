@@ -101,7 +101,10 @@ object TextSql {
    *  reachability, `__comp` = (id, component = min id of the cluster) —
    *  exactly [[TextOps.connectedComponents]]'s contract. The enclosing
    *  query must open with `WITH RECURSIVE`. */
-  def componentsCte(minJaccard: Double): String =
+  /** Verified near-dup pairs CTE (`__jac`: id_a, id_b) over
+   *  [[signaturesCte]]'s candidates at `minJaccard` — the oracle analog of
+   *  [[TextOps.jaccardPairs]]'s (id_a < id_b) output. */
+  def jaccardCte(minJaccard: Double): String =
     s"""__jac AS (
        |  SELECT c.id_a, c.id_b
        |  FROM __cands c
@@ -111,7 +114,10 @@ object TextSql {
        |     / (len(a.shingles) + len(b.shingles)
        |        - len(list_filter(a.shingles, x -> list_contains(b.shingles, x))))::DOUBLE
        |    >= $minJaccard
-       |),
+       |)""".stripMargin
+
+  def componentsCte(minJaccard: Double): String =
+    s"""${jaccardCte(minJaccard)},
        |__edges AS (
        |  SELECT id_a AS a, id_b AS b FROM __jac
        |  UNION SELECT id_b, id_a FROM __jac

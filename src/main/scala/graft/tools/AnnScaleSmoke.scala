@@ -72,6 +72,11 @@ object AnnScaleSmoke {
     // within-cluster L2 ≈ 0.5, so true top-10 neighbors co-locate in one
     // natural cluster — the regime where IVF probe recall and PQ ADC
     // ranking are meaningful rather than probe-fraction-bound.
+    // serve-time beam width for every graph search/recall site (the smoke's
+    // recall knob: fixed-beam recall declines as N grows on uniform data;
+    // SPARK_GRAFT_ANN_SC=512 with SPARK_GRAFT_ANN_REUSE=1 re-scores the
+    // same built indexes at a wider beam)
+    val serveSc = sys.env.getOrElse("SPARK_GRAFT_ANN_SC", "256").toInt
     val mode = sys.env.getOrElse("SPARK_GRAFT_ANN_MODE", "uniform")
     require(mode == "uniform" || mode == "clustered", s"bad mode $mode")
     val kClusters = sys.env.getOrElse("SPARK_GRAFT_ANN_CLUSTERS", "1024").toInt
@@ -231,16 +236,16 @@ object AnnScaleSmoke {
       .getSeq[Float](1).toArray
 
     runServe("search_single") {
-      Ann.search(emb, "vec_id", "as_disk", q0, 10, searchComplexity = 256).count()
+      Ann.search(emb, "vec_id", "as_disk", q0, 10, searchComplexity = serveSc).count()
     }
     runServe("search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_disk", 10,
-        searchComplexity = 256).count()
+        searchComplexity = serveSc).count()
     }
     runServe("search_batch_512q") {
       val qs = queries.orderBy("qid").collect().map(_.getSeq[Float](1).toArray).toSeq
       Ann.searchBatch(emb, "vec_id", "as_disk", qs, 10,
-        searchComplexity = 256).count()
+        searchComplexity = serveSc).count()
     }
     runServe("ivf_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivf", 10).count()
@@ -248,7 +253,7 @@ object AnnScaleSmoke {
     if (IndexCatalog.list(Ann.root(spark)).exists(_.name == "as_hnsw"))
       runServe("hnsw_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_hnsw", 10,
-        searchComplexity = 256).count()
+        searchComplexity = serveSc).count()
     }
 
     // ---- serve-time nprobe sweep (Ann.setNprobe — FAISS's mutable
@@ -318,7 +323,7 @@ object AnnScaleSmoke {
     }
     runServe("sq8_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_sq8", 10,
-        searchComplexity = 256).count()
+        searchComplexity = serveSc).count()
     }
     runServe("ivfpq_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfpq", 10).count()
@@ -370,7 +375,7 @@ object AnnScaleSmoke {
     var recallByName = Map.empty[String, (Double, Double)]
     run("recall_at10_200q_all") {
       val rows = Ann.measureRecallMany(emb, "embedding", "vec_id",
-        recallEngines, k = 10, sampleN = 200, searchComplexity = 256).collect()
+        recallEngines, k = 10, sampleN = 200, searchComplexity = serveSc).collect()
       recallByName = rows.map(r => r.getAs[String]("name") ->
         (r.getAs[Double]("recall"), r.getAs[Double]("recall_ids"))).toMap
       rows.length.toLong
@@ -496,7 +501,7 @@ object AnnScaleSmoke {
     run("latency_e2e_200q") {
       e2eLat = bestOf2(qs200.map { q =>
         val t0 = System.nanoTime()
-        Ann.search(emb, "vec_id", "as_disk", q, 10, searchComplexity = 256).count()
+        Ann.search(emb, "vec_id", "as_disk", q, 10, searchComplexity = serveSc).count()
         (System.nanoTime() - t0) / 1e6
       }.sorted)
       qs200.length.toLong
@@ -507,7 +512,7 @@ object AnnScaleSmoke {
     run("latency_e2e_local_200q") {
       e2eLocalLat = bestOf2(qs200.map { q =>
         val t0 = System.nanoTime()
-        Ann.searchHits(spark, "as_disk", q, 10, searchComplexity = 256).collect()
+        Ann.searchHits(spark, "as_disk", q, 10, searchComplexity = serveSc).collect()
         (System.nanoTime() - t0) / 1e6
       }.sorted)
       qs200.length.toLong
@@ -538,7 +543,7 @@ object AnnScaleSmoke {
     }.mkString("{", ",", "}")
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val json = s"""{"metric":"ann_scale_total","value":$total,"unit":"sec",""" +
-      s""""heap_gb":${f"$heapGb%.1f"},""" +
+      s""""heap_gb":${f"$heapGb%.1f"},"serve_sc":$serveSc,""" +
       s""""mode":"$mode","nlist":$nlist,"nprobe":$ivfNprobe,""" +
       (if (mode == "clustered") s""""clusters":$kClusters,""" else "") +
       s""""ops":$opsJson,"vectors":$n,"dim":$dim,"shards":$shards,""" +

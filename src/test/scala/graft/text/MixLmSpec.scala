@@ -81,6 +81,29 @@ class MixLmSpec extends AnyFunSuite {
     assert(rows == toks) // 20/60 rows == 80/240 tokens -> same rate, same ids
   }
 
+  // -------------------------------------------------------- dedupVsCorpus
+
+  test("dedupVsCorpus: new docs duplicating the corpus drop; within-batch " +
+    "dups and novel docs survive") {
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t)
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(mk(100L, boiler),
+      mk(101L, "completely different corpus text about databases and joins"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      mk(1L, boiler),                                    // dup of corpus 100
+      mk(2L, "a genuinely novel document about spark partitioning"),
+      mk(3L, "another novel doc that matches nothing in the archive"),
+      mk(4L, "another novel doc that matches nothing in the archive"))
+      .toDF("doc_id", "text")                            // 3~4 in-batch dup
+    val kept = TextOps.dedupVsCorpus(fresh, corpus, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L)) // 1 dropped; in-batch pair 3/4 BOTH kept
+    // corpus rows are never returned, only filtered against
+    assert(!kept.contains(100L) && !kept.contains(101L))
+  }
+
   // -------------------------------------------------------------- lmScore
 
   test("lmScore: MLE conditional probs with minCount pruning, hand-checked") {
