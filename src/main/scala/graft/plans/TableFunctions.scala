@@ -46,6 +46,10 @@ import graft.search.Hybrid
  *   SELECT * FROM lm_score('documents', 'text', 'doc_id', 2)
  *   SELECT * FROM domain_mix('documents', 'source', 'doc_id',
  *                            'web:1000,code:500', 100)
+ *   SELECT * FROM domain_mix_tokens('documents', 'source', 'text', 'doc_id',
+ *                                   'web:30000,code:5000', 1000)
+ *   SELECT * FROM dedup_minhash_cc('documents', 'text', 'doc_id', 0.6)
+ *   SELECT * FROM dedup_vs_corpus('new_batch', 'documents', 'text', 'doc_id')
  *
  * Tables are referenced by NAME (views work: `CREATE TEMP VIEW queries AS
  * SELECT ...` replaces the reference's TABLE-valued subquery inputs — Spark
@@ -485,19 +489,53 @@ object TableFunctions {
       val fn = "domain_mix"
       val a = splitArgs(fn, args, Seq("table", "domain_col", "id_col",
         "targets", "default_target"), 5)
-      val targets = str(fn, a("targets")).split(",").iterator
-        .map(_.trim).filter(_.nonEmpty).map { kv =>
-          kv.split(":") match {
-            case Array(k, v) => k.trim -> v.trim.toLong
-            case _ => throw new IllegalArgumentException(
-              s"$fn: bad targets entry '$kv' (want domain:budget)")
-          }
-        }.toMap
+      val targets = parseTargets(fn, str(fn, a("targets")))
       plan(graft.text.TextOps.domainMix(spark.table(str(fn, a("table"))),
         str(fn, a("domain_col")), str(fn, a("id_col")),
         targets, int(fn, a("default_target")).toLong))
+    },
+    // token-budget domain mixing: targets are 'domain:token_budget,…'
+    "domain_mix_tokens" -> { args =>
+      val fn = "domain_mix_tokens"
+      val a = splitArgs(fn, args, Seq("table", "domain_col", "text_col",
+        "id_col", "targets", "default_target"), 6)
+      plan(graft.text.TextOps.domainMixTokens(spark.table(str(fn, a("table"))),
+        str(fn, a("domain_col")), str(fn, a("text_col")),
+        str(fn, a("id_col")), parseTargets(fn, str(fn, a("targets"))),
+        int(fn, a("default_target")).toLong))
+    },
+    // fixpoint dedup: one min-id survivor per near-dup connected component
+    "dedup_minhash_cc" -> { args =>
+      val fn = "dedup_minhash_cc"
+      val a = splitArgs(fn, args, Seq("table", "text_col", "id_col",
+        "min_jaccard"), 3)
+      plan(graft.text.TextOps.dedupByMinhashConverged(
+        spark.table(str(fn, a("table"))), str(fn, a("text_col")),
+        str(fn, a("id_col")),
+        minJaccard = a.get("min_jaccard").map(dbl(fn, _)).getOrElse(0.6)))
+    },
+    // incremental ingest dedup: new-batch table vs existing-corpus table
+    "dedup_vs_corpus" -> { args =>
+      val fn = "dedup_vs_corpus"
+      val a = splitArgs(fn, args, Seq("new_table", "corpus_table", "text_col",
+        "id_col", "min_jaccard"), 4)
+      plan(graft.text.TextOps.dedupVsCorpus(
+        spark.table(str(fn, a("new_table"))),
+        spark.table(str(fn, a("corpus_table"))),
+        str(fn, a("text_col")), str(fn, a("id_col")),
+        minJaccard = a.get("min_jaccard").map(dbl(fn, _)).getOrElse(0.6)))
     }
   )
+
+  /** 'domain:budget,domain:budget' target lists for the mix TVFs. */
+  private def parseTargets(fn: String, s: String): Map[String, Long] =
+    s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      kv.split(":") match {
+        case Array(k, v) => k.trim -> v.trim.toLong
+        case _ => throw new IllegalArgumentException(
+          s"$fn: bad targets entry '$kv' (want domain:budget)")
+      }
+    }.toMap
 
   /** Fresh output attributes for a command node, taken from a schema-template
    *  DataFrame (built effect-free during analysis). */

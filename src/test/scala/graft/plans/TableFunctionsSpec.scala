@@ -347,6 +347,35 @@ class TableFunctionsSpec extends AnyFunSuite {
       "SELECT * FROM domain_mix('docs', 'source', 'doc_id', 'nonsense', 2)")
       .collect())
     assert(e.getMessage != null)
+
+    val sqlMixT = spark.sql(
+      """SELECT doc_id FROM domain_mix_tokens('docs', 'source', 'text',
+        |  'doc_id', 'src0:500,src1:100', 80) ORDER BY doc_id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val scalaMixT = graft.text.TextOps.domainMixTokens(spark.table("docs"),
+        "source", "text", "doc_id", Map("src0" -> 500L, "src1" -> 100L), 80L)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(sqlMixT == scalaMixT && sqlMixT.nonEmpty)
+
+    val sqlCcDedup = spark.sql(
+      "SELECT doc_id FROM dedup_minhash_cc('docs', 'text', 'doc_id') ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val scalaCcDedup = graft.text.TextOps.dedupByMinhashConverged(
+        spark.table("docs"), "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(sqlCcDedup == scalaCcDedup && sqlCcDedup.nonEmpty)
+
+    spark.table("docs").where("doc_id % 10 = 0")
+      .createOrReplaceTempView("new_batch")
+    spark.table("docs").where("doc_id % 10 <> 0")
+      .createOrReplaceTempView("archive")
+    val sqlVs = spark.sql(
+      "SELECT doc_id FROM dedup_vs_corpus('new_batch', 'archive', 'text', 'doc_id') ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val scalaVs = graft.text.TextOps.dedupVsCorpus(
+        spark.table("new_batch"), spark.table("archive"), "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(sqlVs == scalaVs && sqlVs.nonEmpty)
   }
 
   test("contamination_counts TVF survives the DISTRIBUTED route (eval_pred substitution)") {
