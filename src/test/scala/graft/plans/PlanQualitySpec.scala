@@ -139,6 +139,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("*(1)"), s"expected WholeStageCodegen stage:\n$p")
   }
 
+  test("round-11 operators: no cartesian products; domain mixing broadcasts " +
+    "its counts and keeps the corpus shuffle-free") {
+    import graft.text.TextOps
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for ((name, df) <- Seq(
+        "lm_score" -> TextOps.lmScore(docs, "text", "doc_id"),
+        "domain_mix" -> TextOps.domainMix(docs, "source", "doc_id",
+          Map("src0" -> 5L), 2L),
+        "domain_mix_tokens" -> TextOps.domainMixTokens(docs, "source", "text",
+          "doc_id", Map("src0" -> 100L), 50L),
+        "dedup_vs_corpus" -> TextOps.dedupVsCorpus(
+          docs.where(col("doc_id") % 10 === 0),
+          docs.where(col("doc_id") % 10 =!= 0), "text", "doc_id"))) {
+      val pl = plan(df)
+      assert(!pl.contains("CartesianProduct"), s"$name went cartesian:\n$pl")
+    }
+    val mixPlan = plan(TextOps.domainMix(docs, "source", "doc_id",
+      Map("src0" -> 5L), 2L))
+    assert(mixPlan.contains("BroadcastHashJoin"),
+      s"domain_mix did not broadcast its counts:\n$mixPlan")
+  }
+
   test("round-7 operators: no cartesian products, packing keeps ONE exchange") {
     import graft.text.TextOps
     val docs = spark.read.parquet(s"$sf/documents.parquet")
