@@ -105,6 +105,54 @@ object TextHash {
     }
     n
   }
+
+  /** (a_j, b_j) of the splitmix64-derived minhash family, interleaved as
+   *  [a_0, b_0, a_1, b_1, …] — same derivation as TextOps.hashParams, so
+   *  [[MinhashSig]] is value-identical to the SQL
+   *  `array_min(transform(sh, h => (h*a_j + b_j) % P))` formulation. */
+  private val minhashParamCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+  private def minhashParams(n: Int): Array[Long] =
+    minhashParamCache.computeIfAbsent(n, { n: Integer =>
+      def mix(x0: Long): Long = {
+        var x = x0 + 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^ (x >>> 31)
+      }
+      val out = new Array[Long](2 * n)
+      var j = 0
+      while (j < n) {
+        out(2 * j) = java.lang.Math.floorMod(mix(2L * j), Mod - 1) + 1
+        out(2 * j + 1) = java.lang.Math.floorMod(mix(2L * j + 1), Mod)
+        j += 1
+      }
+      out
+    })
+
+  /** All n minhashes of a shingle-hash array in one pass:
+   *  sig_j = min_h (h·a_j + b_j) % P. Shingle hashes are < P < 2^30 and
+   *  a_j < P, so h·a_j + b_j < 2^60 — no overflow, and `%` on the
+   *  non-negative product matches SQL `%` exactly. */
+  def minhashSig(sh: ArrayData, n: Int): ArrayData = {
+    val ps = minhashParams(n)
+    val m = sh.numElements()
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val a = ps(2 * j); val b = ps(2 * j + 1)
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < m) {
+        val v = (sh.getLong(i) * a + b) % Mod
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(j) = mn
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `rolling_hash(str)` — codegen'd document fingerprint. */
@@ -492,6 +540,41 @@ case class ShingleHashes(child: Expression, k: Int)
     }
     new GenericArrayData(TextHash.shingleHashes(toks, k))
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * `minhash_sig(shingle_hashes, n)` — all n minhashes of a document's
+ * shingle-hash array in ONE compiled pass, value-identical to the
+ * aggregate formulation `min((h·a_j + b_j) % P)` per hash function
+ * (TextOps.minhashSignature / the DuckDB oracle macro in TextSql). As a
+ * pure projection it removes the explode→groupBy(id)→join-back shape the
+ * signature table previously needed — i.e. the per-corpus signature
+ * shuffle AND the id re-join disappear from every LSH dedup plan; at the
+ * 1000× smoke those two stages were the single largest cost of
+ * dedup_minhash_keep. Reference semantics: MinHash banding as in
+ * Broder '97; the reference engine has no minhash surface — this is the
+ * pipeline-ops half of the library.
+ */
+case class MinhashSig(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "signature size must be positive")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    TextHash.minhashSig(arr.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHash.minhashSig($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -382,28 +382,22 @@ object TextOps {
 
   /** Per-doc signature table: (id, shingle hashes, minhash sig, band hashes).
    *
-   *  The shingle hashes are computed ONCE, exploded, and min-aggregated per
-   *  hash function — a single-column expression for all 32 minhashes would
-   *  tempt Catalyst's project-collapse into inlining the tokenize→shingle→
-   *  hash pipeline into every lambda (32× recompute). The explode/agg shape
-   *  also scales: map-side partial aggregation collapses a doc's shingles
-   *  back to one row before the shuffle, so shuffle volume is one row per
-   *  (doc, 32 longs) regardless of document size. */
+   *  A pure PROJECTION: all 32 minhashes come from one compiled pass over
+   *  the shingle-hash array ([[graft.expressions.MinhashSig]] — value-
+   *  identical to the `min((h·a_j+b_j) % P)` aggregate formulation, pinned
+   *  by MinhashSigParitySpec), and the band hashes fold the sig array.
+   *  No explode, no groupBy, no join — the previous explode→agg(id)→
+   *  join-back shape shuffled one row per (doc, shingle) and re-joined the
+   *  corpus by id, the two largest stages of the 1000× dedup smoke. As a
+   *  projection it also column-prunes per consumer: the Jaccard verify
+   *  branches read only (id, shingles) and never pay the minhash compute. */
   def signatures(df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 3): DataFrame = {
     val toks = tokens(col(textCol))
     val sh = shingleHashes(toks, shingleK)
-    val base = df.select(col(idCol).as("id"), sh.as("shingles"))
-    val exploded = base.select(col("id"), explode(col("shingles")).as("h"))
-    val minCols = hashParams(NumHashes).zipWithIndex.map { case ((a, b), j) =>
-      min((col("h") * a + b) % HashMod).as(s"__m$j")
-    }
-    val sigTbl = exploded.groupBy("id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id").as("__sid"),
-        array((0 until NumHashes).map(j => col(s"__m$j")): _*).as("sig"))
-    base.join(sigTbl, col("id") === col("__sid"))
-      .drop("__sid")
+    df.select(col(idCol).as("id"), sh.as("shingles"))
+      .withColumn("sig", graft.functions.mkCol(graft.expressions.MinhashSig(
+        graft.functions.mkExpr(col("shingles")), NumHashes)))
       .withColumn("bands", bandHashes(col("sig")))
   }
 
@@ -421,65 +415,70 @@ object TextOps {
    *  bucket's clique into a single straggler task.
    *
    *  Buckets at or under `spark.graft.neardup.bucketCliqueCap` (default 64)
-   *  keep the exact clique join — the code path and output are
-   *  bit-identical to the uncapped shape. Oversized buckets switch to
-   *  LINEAR chain+anchor pairing over the bucket's id order: each member
-   *  pairs with its `bucketChainPredecessors` (default 8) immediate
-   *  id-order predecessors plus the `bucketChainAnchors` (default 8)
-   *  smallest-id members. For a true duplicate cluster (every pair
-   *  qualifies) the drop/component semantics are unchanged — every non-min
-   *  member still meets a qualifying smaller partner (its predecessor), and
-   *  the anchors keep a false-collision run from hiding the bucket minimum
-   *  — while emitted pairs grow as k·(P+A) instead of k². `n_bands` counts
-   *  the bands in which a pair was EMITTED (identical to before for pairs
-   *  seen only in capped-size buckets). Set the cap to 0 to disable.
+   *  keep the exact clique pairing — the output is bit-identical to the
+   *  uncapped shape. Oversized buckets switch to LINEAR chain+anchor
+   *  pairing over the bucket's id order: each member pairs with its
+   *  `bucketChainPredecessors` (default 8) immediate id-order predecessors
+   *  plus the `bucketChainAnchors` (default 8) smallest-id members. For a
+   *  true duplicate cluster (every pair qualifies) the drop/component
+   *  semantics are unchanged — every non-min member still meets a
+   *  qualifying smaller partner (its predecessor), and the anchors keep a
+   *  false-collision run from hiding the bucket minimum — while emitted
+   *  pairs grow as k·(P+A) instead of k². `n_bands` counts the bands in
+   *  which a pair was EMITTED (identical to before for pairs seen only in
+   *  capped-size buckets). Set the cap to 0 to disable.
+   *
+   *  Plan shape: ONE exchange on the bucket key + one in-bucket sort.
+   *  Every member's partners come from window columns over that sort —
+   *  a sliding collect_list of the last max(cap, P) predecessor ids
+   *  (which for a ≤-cap bucket is the member's ENTIRE clique) and A
+   *  nth_value anchor columns — so per-row state is O(cap) no matter how
+   *  large a bucket gets, and the pairs explode in place. An earlier
+   *  formulation realized the same pair sets with a bucket self-join
+   *  (small) plus a rank-keyed explode-join (large); those re-shuffled
+   *  and re-sorted the full emitted-pair volume — ~640M rows at the
+   *  1000× smoke — and were the dominant cost of the dedup pipeline
+   *  (NeardupCapSpec pins the join-shape ≡ window-shape equivalence).
    */
   def candidatePairs(sigs: DataFrame): DataFrame = {
     val spark = sigs.sparkSession
-    val cap = spark.conf.getOption("spark.graft.neardup.bucketCliqueCap")
+    val cap0 = spark.conf.getOption("spark.graft.neardup.bucketCliqueCap")
       .map(_.toInt).getOrElse(64)
+    val chainP = spark.conf
+      .getOption("spark.graft.neardup.bucketChainPredecessors")
+      .map(_.toInt).getOrElse(8)
+    val anchorA = spark.conf.getOption("spark.graft.neardup.bucketChainAnchors")
+      .map(_.toInt).getOrElse(8)
     val bt = bandTable(sigs)
-    def cliqueJoin(t: DataFrame): DataFrame = {
-      val a = t.as("a"); val b = t.as("b")
-      a.join(b, col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("band_idx", "band_hash")
+    val wo = w.orderBy(col("id"))
+    // cap=0 disables the chain route: every bucket keeps its full clique.
+    // The sliding predecessor frame must then be unbounded; otherwise it
+    // is capped at max(cap, P) rows — O(cap) per-row state even in a
+    // million-member bucket.
+    val predFrame = if (cap0 <= 0) wo.rowsBetween(W.unboundedPreceding, -1)
+      else wo.rowsBetween(-math.max(cap0.toLong, chainP.toLong), -1)
+    // window expressions materialize as plain columns first (the analyzer
+    // only extracts window calls that sit directly in a projection)
+    val ranked = bt
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__preds", collect_list(col("id")).over(predFrame))
+      .withColumn("__anchors", array((1 to anchorA).map(j =>
+        nth_value(col("id"), j).over(wo)): _*))
+    val nPreds = size(col("__preds"))
+    // clique: every smaller id (the whole frame). Chain+anchor: the last P
+    // frame entries (ranks rn-P..rn-1) ∪ the first A bucket ids strictly
+    // below this one (running-frame nth_value; null until rank j exists).
+    val partners = if (cap0 <= 0) col("__preds") else {
+      when(col("__n") <= cap0, col("__preds"))
+        .otherwise(array_distinct(concat(
+          slice(col("__preds"), greatest(lit(1), nPreds - (chainP - 1)),
+            least(lit(chainP), nPreds)),
+          filter(col("__anchors"), p => p.isNotNull && p < col("id")))))
     }
-    val pairs = if (cap <= 0) cliqueJoin(bt) else {
-      val chainP = spark.conf
-        .getOption("spark.graft.neardup.bucketChainPredecessors")
-        .map(_.toInt).getOrElse(8)
-      val anchorA = spark.conf.getOption("spark.graft.neardup.bucketChainAnchors")
-        .map(_.toInt).getOrElse(8)
-      // one exchange on the bucket key feeds the size count, the rank, and
-      // (via ReusedExchange) both downstream joins. The window sort is
-      // O(k log k) per bucket — the straggler-safe replacement for the
-      // clique join's O(k²) single-task merge.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("band_idx", "band_hash")
-      val ranked = bt
-        .withColumn("__n", count(lit(1)).over(w))
-        .withColumn("__rn", row_number().over(w.orderBy(col("id"))))
-      val small = ranked.where(col("__n") <= cap)
-        .select("id", "band_idx", "band_hash")
-      // oversized buckets: each member joins to the bucket rows at ranks
-      // {rn-1..rn-P} ∪ {1..A} — a linear number of equality-keyed rows
-      val large = ranked.where(col("__n") > cap)
-      val partnerRanks = array_distinct(concat(
-        array((1 to chainP).map(j => col("__rn") - lit(j)): _*),
-        array((1 to anchorA).map(j => lit(j)): _*)))
-      val targets = large.select(col("id"), col("band_idx"), col("band_hash"),
-        explode(filter(partnerRanks,
-          t => t >= lit(1) && t < col("__rn"))).as("__trn"))
-      val partners = large.select(col("id").as("__pid"),
-        col("band_idx"), col("band_hash"), col("__rn").as("__trn"))
-      // partner rank < member rank → partner id < member id (rank is id order)
-      val chainPairs = targets
-        .join(partners, Seq("band_idx", "band_hash", "__trn"))
-        .select(col("__pid").as("id_a"), col("id").as("id_b"))
-      cliqueJoin(small).unionByName(chainPairs)
-    }
-    pairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands"))
+    ranked.select(explode(partners).as("id_a"), col("id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands"))
   }
 
   /** Candidate pairs with exact n-gram Jaccard (|A∩B| / |A∪B| over distinct
@@ -1202,10 +1201,15 @@ object TextOps {
    * instance is dropped. Returns per-doc `(id, n_lines, n_kept,
    * text_dedup)` with `text_dedup` the kept lines re-joined in order.
    *
-   * Shape: one explode, two line-keyed aggregations and a line-keyed join
-   * — all shuffles carry (line, id, idx) rows, never all-pairs; line
-   * buckets are as skewed as the corpus' duplicate mass, the same profile
-   * the n-gram span dedup handles. 100 TB-safe.
+   * Shape: one explode and two shuffles — a line-keyed aggregation that
+   * carries BOTH the first-occurrence min and the instance list (so the
+   * per-instance kept/dropped verdict falls out of one explode of the
+   * aggregate, with no join back over the corpus), then the per-doc
+   * regroup. The earlier formulation aggregated the min alone and re-
+   * joined it against the full instance table — a third corpus-sized
+   * shuffle whose line-string keys made it the dominant stage of the
+   * 1000× smoke. Line buckets are as skewed as the corpus' duplicate
+   * mass, the same profile the n-gram span dedup handles. 100 TB-safe.
    */
   def dedupLines(df: DataFrame, textCol: String, idCol: String,
       wordsPerLine: Int = 20): DataFrame = {
@@ -1213,16 +1217,21 @@ object TextOps {
         posexplode(wordLines(col(textCol), wordsPerLine))
           .as(Seq("idx", "line")))
     // the surviving instance of a line is its global first occurrence:
-    // lexicographic min over (id, idx) — ONE line-keyed aggregation
-    val first = p.groupBy("line")
-      .agg(min(struct(col(idCol).as("__kid"), col("idx").as("__kidx"))).as("__first"))
-    val kept = col(idCol) === col("__first.__kid") && col("idx") === col("__first.__kidx")
-    p.join(first, "line")
-      .groupBy(col(idCol))
+    // lexicographic min over (id, idx). The instance list rides the same
+    // aggregation; line text is shuffled once per distinct (line,
+    // map-partition), not once per instance.
+    val grouped = p.groupBy("line")
+      .agg(min(struct(col(idCol).as("__kid"), col("idx").as("__kidx"))).as("__first"),
+        collect_list(struct(col(idCol).as("__iid"), col("idx").as("__iidx"))).as("__insts"))
+    val inst = grouped.select(col("line"), col("__first"),
+      explode(col("__insts")).as("__i"))
+    val kept = col("__i.__iid") === col("__first.__kid") &&
+      col("__i.__iidx") === col("__first.__kidx")
+    inst.groupBy(col("__i.__iid").as(idCol))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
         array_join(transform(array_sort(collect_list(
-            when(kept, struct(col("idx"), col("line"))))),
+            when(kept, struct(col("__i.__iidx").as("idx"), col("line"))))),
           s => s.getField("line")), " ").as("text_dedup"))
   }
 

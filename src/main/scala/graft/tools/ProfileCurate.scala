@@ -8,6 +8,7 @@ import graft.text.{Curate, TextOps}
 object ProfileCurate {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val iters = if (args.length > 1) args(1).toInt else 3
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -21,7 +22,7 @@ object ProfileCurate {
       val n = f
       println(f"$tag%-26s ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$n")
     }
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       val quality = TextOps.qualityColumns(col("text")).find(_._1 == "quality").get._2
       val rep = TextOps.repetitionColumns(col("text")).find(_._1 == "dup_bigram_frac").get._2
       val gated = docs.withColumn("__r",

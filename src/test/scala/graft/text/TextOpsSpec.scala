@@ -178,6 +178,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Long]]("bands").length == TextOps.NumBands)
   }
 
+  test("MinhashSig expression == array_min(transform) SQL formulation") {
+    // the compiled one-pass kernel must be value-identical to the
+    // independent Column formulation (the shape the DuckDB oracle macro
+    // replays) — element by element, over varied real-ish docs including
+    // the sub-k single-shingle case and repeated shingles
+    val df = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a b"), // < k tokens: single whole-doc shingle
+      (4L, "x y z x y z x y z"), // repeated shingles collapse to distinct
+      (5L, "Zahlen und Fakten: 42 ist die Antwort auf alles sagt man"))
+    val sh = TextOps.shingleHashes(TextOps.tokens(col("text")), 3)
+    val viaAgg = df.select(col("doc_id"),
+        TextOps.minhashSignature(sh).as("sig_agg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val viaExpr = TextOps.signatures(df, "text", "doc_id")
+      .select(col("id"), col("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(viaExpr.keySet == viaAgg.keySet)
+    for ((id, sig) <- viaExpr) assert(sig == viaAgg(id), s"doc $id")
+  }
+
   test("ngramsCol: sliding n-grams; short docs yield empty (no desc sequence)") {
     val df = docs((1L, "a b c d e f"), (2L, "a b c"))
     val got = df.select(col("doc_id"),
