@@ -451,8 +451,11 @@ object TextOps {
       .map(_.toInt).getOrElse(8)
     val bt = bandTable(sigs)
     val W = org.apache.spark.sql.expressions.Window
-    val w = W.partitionBy("band_idx", "band_hash")
-    val wo = w.orderBy(col("id"))
+    val wo = W.partitionBy("band_idx", "band_hash").orderBy(col("id"))
+    // bucket size over the ORDERED spec with an explicit unbounded frame:
+    // an order-less spec would plan its own (band, hash)-only sort pass
+    // before the id-ordered one — same values, one extra sort of the table
+    val wn = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     // cap=0 disables the chain route: every bucket keeps its full clique.
     // The sliding predecessor frame must then be unbounded; otherwise it
     // is capped at max(cap, P) rows — O(cap) per-row state even in a
@@ -462,7 +465,7 @@ object TextOps {
     // window expressions materialize as plain columns first (the analyzer
     // only extracts window calls that sit directly in a projection)
     val ranked = bt
-      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
       .withColumn("__preds", collect_list(col("id")).over(predFrame))
       .withColumn("__anchors", array((1 to anchorA).map(j =>
         nth_value(col("id"), j).over(wo)): _*))
@@ -499,7 +502,16 @@ object TextOps {
     // set + output array — the former top cost of the whole dedup pipeline
     val inter = graft.functions.mkCol(graft.expressions.SortedIntersectCount(
       graft.functions.mkExpr(col("sh_a")), graft.functions.mkExpr(col("sh_b"))))
-    val joined = cands.join(sa, "id_a").join(sb, "id_b")
+    // shuffle-HASH hints on the (per-doc, bounded) signature side: a
+    // sort-merge plan would SORT the pair-side exchange, whose rows carry a
+    // shingle array per candidate — at the 1000× smoke that is ~100M rows ×
+    // ~300 B into the second join, the single largest sort/spill of the
+    // pipeline. Hashing the one-row-per-doc side instead streams the wide
+    // pair rows unsorted; build-side memory is |docs|/numShufflePartitions
+    // signature rows per task, the quantity a deployment sizes its shuffle
+    // partitioning to anyway.
+    val joined = cands.join(sa.hint("shuffle_hash"), "id_a")
+      .join(sb.hint("shuffle_hash"), "id_b")
       .withColumn("n_inter", inter)
       .withColumn("jaccard", col("n_inter").cast(DoubleType) /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast(DoubleType))
