@@ -1044,6 +1044,30 @@ object SparkEntry {
           docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
           "text", "doc_id", minJaccard = 0.6)
         .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // Gopher/MassiveText heuristic rule report — per-doc signals + the
+    // pass/fail conjunction, pure codegen projection
+    "gopher_rules" -> ((s, dir) => {
+      TextOps.gopherRules(t(s, dir, "documents"), "text", "doc_id",
+          minWords = 20L)
+        .orderBy("doc_id")
+    }),
+
+    // fixed-budget training chunks with overlap (40-token window, 10-token
+    // overlap → multi-chunk docs at every sf)
+    "chunk_documents" -> ((s, dir) => {
+      TextOps.chunkDocuments(t(s, dir, "documents"), "text", "doc_id",
+          budget = 40, overlap = 10)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // DSIR-style hashed-bigram importance weights vs the doc_id%5==0
+    // target split (ratio-sum scoring — bit-exact cross-engine)
+    "dsir_weights" -> ((s, dir) => {
+      TextOps.dsirWeights(t(s, dir, "documents"), "text", "doc_id",
+          id => id % 5 === 0, dim = 256)
+        .orderBy("id")
     })
   )
 
@@ -1694,6 +1718,66 @@ object SparkEntry {
          |    < floor(least(1.0,
          |        (CASE d.source WHEN 'src0' THEN 120.0 WHEN 'src1' THEN 60.0
          |                       ELSE 15.0 END) / n::DOUBLE) * 1000000.0)::BIGINT
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+    "gopher_rules" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id,
+         |    len(t)::BIGINT AS n_words,
+         |    CASE WHEN len(t) > 0 THEN
+         |      coalesce(list_sum(list_transform(t, x -> length(x)::BIGINT)), 0)::DOUBLE
+         |        / len(t)::DOUBLE ELSE 0.0 END AS mean_word_len,
+         |    CASE WHEN len(t) > 0 THEN
+         |      len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+         |        / len(t)::DOUBLE ELSE 0.0 END AS symbol_ratio,
+         |    CASE WHEN len(t) > 0 THEN
+         |      len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+         |        / len(t)::DOUBLE ELSE 0.0 END AS alpha_word_frac,
+         |    len(list_filter(t, x -> list_contains(
+         |      ['the','a','of','and','is','to','in','that','it','for'], x)))::BIGINT
+         |      AS n_stopwords
+         |  FROM (SELECT doc_id, text, ${TextSql.tokens("text")} AS t FROM documents))
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+         |  n_stopwords,
+         |  (n_words >= 20 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+         |    AND n_stopwords >= 2) AS passes
+         |FROM sig ORDER BY doc_id""".stripMargin,
+    "chunk_documents" ->
+      s"""WITH nc AS (
+         |  SELECT doc_id, t, len(t)::BIGINT AS n,
+         |    CASE WHEN len(t) <= 40 THEN 1::BIGINT
+         |         ELSE 1 + ((len(t)::BIGINT - 40 + 29) // 30) END AS k
+         |  FROM (SELECT doc_id, ${TextSql.tokens("text")} AS t FROM documents))
+         |SELECT doc_id, i AS chunk_idx, i * 30 AS tok_start,
+         |  least(40::BIGINT, n - i * 30) AS n_tok,
+         |  array_to_string(t[i*30+1 : i*30+least(40::BIGINT, n - i*30)], ' ')
+         |    AS chunk_text
+         |FROM nc, unnest(range(0, k)) AS u(i)
+         |WHERE n > 0
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "dsir_weights" ->
+      s"""WITH feats AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) >= 2
+         |      THEN list_transform(range(1, len(t)),
+         |        i -> (${TextSql.rollingHash("array_to_string(t[i:i+1], ' ')")}) % 256)
+         |      ELSE CAST([] AS BIGINT[]) END AS fs
+         |  FROM (SELECT doc_id, ${TextSql.tokens("text")} AS t FROM documents)),
+         | ev AS (SELECT unnest(fs) AS b FROM feats WHERE doc_id % 5 = 0),
+         | rw AS (SELECT unnest(fs) AS b FROM feats WHERE doc_id % 5 <> 0),
+         | bc AS (SELECT r.i AS b,
+         |    (coalesce(e.tc, 0) + 1)::DOUBLE / (coalesce(w.rc, 0) + 1)::DOUBLE AS ratio
+         |  FROM range(0, 256) AS r(i)
+         |  LEFT JOIN (SELECT b, count(*)::BIGINT AS tc FROM ev GROUP BY 1) e
+         |    ON r.i = e.b
+         |  LEFT JOIN (SELECT b, count(*)::BIGINT AS rc FROM rw GROUP BY 1) w
+         |    ON r.i = w.b),
+         | rl AS (SELECT list(ratio ORDER BY b) AS l FROM bc)
+         |SELECT doc_id AS id, len(fs)::BIGINT AS n_feats,
+         |  list_reduce(list_prepend(0.0, list_transform(fs, b -> l[b+1])),
+         |    (a, x) -> a + x) AS w_sum
+         |FROM feats, rl
+         |ORDER BY id""".stripMargin
   )
 }

@@ -423,6 +423,79 @@ object TextKernels {
     row
   }
 
+  /** [[GateReason]] kernel: the full language/quality/repetition gate
+   *  verdict in ~two passes over the document (one tokenize for langId +
+   *  quality, one inside [[ngramRepetition]]). Every count, ratio, and
+   *  comparison replicates the Column formulation exactly — same tokenizer
+   *  ([a-z0-9]+ runs over the lowercased text), same stopword sets with
+   *  multiplicity, same fixed-order double arithmetic as
+   *  TextOps.qualityColumns — pinned by CurateSpec's parity test. */
+  def gateReason(s: UTF8String, langTable: Seq[(String, Array[String])],
+      langSets: Array[java.util.HashSet[String]], allowed: java.util.HashSet[String],
+      minQuality: Double, maxDupBigramFrac: Double): UTF8String = {
+    val raw = s.toString
+    val lower = s.toLowerCase.toString
+    val (starts, ends, nTok) = tokenSpans(lower)
+    // stopword hits per language, with multiplicity, one token scan
+    val nLangs = langTable.length
+    val hits = new Array[Long](nLangs)
+    var i = 0
+    while (i < nTok) {
+      val tok = lower.substring(starts(i), ends(i))
+      var l = 0
+      while (l < nLangs) {
+        if (langSets(l).contains(tok)) hits(l) += 1L
+        l += 1
+      }
+      i += 1
+    }
+    var maxHits = 0L
+    var l = 0
+    while (l < nLangs) { if (hits(l) > maxHits) maxHits = hits(l); l += 1 }
+    val lang = if (maxHits == 0L) "und" else {
+      var pick = "und"; var found = false; var k = 0
+      while (k < nLangs && !found) {
+        if (hits(k) == maxHits) { pick = langTable(k)._1; found = true }
+        k += 1
+      }
+      pick
+    }
+    if (!allowed.contains(lang)) return UTF8String.fromString("lang")
+    // quality score — identical arithmetic order to TextOps.qualityColumns
+    val nChars = s.numChars().toLong
+    var sumLen = 0L
+    i = 0
+    while (i < nTok) { sumLen += (ends(i) - starts(i)).toLong; i += 1 }
+    val meanLen = if (nTok > 0) sumLen.toDouble / nTok.toDouble else 0.0
+    val stopRatio = if (nTok > 0) hits(0).toDouble / nTok.toDouble else 0.0
+    // [^A-Za-z0-9\s] over the RAW text, code point at a time (Java regex
+    // counts one match per code point; \s is the ASCII set)
+    var nPunct = 0L
+    var ci = 0
+    val rawLen = raw.length
+    while (ci < rawLen) {
+      val cp = raw.codePointAt(ci)
+      val alnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= '0' && cp <= '9')
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!alnum && !ws) nPunct += 1L
+      ci += Character.charCount(cp)
+    }
+    val punctRatio = if (nChars > 0) nPunct.toDouble / nChars.toDouble else 0.0
+    val score =
+      math.min(nTok.toDouble / 100.0, 1.0) * 0.25 +
+      stopRatio * 0.25 +
+      (1.0 - punctRatio) * 0.25 +
+      math.min(meanLen / 8.0, 1.0) * 0.25
+    if (score < minQuality) return UTF8String.fromString("quality")
+    val rep = ngramRepetition(s, 2)
+    val total = rep.getLong(0); val dup = rep.getLong(2)
+    val dupFrac = if (total > 0) dup.toDouble / total.toDouble else 0.0
+    if (dupFrac > maxDupBigramFrac) return UTF8String.fromString("repetitive")
+    null
+  }
+
   /** [[TermCounts]] kernel. */
   def termCounts(s: UTF8String): ArrayData = {
     val counts = TermCounts.count(s.toLowerCase.toString)
@@ -486,6 +559,52 @@ object TextKernels {
  * (CodegenFallback only under `-Dgraft.text.forceInterpreted=true`, the
  * A/B profile switch).
  */
+/**
+ * `gate_reason(text)` — the curation pipeline's entire row-local gate
+ * (language allow-list → quality threshold → bigram-repetition bound) as
+ * ONE kernel pass, returning the first failing stage's tag ("lang",
+ * "quality", "repetitive") or NULL for a pass. The Column composition of
+ * langId/qualityColumns/repetitionColumns inside a `when` chain sits in
+ * conditional branches, where Catalyst's subexpression elimination does
+ * not reach — measured at the 1000× smoke, the chain re-ran the regex
+ * tokenizer and stopword scans ~9× per row and the gate projection alone
+ * cost 210 s over 5M docs. Values are pinned identical to the Column
+ * formulation by CurateSpec.
+ */
+case class GateReason(child: Expression, langTable: Seq[(String, Seq[String])],
+    allowed: Seq[String], minQuality: Double, maxDupBigramFrac: Double)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gate_reason"
+
+  @transient private lazy val tableArr: Seq[(String, Array[String])] =
+    langTable.map { case (l, ws) => (l, ws.toArray) }
+  @transient private lazy val langSets: Array[java.util.HashSet[String]] =
+    langTable.map { case (_, ws) =>
+      val s = new java.util.HashSet[String](ws.size * 2)
+      ws.foreach(s.add)
+      s
+    }.toArray
+  @transient private lazy val allowedSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](allowed.size * 2)
+    allowed.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.gateReason(s.asInstanceOf[UTF8String], tableArr, langSets,
+      allowedSet, minQuality, maxDupBigramFrac)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class NgramRepetition(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   require(n > 0, "n-gram size must be positive")

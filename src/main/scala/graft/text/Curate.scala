@@ -78,16 +78,13 @@ object Curate {
 
   private def taggedImpl(df: DataFrame, textCol: String, idCol: String,
       cfg: Config, maybeCache: DataFrame => DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val quality = TextOps.qualityColumns(col(textCol))
-      .find(_._1 == "quality").get._2
-    val rep = TextOps.repetitionColumns(col(textCol))
-      .find(_._1 == "dup_bigram_frac").get._2
+    // one fused kernel pass per row (graft.expressions.GateReason) — the
+    // when-chain over langId/quality/repetition re-evaluated the tokenizer
+    // per branch (conditional branches are invisible to Catalyst CSE);
+    // CurateSpec pins the kernel ≡ Column-composition verdicts
     val gated = df
-      .withColumn("__gate_reason",
-        when(!TextOps.langId(toks).isin(cfg.langs.toSeq: _*), "lang")
-          .when(quality < cfg.minQuality, "quality")
-          .when(rep > cfg.maxDupBigramFrac, "repetitive"))
+      .withColumn("__gate_reason", TextOps.gateReason(col(textCol),
+        cfg.langs, cfg.minQuality, cfg.maxDupBigramFrac))
     val pass1 = maybeCache(gated.where(col("__gate_reason").isNull)
       .select(col(idCol), col(textCol)))
     // stage 4: near-dup drop set over gate survivors

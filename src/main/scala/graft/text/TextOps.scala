@@ -184,6 +184,137 @@ object TextOps {
       "dup_5gram_frac" -> frac(five, "dup_count"))
   }
 
+  /** The curation gate verdict ("lang" / "quality" / "repetitive" / NULL)
+   *  in one compiled pass — see [[graft.expressions.GateReason]]. Language
+   *  order and stopword sets are [[LangStopwords]]; quality and repetition
+   *  arithmetic match [[qualityColumns]] / [[repetitionColumns]] bit-
+   *  exactly (CurateSpec parity test). */
+  def gateReason(text: Column, langs: Set[String], minQuality: Double,
+      maxDupBigramFrac: Double): Column =
+    graft.functions.mkCol(graft.expressions.GateReason(
+      graft.functions.mkExpr(text), LangStopwords,
+      langs.toSeq.sorted, minQuality, maxDupBigramFrac))
+
+  /**
+   * Gopher-style rule report (Rae et al. 2021, MassiveText §A1.1): the
+   * classic per-document heuristic gates — word-count bounds, mean word
+   * length bounds, symbol-to-word ratio, fraction of words containing an
+   * alphabetic character, and a minimum stopword count — each surfaced as
+   * its measured signal plus a single `passes` conjunction. One codegen
+   * projection per row, no shuffle: pushes to the scan at any corpus size.
+   * All ratios are single double divisions of exact integer counts, so a
+   * SQL oracle reproduces them bit-exactly.
+   */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwords: Long = 2L): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nW = size(toks).cast(LongType)
+    val sumLen = graft.functions.mkCol(graft.expressions.TokenLenSum(
+      graft.functions.mkExpr(toks)))
+    val meanLen = when(nW > 0,
+      sumLen.cast(DoubleType) / nW.cast(DoubleType)).otherwise(lit(0.0))
+    val nSym = size(regexp_extract_all(col(textCol),
+      lit("[^A-Za-z0-9\\s]"), lit(0))).cast(LongType)
+    val symR = when(nW > 0,
+      nSym.cast(DoubleType) / nW.cast(DoubleType)).otherwise(lit(0.0))
+    // tokens are [a-z0-9]+, so "has an alphabetic char" = matches [a-z]
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast(LongType)
+    val alphaFrac = when(nW > 0,
+      nAlpha.cast(DoubleType) / nW.cast(DoubleType)).otherwise(lit(0.0))
+    val nStop = stopwordHits(toks, LangStopwords.head._2)
+    df.select(col(idCol),
+      nW.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symR.as("symbol_ratio"),
+      alphaFrac.as("alpha_word_frac"),
+      nStop.as("n_stopwords"),
+      (nW >= minWords && nW <= maxWords &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        symR <= maxSymbolRatio && alphaFrac >= minAlphaFrac &&
+        nStop >= minStopwords).as("passes"))
+  }
+
+  /**
+   * Fixed-token-budget training chunks with overlap — the step that turns
+   * variable-length documents into model-sized pieces (a sliding window of
+   * `budget` tokens advancing by `budget - overlap`; the final chunk is
+   * whatever remains, never empty). Emits one row per chunk:
+   * `(id, chunk_idx, tok_start, n_tok, chunk_text)` with 0-based token
+   * offsets. Pure per-row sequence arithmetic + explode — no shuffle, and
+   * chunk counts are exact integers, so the SQL oracle replays it
+   * bit-identically.
+   */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      budget: Int, overlap: Int = 0): DataFrame = {
+    require(budget > 0 && overlap >= 0 && overlap < budget,
+      s"need 0 <= overlap < budget, got budget=$budget overlap=$overlap")
+    val stride = budget - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast(LongType)
+    // 1 chunk when n <= budget, else 1 + ceil((n - budget) / stride).
+    // Column `/` is double division; the truncating cast is exact floor
+    // here (operands are positive token counts, far below 2^52)
+    val nChunks = when(n <= budget, lit(1L))
+      .otherwise(lit(1L) +
+        ((n - budget + (stride - 1)) / stride).cast(LongType))
+    val chunks = transform(sequence(lit(0L), nChunks - 1), i => {
+      val start = i * stride
+      val len = least(lit(budget.toLong), n - start)
+      struct(i.as("chunk_idx"), start.as("tok_start"), len.as("n_tok"),
+        array_join(slice(toks, (start + 1).cast(IntegerType),
+          len.cast(IntegerType)), " ").as("chunk_text"))
+    })
+    df.select(col(idCol), explode(chunks).as("__c"))
+      .where(col("__c.n_tok") > 0) // a token-less document has no chunks
+      .select(col(idCol), col("__c.chunk_idx"), col("__c.tok_start"),
+        col("__c.n_tok"), col("__c.chunk_text"))
+  }
+
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): hash each document's
+   * bigrams into `dim` buckets, estimate the target (eval) and raw bucket
+   * distributions from occurrence counts, and score every document by the
+   * add-one-smoothed target/raw count RATIO summed over its features in
+   * order. (The paper sums log-ratios; the ratio sum is used here so the
+   * score is a fixed-order sum of exact integer divisions — bit-exact
+   * across engines, where `ln` is not.) Output: (id, n_feats, w_sum).
+   *
+   * Shape at 100 TB: one explode→groupBy whose map-side combine collapses
+   * every partition to ≤ dim rows, one single-row cross join broadcasting
+   * the dense ratio table back, and a per-row fold — no driver collect,
+   * no per-document join.
+   */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+      evalPred: Column => Column, dim: Int = 256): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val toks = tokens(col(textCol))
+    val feats = transform(ngramsCol(toks, 2),
+      g => rollingHash(g) % dim)
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+      feats.as("__feats"))
+    val flagged = base.select(evalPred(col("id")).as("__ev"),
+      explode(col("__feats")).as("__b"))
+    val counts = flagged.groupBy("__b").agg(
+      sum(when(col("__ev"), 1L).otherwise(0L)).as("__tc"),
+      sum(when(!col("__ev"), 1L).otherwise(0L)).as("__rc"))
+    // dense dim-length ratio list (absent bucket → (0+1)/(0+1) = 1.0)
+    val ratioRow = counts
+      .agg(map_from_entries(collect_list(struct(col("__b"),
+        ((col("__tc") + 1L).cast(DoubleType) /
+          (col("__rc") + 1L).cast(DoubleType))))).as("__m"))
+      .select(transform(sequence(lit(0L), lit(dim - 1L)),
+        i => coalesce(element_at(col("__m"), i), lit(1.0))).as("__rl"))
+    base.crossJoin(ratioRow)
+      .select(col("id"), size(col("__feats")).cast(LongType).as("n_feats"),
+        aggregate(col("__feats"), lit(0.0), (acc, b) =>
+          acc + element_at(col("__rl"), (b + 1L).cast(IntegerType)))
+          .as("w_sum"))
+  }
+
   /**
    * Exact blocklist dedup with a Bloom pre-filter — drop every row whose
    * text content (by rolling-hash fingerprint) appears in `block`. The

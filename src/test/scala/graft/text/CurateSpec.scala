@@ -44,6 +44,43 @@ class CurateSpec extends AnyFunSuite {
     } finally tagged.unpersist()
   }
 
+  test("GateReason kernel == langId/quality/repetition Column composition") {
+    // the fused kernel must yield the identical per-row verdict as the
+    // independent when-chain over the oracled Column signals, on real
+    // corpus rows AND constructed edge docs (und-language, empty text,
+    // high repetition, marginal quality)
+    import spark.implicits._
+    val edge = Seq(
+      (900001L, ""), (900002L, "zzz qqq 12345 67890"),
+      (900003L, Seq.fill(40)("der die und").mkString(" ")),
+      (900004L, "the the the the the the the the"),
+      (900005L, "el los las una es y que por con es y que"),
+      // en by stopword majority but sub-threshold quality: one stopword in
+      // 51 short tokens, punct-heavy tail
+      (900006L, "the " + (1 to 50).map(i => s"z$i").mkString(" ") +
+        " " + "!" * 600))
+      .toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    val toks = TextOps.tokens(col("text"))
+    val quality = TextOps.qualityColumns(col("text"))
+      .find(_._1 == "quality").get._2
+    val rep = TextOps.repetitionColumns(col("text"))
+      .find(_._1 == "dup_bigram_frac").get._2
+    val viaCols = all.select(col("doc_id"),
+        when(!TextOps.langId(toks).isin("en", "de"), "lang")
+          .when(quality < 0.3, "quality")
+          .when(rep > 0.5, "repetitive").as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val viaKernel = all.select(col("doc_id"),
+        TextOps.gateReason(col("text"), Set("en", "de"), 0.3, 0.5).as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(viaKernel.keySet == viaCols.keySet)
+    for ((id, v) <- viaKernel) assert(v == viaCols(id), s"doc $id")
+    // at least one of each verdict appears across corpus + edge docs
+    val verdicts = viaKernel.values.flatten.toSet
+    assert(verdicts.contains("lang") && verdicts.contains("quality"))
+  }
+
   test("stage precedence: a gated row keeps its gate reason over later stages") {
     val tagged = Curate.tagged(docs, "text", "doc_id", cfg)
     val reasons = tagged.select("doc_id", "drop_reason").collect()

@@ -442,6 +442,65 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fused((1L, "the", 3L)) && fused((1L, "42", 2L)))
   }
 
+  test("gopherRules: signals and the pass conjunction") {
+    val df = docs(
+      (1L, ("the quick brown fox and jumps over lazy dogs daily " * 6).trim),
+      (2L, "xy " * 60), // no stopwords, mean len 2 < 3 → fails
+      (3L, ""))
+    val got = TextOps.gopherRules(df, "text", "doc_id", minWords = 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Boolean]("passes"))).toMap
+    assert(got(1L)._1 == 60 && got(1L)._2)
+    assert(got(2L)._1 == 60 && !got(2L)._2)
+    assert(got(3L)._1 == 0 && !got(3L)._2)
+  }
+
+  test("chunkDocuments: window/stride boundaries, final short chunk, empty doc") {
+    val df = docs(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, 1 chunk
+      (2L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 toks → 2 chunks
+      (3L, (1 to 16).map(i => s"t$i").mkString(" ")), // 16 = 10 + 6 → exactly 2
+      (4L, ""))
+    val got = TextOps.chunkDocuments(df, "text", "doc_id", budget = 10, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0L, 0L, 10L)))
+    // stride 6: doc 2 chunks at 0 (10 toks) and 6 (5 toks)
+    assert(byDoc(2L).sortBy(_._2).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 10L), (1L, 6L, 5L)))
+    assert(byDoc(2L).sortBy(_._2).last._5 == "t7 t8 t9 t10 t11")
+    assert(byDoc(3L).sortBy(_._2).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 10L), (1L, 6L, 10L)))
+    assert(!byDoc.contains(4L))
+    // overlap: chunk 1 of doc 2 re-reads tokens 7-10
+    assert(byDoc(2L).sortBy(_._2).head._5.endsWith("t10"))
+  }
+
+  test("dsirWeights: absent buckets ratio 1.0; eval/raw counts drive the score") {
+    // dim=4 so buckets are dense and hand-checkable via recomputation
+    val df = docs(
+      (0L, "alpha beta gamma delta"),  // eval (id%5==0)
+      (1L, "alpha beta epsilon zeta"), // raw
+      (2L, "x"))                        // 1 token → no bigrams
+    val got = TextOps.dsirWeights(df, "text", "doc_id", id => id % 5 === 0, dim = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(2L) == ((0L, 0.0)))
+    // recompute expected from the op's own hash (independent fold here)
+    def bucket(g: String): Long =
+      graft.expressions.TextHash.rollingHashString(g) % 4
+    val evalFeats = Seq("alpha beta", "beta gamma", "gamma delta").map(bucket)
+    val rawFeats = Seq("alpha beta", "beta epsilon", "epsilon zeta").map(bucket)
+    val tc = evalFeats.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rc = rawFeats.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def ratio(b: Long): Double =
+      (tc.getOrElse(b, 0L) + 1L).toDouble / (rc.getOrElse(b, 0L) + 1L).toDouble
+    val exp0 = evalFeats.foldLeft(0.0)((a, b) => a + ratio(b))
+    val exp1 = rawFeats.foldLeft(0.0)((a, b) => a + ratio(b))
+    assert(got(0L) == ((3L, exp0)))
+    assert(got(1L) == ((3L, exp1)))
+  }
+
   test("dedupLines: first occurrence survives, later instances drop") {
     // doc 1: "a b c" twice (within-doc dup) + unique tail;
     // doc 2 repeats doc 1's line → all instances beyond the first drop
