@@ -893,9 +893,72 @@ object SparkEntry {
       df
     }),
 
+    // ---- attribute-filtered ANN search (FAISS SearchParameters/IDSelector
+    // analog). Exact route: the id predicate splices into the index scan
+    // before the top-k (Catalyst pushes it to parquet), so the result is
+    // the exact filtered top-k — double-ordered, rank-oracled like
+    // ann_ivf_exact
+    "ann_filtered_flat" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_filt_flat",
+        Ann.BuildParams(engine = "flat"))
+      import s.implicits._
+      Ann.searchFiltered(s, "v_filt_flat", q64Arr, 10, Ann.IdFilter.modEq(7, 3))
+        .join(emb, col("row_id") === col("vec_id"))
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
+        .orderBy(col("__dd"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    // graph route, surfaced as a hard recall gate (escalating-overfetch
+    // beam hits must cover >= 9 of the exact filtered top-10; drift fails
+    // CORRECTNESS instead of shifting a rows-only integer)
+    "ann_filtered_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_filt_g",
+        Ann.BuildParams(engine = "diskann", numShards = 2))
+      import s.implicits._
+      val approx = Ann.searchFiltered(s, "v_filt_g", q64Arr, 10,
+          Ann.IdFilter.modEq(3, 1))
+        .select("row_id").collect().map(_.getLong(0)).toSet
+      val exact = emb.where(pmod(col("vec_id"), lit(3)) === 1)
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__d"))
+        .orderBy(col("__d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      Seq(approx.intersect(exact).size >= 9).toDF("recall_ok")
+    }),
+
     "neardup_cos_exact" -> ((s, dir) =>
       graft.text.TextOps.cosineExactPairs(
         t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)),
+
+    // SemDeDup (cluster-partitioned semantic dedup): seed-centroid mode is
+    // the bit-oracle-able instantiation; the trained-centroid mode is the
+    // quality route (SemDedupSpec pins both to the same downstream rule)
+    "semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seeds = graft.text.SemDedup.seedCentroids(emb, "embedding", "vec_id", 8)
+      graft.text.SemDedup.semdedup(emb, "embedding", "vec_id", seeds, 0.4)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("cluster", col("cluster").cast("long"))
+        .orderBy("vec_id")
+    }),
+
+    // soft dedup: duplicate-mass reweighting (weight 1/n per exact-dup
+    // group) — downweights dupes instead of dropping them, the standard
+    // alternative when corpus coverage must be preserved
+    "soft_dedup" -> ((s, dir) => {
+      val fp = sha2(col("text"), 256)
+      t(s, dir, "documents")
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(fp)))
+        .select(col("doc_id"), (lit(1.0) / col("__n")).as("weight"))
+        .orderBy("doc_id")
+    }),
 
     // ---- multimodal: binary payload → stub-decoded feature histogram ----
 
@@ -1584,6 +1647,38 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "ann_filtered_flat" ->
+      s"""SELECT vec_id, row_number() OVER (
+         |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
+         |FROM embeddings WHERE vec_id % 7 = 3 ORDER BY rank LIMIT 10""".stripMargin,
+    "ann_filtered_graph" -> "SELECT true AS recall_ok",
+    // SemDeDup seed mode: centroids = the 8 lowest-id vectors; assignment =
+    // argmax double cosine with lowest-centroid tie-break (row_number), drop
+    // rule = EXISTS lower-id cluster-mate at sim >= 0.4 — every float op is
+    // the same double arithmetic as the Spark kernel
+    "semdedup" ->
+      """WITH seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+        |), assign AS (
+        |  SELECT vec_id, cluster, v FROM (
+        |    SELECT e.vec_id, s.cid AS cluster, e.embedding AS v,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |                                        s.embedding::DOUBLE[]) DESC,
+        |                 s.cid) AS rn
+        |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1
+        |)
+        |SELECT a.vec_id, a.cluster::BIGINT AS cluster,
+        |  NOT EXISTS (SELECT 1 FROM assign b
+        |    WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+        |      AND list_cosine_similarity(a.v::DOUBLE[], b.v::DOUBLE[]) >= 0.4)
+        |  AS kept
+        |FROM assign a ORDER BY a.vec_id""".stripMargin,
+    "soft_dedup" ->
+      """SELECT doc_id,
+        |  1.0::DOUBLE / (count(*) OVER (PARTITION BY text)) AS weight
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // buckets UTF-8 BYTES (matching Spark's byteHistogram over text::binary):
     // (b & 0xff) % 16 is exactly the low hex nibble, read out of hex(encode())
     "multimodal_featurize" ->

@@ -941,6 +941,101 @@ object Ann {
         StructField("_distance", FloatType, nullable = false))))
   }
 
+  /** Row-id selector for filtered search: `column` is the predicate over
+   *  the index scan's `id` column (exact engines — Catalyst pushes it to
+   *  the parquet scan); `fn` is the same predicate as a closure (graph
+   *  engine — evaluated against shard hits during beam escalation). The
+   *  two MUST agree; [[IdFilter.modEq]]/[[IdFilter.inSet]] construct
+   *  matched pairs. */
+  final case class IdFilter(column: Column, fn: Long => Boolean)
+  object IdFilter {
+    def modEq(m: Long, r: Long): IdFilter =
+      IdFilter(pmod(col("id"), lit(m)) === lit(r),
+        id => ((id % m) + m) % m == r)
+    def inSet(ids: Set[Long]): IdFilter =
+      IdFilter(notTombstoned(col("id"), ids).unary_!, ids.contains)
+  }
+
+  /** Default escalation start for filtered graph search, as a multiple of
+   *  k (`spark.graft.ann.filteredOverfetch`). */
+  def filteredOverfetch(spark: SparkSession): Int =
+    math.max(1, spark.conf.getOption("spark.graft.ann.filteredOverfetch")
+      .map(_.toInt).getOrElse(4))
+
+  /**
+   * Attribute-filtered ANN search — the FAISS `SearchParameters.sel`
+   * (IDSelector) analog. The reference exposes no selector surface of its
+   * own; its one in-search selector is the tombstone set, which it handles
+   * by over-requesting `k + |deleted|` (src/diskann_index.cpp:558-561) —
+   * this operator generalizes that treatment to arbitrary row-id
+   * predicates:
+   *
+   *  - **exact engines** (flat / ivfflat): the predicate Column is spliced
+   *    into the index scan BEFORE the top-k, so Catalyst pushes it into the
+   *    parquet scan (visible as PushedFilters) and the answer is the EXACT
+   *    top-k of the allowed subset — no overfetch, no retry, and at 100 TB
+   *    the filter prunes IO instead of post-filtering a transfer.
+   *  - **graph engine** (diskann): per-shard beam search with escalating
+   *    over-fetch — start at `k·filteredOverfetch` (default 4×), drop
+   *    disallowed hits, and double the fetch until the shard yields k
+   *    allowed hits or the beam reaches the shard's node count, at which
+   *    point every reachable node has been visited and the shard's answer
+   *    is exact for any selectivity (FilteredSearchSpec pins this
+   *    saturation contract against the flat route). Escalation is
+   *    per-shard and independent, so a selective filter costs extra hops
+   *    only on shards that actually lack allowed neighbors.
+   *
+   * Returns `(row_id, _distance)` ordered, ≤ k rows.
+   */
+  def searchFiltered(spark: SparkSession, name: String, query0: Array[Float],
+      k: Int, filter: IdFilter, searchComplexity: Int = 0): DataFrame = {
+    val meta = IndexCatalog.load(root(spark), name)
+    val tomb = IndexCatalog.readTombstones(root(spark), name)
+    if (!isGraphEngine(meta.engine)) {
+      val query = prepQuery(meta, query0)
+      val distCol = metricDistanceCol(meta.metricObj, col("vec"), query)
+      val base = scanIvfOrFlat(spark, meta, query).where(filter.column)
+      val unfiltered = base.select(col("id").as("row_id"), distCol.as("__dd"))
+      val live = if (tomb.isEmpty) unfiltered
+        else unfiltered.where(notTombstoned(col("row_id"), tomb))
+      live.orderBy(col("__dd"), col("row_id")).limit(k)
+        .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
+    } else {
+      import spark.implicits._
+      val query = prepQuery(meta, query0)
+      val cosine = meta.metricObj eq Metric.Cosine
+      val tombB = spark.sparkContext.broadcast(tomb)
+      val allow = filter.fn
+      val sc0 = searchComplexity
+      val startFetch = math.max(k * filteredOverfetch(spark), k) + tomb.size
+      val shards = meta.shards
+      val rdd = spark.sparkContext.parallelize(shards, math.max(shards.size, 1))
+        .flatMap { sh =>
+          val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
+          val t = tombB.value
+          val n = loaded.ids.length
+          var fetch = math.min(math.max(startFetch, 1), math.max(n, 1))
+          var out: Seq[(Long, Float)] = Seq.empty
+          var done = n == 0
+          while (!done) {
+            val (labels, dists) = loaded.index.search(query, fetch,
+              math.max(sc0, fetch))
+            // labels arrive distance-ordered; the first k allowed are the
+            // shard's filtered top-k at this beam width
+            out = labels.indices.iterator
+              .map(i => (loaded.ids(labels(i)), dists(i)))
+              .filter { case (id, _) => allow(id) && !t.contains(id) }
+              .take(k).toSeq
+            if (out.length >= k || fetch >= n) done = true
+            else fetch = math.min(n, fetch * 2)
+          }
+          out.iterator
+        }
+      rdd.toDF("row_id", "_distance")
+        .orderBy(col("_distance"), col("row_id")).limit(k)
+    }
+  }
+
   /**
    * `ann_range_search`: every row within `radius` of `query` under the
    * index's engine distance semantics (squared L2 / negated IP / negated
