@@ -956,6 +956,76 @@ object Ann {
       IdFilter(notTombstoned(col("id"), ids).unary_!, ids.contains)
   }
 
+  /** [[IdFilter]] from a SQL predicate string over the column name `id`
+   *  (e.g. `"id % 7 = 3"`, `"id IN (2, 4, 8)"`, `"id BETWEEN 10 AND 99"`).
+   *  The string is parsed once and becomes BOTH halves of the filter: the
+   *  Column (exact engines — resolved against the index scan, pushed to
+   *  parquet) and the closure (graph engine — the analyzed expression is
+   *  bound to a single LONG slot and compiled to a catalyst
+   *  [[org.apache.spark.sql.catalyst.expressions.BasePredicate]] lazily per
+   *  executor thread, codegen'd like any WHERE clause). This is what the
+   *  `ann_search_filtered` SQL table function constructs. */
+  def idFilterFromSql(spark: SparkSession, predSql: String): IdFilter = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    val parsed = spark.sessionState.sqlParser.parseExpression(predSql)
+    val colPred = GraftShim.column(parsed)
+    // resolve + OPTIMIZE against a one-column (id LONG) plan: the closure
+    // side must evaluate outside codegen, and only the optimizer rewrites
+    // analysis-only nodes into evaluable form (BETWEEN → RuntimeReplaceable
+    // whose replacement is a With common-expression tree → inlined by
+    // RewriteWithExpression — neither stage is interpretable on its own)
+    val probe = spark.range(1).toDF("id")
+    val analyzed = probe.select(colPred).queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+    val exprType = (analyzed.projectList.head match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case e => e
+    }).dataType
+    require(exprType == org.apache.spark.sql.types.BooleanType,
+      s"ann filter predicate must be BOOLEAN, got $exprType: $predSql")
+    val optimized = probe.where(colPred).queryExecution.optimizedPlan
+    val fn: Long => Boolean = optimized.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        new SqlIdPredicate(f.condition,
+          f.child.output.find(_.name == "id").getOrElse(f.child.output.head))
+    }.getOrElse {
+      // the optimizer folded the filter away: an always-true predicate
+      // leaves a bare scan, an always-false one an empty LocalRelation
+      val alwaysFalse = optimized match {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          l.data.isEmpty
+        case _ => false
+      }
+      ConstIdPredicate(!alwaysFalse)
+    }
+    IdFilter(colPred, fn)
+  }
+
+  /** Constant selector for predicates the optimizer folded to a literal. */
+  private final case class ConstIdPredicate(value: Boolean)
+      extends (Long => Boolean) {
+    def apply(id: Long): Boolean = value
+  }
+
+  /** Serializable `Long => Boolean` over an optimized boolean expression of
+   *  one LONG attribute; the compiled predicate and its scratch row are
+   *  per-thread (executor tasks share the closure). */
+  private final class SqlIdPredicate(
+      expr: org.apache.spark.sql.catalyst.expressions.Expression,
+      attr: org.apache.spark.sql.catalyst.expressions.Attribute)
+      extends (Long => Boolean) with Serializable {
+    @transient private lazy val local = ThreadLocal.withInitial(() => {
+      val p = org.apache.spark.sql.catalyst.expressions.Predicate
+        .create(expr, Seq(attr))
+      (p, new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1))
+    })
+    def apply(id: Long): Boolean = {
+      val (p, row) = local.get()
+      row.update(0, id)
+      p.eval(row)
+    }
+  }
+
   /** Default escalation start for filtered graph search, as a multiple of
    *  k (`spark.graft.ann.filteredOverfetch`). */
   def filteredOverfetch(spark: SparkSession): Int =

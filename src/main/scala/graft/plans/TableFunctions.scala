@@ -50,6 +50,10 @@ import graft.search.Hybrid
  *                                   'web:30000,code:5000', 1000)
  *   SELECT * FROM dedup_minhash_cc('documents', 'text', 'doc_id', 0.6)
  *   SELECT * FROM dedup_vs_corpus('new_batch', 'documents', 'text', 'doc_id')
+ *   SELECT * FROM ann_search_filtered('embeddings', 'emb_idx', array(...),
+ *                                     10, 'id % 7 = 3')
+ *   SELECT * FROM semdedup('embeddings', 'embedding', 'vec_id', 8, 0.85)
+ *                                            -- iters => 10 for trained mode
  *
  * Tables are referenced by NAME (views work: `CREATE TEMP VIEW queries AS
  * SELECT ...` replaces the reference's TABLE-valued subquery inputs — Spark
@@ -216,6 +220,27 @@ object TableFunctions {
         lazySearchPlan(fn, table, idCol, index, q, k * math.max(1, over), sc)
       else
         plan(Ann.search(spark.table(table), idCol, index, q, k, sc, over))
+    },
+    // attribute-filtered search: allow_pred is a SQL predicate over the
+    // literal column name `id` — one parse feeds both the pushed-down scan
+    // predicate (exact engines) and the codegen'd per-hit selector the
+    // graph engine's escalating beam applies (Ann.idFilterFromSql)
+    "ann_search_filtered" -> { args =>
+      val fn = "ann_search_filtered"
+      val a = splitArgs(fn, args,
+        Seq("table", "index", "query_vec", "k", "allow_pred",
+          "search_complexity"), 5)
+      val index = str(fn, a("index"))
+      val sc = a.get("search_complexity").map(int(fn, _)).getOrElse(0)
+      val idCol = IndexCatalog.load(Ann.root(spark), index).idColumn
+      val filt = Ann.idFilterFromSql(spark, str(fn, a("allow_pred")))
+      val hits = Ann.searchFiltered(spark, index, vec(fn, a("query_vec")),
+        int(fn, a("k")), filt, sc)
+      val base = spark.table(str(fn, a("table")))
+      import org.apache.spark.sql.functions.{broadcast, col}
+      plan(base.join(broadcast(hits), base(idCol) === hits("row_id"))
+        .drop("row_id")
+        .orderBy(col("_distance"), col(idCol)))
     },
     "ann_range_search" -> { args =>
       val fn = "ann_range_search"
@@ -452,6 +477,22 @@ object TableFunctions {
     },
     // duplicate clusters: (id, component = min id) over verified near-dup
     // pairs — chains collapse transitively
+    // SemDeDup cluster-partitioned semantic dedup: iters=0 (default) uses
+    // the k lowest-id vectors as seed centroids (the bit-reproducible
+    // mode); iters>0 trains KMeansLite centroids (the quality mode)
+    "semdedup" -> { args =>
+      val fn = "semdedup"
+      val a = splitArgs(fn, args, Seq("table", "vec_col", "id_col", "k",
+        "threshold", "iters"), 5)
+      val df = spark.table(str(fn, a("table")))
+      val vc = str(fn, a("vec_col")); val ic = str(fn, a("id_col"))
+      val k = int(fn, a("k")); val tau = dbl(fn, a("threshold"))
+      val iters = a.get("iters").map(int(fn, _)).getOrElse(0)
+      val cents = if (iters > 0)
+        graft.text.SemDedup.trainedCentroids(df, vc, k, iters)
+      else graft.text.SemDedup.seedCentroids(df, vc, ic, k)
+      plan(graft.text.SemDedup.semdedup(df, vc, ic, cents, tau))
+    },
     "dup_clusters" -> { args =>
       val fn = "dup_clusters"
       val a = splitArgs(fn, args, Seq("table", "text_col", "id_col",

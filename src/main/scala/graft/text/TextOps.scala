@@ -633,16 +633,17 @@ object TextOps {
     // set + output array — the former top cost of the whole dedup pipeline
     val inter = graft.functions.mkCol(graft.expressions.SortedIntersectCount(
       graft.functions.mkExpr(col("sh_a")), graft.functions.mkExpr(col("sh_b"))))
-    // shuffle-HASH hints on the (per-doc, bounded) signature side: a
-    // sort-merge plan would SORT the pair-side exchange, whose rows carry a
-    // shingle array per candidate — at the 1000× smoke that is ~100M rows ×
-    // ~300 B into the second join, the single largest sort/spill of the
-    // pipeline. Hashing the one-row-per-doc side instead streams the wide
-    // pair rows unsorted; build-side memory is |docs|/numShufflePartitions
-    // signature rows per task, the quantity a deployment sizes its shuffle
-    // partitioning to anyway.
-    val joined = cands.join(sa.hint("shuffle_hash"), "id_a")
-      .join(sb.hint("shuffle_hash"), "id_b")
+    // default sort-merge for both verify joins — NOT shuffle-hash hints.
+    // Theory said hashing the one-row-per-doc signature side would spare
+    // the second join its sort of pair rows carrying a shingle array each;
+    // measurement said otherwise (ProfileLshAb, 300× replica, 2 rounds ×
+    // both candidate routes: sort-merge won all 6 comparisons, e.g. 90.6 s
+    // vs 159.7 s cold, 54.6 s vs 65.3 s warm). Building 32 concurrent
+    // hashed relations of wide array rows costs more than sorting the
+    // narrow pair side, and the octave smokes regressed ~20-45% while the
+    // hints were in (SCALE{300,1000}_r12 vs _r11 dedup_minhash_keep).
+    val joined = cands.join(sa, "id_a")
+      .join(sb, "id_b")
       .withColumn("n_inter", inter)
       .withColumn("jaccard", col("n_inter").cast(DoubleType) /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast(DoubleType))

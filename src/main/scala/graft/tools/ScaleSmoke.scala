@@ -114,8 +114,14 @@ object ScaleSmoke {
     // 300×) — the LSH route is the documented scale path for that op
     val skipOps = sys.env.get("SPARK_GRAFT_SCALE_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_SCALE_ONLY=a,b runs ONLY the named ops (new ops get their
+    // own artifact against the cached replica parquet without re-running
+    // the whole ladder)
+    val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").toSet).filter(_.nonEmpty)
     def run(name: String)(body: => Long): Unit = {
-      if (skipOps(name)) { System.err.println(s"[scale] $name SKIPPED (env)"); return }
+      if (skipOps(name) || !onlyOps.forall(_.contains(name))) {
+        System.err.println(s"[scale] $name SKIPPED (env)"); return }
       taskTimes.clear()
       val t0 = System.nanoTime()
       val rows = body
@@ -184,6 +190,16 @@ object ScaleSmoke {
     }
     run("neardup_cos_tiled") {
       TextOps.cosineExactPairs(emb10, "embedding", "vec_id", 0.9).count()
+    }
+    run("semdedup") {
+      // k ∝ N (the SemDeDup scaling contract: cluster count grows with the
+      // corpus so per-cluster membership — and with it the within-cluster
+      // pairwise work — stays ~constant, here ~500)
+      val k = math.max(64, (nVecs / 500).toInt)
+      val cents = graft.text.SemDedup.trainedCentroids(emb10, "embedding",
+        k, iters = 4)
+      graft.text.SemDedup.semdedup(emb10, "embedding", "vec_id", cents, 0.95)
+        .where(!col("kept")).count()
     }
     run("dedup_lines") {
       TextOps.dedupLines(docs10, "text", "doc_id", 3).count()

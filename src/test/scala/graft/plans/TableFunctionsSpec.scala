@@ -413,4 +413,53 @@ class TableFunctionsSpec extends AnyFunSuite {
       .collect()(0)
     assert(g.getAs[Double]("recall") >= 0.9, s"graph recall too low: $g")
   }
+
+  test("ann_search_filtered: SQL == Scala IdFilter route on both engines") {
+    spark.sql(
+      "SELECT * FROM ann_create_index('emb', 'embedding', 'vec_id', 'fs_flat', 'Flat')")
+      .collect()
+    spark.sql(
+      "SELECT * FROM ann_create_index('emb', 'embedding', 'vec_id', 'fs_g', 'DiskANN32')")
+      .collect()
+    for (idx <- Seq("fs_flat", "fs_g")) {
+      val sql = spark.sql(
+        s"SELECT vec_id FROM ann_search_filtered('emb', '$idx', $q0Sql, 5, 'id % 7 = 3')")
+        .collect().map(_.getLong(0)).toSeq
+      val q0 = spark.table("emb").orderBy("vec_id").limit(1).collect()(0)
+        .getSeq[Float](1).toArray
+      val scala = graft.index.Ann.searchFiltered(spark, idx, q0, 5,
+        graft.index.Ann.IdFilter.modEq(7, 3))
+        .collect().map(_.getLong(0)).toSeq
+      assert(sql == scala && sql.nonEmpty, s"$idx: sql $sql vs scala $scala")
+      assert(sql.forall(_ % 7 == 3))
+    }
+  }
+
+  test("idFilterFromSql: closure matches the Column semantics (IN/BETWEEN/mod)") {
+    val preds = Seq("id % 7 = 3", "id IN (2, 4, 8, 16)", "id BETWEEN 10 AND 20",
+      "id % 2 = 0 AND id > 100")
+    val ids = -5L to 120L
+    for (p <- preds) {
+      val filt = graft.index.Ann.idFilterFromSql(spark, p)
+      import spark.implicits._
+      val byColumn = ids.toDF("id").where(filt.column)
+        .collect().map(_.getLong(0)).toSet
+      val byFn = ids.filter(filt.fn).toSet
+      assert(byFn == byColumn, s"predicate '$p': fn $byFn vs column $byColumn")
+    }
+    intercept[IllegalArgumentException] {
+      graft.index.Ann.idFilterFromSql(spark, "id + 1") // not a boolean
+    }
+  }
+
+  test("semdedup TVF == Scala operator (seed mode)") {
+    val sql = spark.sql(
+      "SELECT * FROM semdedup('emb', 'embedding', 'vec_id', 8, 0.4) ORDER BY id")
+      .collect().map(_.toSeq).toSeq
+    val emb = spark.table("emb")
+    val seeds = graft.text.SemDedup.seedCentroids(emb, "embedding", "vec_id", 8)
+    val scala = graft.text.SemDedup.semdedup(emb, "embedding", "vec_id", seeds, 0.4)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(sql == scala && sql.nonEmpty)
+  }
 }
