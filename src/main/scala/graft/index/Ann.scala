@@ -1774,7 +1774,8 @@ object Ann {
       case _ => array_negative_inner_product(col("__bv"), col("__q"))
     }
     val w = Window.partitionBy("__rq_id").orderBy(col("__d"), col("__bid"))
-    val scored = base
+    // same row-lopsided-split rebalance as measureRecallMany's exact side
+    val scored = base.repartition(spark.sparkContext.defaultParallelism)
       .crossJoin(broadcast(queries.withColumnRenamed("__qv", "__q")))
       .withColumn("__d", distCol)
       .join(broadcast(approx), Seq("__rq_id", "__bid"), "left")
@@ -1838,10 +1839,18 @@ object Ann {
       case _ => array_negative_inner_product(col("__bv"), col("__q"))
     }
     // shared exact side: top-k ids + distances per query, one crossJoin per
-    // DISTINCT metric (indexes over one corpus usually share one metric)
+    // DISTINCT metric (indexes over one corpus usually share one metric).
+    // Round-robin the corpus first: the crossJoin stage does N·sampleN
+    // distance evaluations with per-task work proportional to input-split
+    // ROWS, and a clustered corpus's parquet splits can be row-lopsided
+    // even at uniform bytes (row-group compression tracks cluster
+    // geometry — the clustered 1.5M smoke recorded 66× max/median task
+    // skew in this op before the exchange, SCALE_ANN_CL_r11). One cheap
+    // shuffle of the corpus against the dominant compute stage
+    val exactBase = base.repartition(spark.sparkContext.defaultParallelism)
     val exactByMetric = metas.map(_._2.metricObj).distinct.map { m =>
       val w = Window.partitionBy("__rq_id").orderBy(col("__d"), col("__bid"))
-      val rows = base
+      val rows = exactBase
         .crossJoin(broadcast(queries.withColumnRenamed("__qv", "__q")))
         .withColumn("__d", distFor(m))
         .withColumn("__rn", row_number().over(w))
