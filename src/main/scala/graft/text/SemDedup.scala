@@ -1,7 +1,7 @@
 package graft.text
 
+import org.apache.spark.Partitioner
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -30,6 +30,24 @@ import graft.functions.toFloatVec
  *    strided sample — the quality route for real corpora (same trainer the
  *    IVF index build uses). Same downstream semantics; spec-pinned to agree
  *    with the expression route given identical centroids.
+ *
+ * Scale shape (SemDeDup's own contract is k ∝ N, cluster size ~constant):
+ *
+ *  - ASSIGNMENT is two-level above [[Assigner.TwoLevelGate]] centroids: a
+ *    coarse √k-quantizer over the (normalized) centroids is probed per row
+ *    and only the member centroids of the top-nprobe coarse cells are
+ *    scanned — per-row cost O(√k) instead of O(k), the same shape FAISS
+ *    uses to assign IVF lists at scale. Below the gate (and for the
+ *    SQL-oracled seed mode, k=8) the scan is the exact linear argmax.
+ *    Saturating nprobe (= every coarse cell) reproduces the linear result
+ *    bit-for-bit (spec-pinned).
+ *  - The WITHIN-CLUSTER pass shuffles keyed by (cluster, id) via
+ *    `repartitionAndSortWithinPartitions` at a centroid-scaled partition
+ *    count and streams the sorted iterator one cluster at a time, so
+ *    per-task resident memory is bounded by the LARGEST SINGLE CLUSTER —
+ *    constant under k ∝ N — never by N/numPartitions. (An earlier revision
+ *    materialized whole hash partitions; that grows linearly with corpus
+ *    size and was flagged as the round-12 scale defect.)
  *
  * All cosine similarities are computed with the same double-accumulation
  * formula as [[TextOps.cosineExactPairs]] (`dot / (sqrt(aa)·sqrt(bb))`,
@@ -78,34 +96,131 @@ object SemDedup {
     graft.index.KMeansLite.train(sample, k, iters).zipWithIndex.map(_.swap)
   }
 
+  /**
+   * Nearest-centroid-by-max-cosine assigner, linear or two-level.
+   *
+   * Linear: scan centroids in ascending id order, strict `>` keeps the
+   * first max — ties resolve to the lowest centroid id, exactly the SQL
+   * cross-join + window argmax the DuckDB oracle runs.
+   *
+   * Two-level (`coarse != null`): argmax cosine(v, c) over unit-normalized
+   * centroids ĉ equals argmin L2(v̂, ĉ), so a KMeansLite coarse quantizer
+   * over the NORMALIZED centroids is probed with the normalized row and
+   * only the member centroids of the top-nprobe coarse cells are scanned
+   * (by exact cosine, same tie-break). Per-row cost k' + nprobe·k/k' ≈
+   * O(√k) at k' = √k. nprobe = #coarse cells scans every member ⇒
+   * bit-identical to linear.
+   */
+  private[text] final case class Assigner(
+      ids: Array[Int], vecs: Array[Array[Float]],           // ascending id
+      coarse: Array[Array[Float]],                           // null ⇒ linear
+      lists: Array[Array[Int]],                              // coarse → positions
+      nprobe: Int) extends Serializable {
+
+    @inline private def scanPositions(v: Array[Float], pos: Array[Int],
+        st: (Int, Double)): (Int, Double) = {
+      var best = st._1; var bestSim = st._2
+      var i = 0
+      while (i < pos.length) {
+        val p = pos(i)
+        val s = cosineD(v, vecs(p))
+        if (s > bestSim || (s == bestSim && ids(p) < best)) {
+          bestSim = s; best = ids(p)
+        }
+        i += 1
+      }
+      (best, bestSim)
+    }
+
+    def apply(v: Array[Float]): (Int, Double) = {
+      if (coarse == null) {
+        // exact linear argmax, ascending-id scan order (oracle semantics)
+        var best = -1; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < vecs.length) {
+          val s = cosineD(v, vecs(c))
+          if (s > bestSim) { bestSim = s; best = ids(c) }
+          c += 1
+        }
+        (best, bestSim)
+      } else {
+        val vn = graft.core.VectorOps.normalize(v.clone())
+        val p = math.min(nprobe, coarse.length)
+        val cells = graft.index.KMeansLite.nearestP(coarse, vn, p)
+        var st = (-1, Double.NegativeInfinity)
+        var i = 0
+        while (i < cells.length) {
+          st = scanPositions(v, lists(cells(i)), st)
+          i += 1
+        }
+        st
+      }
+    }
+  }
+
+  private[text] object Assigner {
+    /** Centroid count above which auto mode switches to two-level. */
+    val TwoLevelGate = 512
+
+    /** nprobe: 0 ⇒ auto (linear ≤ gate, else two-level with default probes);
+     *  -1 ⇒ force linear; >0 ⇒ force two-level with that many probes. */
+    def build(centroids: Array[(Int, Array[Float])], nprobe: Int = 0): Assigner = {
+      val sorted = centroids.sortBy(_._1)
+      val ids = sorted.map(_._1)
+      val vecs = sorted.map(_._2)
+      val twoLevel = nprobe > 0 || (nprobe == 0 && vecs.length > TwoLevelGate)
+      if (!twoLevel) Assigner(ids, vecs, null, null, 0)
+      else {
+        val normed = vecs.map(v => graft.core.VectorOps.normalize(v.clone()))
+        val kCoarse = math.max(1, math.ceil(math.sqrt(vecs.length.toDouble)).toInt)
+        val coarse = graft.index.KMeansLite.train(normed, kCoarse)
+        val members = Array.fill(coarse.length)(
+          scala.collection.mutable.ArrayBuffer.empty[Int])
+        var i = 0
+        while (i < normed.length) {
+          members(graft.index.KMeansLite.nearest(coarse, normed(i))) += i
+          i += 1
+        }
+        // members ascend (fill order is ascending id) — the tie-break scan
+        // inside a cell then visits lowest ids first, matching linear
+        val np = if (nprobe > 0) nprobe
+          else math.max(4, coarse.length / 8) // ~√k/8 cells ⇒ recall >> IVF default
+        Assigner(ids, vecs, coarse, members.map(_.toArray), np)
+      }
+    }
+  }
+
   /** Nearest-centroid assignment by max cosine (ties → lowest centroid id),
    *  one broadcast argmax pass per row — no shuffle, no k×N row blow-up.
    *  Output: (id, cluster, csim). Bit-equal to the SQL cross-join + window
-   *  argmax the oracle runs, because the scan order over centroids IS the
-   *  tie-break order and cosineD matches DuckDB's double cosine. */
+   *  argmax the oracle runs (linear route; see [[Assigner]] for the
+   *  two-level route engaged above [[Assigner.TwoLevelGate]] centroids). */
   def assign(df: DataFrame, vecCol: String, idCol: String,
-      centroids: Array[(Int, Array[Float])]): DataFrame = {
+      centroids: Array[(Int, Array[Float])], assignNprobe: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids.sortBy(_._1))
+    val bc = spark.sparkContext.broadcast(Assigner.build(centroids, assignNprobe))
     val in = df.select(col(idCol).cast(LongType).as("id"),
       toFloatVec(col(vecCol)).as("v"))
     val outSchema = StructType(Seq(StructField("id", LongType),
       StructField("cluster", IntegerType), StructField("csim", DoubleType)))
     val rdd = in.rdd.mapPartitions { it =>
-      val cents = bc.value
+      val asg = bc.value
       it.map { r =>
-        val v = r.getSeq[Float](1).toArray
-        var best = -1; var bestSim = Double.NegativeInfinity
-        var c = 0
-        while (c < cents.length) {
-          val s = cosineD(v, cents(c)._2)
-          if (s > bestSim) { bestSim = s; best = cents(c)._1 }
-          c += 1
-        }
+        val (best, bestSim) = asg(r.getSeq[Float](1).toArray)
         Row(r.getLong(0), best, bestSim)
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Cluster-keyed partitioner: a cluster's members land in ONE partition
+   *  (the pairwise rule needs whole clusters), many clusters per partition. */
+  private final class ClusterPartitioner(parts: Int) extends Partitioner {
+    override def numPartitions: Int = parts
+    override def getPartition(key: Any): Int = {
+      val c = key.asInstanceOf[(Int, Long)]._1
+      java.lang.Math.floorMod(c, parts)
+    }
   }
 
   /**
@@ -116,59 +231,73 @@ object SemDedup {
    * subquery the DuckDB oracle runs, the same keep rule
    * `dedup_minhash_keep` pins).
    *
-   * Output: (id, cluster, kept). One shuffle (repartition by cluster); the
-   * per-cluster pairwise scan runs inside `mapPartitions` with early exit on
-   * the first over-threshold lower-id neighbor. Per-task memory is one
-   * cluster's vectors — the operator's documented contract is that k scales
-   * with N (SemDeDup trains k ∝ N clusters), holding cluster size ~constant;
-   * the assignment stage emits per-cluster counts to the caller via
+   * Output: (id, cluster, kept). One shuffle, keyed by (cluster, id) with a
+   * cluster-only partitioner and sort-within-partitions, at a partition
+   * count that scales with the centroid count (k ∝ N ⇒ partitions ∝ N).
+   * The reducer STREAMS the sorted iterator one cluster at a time — resident
+   * memory is one cluster's vectors (constant under the k ∝ N contract),
+   * never a whole shuffle partition. Cluster sizes are auditable via
    * [[clusterSizes]] so an oversized cluster is visible, not silent.
    */
   def semdedup(df: DataFrame, vecCol: String, idCol: String,
-      centroids: Array[(Int, Array[Float])], threshold: Double): DataFrame = {
+      centroids: Array[(Int, Array[Float])], threshold: Double,
+      assignNprobe: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids.sortBy(_._1))
+    val bc = spark.sparkContext.broadcast(Assigner.build(centroids, assignNprobe))
     val in = df.select(col(idCol).cast(LongType).as("id"),
       toFloatVec(col(vecCol)).as("v"))
     val outSchema = StructType(Seq(StructField("id", LongType),
       StructField("cluster", IntegerType), StructField("kept", BooleanType)))
-    val shuffleN = spark.sparkContext.defaultParallelism
+    // partitions scale with k (clusters/partition ~4, floor at the session
+    // parallelism): k ∝ N keeps per-partition data ~constant as the corpus
+    // grows — defaultParallelism alone would grow partitions' share linearly
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      centroids.length / 4)
+    implicit val keyOrd: Ordering[(Int, Long)] = Ordering.Tuple2[Int, Long]
     // assignment fused into the shuffle-write pass: ONE shuffle total,
-    // keyed by cluster, no join back to the source
+    // keyed by (cluster, id), no join back to the source
     val rdd = in.rdd
       .map { r =>
         val v = r.getSeq[Float](1).toArray
-        val cents = bc.value
-        var best = -1; var bestSim = Double.NegativeInfinity
-        var c = 0
-        while (c < cents.length) {
-          val s = cosineD(v, cents(c)._2)
-          if (s > bestSim) { bestSim = s; best = cents(c)._1 }
-          c += 1
-        }
-        (best, (r.getLong(0), v))
+        val (best, _) = bc.value(v)
+        ((best, r.getLong(0)), v)
       }
-      .partitionBy(new org.apache.spark.HashPartitioner(shuffleN))
-      .mapPartitions { it =>
-        // a partition holds whole clusters (hash-partitioned by cluster id);
-        // group, sort each by id, mark kept by scanning lower-id mates
-        it.toSeq.groupBy(_._1).iterator.flatMap { case (cl, members) =>
-          val ms = members.map(_._2).sortBy(_._1).toArray
-          val kept = new Array[Boolean](ms.length)
-          var i = 0
-          while (i < ms.length) {
-            var dropped = false
-            var j = 0
-            while (j < i && !dropped) {
-              if (cosineD(ms(j)._2, ms(i)._2) >= threshold) dropped = true
-              j += 1
+      .repartitionAndSortWithinPartitions(new ClusterPartitioner(parts))
+      .mapPartitions { it0 =>
+        // stream one cluster at a time off the sorted iterator: rows arrive
+        // grouped by cluster and ascending id, so the pairwise lower-id scan
+        // buffers exactly one cluster
+        val it = it0.buffered
+        new Iterator[Row] {
+          private var out: Iterator[Row] = Iterator.empty
+          private def advance(): Unit = {
+            while (!out.hasNext && it.hasNext) {
+              val cl = it.head._1._1
+              val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+              while (it.hasNext && it.head._1._1 == cl) {
+                val ((_, id), v) = it.next()
+                buf += ((id, v))
+              }
+              val ms = buf // already ascending id (sorted shuffle)
+              val kept = new Array[Boolean](ms.length)
+              var i = 0
+              while (i < ms.length) {
+                var dropped = false
+                var j = 0
+                while (j < i && !dropped) {
+                  if (cosineD(ms(j)._2, ms(i)._2) >= threshold) dropped = true
+                  j += 1
+                }
+                kept(i) = !dropped
+                i += 1
+              }
+              out = ms.iterator.zipWithIndex.map { case ((id, _), ix) =>
+                Row(id, cl, kept(ix))
+              }
             }
-            kept(i) = !dropped
-            i += 1
           }
-          ms.iterator.zipWithIndex.map { case ((id, _), ix) =>
-            Row(id, cl, kept(ix))
-          }
+          override def hasNext: Boolean = { advance(); out.hasNext }
+          override def next(): Row = { advance(); out.next() }
         }
       }
     spark.createDataFrame(rdd, outSchema)

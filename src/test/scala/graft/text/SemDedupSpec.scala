@@ -94,6 +94,50 @@ class SemDedupSpec extends AnyFunSuite {
     assert(got(0).getDouble(2) == 1.0)
   }
 
+  test("two-level assignment at saturating nprobe == linear, bit-for-bit") {
+    val df = fixture(120, 8)
+    val cents = SemDedup.trainedCentroids(df, "embedding", k = 9, iters = 5)
+    // force the two-level route (k=9 is far below the auto gate) with
+    // nprobe >= #coarse cells: every member centroid is scanned, so the
+    // result must equal the linear argmax exactly — assignment AND dedup
+    val lin = SemDedup.semdedup(df, "embedding", "vec_id", cents, 0.99,
+      assignNprobe = -1).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    val sat = SemDedup.semdedup(df, "embedding", "vec_id", cents, 0.99,
+      assignNprobe = 100).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(sat == lin)
+    val linA = SemDedup.assign(df, "embedding", "vec_id", cents, -1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val satA = SemDedup.assign(df, "embedding", "vec_id", cents, 100).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(satA == linA)
+  }
+
+  test("two-level assignment at realistic nprobe: high agreement with linear") {
+    val df = fixture(300, 8)
+    val cents = SemDedup.trainedCentroids(df, "embedding", k = 25, iters = 5)
+    val lin = SemDedup.assign(df, "embedding", "vec_id", cents, -1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // k=25 ⇒ 5 coarse cells; probe 3 of 5
+    val two = SemDedup.assign(df, "embedding", "vec_id", cents, 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val agree = lin.count { case (id, c) => two(id) == c }
+    assert(agree >= (lin.size * 0.9).toInt,
+      s"two-level agreement $agree/${lin.size} below 90%")
+  }
+
+  test("streamed reducer: whole clusters per partition, many clusters per task") {
+    // more clusters than partitions AND a cluster spread over the input:
+    // the sorted-stream reducer must still evaluate each cluster whole
+    val df = fixture(200, 8).repartition(7)
+    val seeds = SemDedup.seedCentroids(df, "embedding", "vec_id", 12)
+    val got = SemDedup.semdedup(df, "embedding", "vec_id", seeds, 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    val rows = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(got == bruteForce(rows, seeds, 0.99))
+  }
+
   test("clusterSizes audit sums to N") {
     val df = fixture(60, 8)
     val seeds = SemDedup.seedCentroids(df, "embedding", "vec_id", 4)
