@@ -473,6 +473,26 @@ object SparkEntry {
         .select("vec_id", "_distance")
     }),
 
+    // HNSW saturation oracle: efSearch >= shard size visits every node
+    // reachable from the entry point, so each shard's beam answer is its
+    // exact top-k (same saturation argument RangeGraphSaturationSpec pins;
+    // a fresh single-batch HNSW build is connected by construction — every
+    // insert links bidirectionally into the existing component). The
+    // realistic-parameter ann_hnsw_topk stays rows-only.
+    "ann_hnsw_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_hnsw_ex",
+        Ann.BuildParams(engine = "hnsw", numShards = 2))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_hnsw_ex", q64Arr, 10, searchComplexity = 4096)
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
+        .orderBy(col("__dd"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
     // PQ<m> factory family: 8-byte codes + ADC scan (approximate → rows-only)
     "ann_pq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -506,6 +526,56 @@ object SparkEntry {
       Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_ivfpq", "IVF16,PQ8",
         Ann.BuildParams(nprobe = 4))
       Ann.search(emb, "vec_id", "v_ivfpq", q64Arr, 10)
+        .select("vec_id", "_distance")
+    }),
+
+    // ADC bit oracle for the PQ family: the codebook is SEEDED verbatim from
+    // the 16 lowest-id vectors' subvectors (no k-means), so the production
+    // encode → LUT → ADC-scan → top-k path is deterministic and replayable
+    // in DuckDB SQL (FAISS IndexPQ ADC semantics, reference factory surface
+    // src/faiss_index.cpp:39-60). Rank-only output: the RANKING is the
+    // contract; ADC float partial sums vs the oracle's doubles agree on
+    // order for non-adversarial data. Quality-trained PQ stays rows-only.
+    "ann_pq_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_pq_ex",
+        Ann.BuildParams(engine = "pq", pqM = 8, seedK = 16))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_pq_ex", q64Arr, 10)
+        .select(col("vec_id"), col("_distance"))
+        .orderBy(col("_distance"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    // IVFPQ ADC bit oracle: seeded coarse centroids (4 lowest ids, verbatim)
+    // + seeded residual codebook (residuals of the 16 lowest ids), nprobe =
+    // nlist so every list is scanned — the residual-ADC ranking is then
+    // fully deterministic and DuckDB-replayable (FAISS IndexIVFPQ ADC).
+    "ann_ivfpq_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_ivfpq_ex",
+        Ann.BuildParams(engine = "ivfpq", nlist = 4, nprobe = 4, pqM = 8,
+          seedK = 16))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_ivfpq_ex", q64Arr, 10)
+        .select(col("vec_id"), col("_distance"))
+        .orderBy(col("_distance"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    // RFlat refine bit oracle: seeded-ADC candidates (k · k_factor=4) are
+    // re-ranked by the exact double-precision metric distance, so the FULL
+    // VALUE oracles (not just rank) — FAISS IndexRefineFlat semantics.
+    "ann_pq_refine_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_pqr_ex",
+        Ann.BuildParams(engine = "pq", pqM = 8, seedK = 16, refine = true,
+          refineK = 4))
+      Ann.search(emb, "vec_id", "v_pqr_ex", q64Arr, 10)
         .select("vec_id", "_distance")
     }),
 
@@ -1271,6 +1341,114 @@ object SparkEntry {
       s"""SELECT vec_id, row_number() OVER (
          |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
          |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
+    "ann_hnsw_exact" ->
+      s"""SELECT vec_id, row_number() OVER (
+         |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
+         |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
+    // ADC replay with the seeded codebook: centroid c of subspace s is
+    // embeddings[vec_id=c][s·8+1 .. s·8+8]; encode = argmin sq-L2 per
+    // (doc, subspace) with ties to the lowest centroid id; ADC distance =
+    // Σ_s sqL2(query_sub_s, centroid[code_s]_sub_s); rank by (adc, vec_id).
+    "ann_pq_exact" ->
+      s"""WITH cents AS (
+         |  SELECT CAST(vec_id AS INT) AS c, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 16),
+         |subs AS (SELECT CAST(s AS INT) AS s FROM range(8) t(s)),
+         |codes AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT e.vec_id, sub.s, c.c, row_number() OVER (
+         |      PARTITION BY e.vec_id, sub.s ORDER BY
+         |        list_sum(list_transform(range(1, 9), i ->
+         |          (CAST(e.embedding AS DOUBLE[])[sub.s*8 + i] - c.v[sub.s*8 + i])
+         |          * (CAST(e.embedding AS DOUBLE[])[sub.s*8 + i] - c.v[sub.s*8 + i]))),
+         |        c.c) AS rn
+         |    FROM embeddings e CROSS JOIN subs sub CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |adc AS (
+         |  SELECT k.vec_id, sum(list_sum(list_transform(range(1, 9), i ->
+         |    (($q64Sql)[k.s*8 + i] - c.v[k.s*8 + i])
+         |    * (($q64Sql)[k.s*8 + i] - c.v[k.s*8 + i])))) AS dd
+         |  FROM codes k JOIN cents c ON c.c = k.c
+         |  GROUP BY k.vec_id)
+         |SELECT vec_id, rank FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY dd, vec_id) AS rank FROM adc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // IVFPQ replay: coarse centroids = 4 lowest ids verbatim; per-doc
+    // cluster = argmin sq-L2 (ties → lowest); residual codebook = residuals
+    // of the 16 lowest ids; ADC over the query residual per cluster.
+    "ann_ivfpq_exact" ->
+      s"""WITH coarse AS (
+         |  SELECT CAST(vec_id AS INT) AS cl, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 4),
+         |asg AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT e.vec_id, g.cl, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_sum(list_transform(range(1, 65), i ->
+         |        (CAST(e.embedding AS DOUBLE[])[i] - g.v[i])
+         |        * (CAST(e.embedding AS DOUBLE[])[i] - g.v[i]))),
+         |      g.cl) AS rn
+         |    FROM embeddings e CROSS JOIN coarse g)
+         |  WHERE rn = 1),
+         |resid AS (
+         |  SELECT e.vec_id, a.cl,
+         |    list_transform(range(1, 65), i ->
+         |      CAST(e.embedding AS DOUBLE[])[i] - g.v[i]) AS rv
+         |  FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+         |    JOIN coarse g ON g.cl = a.cl),
+         |cents AS (
+         |  SELECT CAST(r.vec_id AS INT) AS c, r.rv AS v FROM resid r
+         |  WHERE r.vec_id < 16),
+         |subs AS (SELECT CAST(s AS INT) AS s FROM range(8) t(s)),
+         |codes AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT r.vec_id, sub.s, c.c, row_number() OVER (
+         |      PARTITION BY r.vec_id, sub.s ORDER BY
+         |        list_sum(list_transform(range(1, 9), i ->
+         |          (r.rv[sub.s*8 + i] - c.v[sub.s*8 + i])
+         |          * (r.rv[sub.s*8 + i] - c.v[sub.s*8 + i]))),
+         |        c.c) AS rn
+         |    FROM resid r CROSS JOIN subs sub CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |adc AS (
+         |  SELECT k.vec_id, sum(list_sum(list_transform(range(1, 9), i ->
+         |    (($q64Sql)[k.s*8 + i] - g.v[k.s*8 + i] - c.v[k.s*8 + i])
+         |    * (($q64Sql)[k.s*8 + i] - g.v[k.s*8 + i] - c.v[k.s*8 + i])))) AS dd
+         |  FROM codes k JOIN asg a ON a.vec_id = k.vec_id
+         |    JOIN coarse g ON g.cl = a.cl JOIN cents c ON c.c = k.c
+         |  GROUP BY k.vec_id)
+         |SELECT vec_id, rank FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY dd, vec_id) AS rank FROM adc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // RFlat: the seeded-ADC top-40 candidates re-ranked by EXACT double
+    // distance — the refine output value-oracles, not just the rank.
+    "ann_pq_refine_exact" ->
+      s"""WITH cents AS (
+         |  SELECT CAST(vec_id AS INT) AS c, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 16),
+         |subs AS (SELECT CAST(s AS INT) AS s FROM range(8) t(s)),
+         |codes AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT e.vec_id, sub.s, c.c, row_number() OVER (
+         |      PARTITION BY e.vec_id, sub.s ORDER BY
+         |        list_sum(list_transform(range(1, 9), i ->
+         |          (CAST(e.embedding AS DOUBLE[])[sub.s*8 + i] - c.v[sub.s*8 + i])
+         |          * (CAST(e.embedding AS DOUBLE[])[sub.s*8 + i] - c.v[sub.s*8 + i]))),
+         |        c.c) AS rn
+         |    FROM embeddings e CROSS JOIN subs sub CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |adc AS (
+         |  SELECT k.vec_id, sum(list_sum(list_transform(range(1, 9), i ->
+         |    (($q64Sql)[k.s*8 + i] - c.v[k.s*8 + i])
+         |    * (($q64Sql)[k.s*8 + i] - c.v[k.s*8 + i])))) AS dd
+         |  FROM codes k JOIN cents c ON c.c = k.c
+         |  GROUP BY k.vec_id),
+         |cand AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY dd, vec_id) AS rn FROM adc)
+         |  WHERE rn <= 40)
+         |SELECT e.vec_id, CAST(${d2Sql("e.embedding", q64Sql)} AS FLOAT) AS _distance
+         |FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id
+         |ORDER BY ${d2Sql("e.embedding", q64Sql)}, e.vec_id LIMIT 10""".stripMargin,
     "ann_batch_exact" ->
       s"""WITH q AS (SELECT vec_id AS query_idx, embedding AS qv FROM embeddings WHERE vec_id < 3),
          |scored AS (

@@ -55,6 +55,12 @@ object Ann {
       refine: Boolean = false,             // pq/ivfpq: RFlat exact re-rank stage
       refineK: Int = 0,                    // RFlat k_factor (0 = session conf)
       opq: Boolean = false,                // pq: learned OPQ rotation pre-transform
+      // pq/ivfpq: seed codebooks (and ivfpq coarse centroids) verbatim from
+      // the k lowest-id vectors instead of k-means training — deterministic
+      // and SQL-replayable, so the ADC ranking bit-oracles against DuckDB.
+      // 0 = train (default). ivfpq seed mode uses the nlist lowest ids as
+      // coarse centroids and the seedK lowest ids' residuals as PQ seeds.
+      seedK: Int = 0,
       // graph build threads per shard task (VamanaIndex.addAllParallel);
       // >1 on a cluster requires spark.task.cpus to match. 1 = serial,
       // deterministic build.
@@ -113,7 +119,11 @@ object Ann {
       case Pq(m) :: Nil =>
         base.copy(engine = "pq", pqM = m.toInt)
       case other => throw new IllegalArgumentException(
-        s"unsupported index factory description: '$desc'")
+        s"unsupported index factory description: '$desc' — supported: " +
+        "Flat | HNSW[m] | IVF<nlist>[,Flat] | IVF<nlist>,PQ<m> | PQ<m> | " +
+        "OPQ<m>,PQ<m> | DiskANN[degree], optionally suffixed ',SQ8' " +
+        "(diskann only) or ',RFlat' (PQ engines); SQ4/SQ6/LSH/IMI and " +
+        "multi-stage transform chains are not implemented")
     }
     val p2 = if (refine) {
       require(p.engine == "pq" || p.engine == "ivfpq",
@@ -435,28 +445,40 @@ object Ann {
     require(params.pqM > 0 && dim % params.pqM == 0,
       s"pq requires dim % m == 0 (dim=$dim, m=${params.pqM})")
     val cosine = metric eq Metric.Cosine
-    // deterministic stride sample (same rationale as buildIvf)
-    val nTotal = data.count()
-    val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
-    val sample = data.select("vec").as[Array[Float]].rdd
-      .zipWithIndex()
-      .filter { case (_, i) => i % stride == 0 }
-      .map(_._1)
-      .take(params.trainSample)
-    val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
     // OPQ: learn rotation + codebook together; codes store R·v and search
     // rotates the query (distances are rotation-invariant)
     // PqCodec.write/read is a float-exact round trip, so the in-memory
     // codebook is used directly — no read-back
-    val (rotation, cb) = if (params.opq) {
-      val trained = OpqCodec.train(prepped, params.pqM)
-      IndexCatalog.writeCentroids(s"$dir/rotation.bin", trained.rotation, dim)
-      PqCodec.write(s"$dir/pq.bin", trained.codebook)
-      (trained.rotation, trained.codebook)
-    } else {
-      val t = PqCodec.train(prepped, params.pqM)
+    val (rotation, cb) = if (params.seedK > 0) {
+      require(!params.opq, "seedK seeds a plain PQ codebook (no OPQ rotation)")
+      // seed mode: codebook = subvectors of the seedK lowest-id vectors,
+      // verbatim — no sampling job, no training; SQL-replayable by design
+      val seeds = data.orderBy("id").limit(params.seedK)
+        .select("vec").as[Array[Float]].collect()
+      val prepped = if (cosine) seeds.map(v => VectorOps.normalize(v.clone())) else seeds
+      val t = PqCodec.fromSeeds(prepped, params.pqM)
       PqCodec.write(s"$dir/pq.bin", t)
       (null, t)
+    } else {
+      // deterministic stride sample (same rationale as buildIvf)
+      val nTotal = data.count()
+      val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
+      val sample = data.select("vec").as[Array[Float]].rdd
+        .zipWithIndex()
+        .filter { case (_, i) => i % stride == 0 }
+        .map(_._1)
+        .take(params.trainSample)
+      val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
+      if (params.opq) {
+        val trained = OpqCodec.train(prepped, params.pqM)
+        IndexCatalog.writeCentroids(s"$dir/rotation.bin", trained.rotation, dim)
+        PqCodec.write(s"$dir/pq.bin", trained.codebook)
+        (trained.rotation, trained.codebook)
+      } else {
+        val t = PqCodec.train(prepped, params.pqM)
+        PqCodec.write(s"$dir/pq.bin", t)
+        (null, t)
+      }
     }
 
     val cbB = spark.sparkContext.broadcast(cb)
@@ -499,27 +521,41 @@ object Ann {
     require(params.pqM > 0 && dim % params.pqM == 0,
       s"ivfpq requires dim % m == 0 (dim=$dim, m=${params.pqM})")
     val cosine = metric eq Metric.Cosine
-    val nTotal = data.count()
-    val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
-    val sample = data.select("vec").as[Array[Float]].rdd
-      .zipWithIndex()
-      .filter { case (_, i) => i % stride == 0 }
-      .map(_._1)
-      .take(params.trainSample)
-    val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
-    // coarse quantizer (L2 assignment — the standard IVF choice for every
-    // metric; cosine inputs are normalized so L2 and cosine ranking agree)
-    val cents = KMeansLite.train(prepped, params.nlist)
-    IndexCatalog.writeCentroids(s"$dir/centroids.bin", cents, dim)
-    // PQ trains on the sample's residuals against its assigned centroids
-    val residuals = prepped.map { v =>
+    def residualOf(cents: Array[Array[Float]], v: Array[Float]): Array[Float] = {
       val c = cents(KMeansLite.nearest(cents, v))
       val r = new Array[Float](dim)
       var i = 0
       while (i < dim) { r(i) = v(i) - c(i); i += 1 }
       r
     }
-    val cb = PqCodec.train(residuals, params.pqM)
+    val (cents, cb) = if (params.seedK > 0) {
+      // seed mode: coarse centroids = the nlist lowest-id vectors verbatim;
+      // PQ codebook = residuals of the seedK lowest-id vectors against their
+      // assigned coarse centroid — both SQL-replayable for the bit oracle
+      val seeds = data.orderBy("id").limit(math.max(params.nlist, params.seedK))
+        .select("vec").as[Array[Float]].collect()
+      val prepped = if (cosine) seeds.map(v => VectorOps.normalize(v.clone())) else seeds
+      val cents = prepped.take(params.nlist)
+      val cb = PqCodec.fromSeeds(
+        prepped.take(params.seedK).map(residualOf(cents, _)), params.pqM)
+      (cents, cb)
+    } else {
+      val nTotal = data.count()
+      val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
+      val sample = data.select("vec").as[Array[Float]].rdd
+        .zipWithIndex()
+        .filter { case (_, i) => i % stride == 0 }
+        .map(_._1)
+        .take(params.trainSample)
+      val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
+      // coarse quantizer (L2 assignment — the standard IVF choice for every
+      // metric; cosine inputs are normalized so L2 and cosine ranking agree)
+      val cents = KMeansLite.train(prepped, params.nlist)
+      // PQ trains on the sample's residuals against its assigned centroids
+      val cb = PqCodec.train(prepped.map(residualOf(cents, _)), params.pqM)
+      (cents, cb)
+    }
+    IndexCatalog.writeCentroids(s"$dir/centroids.bin", cents, dim)
     PqCodec.write(s"$dir/pq.bin", cb)
 
     val centsB = spark.sparkContext.broadcast(cents)

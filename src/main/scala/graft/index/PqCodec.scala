@@ -46,6 +46,23 @@ object PqCodec {
     Codebook(m, dsub, kk, cents)
   }
 
+  /** Codebook seeded VERBATIM from the given vectors' subvectors:
+   *  centroids(s)(c) = seeds(c)[s·dsub, (s+1)·dsub). No training — fully
+   *  deterministic and replayable in plain SQL (list slices of the seed
+   *  rows), which is what lets the ADC ranking be bit-oracled against
+   *  DuckDB (`ann_pq_exact` / `ann_ivfpq_exact`). Quality is below a
+   *  trained codebook; this is the oracle/testing route, not the default. */
+  def fromSeeds(seeds: Array[Array[Float]], m: Int): Codebook = {
+    require(seeds.nonEmpty, "pq seeding requires a non-empty seed set")
+    val dim = seeds(0).length
+    require(m > 0 && dim % m == 0, s"pq requires dim % m == 0 (dim=$dim, m=$m)")
+    val dsub = dim / m
+    val cents = Array.tabulate(m, seeds.length) { (s, c) =>
+      java.util.Arrays.copyOfRange(seeds(c), s * dsub, (s + 1) * dsub)
+    }
+    Codebook(m, dsub, seeds.length, cents)
+  }
+
   /** Encode one vector to its m-byte code (nearest centroid per subspace). */
   def encode(cb: Codebook, v: Array[Float]): Array[Byte] = {
     require(v.length == cb.dim, s"vector dim ${v.length} != pq dim ${cb.dim}")

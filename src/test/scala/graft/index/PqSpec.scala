@@ -44,6 +44,43 @@ class PqSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Ann.parseFactory("HNSW16,RFlat"))
   }
 
+  test("seeded codebook: verbatim subvector layout; seeded PQ ADC ranking == local replay") {
+    import spark.implicits._
+    // fromSeeds layout: centroid c of subspace s IS seeds(c)'s s-th slice
+    val seeds = Array.tabulate(4)(c => Array.tabulate(dim)(d => (c * dim + d).toFloat))
+    val cb = PqCodec.fromSeeds(seeds, m = 4)
+    assert(cb.k == 4 && cb.dsub == dim / 4)
+    for (s <- 0 until 4; c <- 0 until 4)
+      assert(cb.centroids(s)(c).toSeq ==
+        seeds(c).slice(s * cb.dsub, (s + 1) * cb.dsub).toSeq)
+    // end-to-end: seeded build's ranking equals a local brute-force ADC
+    // replay (the ann_pq_exact entry repeats this against DuckDB at sf0.01).
+    // Own generator: the suite's shared `rnd` sequence feeds later tests.
+    val rnd2 = new scala.util.Random(91)
+    val rows = (0L until 160L).map(i => (i, Array.fill(dim)(rnd2.nextFloat() * 10 - 5)))
+    val df = rows.toDF("id", "vec")
+    Ann.buildIndex(df, "vec", "id", "pq_seed_spec",
+      Ann.BuildParams(engine = "pq", pqM = 4, seedK = 8))
+    val q = rows(3)._2
+    val got = Ann.search(df, "id", "pq_seed_spec", q, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val seedVecs = rows.sortBy(_._1).take(8).map(_._2).toArray
+    val cb2 = PqCodec.fromSeeds(seedVecs, 4)
+    val lut = PqCodec.lut(cb2, q, l2 = true)
+    val want = rows.map { case (id, v) =>
+      (PqCodec.adc(lut, cb2.k, PqCodec.encode(cb2, v)), id)
+    }.sortBy(x => (x._1, x._2)).take(10).map(_._2).toSet
+    assert(got == want)
+    // determinism: rebuilding from the same frame gives identical codes
+    val codebookPath = s"${Ann.root(spark)}/pq_seed_spec/pq.bin"
+    val before = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(codebookPath))
+    Ann.buildIndex(df, "vec", "id", "pq_seed_spec2",
+      Ann.BuildParams(engine = "pq", pqM = 4, seedK = 8))
+    val after = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${Ann.root(spark)}/pq_seed_spec2/pq.bin"))
+    assert(java.util.Arrays.equals(before, after))
+  }
+
   test("OPQ: factory parses; rotation is orthogonal; quantization error <= plain PQ") {
     val p = Ann.parseFactory("OPQ8,PQ8")
     assert(p.engine == "pq" && p.pqM == 8 && p.opq)
