@@ -1119,6 +1119,14 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // LSH band-bucket cap audit: bucket-population counters + the exact
+    // pre-dedup pair mass the capped pairing emits vs what an uncapped
+    // clique pairing would emit — the no-silent-truncation companion to the
+    // bucketCliqueCap (same treatment ngram_cap_audit gives the df cap).
+    "lsh_cap_audit" -> ((s, dir) => {
+      TextOps.lshBucketStats(t(s, dir, "documents"), "text", "doc_id")
+    }),
+
     // duplicate clusters as connected components over verified near-dup
     // pairs (chains a~b~c collapse even when a≁c) — oracled against a
     // recursive-CTE transitive closure in DuckDB
@@ -1904,6 +1912,33 @@ object SparkEntry {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM __jac WHERE jaccard >= 0.6)
          |ORDER BY doc_id""".stripMargin,
+    // Emitted-pair replay: below the cap each member pairs with all r−1
+    // predecessors (Σ = n·(n−1)/2); above it with its last P=8 id-order
+    // predecessors ∪ the A=8 smallest bucket ids strictly below — which for
+    // rank r ≤ 16 covers all r−1 smaller ids and for r ≥ 17 is exactly 16,
+    // so emitted(n>cap) = 120 + 16·(n−16) (closed form of the default
+    // P=A=8 knobs; the Spark side sums the REAL partner arrays).
+    "lsh_cap_audit" ->
+      s"""WITH ${TextSql.signaturesCte()},
+         |__buckets AS (
+         |  SELECT band_idx, band_hash, count(*)::BIGINT AS n
+         |  FROM __bt GROUP BY 1, 2),
+         |__em AS (
+         |  SELECT n,
+         |    CASE WHEN n <= 64 THEN n * (n - 1) // 2
+         |         ELSE 120 + 16 * (n - 16) END::BIGINT AS em
+         |  FROM __buckets)
+         |SELECT count(*)::BIGINT AS buckets_total,
+         |  coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS buckets_pairful,
+         |  coalesce(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS buckets_over_cap,
+         |  coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS clique_pairs,
+         |  coalesce(sum(em), 0)::BIGINT AS emitted_pairs,
+         |  coalesce(max(n), 0)::BIGINT AS max_bucket,
+         |  coalesce(sum(n * (n - 1) // 2), 0)::BIGINT
+         |    - coalesce(sum(em), 0)::BIGINT AS capped_away_pairs
+         |FROM __em""".stripMargin,
     "dup_clusters" ->
       s"""WITH RECURSIVE ${TextSql.signaturesCte()},
          |${TextSql.componentsCte(0.6)}

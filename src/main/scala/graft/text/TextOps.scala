@@ -571,15 +571,26 @@ object TextOps {
    *  1000× smoke — and were the dominant cost of the dedup pipeline
    *  (NeardupCapSpec pins the join-shape ≡ window-shape equivalence).
    */
-  def candidatePairs(sigs: DataFrame): DataFrame = {
+  def candidatePairs(sigs: DataFrame): DataFrame =
+    bucketPartners(sigs)
+      .select(explode(col("__partners")).as("id_a"), col("id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands"))
+
+  /** The (cap, chain-predecessor, anchor) knobs candidatePairs reads. */
+  private def capKnobs(spark: org.apache.spark.sql.SparkSession): (Int, Int, Int) = (
+    spark.conf.getOption("spark.graft.neardup.bucketCliqueCap")
+      .map(_.toInt).getOrElse(64),
+    spark.conf.getOption("spark.graft.neardup.bucketChainPredecessors")
+      .map(_.toInt).getOrElse(8),
+    spark.conf.getOption("spark.graft.neardup.bucketChainAnchors")
+      .map(_.toInt).getOrElse(8))
+
+  /** Per band-bucket member: bucket size `__n` and the exact partner-id
+   *  array the pairing emits (clique below the cap, chain+anchor above) —
+   *  candidatePairs explodes it; [[lshBucketStats]] audits its mass. */
+  private def bucketPartners(sigs: DataFrame): DataFrame = {
     val spark = sigs.sparkSession
-    val cap0 = spark.conf.getOption("spark.graft.neardup.bucketCliqueCap")
-      .map(_.toInt).getOrElse(64)
-    val chainP = spark.conf
-      .getOption("spark.graft.neardup.bucketChainPredecessors")
-      .map(_.toInt).getOrElse(8)
-    val anchorA = spark.conf.getOption("spark.graft.neardup.bucketChainAnchors")
-      .map(_.toInt).getOrElse(8)
+    val (cap0, chainP, anchorA) = capKnobs(spark)
     val bt = bandTable(sigs)
     val W = org.apache.spark.sql.expressions.Window
     val wo = W.partitionBy("band_idx", "band_hash").orderBy(col("id"))
@@ -611,8 +622,42 @@ object TextOps {
             least(lit(chainP), nPreds)),
           filter(col("__anchors"), p => p.isNotNull && p < col("id")))))
     }
-    ranked.select(explode(partners).as("id_a"), col("id").as("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands"))
+    ranked.select(col("band_idx"), col("band_hash"), col("id"), col("__n"),
+      partners.as("__partners"))
+  }
+
+  /** Cap audit for the LSH band buckets ([[candidatePairs]]'s clique cap) —
+   *  the `ngramBucketStats` treatment for minhash dedup: ONE row of
+   *  bucket-population counters so top-octave runtime growth is attributable
+   *  to output mass by artifact, not by prose. `buckets_total` /
+   *  `buckets_pairful` (≥2 members) / `buckets_over_cap` (clique cap
+   *  exceeded → chain+anchor pairing), `clique_pairs` (Σ n·(n−1)/2, what an
+   *  uncapped pairing would emit pre-dedup), `emitted_pairs` (what the
+   *  capped pairing actually emits pre-dedup, from the REAL partner arrays),
+   *  `capped_away_pairs` (the difference — duplicate mass the cap absorbed),
+   *  and `max_bucket`. A corpus whose duplication structure exceeds the cap
+   *  (giant cliques) shows emitted ≪ clique here; zero over-cap buckets
+   *  certifies the output is bit-identical to the uncapped shape. */
+  def lshBucketStats(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val (cap0, _, _) = capKnobs(spark)
+    val per = bucketPartners(signatures(df, textCol, idCol, shingleK))
+      .groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("n"),
+        sum(size(col("__partners")).cast(LongType)).as("em"))
+    per.agg(
+      count(lit(1)).as("buckets_total"),
+      coalesce(sum(when(col("n") >= 2L, 1L).otherwise(0L)), lit(0L))
+        .as("buckets_pairful"),
+      coalesce(sum(when(col("n") > cap0.toLong, 1L).otherwise(0L)), lit(0L))
+        .as("buckets_over_cap"),
+      coalesce(sum(floor(col("n") * (col("n") - 1L) / 2L).cast(LongType)),
+        lit(0L)).as("clique_pairs"),
+      coalesce(sum(col("em")), lit(0L)).as("emitted_pairs"),
+      coalesce(max(col("n")), lit(0L)).as("max_bucket"))
+      .withColumn("capped_away_pairs",
+        col("clique_pairs") - col("emitted_pairs"))
   }
 
   /** Candidate pairs with exact n-gram Jaccard (|A∩B| / |A∪B| over distinct

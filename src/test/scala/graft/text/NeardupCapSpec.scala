@@ -101,4 +101,32 @@ class NeardupCapSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(capped == uncapped && capped.size == 3)
   }
+
+  test("lshBucketStats: emitted mass matches the closed form on an over-cap clique") {
+    import spark.implicits._
+    // one giant exact-duplicate clique: every band bucket holds all n docs
+    val n = 100
+    val text = (0 until 30).map(i => s"capaudit${i}tok").mkString(" ")
+    val df = (0 until n).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val row = TextOps.lshBucketStats(df, "text", "doc_id").collect()(0)
+    val get = (c: String) => row.getLong(row.fieldIndex(c))
+    val nBands = get("buckets_total")
+    assert(nBands > 0 && get("buckets_over_cap") == nBands,
+      s"every bucket should exceed the cap: ${row.toString}")
+    assert(get("max_bucket") == n.toLong)
+    val clique = nBands * (n.toLong * (n - 1) / 2)
+    // P=A=8: rank r<=16 pairs with all r-1 smaller ids (120 total), r>=17
+    // with exactly 16 — the closed form the DuckDB oracle replays
+    val emitted = nBands * (120L + 16L * (n - 16))
+    assert(get("clique_pairs") == clique)
+    assert(get("emitted_pairs") == emitted,
+      s"emitted ${get("emitted_pairs")} != closed form $emitted")
+    assert(get("capped_away_pairs") == clique - emitted)
+    // and a no-dup corpus certifies bit-identity: zero over-cap, zero capped
+    val rowD = TextOps.lshBucketStats(distinctCorpus(50), "text", "doc_id")
+      .collect()(0)
+    val getD = (c: String) => rowD.getLong(rowD.fieldIndex(c))
+    assert(getD("buckets_over_cap") == 0L && getD("capped_away_pairs") == 0L)
+    assert(getD("emitted_pairs") == getD("clique_pairs"))
+  }
 }
