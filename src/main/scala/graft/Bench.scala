@@ -88,7 +88,17 @@ object Bench {
     // failed queries (-1 markers) stay visible per-query but don't skew the total
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
     val bt = buildTimed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"trial_times":$tj,"build_timed":$bt,"slow_sec":$slowSec,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"trial_times":$tj,"build_timed":$bt,"slow_sec":$slowSec,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's committed BENCH_r{N}.json keeps only a 2000-char stdout
+    // tail, which truncates the per-trial map — persist the complete
+    // artifact beside it so the trial spread is machine-readable
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_full_latest.json"),
+      json.getBytes("UTF-8"))
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_full_latest.json: $t")
+    }
     spark.stop()
   }
 }

@@ -1002,6 +1002,31 @@ object SparkEntry {
       Seq(approx.intersect(exact).size >= 9).toDF("recall_ok")
     }),
 
+    // filtered search on the quantized engine: the predicate splices into
+    // the ADC scan (codes stay compressed — no raw-vector fallback for the
+    // candidate pass) with nprobe saturation on under-fill; RFlat re-ranks
+    // the allowed candidates exactly, so the recall gate matches the graph
+    // route's ≥9/10 bar (measured 10/10 at sf0.01; probe-limited configs
+    // degrade gracefully per FAISS IVF+IDSelector semantics)
+    "ann_filtered_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_filt_pq",
+        Ann.BuildParams(engine = "ivfpq", nlist = 8, nprobe = 8, pqM = 8,
+          refine = true, refineK = 4))
+      import s.implicits._
+      val got = Ann.searchFiltered(s, "v_filt_pq", q64Arr, 10,
+          Ann.IdFilter.modEq(3, 1))
+        .select("row_id").collect().map(_.getLong(0))
+      val exact = emb.where(pmod(col("vec_id"), lit(3)) === 1)
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__d"))
+        .orderBy(col("__d"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val allAllowed = got.forall(_ % 3 == 1)
+      Seq(got.length == 10 && allAllowed &&
+        got.count(exact.contains) >= 9).toDF("recall_ok")
+    }),
+
     "neardup_cos_exact" -> ((s, dir) =>
       graft.text.TextOps.cosineExactPairs(
         t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)),
@@ -1838,6 +1863,7 @@ object SparkEntry {
          |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
          |FROM embeddings WHERE vec_id % 7 = 3 ORDER BY rank LIMIT 10""".stripMargin,
     "ann_filtered_graph" -> "SELECT true AS recall_ok",
+    "ann_filtered_ivfpq" -> "SELECT true AS recall_ok",
     // SemDeDup seed mode: centroids = the 8 lowest-id vectors; assignment =
     // argmax double cosine with lowest-centroid tie-break (row_number), drop
     // rule = EXISTS lower-id cluster-mate at sim >= 0.4 — every float op is

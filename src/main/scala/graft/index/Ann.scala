@@ -611,13 +611,15 @@ object Ann {
    *  −dot(q, centroid) offset for IP/cosine. Partition pruning on the
    *  `cluster` directory keeps unprobed files unread. */
   private def ivfPqScanIds(spark: SparkSession, meta: IndexMeta, query0: Array[Float],
-      fetchK: Int, tomb: Set[Long]): DataFrame = {
+      fetchK: Int, tomb: Set[Long], extraFilter: Option[Column] = None,
+      nprobeOverride: Int = 0): DataFrame = {
     val query = prepQuery(meta, query0)
     val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
     val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
     val cb = PqCodec.read(s"$dirPath/pq.bin")
     val l2 = meta.metricObj eq Metric.L2
-    val probes = KMeansLite.nearestP(cents, query, meta.nprobe)
+    val nprobe = if (nprobeOverride > 0) nprobeOverride else meta.nprobe
+    val probes = KMeansLite.nearestP(cents, query, nprobe)
     val k = cb.k
     // the IP/cosine LUT depends only on the query — build it once and vary
     // only the per-probe -dot(q, centroid) offset; L2 needs a per-probe
@@ -639,8 +641,11 @@ object Ann {
       val (t, off) = lutB.value(cluster)
       PqCodec.adc(t, k, code) + off
     })
-    val base = spark.read.parquet(meta.sourcePath)
+    val scan0 = spark.read.parquet(meta.sourcePath)
       .where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
+    // filtered search: the id predicate splices BEFORE the ADC projection
+    // and top-k, so it pushes to the parquet scan beside the probe pruning
+    val base = extraFilter.fold(scan0)(scan0.where)
       .select(col("id").as("row_id"),
         adcUdf(col("cluster").cast(IntegerType), col("code")).as("__dd"))
     val filtered = if (tomb.isEmpty) base
@@ -687,7 +692,7 @@ object Ann {
   /** ADC top-k over the compressed code table (approximate → rows-only
    *  check; PQ distances are quantized, not exact). */
   private def pqScanIds(spark: SparkSession, meta: IndexMeta, query0: Array[Float],
-      fetchK: Int, tomb: Set[Long]): DataFrame = {
+      fetchK: Int, tomb: Set[Long], extraFilter: Option[Column] = None): DataFrame = {
     val query = prepQuery(meta, query0)
     val cb = PqCodec.read(s"${IndexCatalog.indexDir(root(spark), meta.name)}/pq.bin")
     // OPQ: ADC runs in rotated space — rotate the query once; the RFlat
@@ -697,7 +702,8 @@ object Ann {
     val k = cb.k
     val tB = spark.sparkContext.broadcast(table)
     val adcUdf = udf((code: Array[Byte]) => PqCodec.adc(tB.value, k, code))
-    val base = spark.read.parquet(meta.sourcePath)
+    val scan0 = spark.read.parquet(meta.sourcePath)
+    val base = extraFilter.fold(scan0)(scan0.where)
       .select(col("id").as("row_id"), adcUdf(col("code")).as("__dd"))
     val filtered = if (tomb.isEmpty) base
       else base.where(notTombstoned(col("row_id"), tomb))
@@ -883,12 +889,13 @@ object Ann {
 
   /** flat: full scan; ivfflat: nprobe-pruned partition scan. */
   private def scanIvfOrFlat(spark: SparkSession, meta: IndexMeta,
-      query: Array[Float]): DataFrame = {
+      query: Array[Float], nprobeOverride: Int = 0): DataFrame = {
     val df = spark.read.parquet(meta.sourcePath)
     if (meta.engine == "ivfflat") {
+      val nprobe = if (nprobeOverride > 0) nprobeOverride else meta.nprobe
       val cents = IndexCatalog.readCentroids(
         s"${IndexCatalog.indexDir(root(spark), meta.name)}/centroids.bin")
-      val probes = KMeansLite.nearestP(cents, query, meta.nprobe)
+      val probes = KMeansLite.nearestP(cents, query, nprobe)
       df.where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
     } else df
   }
@@ -1013,12 +1020,23 @@ object Ann {
     val probe = spark.range(1).toDF("id")
     val analyzed = probe.select(colPred).queryExecution.analyzed
       .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
-    val exprType = (analyzed.projectList.head match {
+    val analyzedExpr = analyzed.projectList.head match {
       case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
       case e => e
-    }).dataType
-    require(exprType == org.apache.spark.sql.types.BooleanType,
-      s"ann filter predicate must be BOOLEAN, got $exprType: $predSql")
+    }
+    require(analyzedExpr.dataType == org.apache.spark.sql.types.BooleanType,
+      s"ann filter predicate must be BOOLEAN, got ${analyzedExpr.dataType}: $predSql")
+    // the Column half and the compiled-closure half evaluate the predicate
+    // INDEPENDENTLY (exact scan vs per-shard beam filter) — a
+    // nondeterministic predicate (rand(), uuid()) would make them disagree,
+    // and the closure half additionally evaluates without per-partition
+    // initialization; subqueries cannot evaluate in the closure at all.
+    // Fail fast at parse time rather than wrong/throwing at task runtime.
+    require(analyzedExpr.deterministic,
+      s"ann filter predicate must be deterministic: $predSql")
+    require(!analyzedExpr.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      s"ann filter predicate must not contain subqueries: $predSql")
     val optimized = probe.where(colPred).queryExecution.optimizedPlan
     val fn: Long => Boolean = optimized.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
@@ -1076,20 +1094,31 @@ object Ann {
    * this operator generalizes that treatment to arbitrary row-id
    * predicates:
    *
-   *  - **exact engines** (flat / ivfflat): the predicate Column is spliced
-   *    into the index scan BEFORE the top-k, so Catalyst pushes it into the
-   *    parquet scan (visible as PushedFilters) and the answer is the EXACT
-   *    top-k of the allowed subset — no overfetch, no retry, and at 100 TB
-   *    the filter prunes IO instead of post-filtering a transfer.
+   *  - **flat**: the predicate Column is spliced into the index scan BEFORE
+   *    the top-k, so Catalyst pushes it into the parquet scan (visible as
+   *    PushedFilters) and the answer is the EXACT top-k of the allowed
+   *    subset — no overfetch, no retry, and at 100 TB the filter prunes IO
+   *    instead of post-filtering a transfer.
+   *  - **ivfflat**: same spliced predicate over the PROBED clusters — the
+   *    answer is exact within the probed subset (FAISS IVF + IDSelector
+   *    semantics: selectivity does not widen the probe). When the probed
+   *    clusters yield fewer than k allowed hits and nprobe < nlist, the
+   *    scan escalates once to nprobe = nlist, making the answer exact for
+   *    any selectivity at full-scan cost — the IVF analog of the graph
+   *    route's saturation.
    *  - **graph engine** (diskann): per-shard beam search with escalating
    *    over-fetch — start at `k·filteredOverfetch` (default 4×), drop
    *    disallowed hits, and double the fetch until the shard yields k
    *    allowed hits or the beam reaches the shard's node count, at which
-   *    point every reachable node has been visited and the shard's answer
-   *    is exact for any selectivity (FilteredSearchSpec pins this
-   *    saturation contract against the flat route). Escalation is
-   *    per-shard and independent, so a selective filter costs extra hops
-   *    only on shards that actually lack allowed neighbors.
+   *    point every node REACHABLE from the entry points has been visited
+   *    and the shard's answer is exact for any selectivity
+   *    (FilteredSearchSpec pins this saturation contract against the flat
+   *    route). Precondition: saturation-exactness extends only to reachable
+   *    nodes — a live node disconnected by heavy delete/append churn before
+   *    a vacuum is invisible to ANY beam search; rebuild or vacuum restores
+   *    full coverage (fresh builds are connected by construction).
+   *    Escalation is per-shard and independent, so a selective filter costs
+   *    extra hops only on shards that actually lack allowed neighbors.
    *
    * Returns `(row_id, _distance)` ordered, ≤ k rows.
    */
@@ -1097,15 +1126,45 @@ object Ann {
       k: Int, filter: IdFilter, searchComplexity: Int = 0): DataFrame = {
     val meta = IndexCatalog.load(root(spark), name)
     val tomb = IndexCatalog.readTombstones(root(spark), name)
-    if (!isGraphEngine(meta.engine)) {
+    if (meta.engine == "pq" || meta.engine == "ivfpq") {
+      // quantized engines: the id predicate splices into the ADC scan so the
+      // 13–21× code compression survives (a raw-vector fallback would read
+      // the flat copy at 100 TB). The answer is the ADC top-k of the allowed
+      // subset — approximate exactly like unfiltered PQ search, recall-gated
+      // by ann_filtered_ivfpq. IVFPQ under-fill escalates nprobe to nlist
+      // (FAISS IVF + IDSelector: selectivity does not widen the probe; the
+      // escalation is this library's saturation treatment).
+      def topK(np: Int): DataFrame = {
+        val scored = meta.engine match {
+          case "pq" => pqScanIds(spark, meta, query0, k, tomb, Some(filter.column))
+          case _ => ivfPqScanIds(spark, meta, query0, k, tomb,
+            Some(filter.column), np)
+        }
+        scored.select(col("row_id"), col("_distance"))
+      }
+      val probed = topK(0)
+      if (meta.engine == "ivfpq" && meta.nprobe < meta.nlist &&
+          probed.count() < k) topK(meta.nlist)
+      else probed
+    } else if (!isGraphEngine(meta.engine)) {
       val query = prepQuery(meta, query0)
       val distCol = metricDistanceCol(meta.metricObj, col("vec"), query)
-      val base = scanIvfOrFlat(spark, meta, query).where(filter.column)
-      val unfiltered = base.select(col("id").as("row_id"), distCol.as("__dd"))
-      val live = if (tomb.isEmpty) unfiltered
-        else unfiltered.where(notTombstoned(col("row_id"), tomb))
-      live.orderBy(col("__dd"), col("row_id")).limit(k)
-        .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
+      def topK(nprobeOverride: Int): DataFrame = {
+        val base = scanIvfOrFlat(spark, meta, query, nprobeOverride)
+          .where(filter.column)
+        val unfiltered = base.select(col("id").as("row_id"), distCol.as("__dd"))
+        val live = if (tomb.isEmpty) unfiltered
+          else unfiltered.where(notTombstoned(col("row_id"), tomb))
+        live.orderBy(col("__dd"), col("row_id")).limit(k)
+          .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
+      }
+      val probed = topK(0)
+      // ivfflat nprobe saturation: a selective filter whose survivors live
+      // in unprobed clusters would silently under-fill — escalate to a full
+      // scan when the probed answer is short (one cheap count on ≤ k rows)
+      if (meta.engine == "ivfflat" && meta.nprobe < meta.nlist &&
+          probed.count() < k) topK(meta.nlist)
+      else probed
     } else {
       import spark.implicits._
       val query = prepQuery(meta, query0)

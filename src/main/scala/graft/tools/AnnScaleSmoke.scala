@@ -126,15 +126,19 @@ object AnnScaleSmoke {
     def run(name: String)(body: => Long): Unit = {
       if (onlyOps.exists(o => !o(name))) return
       taskTimes.clear()
+      val h0 = HostLoad.sample()
       val t0 = System.nanoTime()
       val rows = body
       val sec = (System.nanoTime() - t0) / 1e9
+      val (hostBusy, hostSteal) = HostLoad.frac(h0, HostLoad.sample())
       Thread.sleep(300)
       val (skew, majorSkew) = worstSkew()
       ops(name) = Map("sec" -> sec, "rows" -> rows, "worst_task_skew" -> skew,
-        "major_stage_skew" -> majorSkew)
+        "major_stage_skew" -> majorSkew,
+        "host_busy" -> f"$hostBusy%.3f".toDouble,
+        "host_steal" -> f"$hostSteal%.3f".toDouble)
       System.err.println(f"[annscale] $name%-24s $sec%8.2fs rows=$rows " +
-        f"skew=$skew%.2f major=$majorSkew%.2f")
+        f"skew=$skew%.2f major=$majorSkew%.2f busy=$hostBusy%.2f steal=$hostSteal%.2f")
     }
     // Serve ops report the MIN of two timed executions (idempotent reads;
     // same treatment Bench gives every query): a single-shot serve time
@@ -147,23 +151,29 @@ object AnnScaleSmoke {
       if (onlyOps.exists(o => !o(name))) return
       var best = Double.MaxValue; var rows = 0L
       var skew = 1.0; var majorSkew = 1.0
+      var hostBusy = -1.0; var hostSteal = -1.0
       var i = 0
       while (i < 2) {
         i += 1
         taskTimes.clear()
+        val h0 = HostLoad.sample()
         val t0 = System.nanoTime()
         rows = body
         val sec = (System.nanoTime() - t0) / 1e9
+        val (hb, hs) = HostLoad.frac(h0, HostLoad.sample())
         Thread.sleep(300)
         if (sec < best) {
           best = sec
+          hostBusy = hb; hostSteal = hs
           val (s, ms) = worstSkew(); skew = s; majorSkew = ms
         }
       }
       ops(name) = Map("sec" -> best, "rows" -> rows, "worst_task_skew" -> skew,
-        "major_stage_skew" -> majorSkew)
+        "major_stage_skew" -> majorSkew,
+        "host_busy" -> f"$hostBusy%.3f".toDouble,
+        "host_steal" -> f"$hostSteal%.3f".toDouble)
       System.err.println(f"[annscale] $name%-24s $best%8.2fs rows=$rows " +
-        f"skew=$skew%.2f major=$majorSkew%.2f (min of 2)")
+        f"skew=$skew%.2f major=$majorSkew%.2f busy=$hostBusy%.2f steal=$hostSteal%.2f (min of 2)")
     }
 
     // shard count chosen so ONE SHARD EXCEEDS the mmap threshold: the build
@@ -537,9 +547,14 @@ object AnnScaleSmoke {
     val worst = ops.values.map(_("worst_task_skew").asInstanceOf[Double]).max
     val worstMajor = ops.values.map(_("major_stage_skew").asInstanceOf[Double]).max
     val opsJson = ops.map { case (k, v) =>
-      s""""$k":{"sec":${v("sec")},"rows":${v("rows")},""" +
-        s""""worst_task_skew":${v("worst_task_skew")},""" +
-        s""""major_stage_skew":${v("major_stage_skew")}}"""
+      val fields = v.map { case (f, x) =>
+        val lit = x match {
+          case s: String => "\"" + s + "\""
+          case other => other.toString
+        }
+        s""""$f":$lit"""
+      }.mkString(",")
+      s""""$k":{$fields}"""
     }.mkString("{", ",", "}")
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val json = s"""{"metric":"ann_scale_total","value":$total,"unit":"sec",""" +

@@ -123,18 +123,25 @@ object ScaleSmoke {
       if (skipOps(name) || !onlyOps.forall(_.contains(name))) {
         System.err.println(s"[scale] $name SKIPPED (env)"); return }
       taskTimes.clear()
+      val h0 = HostLoad.sample()
       val t0 = System.nanoTime()
       val rows = body
       val sec = (System.nanoTime() - t0) / 1e9
+      val (hostBusy, hostSteal) = HostLoad.frac(h0, HostLoad.sample())
       // allow listener events to drain before reading skew
       Thread.sleep(300)
       val (skew, stage, majorSkew, majorStage) = worstSkew()
       ops(name) = Map("sec" -> sec, "rows" -> rows,
         "worst_task_skew" -> skew, "skew_stage" -> stage,
-        "major_stage_skew" -> majorSkew, "major_skew_stage" -> majorStage)
+        "major_stage_skew" -> majorSkew, "major_skew_stage" -> majorStage,
+        "host_busy" -> f"$hostBusy%.3f".toDouble,
+        "host_steal" -> f"$hostSteal%.3f".toDouble)
       System.err.println(f"[scale] $name%-22s $sec%7.2fs rows=$rows " +
-        f"skew=$skew%.2f major=$majorSkew%.2f")
+        f"skew=$skew%.2f major=$majorSkew%.2f busy=$hostBusy%.2f steal=$hostSteal%.2f")
     }
+    // named ops may attach extra audit counters to their artifact entry
+    def annotate(name: String, kv: (String, Any)*): Unit =
+      if (ops.contains(name)) ops(name) = ops(name) ++ kv.toMap
 
     val q0 = {
       val r = emb10.orderBy("vec_id").limit(1).collect()(0)
@@ -188,6 +195,27 @@ object ScaleSmoke {
     run("dedup_minhash_keep") {
       TextOps.dedupByMinhash(docs10, "text", "doc_id", minJaccard = 0.6).count()
     }
+    // band-bucket cap audit beside the dedup timing: attributes top-octave
+    // growth to emitted pair mass by data (round-12 watch item — the 1000×
+    // replica corpus puts every doc in a ~factor-member clique, so in-bucket
+    // pair mass grows with clique² until the cap absorbs it; these counters
+    // show exactly how much it absorbed)
+    run("lsh_cap_audit") {
+      val r = TextOps.lshBucketStats(docs10, "text", "doc_id").collect()(0)
+      val g = (c: String) => r.getLong(r.fieldIndex(c))
+      annotate("dedup_minhash_keep",
+        "buckets_pairful" -> g("buckets_pairful"),
+        "buckets_over_cap" -> g("buckets_over_cap"),
+        "clique_pairs" -> g("clique_pairs"),
+        "emitted_pairs" -> g("emitted_pairs"),
+        "capped_away_pairs" -> g("capped_away_pairs"),
+        "max_bucket" -> g("max_bucket"))
+      System.err.println(s"[scale]   lsh buckets: pairful=${g("buckets_pairful")} " +
+        s"over_cap=${g("buckets_over_cap")} clique_pairs=${g("clique_pairs")} " +
+        s"emitted=${g("emitted_pairs")} capped_away=${g("capped_away_pairs")} " +
+        s"max=${g("max_bucket")}")
+      g("emitted_pairs")
+    }
     run("neardup_cos_tiled") {
       TextOps.cosineExactPairs(emb10, "embedding", "vec_id", 0.9).count()
     }
@@ -220,9 +248,14 @@ object ScaleSmoke {
     val worst = ops.values.map(_("worst_task_skew").asInstanceOf[Double]).max
     val worstMajor = ops.values.map(_("major_stage_skew").asInstanceOf[Double]).max
     val opsJson = ops.map { case (k, v) =>
-      s""""$k":{"sec":${v("sec")},"rows":${v("rows")},""" +
-        s""""worst_task_skew":${v("worst_task_skew")},"skew_stage":${v("skew_stage")},""" +
-        s""""major_stage_skew":${v("major_stage_skew")},"major_skew_stage":${v("major_skew_stage")}}"""
+      val fields = v.map { case (f, x) =>
+        val lit = x match {
+          case s: String => "\"" + s + "\""
+          case other => other.toString
+        }
+        s""""$f":$lit"""
+      }.mkString(",")
+      s""""$k":{$fields}"""
     }.mkString("{", ",", "}")
     // heap matters for reading growth ratios across octaves: a shuffle that
     // fits at one octave and spills at the next shows superlinear wall time

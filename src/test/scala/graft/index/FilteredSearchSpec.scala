@@ -98,6 +98,57 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(got == bruteFilteredTop(5, q0, ids.contains))
   }
 
+  test("ivfflat route: short probed answer escalates nprobe to a full scan") {
+    // nprobe=1 probes one cluster; a ~1/50 filter leaves it with < k allowed
+    // hits, so the scan must saturate to nprobe=nlist and match brute force
+    Ann.buildIndex(emb, "embedding", "vec_id", "f_ivf_esc",
+      Ann.BuildParams(engine = "ivfflat", nlist = 8, nprobe = 1))
+    val filt = Ann.IdFilter.modEq(50, 1)
+    val got = Ann.searchFiltered(spark, "f_ivf_esc", q0, 10, filt)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == bruteFilteredTop(10, q0, filt.fn), s"got $got")
+  }
+
+  test("ivfpq route: filter splices into the ADC scan; saturated nprobe is recall-exact on codes") {
+    Ann.buildIndex(emb, "embedding", "vec_id", "f_ivfpq",
+      Ann.BuildParams(engine = "ivfpq", nlist = 4, nprobe = 4, pqM = 8))
+    val filt = Ann.IdFilter.modEq(5, 2)
+    val got = Ann.searchFiltered(spark, "f_ivfpq", q0, 10, filt)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.length == 10 && got.forall(_ % 5 == 2))
+    // with every list probed, the filtered answer must equal the unfiltered
+    // ADC ranking restricted to allowed ids (the ADC-route contract: the
+    // filter changes WHICH codes rank, never HOW they rank)
+    val unfiltered = Ann.indexScan(spark, "f_ivfpq", q0, 500)
+      .collect().map(r => (r.getLong(0), r.getFloat(1)))
+      .filter { case (id, _) => id % 5 == 2 }
+      .sortBy { case (id, d) => (d, id) }
+      .take(10).map(_._1).toSeq
+    assert(got == unfiltered, s"got $got want $unfiltered")
+    // recall gate vs the EXACT filtered answer (quantization-limited):
+    // at least 5 of the true top-10 must survive ADC quantization
+    val exact = bruteFilteredTop(10, q0, filt.fn)
+    assert(got.count(exact.contains) >= 5,
+      s"ADC filtered recall too low: $got vs $exact")
+    // under-fill escalation: nprobe=1 with a selective filter still fills k
+    Ann.buildIndex(emb, "embedding", "vec_id", "f_ivfpq1",
+      Ann.BuildParams(engine = "ivfpq", nlist = 8, nprobe = 1, pqM = 8))
+    val sel = Ann.IdFilter.modEq(50, 1)
+    val esc = Ann.searchFiltered(spark, "f_ivfpq1", q0, 9, sel)
+      .collect().map(_.getLong(0)).toSeq
+    assert(esc.length == 9 && esc.forall(_ % 50 == 1), s"escalation short: $esc")
+  }
+
+  test("idFilterFromSql rejects nondeterministic predicates and subqueries") {
+    intercept[IllegalArgumentException](
+      Ann.idFilterFromSql(spark, "rand() < 0.5"))
+    intercept[IllegalArgumentException](
+      Ann.idFilterFromSql(spark, "id IN (SELECT 1)"))
+    // deterministic predicates still parse and agree across halves
+    val f = Ann.idFilterFromSql(spark, "id % 7 = 3")
+    assert(f.fn(10L) && !f.fn(11L))
+  }
+
   test("tombstones still excluded under a filter (both routes)") {
     Ann.buildIndex(emb, "embedding", "vec_id", "f_tomb",
       Ann.BuildParams(engine = "flat"))
