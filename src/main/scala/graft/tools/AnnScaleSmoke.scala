@@ -390,11 +390,12 @@ object AnnScaleSmoke {
         (r.getAs[Double]("recall"), r.getAs[Double]("recall_ids"))).toMap
       rows.length.toLong
     }
-    val (recall, recallIds) = recallByName("as_disk")
+    // skipped-op resilience (SPARK_GRAFT_ANN_OPS latency-only runs): -1 = not measured
+    val (recall, recallIds) = recallByName.getOrElse("as_disk", (-1.0, -1.0))
     System.err.println(f"[annscale] recall@10 = $recall%.4f (ids $recallIds%.4f, bar 0.9)")
     // the IVF probe ceiling (nprobe 8/256 on clusterless data): quantized
     // IVF variants can never beat this — it contextualizes ivfpq's recall
-    val (ivfRecall, ivfRecallIds) = recallByName("as_ivf")
+    val (ivfRecall, ivfRecallIds) = recallByName.getOrElse("as_ivf", (-1.0, -1.0))
     System.err.println(f"[annscale] ivfflat recall@10 = $ivfRecall%.4f (ids $ivfRecallIds%.4f)")
     val sweepRecalls = sweepNames.flatMap { nm =>
       recallByName.get(nm).map { case (r, _) =>
@@ -403,11 +404,11 @@ object AnnScaleSmoke {
         np -> r
       }
     }
-    val (sq8Recall, sq8RecallIds) = recallByName("as_sq8")
+    val (sq8Recall, sq8RecallIds) = recallByName.getOrElse("as_sq8", (-1.0, -1.0))
     System.err.println(f"[annscale] sq8 recall@10 = $sq8Recall%.4f (ids $sq8RecallIds%.4f)")
-    val (pqRecall, pqRecallIds) = recallByName("as_ivfpq")
+    val (pqRecall, pqRecallIds) = recallByName.getOrElse("as_ivfpq", (-1.0, -1.0))
     System.err.println(f"[annscale] ivfpq recall@10 = $pqRecall%.4f (ids $pqRecallIds%.4f)")
-    val (pqrRecall, pqrRecallIds) = recallByName("as_ivfpqr")
+    val (pqrRecall, pqrRecallIds) = recallByName.getOrElse("as_ivfpqr", (-1.0, -1.0))
     System.err.println(f"[annscale] ivfpq+rflat recall@10 = $pqrRecall%.4f (ids $pqrRecallIds%.4f)")
     val pqrKfRecalls = kfSweep.flatMap { kf =>
       recallByName.get(s"as_ivfpqr_kf$kf").map { case (r, _) =>
@@ -527,6 +528,51 @@ object AnnScaleSmoke {
       }.sorted)
       qs200.length.toLong
     }
+    // ---- concurrent serve latency (round-12 verdict item 7): the job-free
+    // local route under 1 / 8 / 32 simultaneous clients. Each client loops
+    // its own query slice through Ann.searchHits (ConcurrencySpec pins
+    // correctness under concurrency; this measures the TAIL — shard mmap
+    // page cache and the beam-state allocator are the shared resources).
+    var concJson = "null"
+    run("latency_concurrent") {
+      import scala.jdk.CollectionConverters._
+      val perClient = 100
+      val results = Seq(1, 8, 32).map { nc =>
+        val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nc)
+        val t0 = System.nanoTime()
+        val futs = (0 until nc).map { c =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var i = 0
+              while (i < perClient) {
+                val q = qs200((c * 37 + i * 7) % qs200.length)
+                val s0 = System.nanoTime()
+                Ann.searchHits(spark, "as_disk", q, 10,
+                  searchComplexity = serveSc).collect()
+                lats.add((System.nanoTime() - s0) / 1e6)
+                i += 1
+              }
+            }
+          })
+        }
+        futs.foreach(_.get())
+        pool.shutdown()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val sorted = lats.asScala.toArray.sorted
+        val qps = nc * perClient / wall
+        System.err.println(f"[annscale]   $nc%2d clients: p50 ${pct(sorted, 0.5)}%6.1f " +
+          f"p95 ${pct(sorted, 0.95)}%6.1f p99 ${pct(sorted, 0.99)}%6.1f ms, " +
+          f"$qps%7.0f qps")
+        (nc, sorted, qps)
+      }
+      concJson = results.map { case (nc, sorted, qps) =>
+        s""""c$nc":{"p50":${pct(sorted, 0.5)},"p95":${pct(sorted, 0.95)},""" +
+          s""""p99":${pct(sorted, 0.99)},"qps":${f"$qps%.1f"}}"""
+      }.mkString("{", ",", "}")
+      results.map(_._2.length.toLong).sum
+    }
+
     val latJson = if (searchLat.isEmpty || e2eLat.isEmpty) "null" else {
       System.err.println(
         f"[annscale] latency: search p50 ${pct(searchLat, 0.5)}%.1f / p95 " +
@@ -582,7 +628,7 @@ object AnnScaleSmoke {
       s""""storage_bytes":$ivfpqrBytes},""" +
       hnswRecall.map(r =>
         s""""hnsw":{"recall_at10":$r,"shards":$hnswShards},""").getOrElse("") +
-      s""""latency":$latJson,""" +
+      s""""latency":$latJson,"latency_concurrent_ms":$concJson,""" +
       s""""worst_task_skew":$worst,"worst_major_stage_skew":$worstMajor}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson), json.getBytes("UTF-8"))

@@ -222,12 +222,28 @@ object ScaleSmoke {
     run("semdedup") {
       // k ∝ N (the SemDeDup scaling contract: cluster count grows with the
       // corpus so per-cluster membership — and with it the within-cluster
-      // pairwise work — stays ~constant, here ~500)
+      // pairwise work — stays ~constant, here ~500). Above the two-level
+      // gate (512 centroids) assignment probes a coarse √k-quantizer per
+      // row instead of scanning all k.
       val k = math.max(64, (nVecs / 500).toInt)
       val cents = graft.text.SemDedup.trainedCentroids(emb10, "embedding",
         k, iters = 4)
-      graft.text.SemDedup.semdedup(emb10, "embedding", "vec_id", cents, 0.95)
-        .where(!col("kept")).count()
+      val out = graft.text.SemDedup.semdedup(emb10, "embedding", "vec_id",
+        cents, 0.95)
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dropped = out.where(!col("kept")).count()
+      // cluster-size audit: per-task resident memory is ONE cluster's
+      // vectors, so max_cluster bounds it in the artifact (k ∝ N should
+      // hold mean ~500 and a max within a small factor of it)
+      val sizes = out.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .agg(max("n").as("mx"), avg("n").as("mean")).collect()(0)
+      annotate("semdedup", "k" -> k,
+        "max_cluster" -> sizes.getLong(0),
+        "mean_cluster" -> f"${sizes.getDouble(1)}%.1f".toDouble)
+      out.unpersist(blocking = false)
+      System.err.println(s"[scale]   semdedup k=$k max_cluster=${sizes.getLong(0)} " +
+        f"mean=${sizes.getDouble(1)}%.1f dropped=$dropped")
+      dropped
     }
     run("dedup_lines") {
       TextOps.dedupLines(docs10, "text", "doc_id", 3).count()
