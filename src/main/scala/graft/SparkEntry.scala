@@ -290,6 +290,25 @@ object SparkEntry {
         .select("vec_id", "_distance")
     }),
 
+    // SQ8 saturation oracle: ONE shard ⇒ corpus-global per-dim min/max (the
+    // quantization params become SQL aggregates), and a saturating beam
+    // (sc ≥ n) visits every reachable node ⇒ the answer is the exact top-k
+    // under SQ8-dequantized distance — both the quantizer (round, clamp,
+    // dequantize) and the graph serve path hash-check against DuckDB.
+    // Realistic-parameter ann_sq8_topk stays rows-only.
+    "ann_sq8_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_sq8_ex",
+        Ann.BuildParams(engine = "diskann", numShards = 1, quantization = "sq8"))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_sq8_ex", q64Arr, 10, searchComplexity = 1024)
+        .select(col("vec_id"), col("_distance"))
+        .orderBy(col("_distance"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
     "ann_batch" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_batch",
@@ -1378,6 +1397,31 @@ object SparkEntry {
       s"""SELECT vec_id, row_number() OVER (
          |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
          |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
+    // SQ8 replay: per-dim min/max over the corpus, code = clamp(round(
+    // (v−min)/scale·255)), dequantize, rank by L2 of dequantized vectors
+    // (rust_lib/src/provider.rs:161-241 scheme; Sq8Codec mirrors it).
+    "ann_sq8_exact" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
+         |         unnest(range(1, 65)) AS i
+         |  FROM embeddings),
+         |mm AS (
+         |  SELECT i, min(e) AS mn,
+         |    CASE WHEN max(e) > min(e) THEN max(e) - min(e) ELSE 1.0 END AS sc
+         |  FROM ex GROUP BY i),
+         |deq AS (
+         |  SELECT x.vec_id, x.i,
+         |    m.mn + (least(255, greatest(0,
+         |      round((x.e - m.mn) / m.sc * 255))) / 255.0) * m.sc AS v
+         |  FROM ex x JOIN mm m ON m.i = x.i),
+         |dist AS (
+         |  SELECT vec_id,
+         |    sum((v - ($q64Sql)[i]) * (v - ($q64Sql)[i])) AS dd
+         |  FROM deq GROUP BY vec_id)
+         |SELECT vec_id, rank FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY dd, vec_id) AS rank
+         |  FROM dist)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // ADC replay with the seeded codebook: centroid c of subspace s is
     // embeddings[vec_id=c][s·8+1 .. s·8+8]; encode = argmin sq-L2 per
     // (doc, subspace) with ties to the lowest centroid id; ADC distance =

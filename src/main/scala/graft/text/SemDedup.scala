@@ -248,11 +248,17 @@ object SemDedup {
       toFloatVec(col(vecCol)).as("v"))
     val outSchema = StructType(Seq(StructField("id", LongType),
       StructField("cluster", IntegerType), StructField("kept", BooleanType)))
-    // partitions scale with k (clusters/partition ~4, floor at the session
-    // parallelism): k ∝ N keeps per-partition data ~constant as the corpus
-    // grows — defaultParallelism alone would grow partitions' share linearly
+    // partitions scale with k (clusters/partition configurable, floor at
+    // the session parallelism): k ∝ N keeps per-partition data ~constant as
+    // the corpus grows — defaultParallelism alone would grow partitions'
+    // share linearly. Per-task memory is bounded by ONE cluster regardless
+    // (the reducer streams), so clusters/partition trades scheduling
+    // overhead against partition-size headroom, not against memory.
+    val perPart = spark.conf
+      .getOption("spark.graft.semdedup.clustersPerPartition")
+      .map(_.toInt).getOrElse(16)
     val parts = math.max(spark.sparkContext.defaultParallelism,
-      centroids.length / 4)
+      centroids.length / math.max(1, perPart))
     implicit val keyOrd: Ordering[(Int, Long)] = Ordering.Tuple2[Int, Long]
     // assignment fused into the shuffle-write pass: ONE shuffle total,
     // keyed by (cluster, id), no join back to the source
