@@ -248,16 +248,20 @@ object SemDedup {
       toFloatVec(col(vecCol)).as("v"))
     val outSchema = StructType(Seq(StructField("id", LongType),
       StructField("cluster", IntegerType), StructField("kept", BooleanType)))
-    // partitions scale with k (clusters/partition configurable, floor at
-    // the session parallelism): k ∝ N keeps per-partition data ~constant as
-    // the corpus grows — defaultParallelism alone would grow partitions'
-    // share linearly. Per-task memory is bounded by ONE cluster regardless
-    // (the reducer streams), so clusters/partition trades scheduling
-    // overhead against partition-size headroom, not against memory.
+    // partitions scale with k (clusters/partition configurable) with a
+    // floor of 4 waves over the session parallelism: per-cluster pairwise
+    // work is data-dependent (clique-heavy clusters early-exit, diverse
+    // clusters scan fully), so the floor gives the scheduler enough tasks
+    // to average the cluster-size lottery — at 75 partitions on 32 cores
+    // one heavy partition read as a 4–6× stage skew; at ≥4 waves it
+    // amortizes. k ∝ N keeps per-partition data ~constant as the corpus
+    // grows. Per-task memory is bounded by ONE cluster regardless (the
+    // reducer streams), so this knob trades scheduling overhead against
+    // wave-averaging, not against memory.
     val perPart = spark.conf
       .getOption("spark.graft.semdedup.clustersPerPartition")
       .map(_.toInt).getOrElse(16)
-    val parts = math.max(spark.sparkContext.defaultParallelism,
+    val parts = math.max(4 * spark.sparkContext.defaultParallelism,
       centroids.length / math.max(1, perPart))
     implicit val keyOrd: Ordering[(Int, Long)] = Ordering.Tuple2[Int, Long]
     // assignment fused into the shuffle-write pass: ONE shuffle total,
