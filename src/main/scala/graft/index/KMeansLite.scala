@@ -141,13 +141,32 @@ object KMeansLite {
     var rounds = 0
     var done = false
     while (!done && rounds < kk) {
+      // chunk-parallel reassignment (the round's dominant cost — n·k
+      // distances; at k=4000, n=65536 a serial scan is ~50 GFLOP and was
+      // the hidden driver-side tax on large-k semdedup training). Each
+      // chunk writes its own assign slice + count array; integer counts
+      // reduce order-independently, so results are schedule-invariant.
+      val n = samples.length
+      val nChunks = graft.core.ParChunks.numChunks(n)
+      val assign = new Array[Int](n)
+      val chunkCounts = new Array[Array[Int]](nChunks)
+      graft.core.ParChunks.foreach(n) { (ci, s0, e0) =>
+        val cc = new Array[Int](kk)
+        var i = s0
+        while (i < e0) {
+          val c = nearest(cents, samples(i))
+          assign(i) = c; cc(c) += 1
+          i += 1
+        }
+        chunkCounts(ci) = cc
+      }
       val counts = new Array[Int](kk)
-      val assign = new Array[Int](samples.length)
-      var i = 0
-      while (i < samples.length) {
-        val c = nearest(cents, samples(i))
-        assign(i) = c; counts(c) += 1
-        i += 1
+      var ci = 0
+      while (ci < nChunks) {
+        val cc = chunkCounts(ci)
+        var c = 0
+        while (c < kk) { counts(c) += cc(c); c += 1 }
+        ci += 1
       }
       val big = counts.indices.maxBy(counts)
       if (counts(big) <= cap) done = true
