@@ -492,6 +492,41 @@ object SparkEntry {
         .select("vec_id", "_distance")
     }),
 
+    // DiskANN saturation oracle: beam width >= shard size visits every node
+    // reachable from the medoid, so each shard's answer is its exact top-k
+    // (fresh Vamana builds are connected by construction) — the graph
+    // engine's end-to-end top-k path hash-checks against brute force. The
+    // realistic-parameter ann_diskann_topk stays rows-only.
+    "ann_diskann_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_disk_ex",
+        Ann.BuildParams(engine = "diskann", numShards = 2))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_disk_ex", q64Arr, 10, searchComplexity = 4096)
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
+        .orderBy(col("__dd"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    // graph radius-search saturation oracle: the expanding-k loop at a
+    // saturating beam captures every reachable in-radius row, and distances
+    // are re-checked against the radius, so the result equals the flat
+    // range scan exactly (the rows-only ann_range_graph keeps realistic
+    // parameters).
+    "ann_range_graph_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_range_gx",
+        Ann.BuildParams(engine = "diskann", numShards = 2))
+      // id set only: the beam computes float distances, the oracle doubles —
+      // the saturation contract is the exact ROW SET, not the float repr
+      Ann.rangeSearch(emb, "vec_id", "v_range_gx", q64Arr, 16.5f,
+          searchComplexity = 4096)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // HNSW saturation oracle: efSearch >= shard size visits every node
     // reachable from the entry point, so each shard's beam answer is its
     // exact top-k (same saturation argument RangeGraphSaturationSpec pins;
@@ -1564,6 +1599,14 @@ object SparkEntry {
          |         ${d2Sql("embedding", q64Sql)} AS __dd
          |  FROM embeddings ORDER BY __dd, vec_id LIMIT 15
          |) ORDER BY _distance, vec_id""".stripMargin,
+    "ann_diskann_exact" ->
+      s"""SELECT vec_id, row_number() OVER (
+         |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
+         |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
+    "ann_range_graph_exact" ->
+      s"""SELECT vec_id FROM (
+         |  SELECT vec_id, ${d2Sql("embedding", q64Sql)} AS __dd FROM embeddings)
+         |WHERE __dd <= 16.5 ORDER BY vec_id""".stripMargin,
     "ann_range_search" ->
       s"""SELECT vec_id, _distance FROM (
          |  SELECT vec_id, CAST(${d2Sql("embedding", q64Sql)} AS FLOAT) AS _distance,

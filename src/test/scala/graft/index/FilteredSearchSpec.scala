@@ -139,6 +139,19 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(esc.length == 9 && esc.forall(_ % 50 == 1), s"escalation short: $esc")
   }
 
+  test("ivfpq filtered plan: the id predicate sits below the ADC top-k") {
+    Ann.buildIndex(emb, "embedding", "vec_id", "f_ivfpq_plan",
+      Ann.BuildParams(engine = "ivfpq", nlist = 4, nprobe = 4, pqM = 8))
+    val df = Ann.searchFiltered(spark, "f_ivfpq_plan", q0, 10,
+      Ann.IdFilter.modEq(7, 3))
+    val plan = df.queryExecution.optimizedPlan
+    val hasIdFilter = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.exists(_.name == "id") => f
+    }.nonEmpty
+    assert(hasIdFilter, s"no id filter below the ADC scan:\n${plan.treeString}")
+  }
+
   test("idFilterFromSql rejects nondeterministic predicates and subqueries") {
     intercept[IllegalArgumentException](
       Ann.idFilterFromSql(spark, "rand() < 0.5"))
