@@ -603,6 +603,25 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // OPQ ADC bit oracle: seeded mode uses a deterministic reversal
+    // permutation as the rotation (orthogonal, like a trained OPQ matrix)
+    // plus the seeded codebook over ROTATED seeds — the production
+    // rotate-query → encode → ADC-scan path replays in SQL as a list
+    // reindex. Trained-rotation OPQ stays rows-only (SVD isn't
+    // SQL-replayable); OpqSpec pins the trained path's properties.
+    "ann_opq_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_opq_ex",
+        Ann.BuildParams(engine = "pq", pqM = 8, seedK = 16, opq = true))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_opq_ex", q64Arr, 10)
+        .select(col("vec_id"), col("_distance"))
+        .orderBy(col("_distance"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
     // IVFPQ ADC bit oracle: seeded coarse centroids (4 lowest ids, verbatim)
     // + seeded residual codebook (residuals of the 16 lowest ids), nprobe =
     // nlist so every list is scanned — the residual-ADC ranking is then
@@ -1481,6 +1500,40 @@ object SparkEntry {
          |    (($q64Sql)[k.s*8 + i] - c.v[k.s*8 + i])
          |    * (($q64Sql)[k.s*8 + i] - c.v[k.s*8 + i])))) AS dd
          |  FROM codes k JOIN cents c ON c.c = k.c
+         |  GROUP BY k.vec_id)
+         |SELECT vec_id, rank FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY dd, vec_id) AS rank FROM adc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // OPQ replay: rotate every embedding (and the query) by the reversal
+    // permutation — rv[i] = v[65−i] — then the identical seeded-PQ ADC
+    // replay in rotated space (L2 is rotation-invariant, but the CODES and
+    // therefore the ADC ranking are rotation-specific, which is what this
+    // checks).
+    "ann_opq_exact" ->
+      s"""WITH rot AS (
+         |  SELECT vec_id, list_transform(range(1, 65),
+         |    i -> CAST(embedding AS DOUBLE[])[65 - i]) AS v
+         |  FROM embeddings),
+         |qrot AS (
+         |  SELECT list_transform(range(1, 65), i -> ($q64Sql)[65 - i]) AS q),
+         |cents AS (
+         |  SELECT CAST(vec_id AS INT) AS c, v FROM rot WHERE vec_id < 16),
+         |subs AS (SELECT CAST(s AS INT) AS s FROM range(8) t(s)),
+         |codes AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT r.vec_id, sub.s, c.c, row_number() OVER (
+         |      PARTITION BY r.vec_id, sub.s ORDER BY
+         |        list_sum(list_transform(range(1, 9), i ->
+         |          (r.v[sub.s*8 + i] - c.v[sub.s*8 + i])
+         |          * (r.v[sub.s*8 + i] - c.v[sub.s*8 + i]))),
+         |        c.c) AS rn
+         |    FROM rot r CROSS JOIN subs sub CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |adc AS (
+         |  SELECT k.vec_id, sum(list_sum(list_transform(range(1, 9), i ->
+         |    (q.q[k.s*8 + i] - c.v[k.s*8 + i])
+         |    * (q.q[k.s*8 + i] - c.v[k.s*8 + i])))) AS dd
+         |  FROM codes k JOIN cents c ON c.c = k.c CROSS JOIN qrot q
          |  GROUP BY k.vec_id)
          |SELECT vec_id, rank FROM (
          |  SELECT vec_id, row_number() OVER (ORDER BY dd, vec_id) AS rank FROM adc)

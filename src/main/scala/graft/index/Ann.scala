@@ -450,15 +450,28 @@ object Ann {
     // PqCodec.write/read is a float-exact round trip, so the in-memory
     // codebook is used directly — no read-back
     val (rotation, cb) = if (params.seedK > 0) {
-      require(!params.opq, "seedK seeds a plain PQ codebook (no OPQ rotation)")
       // seed mode: codebook = subvectors of the seedK lowest-id vectors,
       // verbatim — no sampling job, no training; SQL-replayable by design
       val seeds = data.orderBy("id").limit(params.seedK)
         .select("vec").as[Array[Float]].collect()
       val prepped = if (cosine) seeds.map(v => VectorOps.normalize(v.clone())) else seeds
-      val t = PqCodec.fromSeeds(prepped, params.pqM)
-      PqCodec.write(s"$dir/pq.bin", t)
-      (null, t)
+      if (params.opq) {
+        // seeded OPQ: a deterministic REVERSAL permutation as the rotation —
+        // orthogonal like a trained OPQ matrix, exercises the production
+        // rotate→encode→ADC path (the generic matmul over a permutation is
+        // float-exact: one nonzero term per output), and replays in SQL as
+        // a list reindex (rv[i] = v[dim−i+1]) with no SVD to replicate
+        val rot = Array.tabulate(dim, dim)((i, j) =>
+          if (j == dim - 1 - i) 1.0f else 0.0f)
+        IndexCatalog.writeCentroids(s"$dir/rotation.bin", rot, dim)
+        val t = PqCodec.fromSeeds(prepped.map(OpqCodec.rotate(rot, _)), params.pqM)
+        PqCodec.write(s"$dir/pq.bin", t)
+        (rot, t)
+      } else {
+        val t = PqCodec.fromSeeds(prepped, params.pqM)
+        PqCodec.write(s"$dir/pq.bin", t)
+        (null, t)
+      }
     } else {
       // deterministic stride sample (same rationale as buildIvf)
       val nTotal = data.count()
