@@ -1041,6 +1041,24 @@ object SparkEntry {
     // before the top-k (Catalyst pushes it to parquet), so the result is
     // the exact filtered top-k — double-ordered, rank-oracled like
     // ann_ivf_exact
+    // job-free filtered serving (searchFilteredHits -> ExactServe with the
+    // filter closure applied in the driver-local scan): same oracle as the
+    // distributed route — FilteredServeSpec pins bit-parity per engine
+    "ann_serve_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_servf",
+        Ann.BuildParams(engine = "flat"))
+      import s.implicits._
+      Ann.searchFilteredHits(s, "v_servf", q64Arr, 10, Ann.IdFilter.modEq(7, 3))
+        .join(emb, col("row_id") === col("vec_id"))
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
+        .orderBy(col("__dd"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
     "ann_filtered_flat" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_filt_flat",
@@ -1998,6 +2016,10 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "ann_serve_filtered" ->
+      s"""SELECT vec_id, row_number() OVER (
+         |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
+         |FROM embeddings WHERE vec_id % 7 = 3 ORDER BY rank LIMIT 10""".stripMargin,
     "ann_filtered_flat" ->
       s"""SELECT vec_id, row_number() OVER (
          |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank

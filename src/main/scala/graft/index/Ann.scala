@@ -997,6 +997,28 @@ object Ann {
         StructField("_distance", FloatType, nullable = false))))
   }
 
+  /**
+   * Job-free FILTERED serving surface — [[searchHits]]'s analog for
+   * [[searchFiltered]]: for ExactServe-eligible indexes (small flat/ivfflat/
+   * pq/ivfpq) the filter closure is applied in the driver-local scan beside
+   * the tombstone check (same candidate order, same nprobe-saturation
+   * retry as the distributed route — FilteredServeSpec pins parity) and the
+   * hits materialize as a LocalRelation, so a serving caller pays no Spark
+   * job. Graph engines and over-budget indexes fall back to
+   * [[searchFiltered]] transparently.
+   */
+  def searchFilteredHits(spark: SparkSession, name: String, query: Array[Float],
+      k: Int, filter: IdFilter, searchComplexity: Int = 0): DataFrame = {
+    val meta = IndexCatalog.load(root(spark), name)
+    if (!ExactServe.eligible(spark, meta))
+      return searchFiltered(spark, name, query, k, filter, searchComplexity)
+    val tomb = IndexCatalog.readTombstones(root(spark), name)
+    val hits = ExactServe.searchFiltered(spark, meta, tomb, query, k, filter.fn)
+    spark.createDataFrame(hits.toSeq.map(h => Row(h._1, h._2)).asJava,
+      StructType(Seq(StructField("row_id", LongType, nullable = false),
+        StructField("_distance", FloatType, nullable = false))))
+  }
+
   /** Row-id selector for filtered search: `column` is the predicate over
    *  the index scan's `id` column (exact engines — Catalyst pushes it to
    *  the parquet scan); `fn` is the same predicate as a closure (graph

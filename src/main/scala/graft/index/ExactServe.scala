@@ -97,19 +97,24 @@ private[graft] object ExactServe {
   }
 
   /** Top-fetchK (id, distance) — identical rows, distances, and order to the
-   *  corresponding distributed scan. */
+   *  corresponding distributed scan. `allow` (null = all) is the filtered
+   *  search's id predicate, applied beside the tombstone check — the
+   *  driver-local analog of splicing the Column before the top-k;
+   *  `nprobeOverride` (0 = meta) drives the under-fill nprobe saturation. */
   def search(spark: SparkSession, meta: IndexMeta, tomb: Set[Long],
-      query0: Array[Float], fetchK: Int): Array[(Long, Float)] = {
+      query0: Array[Float], fetchK: Int, allow: Long => Boolean = null,
+      nprobeOverride: Int = 0): Array[(Long, Float)] = {
     val fp = fingerprint(meta.sourcePath)
     val d = cache.compute(meta.name, (_, old) =>
       if (old != null && old.fingerprint == fp) old else load(spark, meta, fp))
     localServeCount.incrementAndGet()
     val query = Ann.prepQuery(meta, query0)
     val l2 = meta.metricObj eq Metric.L2
+    val nprobe = if (nprobeOverride > 0) nprobeOverride else meta.nprobe
     val probeSet: Array[Boolean] =
-      if (d.clusters != null && meta.nprobe < meta.nlist) {
+      if (d.clusters != null && nprobe < meta.nlist) {
         val p = new Array[Boolean](math.max(meta.nlist, d.cents.length))
-        KMeansLite.nearestP(d.cents, query, meta.nprobe).foreach(p(_) = true)
+        KMeansLite.nearestP(d.cents, query, nprobe).foreach(p(_) = true)
         p
       } else null
 
@@ -120,7 +125,8 @@ private[graft] object ExactServe {
       var i = 0
       while (i < n) {
         val id = d.ids(i)
-        if ((probeSet == null || probeSet(d.clusters(i))) && !tomb.contains(id)) {
+        if ((probeSet == null || probeSet(d.clusters(i))) && !tomb.contains(id)
+            && (allow == null || allow(id))) {
           val v = d.vecs(i)
           // sequential double fold — the accumulation order of
           // ArrayDistanceSq / ArrayNegativeInnerProduct (VectorExpressions)
@@ -162,7 +168,7 @@ private[graft] object ExactServe {
         val id = d.ids(i)
         val inProbe = probeSet == null ||
           (d.clusters != null && probeSet(d.clusters(i)))
-        if (inProbe && !tomb.contains(id)) {
+        if (inProbe && !tomb.contains(id) && (allow == null || allow(id))) {
           val dd: Float =
             if (d.clusters == null) PqCodec.adc(flatLut, k, d.codes(i))
             else {
@@ -197,6 +203,18 @@ private[graft] object ExactServe {
         Ordering.by((t: (Double, Long, Float)) => (t._1, t._2)))
       refined.take(fetchK).map(t => (t._2, t._3))
     } else arr.take(fetchK).map(t => (t._2, t._3))
+  }
+
+  /** Filtered driver-local search with the same nprobe-saturation contract
+   *  as the distributed `Ann.searchFiltered`: when the probed clusters
+   *  under-fill k and nprobe < nlist, retry with every list probed. */
+  def searchFiltered(spark: SparkSession, meta: IndexMeta, tomb: Set[Long],
+      query0: Array[Float], k: Int, allow: Long => Boolean): Array[(Long, Float)] = {
+    val probed = search(spark, meta, tomb, query0, k, allow)
+    val ivf = meta.engine == "ivfflat" || meta.engine == "ivfpq"
+    if (ivf && meta.nprobe < meta.nlist && probed.length < k)
+      search(spark, meta, tomb, query0, k, allow, nprobeOverride = meta.nlist)
+    else probed
   }
 
   /** Test hook. */
