@@ -37,7 +37,17 @@ private[graft] object ExactServe {
       codes: Array[Array[Byte]],    // pq / ivfpq
       clusters: Array[Int],         // ivfflat / ivfpq (else null)
       cents: Array[Array[Float]],   // ivfflat / ivfpq (else null)
-      cb: PqCodec.Codebook)         // pq / ivfpq (else null)
+      cb: PqCodec.Codebook) {       // pq / ivfpq (else null)
+    /** id → position, built ONCE at load — the refine re-rank needs raw
+     *  vectors by id on every query, and rebuilding a boxed map over up to
+     *  ~250k ids per query defeats the job-free route's latency purpose. */
+    lazy val idPos: java.util.HashMap[Long, Int] = {
+      val m = new java.util.HashMap[Long, Int](ids.length * 2)
+      var i = 0
+      while (i < ids.length) { m.put(ids(i), i); i += 1 }
+      m
+    }
+  }
 
   private val cache = new ConcurrentHashMap[String, Data]()
 
@@ -187,9 +197,8 @@ private[graft] object ExactServe {
     if (d.codes != null && meta.refine) {
       // RFlat: exact double re-rank of the ADC top (fetchK · refineFactor),
       // same candidate cut and fold order as the distributed refineStage
-      val idPos = d.ids.zipWithIndex.toMap
       val refined = arr.take(fetchK * Ann.refineFactor(spark, meta)).map { t =>
-        val v = d.vecs(idPos(t._2))
+        val v = d.vecs(d.idPos.get(t._2))
         var sEd = 0.0; var j = 0
         if (l2) while (j < v.length) {
           val x = v(j).toDouble - query(j).toDouble; sEd += x * x; j += 1

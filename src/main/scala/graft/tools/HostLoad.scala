@@ -15,10 +15,13 @@ object HostLoad {
     val src = scala.io.Source.fromFile("/proc/stat")
     try {
       // "cpu  user nice system idle iowait irq softirq steal guest gnice"
+      // guest/guest_nice (fields 8-9) are ALREADY folded into user/nice by
+      // the kernel — summing them double-counts VM time and deflates the
+      // busy/steal fractions on virtualized hosts; total = first 8 fields
       val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
       val idle = f(3) + (if (f.length > 4) f(4) else 0L)
       val steal = if (f.length > 7) f(7) else 0L
-      Sample(f.sum, idle, steal)
+      Sample(f.take(8).sum, idle, steal)
     } finally src.close()
   } catch { case _: Throwable => Sample(0L, 0L, 0L) }
 
