@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Total GC time across collectors, seconds. */
+  private def gcSec(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum / 1e3
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,6 +22,17 @@ object Bench {
       .config("spark.graft.bench.reuseIndexes", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_ONLY=a,b — isolated re-runs for regression
+    // attribution (run a suspect entry alone, compare against its in-ladder
+    // number: equal ⇒ the plan; lower ⇒ the bench environment)
+    val onlySet = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).filter(_.nonEmpty)
+    // FIXED name order: Map iteration order permutes whenever entries are
+    // added (round 13 added 11 and two untouched entries regressed ~2× from
+    // environment shift alone) — sorted order keeps each entry's position,
+    // and thus its inherited JVM/page-cache state, stable across rounds
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlySet.forall(_.contains(n)) }
     // Warmup (untimed): run every query once at the smallest scale factor
     // so each plan's codegen classes are compiled and its hot paths are
     // JITed before timing. First-execution costs (classload, codegen
@@ -27,10 +44,14 @@ object Bench {
     // thanks to warmup-created state is visible.
     val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (name, fn) =>
+      entries.foreach { case (name, fn) =>
         try { fn(spark, warmDir).count() }
         catch { case t: Throwable => System.err.println(s"[bench] warmup $name failed: $t") }
       }
+      // warmup state must not leak into entry 1's timings: drop any caches
+      // the warmup queries persisted (index FILES stay memoized — that is
+      // the reuseIndexes contract; this clears only Spark block storage)
+      spark.catalog.clearCache()
     } else System.err.println(s"[bench] warmup skipped: $warmDir not found")
     // Min of 2 timed trials per query: a transient host-load spike on one
     // trial (which misreported q3_join by 11x in one driver run) cannot
@@ -55,40 +76,67 @@ object Bench {
     // clean one.
     val slowSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_SEC", "2.0").toDouble
     val slowTrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_TRIALS", "5").toInt
-    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.map {
+    // trial times + per-trial attribution (host busy/steal fraction and GC
+    // seconds inside the trial): a regression with flat host_busy and
+    // rising gc_sec is JVM state, not the plan; one with host_busy spikes
+    // is the driver host — the round-13 demand that regressions on
+    // untouched code be attributable by artifact, not argued from prose
+    final case class Trial(sec: Double, busy: Double, steal: Double, gc: Double)
+    val results: Seq[(String, Seq[Trial])] = entries.map {
       case (name, fn) =>
         var target =
           math.max(1, if (buildTimed(name)) math.max(trials, buildTrials) else trials)
-        var times = Vector.empty[Double]
+        var times = Vector.empty[Trial]
         var i = 0
         while (i < target) {
           i += 1
+          val h0 = tools.HostLoad.sample()
+          val g0 = gcSec()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
-            times :+= (System.nanoTime() - t0) / 1e9
+            val sec = (System.nanoTime() - t0) / 1e9
+            val (busy, steal) = tools.HostLoad.frac(h0, tools.HostLoad.sample())
+            times :+= Trial(sec, busy, steal, gcSec() - g0)
           } catch { case t: Throwable =>
             System.err.println(s"[bench] $name trial $i FAILED: $t")
           }
-          if (i == 1 && times.headOption.exists(_ > slowSec))
+          if (i == 1 && times.headOption.exists(_.sec > slowSec))
             target = math.max(target, slowTrials)
         }
+        // entry-boundary hygiene: queries that persist intermediates
+        // (curate_report et al.) must not carry block-storage debt into the
+        // NEXT entry's timings — caches accumulated across 5 trials were
+        // evicting under pressure and surfaced as within-run drift on
+        // unrelated entries. Index memoization is file-level and unaffected.
+        spark.catalog.clearCache()
         name -> times
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, ts) =>
-      "\"" + k + "\":" + (if (ts.nonEmpty) fmt(ts.min) else "-1.0")
+      "\"" + k + "\":" + (if (ts.nonEmpty) fmt(ts.map(_.sec).min) else "-1.0")
     }.mkString("{", ",", "}")
     // per-trial times so the artifact shows spread: a real regression is
     // slow on EVERY trial; driver-host jitter is slow on some and not others
     val tj = results.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(t => fmt(t.sec)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val hb = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => fmt3(t.busy)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val hs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => fmt3(t.steal)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val gc = results.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => fmt3(t.gc)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // failed queries (-1 markers) stay visible per-query but don't skew the total
-    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.map(_.sec).min }.sum
     val bt = buildTimed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"trial_times":$tj,"build_timed":$bt,"slow_sec":$slowSec,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"trial_times":$tj,"trial_host_busy":$hb,"trial_host_steal":$hs,"trial_gc_sec":$gc,"build_timed":$bt,"slow_sec":$slowSec,"sf":"$sfDir"}"""
     println(json)
     // the driver's committed BENCH_r{N}.json keeps only a 2000-char stdout
     // tail, which truncates the per-trial map — persist the complete

@@ -744,7 +744,8 @@ object Ann {
     val shards = meta.shards.toArray
     def searchOne(sh: ShardMeta): Array[(Long, Float)] = {
       val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
-      val (labels, dists) = loaded.index.search(query, perShardK, searchComplexity)
+      val (labels, dists) =
+        loaded.index.searchSaturationChecked(query, perShardK, searchComplexity)
       labels.indices.iterator
         .map(i => (loaded.ids(labels(i)), dists(i)))
         .filterNot { case (id, _) => tomb.contains(id) }
@@ -815,7 +816,7 @@ object Ann {
     val sc = searchComplexity
     val rdd = spark.sparkContext.parallelize(shards, math.max(shards.size, 1)).flatMap { sh =>
       val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
-      val (labels, dists) = loaded.index.search(query, perShardK, sc)
+      val (labels, dists) = loaded.index.searchSaturationChecked(query, perShardK, sc)
       val t = tombB.value
       labels.indices.iterator
         .map(i => (loaded.ids(labels(i)), dists(i)))
@@ -989,6 +990,14 @@ object Ann {
    * Falls back to a distributed scan + collect transparently for indexes
    * too large for the local routes.
    */
+  /** (row_id, _distance) LocalRelation over already-collected hit rows —
+   *  consumption is job-free, so a scan whose result was materialized for
+   *  an under-fill check is never re-executed. */
+  private def localHitRows(spark: SparkSession, rows: Array[Row]): DataFrame =
+    spark.createDataFrame(rows.toSeq.asJava,
+      StructType(Seq(StructField("row_id", LongType, nullable = false),
+        StructField("_distance", FloatType, nullable = false))))
+
   def searchHits(spark: SparkSession, name: String, query: Array[Float],
       k: Int, searchComplexity: Int = 0, oversample: Int = 1): DataFrame = {
     val hits = collectHits(spark, name, query, k, searchComplexity, oversample)
@@ -1178,9 +1187,14 @@ object Ann {
         scored.select(col("row_id"), col("_distance"))
       }
       val probed = topK(0)
-      if (meta.engine == "ivfpq" && meta.nprobe < meta.nlist &&
-          probed.count() < k) topK(meta.nlist)
-      else probed
+      if (meta.engine == "ivfpq" && meta.nprobe < meta.nlist) {
+        // under-fill check: collect the ≤ k probed rows ONCE and decide
+        // escalation from the local length — a count()-then-return would
+        // re-execute the probed scan when the caller consumes the result,
+        // doubling serving latency on the common non-escalating path
+        val rows = probed.collect()
+        if (rows.length < k) topK(meta.nlist) else localHitRows(spark, rows)
+      } else probed
     } else if (!isGraphEngine(meta.engine)) {
       val query = prepQuery(meta, query0)
       val distCol = metricDistanceCol(meta.metricObj, col("vec"), query)
@@ -1196,10 +1210,14 @@ object Ann {
       val probed = topK(0)
       // ivfflat nprobe saturation: a selective filter whose survivors live
       // in unprobed clusters would silently under-fill — escalate to a full
-      // scan when the probed answer is short (one cheap count on ≤ k rows)
-      if (meta.engine == "ivfflat" && meta.nprobe < meta.nlist &&
-          probed.count() < k) topK(meta.nlist)
-      else probed
+      // scan when the probed answer is short. The check collects the ≤ k
+      // probed rows once; non-escalating queries return them as a
+      // LocalRelation so the scan job runs exactly once per query
+      // (FilteredJobCountSpec pins this).
+      if (meta.engine == "ivfflat" && meta.nprobe < meta.nlist) {
+        val rows = probed.collect()
+        if (rows.length < k) topK(meta.nlist) else localHitRows(spark, rows)
+      } else probed
     } else {
       import spark.implicits._
       val query = prepQuery(meta, query0)
@@ -1218,7 +1236,7 @@ object Ann {
           var out: Seq[(Long, Float)] = Seq.empty
           var done = n == 0
           while (!done) {
-            val (labels, dists) = loaded.index.search(query, fetch,
+            val (labels, dists) = loaded.index.searchSaturationChecked(query, fetch,
               math.max(sc0, fetch))
             // labels arrive distance-ordered; the first k allowed are the
             // shard's filtered top-k at this beam width
@@ -1437,7 +1455,8 @@ object Ann {
             // block (BeamSearcher.searchBatch) — bit-identical to per-query
             // search, so the oracle contract is unchanged
             val qis = qB.value.indices.filter(_ % nBlocks == b).toArray
-            val results = loaded.index.searchBatch(qis.map(qB.value(_)), perShardK, sc)
+            val results =
+              loaded.index.searchBatchSaturationChecked(qis.map(qB.value(_)), perShardK, sc)
             qis.iterator.zip(results.iterator).flatMap { case (qi, (labels, dists)) =>
               labels.indices.iterator
                 .map(i => (qi, loaded.ids(labels(i)), dists(i)))
@@ -1568,7 +1587,7 @@ object Ann {
         }
         // the block advances through this shard in lock-step (one SIMD
         // block per hop) — bit-identical to per-query search
-        val results = loaded.index.searchBatch(qs, perShardK, sc)
+        val results = loaded.index.searchBatchSaturationChecked(qs, perShardK, sc)
         valid.iterator.zip(results.iterator).flatMap { case ((qid, row), (labels, dists)) =>
           labels.indices.iterator
             .map(i => (loaded.ids(labels(i)), dists(i)))

@@ -174,4 +174,40 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(!after.contains(before.head))
     assert(after == bruteFilteredTop(6, q0, filt.fn).filterNot(_ == before.head).take(5))
   }
+
+  test("churn-orphaned node: saturated filtered search is still exact") {
+    import graft.core.DiskannFormat
+    // single shard so the orphan and the saturation are in the same file
+    Ann.buildIndex(emb, "embedding", "vec_id", "f_churn",
+      Ann.BuildParams(engine = "diskann", numShards = 1))
+    val meta = IndexCatalog.load(Ann.root(spark), "f_churn")
+    val sh = meta.shards.head
+    val ids = IndexCatalog.readIds(sh.idsFile)
+    val orphanLabel = 5
+    val orphanId = ids(orphanLabel)
+    // simulate delete/append churn that re-pruned away every in-edge of one
+    // node: rewrite the shard with the label cut from ALL adjacency lists
+    val ix = DiskannFormat.readFile(sh.file)
+    val n = ix.size
+    val adjacency = Array.tabulate(n)(i => ix.neighbors(i).filterNot(_ == orphanLabel))
+    val cut = new graft.core.VamanaIndex(ix.dim, ix.metric,
+      maxDegree = meta.maxDegree, buildComplexity = meta.buildComplexity)
+    loadInto(cut, n, ix, adjacency)
+    DiskannFormat.writeFile(cut, sh.file)
+    ShardCache.invalidate()
+    // a filter matching ONLY the orphan: the beam escalates to saturation
+    // (no allowed hit anywhere reachable) — without the enforced check the
+    // answer would be silently empty
+    val got = Ann.searchFiltered(spark, "f_churn", q0, 1,
+      Ann.IdFilter.inSet(Set(orphanId))).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(orphanId),
+      s"saturated filtered search lost the churn-orphaned node: $got")
+  }
+
+  /** VamanaIndex.load is private[core]; replay it via the public surface. */
+  private def loadInto(cut: graft.core.VamanaIndex, n: Int,
+      src: graft.core.VamanaIndex, adjacency: Array[Array[Int]]): Unit = {
+    graft.core.GraphTestAccess.load(cut, n, src.rawVectors, adjacency,
+      src.entryPointIds.filterNot(_ == 5))
+  }
 }
