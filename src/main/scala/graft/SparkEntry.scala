@@ -309,6 +309,31 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // LSH engine (FAISS IndexLSH analog) through the factory surface
+    // ('LSH16'): seeded hyperplanes = the 16 lowest-id embeddings verbatim,
+    // so the sign codes — and with them the ENTIRE Hamming ranking — replay
+    // in SQL. Hamming distances are integral, so this entry hash-checks
+    // values, not just ranks; both sides accumulate the projections in
+    // double, so the sign decision cannot desync at the dot==0 boundary.
+    "ann_lsh_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_lsh_ex", "LSH16",
+        Ann.BuildParams(seedK = 16))
+      Ann.search(emb, "vec_id", "v_lsh_ex", q64Arr, 10)
+        .select(col("vec_id"), col("_distance").cast("long").as("hamming"))
+        .orderBy("hamming", "vec_id")
+    }),
+
+    // realistic-parameter twin: 64-bit codes from fixed-seed Gaussian
+    // hyperplanes (factory 'LSH' defaults nbits to min(dim, 64)) — the
+    // hyperplanes are not SQL-replayable, so rows-only, same code path
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_lsh", "LSH")
+      Ann.search(emb, "vec_id", "v_lsh", q64Arr, 10)
+        .select("vec_id", "_distance")
+    }),
+
     "ann_batch" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_batch",
@@ -1240,6 +1265,15 @@ object SparkEntry {
     // clique pairing would emit — the no-silent-truncation companion to the
     // bucketCliqueCap (same treatment ngram_cap_audit gives the df cap).
     "lsh_cap_audit" -> ((s, dir) => {
+      // the oracle's closed-form CASE is generated from capDefaults; a
+      // session running non-default spark.graft.neardup.* knobs would
+      // hash-mismatch it SILENTLY (the counters are all that differs), so
+      // fail loudly here instead
+      val knobs = TextOps.capKnobs(s)
+      require(knobs == TextOps.capDefaults,
+        s"lsh_cap_audit oracle is generated from default neardup knobs " +
+          s"${TextOps.capDefaults} but session has $knobs — reset " +
+          "spark.graft.neardup.* or regenerate the oracle")
       TextOps.lshBucketStats(t(s, dir, "documents"), "text", "doc_id")
     }),
 
@@ -1494,6 +1528,31 @@ object SparkEntry {
          |  SELECT vec_id, row_number() OVER (ORDER BY dd, vec_id) AS rank
          |  FROM dist)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // LSH replay with the seeded hyperplanes: hyperplane b is
+    // embeddings[vec_id=b] (b < 16); bit = (dot(v, h_b) >= 0) in double;
+    // hamming = #bits differing from the query's code; top-10 by
+    // (hamming, vec_id). Values are integral, so the hash check covers the
+    // distances themselves, not just ranks.
+    "ann_lsh_exact" ->
+      s"""WITH hyps AS (
+         |  SELECT CAST(vec_id AS INT) AS b, CAST(embedding AS DOUBLE[]) AS h
+         |  FROM embeddings WHERE vec_id < 16),
+         |bits AS (
+         |  SELECT e.vec_id, hy.b,
+         |    CASE WHEN list_sum(list_transform(range(1, 65), i ->
+         |      CAST(e.embedding AS DOUBLE[])[i] * hy.h[i])) >= 0
+         |    THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN hyps hy),
+         |qbits AS (
+         |  SELECT b, CASE WHEN list_sum(list_transform(range(1, 65), i ->
+         |      ($q64Sql)[i] * h[i])) >= 0 THEN 1 ELSE 0 END AS qbit
+         |  FROM hyps),
+         |ham AS (
+         |  SELECT t.vec_id,
+         |    sum(CASE WHEN t.bit <> q.qbit THEN 1 ELSE 0 END)::BIGINT AS hamming
+         |  FROM bits t JOIN qbits q ON q.b = t.b GROUP BY t.vec_id)
+         |SELECT vec_id, hamming FROM ham
+         |ORDER BY hamming, vec_id LIMIT 10""".stripMargin,
     // ADC replay with the seeded codebook: centroid c of subspace s is
     // embeddings[vec_id=c][s·8+1 .. s·8+8]; encode = argmin sq-L2 per
     // (doc, subspace) with ties to the lowest centroid id; ADC distance =
@@ -2101,11 +2160,11 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM __jac WHERE jaccard >= 0.6)
          |ORDER BY doc_id""".stripMargin,
     // Emitted-pair replay: below the cap each member pairs with all r−1
-    // predecessors (Σ = n·(n−1)/2); above it with its last P=8 id-order
-    // predecessors ∪ the A=8 smallest bucket ids strictly below — which for
-    // rank r ≤ 16 covers all r−1 smaller ids and for r ≥ 17 is exactly 16,
-    // so emitted(n>cap) = 120 + 16·(n−16) (closed form of the default
-    // P=A=8 knobs; the Spark side sums the REAL partner arrays).
+    // predecessors (Σ = n·(n−1)/2); above it with its last P id-order
+    // predecessors ∪ the A smallest bucket ids strictly below. The CASE is
+    // GENERATED from TextOps.capDefaults (the same values capKnobs falls
+    // back to) and the query entry asserts the session runs those defaults,
+    // so operator and oracle cannot silently desync on a knob change.
     "lsh_cap_audit" ->
       s"""WITH ${TextSql.signaturesCte()},
          |__buckets AS (
@@ -2113,13 +2172,13 @@ object SparkEntry {
          |  FROM __bt GROUP BY 1, 2),
          |__em AS (
          |  SELECT n,
-         |    CASE WHEN n <= 64 THEN n * (n - 1) // 2
-         |         ELSE 120 + 16 * (n - 16) END::BIGINT AS em
+         |    (${TextOps.capEmittedCaseSql(TextOps.capDefaults._1,
+              TextOps.capDefaults._2, TextOps.capDefaults._3)})::BIGINT AS em
          |  FROM __buckets)
          |SELECT count(*)::BIGINT AS buckets_total,
          |  coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0)::BIGINT
          |    AS buckets_pairful,
-         |  coalesce(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END), 0)::BIGINT
+         |  coalesce(sum(CASE WHEN n > ${TextOps.capDefaults._1} THEN 1 ELSE 0 END), 0)::BIGINT
          |    AS buckets_over_cap,
          |  coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS clique_pairs,
          |  coalesce(sum(em), 0)::BIGINT AS emitted_pairs,

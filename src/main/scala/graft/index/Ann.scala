@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.core.{Metric, GraphIndex, VamanaIndex, HnswIndex, VectorOps,
-  DiskannFormat, HnswFormat}
+  DiskannFormat, HnswFormat, LshCodec}
 import graft.functions.{toFloatVec, array_distance_sq, array_negative_inner_product,
   array_cosine_similarity}
 
@@ -61,6 +61,12 @@ object Ann {
       // 0 = train (default). ivfpq seed mode uses the nlist lowest ids as
       // coarse centroids and the seedK lowest ids' residuals as PQ seeds.
       seedK: Int = 0,
+      // lsh: code width in bits (FAISS `LSH<nbits>`); 0 = min(dim, 64).
+      // Capped at LshCodec.MaxBits (64) so a code is one BIGINT column.
+      // seedK > 0 seeds hyperplanes verbatim from the nbits lowest-id
+      // vectors (SQL-replayable, like the PQ seeded codebook); otherwise
+      // deterministic fixed-seed Gaussian hyperplanes.
+      lshNbits: Int = 0,
       // graph build threads per shard task (VamanaIndex.addAllParallel);
       // >1 on a cluster requires spark.task.cpus to match. 1 = serial,
       // deterministic build.
@@ -95,6 +101,7 @@ object Ann {
     val Diskann = "(?i)DISKANN(\\d*)".r
     val Pq = "(?i)PQ(\\d+)".r
     val Opq = "(?i)OPQ(\\d+)".r
+    val Lsh = "(?i)LSH(\\d*)".r
     val p = core.toList match {
       case Opq(m1) :: Pq(m2) :: Nil =>
         // FAISS `OPQ<m>,PQ<m>` analog (beyond the reference's grammar):
@@ -118,12 +125,18 @@ object Ann {
           maxDegree = if (deg.isEmpty) VamanaIndex.DefaultMaxDegree else deg.toInt)
       case Pq(m) :: Nil =>
         base.copy(engine = "pq", pqM = m.toInt)
+      case Lsh(nb) :: Nil =>
+        // FAISS `LSH` / `LSH<nbits>` (binary sign codes, Hamming ranking);
+        // the r/rt/t rotation-and-threshold training suffixes are not
+        // implemented
+        base.copy(engine = "lsh", lshNbits = if (nb.isEmpty) 0 else nb.toInt)
       case other => throw new IllegalArgumentException(
         s"unsupported index factory description: '$desc' — supported: " +
         "Flat | HNSW[m] | IVF<nlist>[,Flat] | IVF<nlist>,PQ<m> | PQ<m> | " +
-        "OPQ<m>,PQ<m> | DiskANN[degree], optionally suffixed ',SQ8' " +
-        "(diskann only) or ',RFlat' (PQ engines); SQ4/SQ6/LSH/IMI and " +
-        "multi-stage transform chains are not implemented")
+        "OPQ<m>,PQ<m> | LSH[nbits] | DiskANN[degree], optionally suffixed " +
+        "',SQ8' (diskann only) or ',RFlat' (PQ engines); SQ4/SQ6/IMI, " +
+        "LSH rotation suffixes (LSHr/LSHrt/LSHt), and multi-stage " +
+        "transform chains are not implemented")
     }
     val p2 = if (refine) {
       require(p.engine == "pq" || p.engine == "ivfpq",
@@ -189,6 +202,7 @@ object Ann {
       case "ivfflat" => buildIvf(data, name, dir, metric, params)
       case "pq"      => buildPq(data, name, dir, metric, params)
       case "ivfpq"   => buildIvfPq(data, name, dir, metric, params)
+      case "lsh"     => buildLsh(data, name, dir, metric, params)
       case e => throw new IllegalArgumentException(s"unknown engine: $e")
     }
     // record the user-facing binding (original column names + source files)
@@ -601,6 +615,50 @@ object Ann {
     meta
   }
 
+  /**
+   * LSH build (FAISS `IndexLSH`, factory `LSH[nbits]`): encode every vector
+   * to an nbits-bit sign code against a fixed hyperplane set and land
+   * (id, code BIGINT) in parquet — 8 bytes/row at any dim, so the 100 TB
+   * scan reads codes only and the Hamming ranking is a single codegen'd
+   * `bit_count(code XOR qcode)` over the pruned two-column projection.
+   * `seedK > 0` seeds hyperplanes verbatim from the nbits lowest-id vectors
+   * (deterministic and SQL-replayable — the `ann_lsh_exact` oracle);
+   * otherwise fixed-seed Gaussian hyperplanes ([[LshCodec.randomHyperplanes]]).
+   * Like FAISS, encoding ignores the metric (signs are scale/normalization
+   * invariant).
+   */
+  private def buildLsh(data: DataFrame, name: String, dir: String,
+      metric: Metric, params: BuildParams): IndexMeta = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val dim = inferDim(data)
+    val nbits =
+      if (params.lshNbits > 0) params.lshNbits else math.min(dim, LshCodec.MaxBits)
+    require(nbits <= LshCodec.MaxBits,
+      s"lsh supports at most ${LshCodec.MaxBits} bits per code (got $nbits)")
+    val hyps: Array[Array[Float]] =
+      if (params.seedK > 0)
+        data.orderBy("id").limit(nbits).select("vec").as[Array[Float]].collect()
+      else LshCodec.randomHyperplanes(nbits, dim)
+    require(hyps.length == nbits,
+      s"lsh seed mode needs >= $nbits rows (got ${hyps.length})")
+    IndexCatalog.writeCentroids(s"$dir/hyperplanes.bin", hyps, dim)
+    val hypsB = spark.sparkContext.broadcast(hyps)
+    val encodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v))
+    val out = s"$dir/data"
+    data.select(col("id"), encodeUdf(col("vec")).as("code"))
+      .write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).count()
+    // nlist carries nbits (the hnsw precedent: IndexMeta reuses maxDegree
+    // for m); quantized marks the code-only storage
+    val meta = IndexMeta(name, "lsh", "vec", "id", dim, metric.name,
+      maxDegree = 0, buildComplexity = 0, alpha = 0f, quantized = true,
+      numVectors = n, numDeleted = 0L, shards = Nil, sourcePath = out,
+      nlist = nbits)
+    IndexCatalog.save(root(spark), meta)
+    meta
+  }
+
   // ----------------------------------------------------------------- search
 
   /** Low-level index scan → DataFrame(row_id LONG, _distance FLOAT), sorted,
@@ -616,7 +674,28 @@ object Ann {
       case "flat" | "ivfflat" => exactScanIds(spark, meta, query, fetchK, tomb)
       case "pq" => pqScanIds(spark, meta, query, fetchK, tomb)
       case "ivfpq" => ivfPqScanIds(spark, meta, query, fetchK, tomb)
+      case "lsh" => lshScanIds(spark, meta, query, fetchK, tomb)
     }
+  }
+
+  /** Hamming top-k over the binary code table: encode the query against the
+   *  frozen hyperplanes, then rank by codegen'd `bit_count(code XOR qcode)` —
+   *  no UDF, no vector column read; ties break on row_id. `_distance` is the
+   *  Hamming distance (integral, surfaced as FLOAT like every engine). */
+  private def lshScanIds(spark: SparkSession, meta: IndexMeta, query0: Array[Float],
+      fetchK: Int, tomb: Set[Long], extraFilter: Option[Column] = None): DataFrame = {
+    val query = prepQuery(meta, query0)
+    val hyps = IndexCatalog.readCentroids(
+      s"${IndexCatalog.indexDir(root(spark), meta.name)}/hyperplanes.bin")
+    val qcode = LshCodec.encode(hyps, query)
+    val scan0 = spark.read.parquet(meta.sourcePath)
+    val base = extraFilter.fold(scan0)(scan0.where)
+      .select(col("id").as("row_id"),
+        bit_count(col("code").bitwiseXOR(lit(qcode))).as("__dd"))
+    val filtered = if (tomb.isEmpty) base
+      else base.where(notTombstoned(col("row_id"), tomb))
+    filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
+      .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
   }
 
   /** nprobe-pruned ADC scan over residual codes: per probed cluster the
@@ -1157,12 +1236,16 @@ object Ann {
    *    point every node REACHABLE from the entry points has been visited
    *    and the shard's answer is exact for any selectivity
    *    (FilteredSearchSpec pins this saturation contract against the flat
-   *    route). Precondition: saturation-exactness extends only to reachable
-   *    nodes — a live node disconnected by heavy delete/append churn before
-   *    a vacuum is invisible to ANY beam search; rebuild or vacuum restores
-   *    full coverage (fresh builds are connected by construction).
-   *    Escalation is per-shard and independent, so a selective filter costs
-   *    extra hops only on shards that actually lack allowed neighbors.
+   *    route). Reachability is ENFORCED, not assumed: the saturating step
+   *    runs through `GraphIndex.searchSaturationChecked`, which detects a
+   *    beam that visited fewer labels than the shard holds (nodes orphaned
+   *    by delete/append churn before a vacuum) and linear-scans the missing
+   *    labels, merging by (distance, label) — so even a disconnected live
+   *    node is found (SaturationReachabilitySpec; the reference's
+   *    over-request has the same blind spot unpatched,
+   *    src/diskann_index.cpp:558-561). Escalation is per-shard and
+   *    independent, so a selective filter costs extra hops only on shards
+   *    that actually lack allowed neighbors.
    *
    * Returns `(row_id, _distance)` ordered, ≤ k rows.
    */
@@ -1170,17 +1253,19 @@ object Ann {
       k: Int, filter: IdFilter, searchComplexity: Int = 0): DataFrame = {
     val meta = IndexCatalog.load(root(spark), name)
     val tomb = IndexCatalog.readTombstones(root(spark), name)
-    if (meta.engine == "pq" || meta.engine == "ivfpq") {
-      // quantized engines: the id predicate splices into the ADC scan so the
-      // 13–21× code compression survives (a raw-vector fallback would read
-      // the flat copy at 100 TB). The answer is the ADC top-k of the allowed
-      // subset — approximate exactly like unfiltered PQ search, recall-gated
-      // by ann_filtered_ivfpq. IVFPQ under-fill escalates nprobe to nlist
-      // (FAISS IVF + IDSelector: selectivity does not widen the probe; the
-      // escalation is this library's saturation treatment).
+    if (meta.engine == "pq" || meta.engine == "ivfpq" || meta.engine == "lsh") {
+      // quantized engines: the id predicate splices into the ADC/Hamming
+      // scan so the code compression survives (a raw-vector fallback would
+      // read the flat copy at 100 TB). The answer is the code-space top-k of
+      // the allowed subset — approximate exactly like unfiltered search,
+      // recall-gated by ann_filtered_ivfpq. IVFPQ under-fill escalates
+      // nprobe to nlist (FAISS IVF + IDSelector: selectivity does not widen
+      // the probe; the escalation is this library's saturation treatment);
+      // pq/lsh scan the full code table, so no escalation exists.
       def topK(np: Int): DataFrame = {
         val scored = meta.engine match {
           case "pq" => pqScanIds(spark, meta, query0, k, tomb, Some(filter.column))
+          case "lsh" => lshScanIds(spark, meta, query0, k, tomb, Some(filter.column))
           case _ => ivfPqScanIds(spark, meta, query0, k, tomb,
             Some(filter.column), np)
         }
@@ -1818,6 +1903,17 @@ object Ann {
           base.repartition(spark.sessionState.conf.numShufflePartitions) else base
         (stream.join(broadcast(probed), stream("cluster") === probed("__probe")),
           distTo(stream("vec"), col("__q")), probed, None)
+      case "lsh" =>
+        // batch Hamming: queries encode ONCE on the broadcast side; the
+        // joined row carries only (id, code, __qcode), and the score is the
+        // same codegen'd bit_count(XOR) the single-query scan ranks by
+        val hyps = IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin")
+        val hypsB = spark.sparkContext.broadcast(hyps)
+        val qcodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v))
+        val withCode = prepped.withColumn("__qcode", qcodeUdf(col("__q")))
+        (base.crossJoin(broadcast(withCode)),
+          bit_count(base("code").bitwiseXOR(col("__qcode"))).cast(DoubleType),
+          withCode, None)
       case _ =>
         (base.crossJoin(broadcast(prepped)), distTo(base("vec"), col("__q")),
           prepped, None)
@@ -2234,6 +2330,14 @@ object Ann {
         data.withColumn("cluster", assignUdf(col("vec")))
           .select(ipqCols: _*)
           .write.mode("append").partitionBy("cluster").parquet(meta.sourcePath)
+      case "lsh" =>
+        // frozen-hyperplane append (FAISS add()): new rows encode against
+        // the build's hyperplanes, exactly like the PQ frozen codebook
+        val hyps = IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin")
+        val hypsB = spark.sparkContext.broadcast(hyps)
+        val encodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v))
+        data.select(col("id"), encodeUdf(col("vec")).as("code"))
+          .write.mode("append").parquet(meta.sourcePath)
       case e => throw new IllegalArgumentException(s"append: unknown engine $e")
     }
     val updated = meta.copy(numVectors = meta.numVectors + n)

@@ -110,6 +110,17 @@ object Curate {
       .drop("__gate_reason", "__nd", "__ct")
   }
 
+  /** Stage 1–3 (gate) survivors — the exact frame the near-dup stage band-
+   *  buckets. Exposed so scale audits can attach [[TextOps.lshBucketStats]]
+   *  counters computed over THIS stage input, attributing `curate_report`
+   *  octave growth to its own emitted/capped pair mass rather than by
+   *  analogy to the standalone dedup entry's audit. */
+  def gateSurvivors(df: DataFrame, textCol: String, idCol: String,
+      cfg: Config): DataFrame =
+    df.where(TextOps.gateReason(col(textCol), cfg.langs, cfg.minQuality,
+        cfg.maxDupBigramFrac).isNull)
+      .select(col(idCol), col(textCol))
+
   /** The curated corpus from an already-[[tagged]] frame — when a run needs
    *  BOTH the corpus and the report, call `tagged` once (persist it) and
    *  derive both views, rather than paying the full pipeline twice. */

@@ -169,6 +169,13 @@ object SemDedup {
       val ids = sorted.map(_._1)
       val vecs = sorted.map(_._2)
       val twoLevel = nprobe > 0 || (nprobe == 0 && vecs.length > TwoLevelGate)
+      // the auto gate used to engage SILENTLY — a reader of an artifact
+      // could not tell whether assignment scanned all k or probed √k cells;
+      // announce the engaged route once, at build time, on the driver
+      if (nprobe == 0 && twoLevel)
+        System.err.println(s"[semdedup] two-level assignment ENGAGED: " +
+          s"k=${vecs.length} > gate=$TwoLevelGate " +
+          s"(route=${assignRouteInfo(vecs.length, nprobe)})")
       if (!twoLevel) Assigner(ids, vecs, null, null, 0)
       else {
         val normed = vecs.map(v => graft.core.VectorOps.normalize(v.clone()))
@@ -187,6 +194,23 @@ object SemDedup {
           else math.max(4, coarse.length / 8) // ~√k/8 cells ⇒ recall >> IVF default
         Assigner(ids, vecs, coarse, members.map(_.toArray), np)
       }
+    }
+  }
+
+  /** The assignment route the gate picks for `nCentroids` centroids at a
+   *  given `nprobe` knob — ("linear", 0, 0) or ("two-level", kCoarse,
+   *  nprobe) — from the SAME decision logic [[Assigner.build]] runs, so
+   *  audits (ScaleSmoke's semdedup counters, logs, specs) can report which
+   *  route engaged instead of inferring it. kCoarse/nprobe here are the
+   *  requested values; build's actuals can only be ≤ (KMeansLite may
+   *  return fewer cells than asked on degenerate data). */
+  def assignRouteInfo(nCentroids: Int, nprobe: Int = 0): (String, Int, Int) = {
+    val twoLevel = nprobe > 0 || (nprobe == 0 && nCentroids > Assigner.TwoLevelGate)
+    if (!twoLevel) ("linear", 0, 0)
+    else {
+      val kCoarse = math.max(1, math.ceil(math.sqrt(nCentroids.toDouble)).toInt)
+      val np = if (nprobe > 0) nprobe else math.max(4, kCoarse / 8)
+      ("two-level", kCoarse, np)
     }
   }
 

@@ -576,14 +576,35 @@ object TextOps {
       .select(explode(col("__partners")).as("id_a"), col("id").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_bands"))
 
-  /** The (cap, chain-predecessor, anchor) knobs candidatePairs reads. */
-  private def capKnobs(spark: org.apache.spark.sql.SparkSession): (Int, Int, Int) = (
+  /** Default (cap, chain-predecessor, anchor) knob values — the single
+   *  source for both [[capKnobs]] fallbacks and the `lsh_cap_audit` oracle's
+   *  closed-form CASE (SparkEntry generates the SQL from these so a changed
+   *  default can never silently desync operator from oracle). */
+  val capDefaults: (Int, Int, Int) = (64, 8, 8)
+
+  /** The (cap, chain-predecessor, anchor) knobs candidatePairs reads.
+   *  Public so the `lsh_cap_audit` query can assert its oracle (generated
+   *  from [[capDefaults]]) matches the session's effective knobs. */
+  def capKnobs(spark: org.apache.spark.sql.SparkSession): (Int, Int, Int) = (
     spark.conf.getOption("spark.graft.neardup.bucketCliqueCap")
-      .map(_.toInt).getOrElse(64),
+      .map(_.toInt).getOrElse(capDefaults._1),
     spark.conf.getOption("spark.graft.neardup.bucketChainPredecessors")
-      .map(_.toInt).getOrElse(8),
+      .map(_.toInt).getOrElse(capDefaults._2),
     spark.conf.getOption("spark.graft.neardup.bucketChainAnchors")
-      .map(_.toInt).getOrElse(8))
+      .map(_.toInt).getOrElse(capDefaults._3))
+
+  /** DuckDB SQL expression for the pre-dedup pair count a bucket of `n`
+   *  members emits under knobs (cap, p, a): full clique n·(n−1)/2 at or
+   *  below the cap; above it, rank r ≤ p+a keeps all r−1 smaller ids
+   *  (chain+anchor frames are contiguous there) and every later rank emits
+   *  exactly p+a partners — Σ = C(p+a,2) + (p+a)·(n−(p+a)). Requires
+   *  cap ≥ p+a so the closed form's two regimes meet below the cap. */
+  def capEmittedCaseSql(cap: Int, p: Int, a: Int): String = {
+    val m = p + a
+    require(cap >= m, s"closed form needs cap >= p+a ($cap < $m)")
+    s"CASE WHEN n <= $cap THEN n * (n - 1) // 2 " +
+      s"ELSE ${m * (m - 1) / 2} + $m * (n - $m) END"
+  }
 
   /** Per band-bucket member: bucket size `__n` and the exact partner-id
    *  array the pairing emits (clique below the cap, chain+anchor above) —

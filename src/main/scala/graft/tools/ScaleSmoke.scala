@@ -237,9 +237,14 @@ object ScaleSmoke {
       // hold mean ~500 and a max within a small factor of it)
       val sizes = out.groupBy("cluster").agg(count(lit(1)).as("n"))
         .agg(max("n").as("mx"), avg("n").as("mean")).collect()(0)
+      // assignment-route audit: which side of the two-level gate this run
+      // took (the gate used to engage silently — r14 advisory)
+      val (route, kCoarse, np) = graft.text.SemDedup.assignRouteInfo(cents.length)
       annotate("semdedup", "k" -> k,
         "max_cluster" -> sizes.getLong(0),
-        "mean_cluster" -> f"${sizes.getDouble(1)}%.1f".toDouble)
+        "mean_cluster" -> f"${sizes.getDouble(1)}%.1f".toDouble,
+        "assign_route" -> route, "assign_k_coarse" -> kCoarse,
+        "assign_nprobe" -> np)
       out.unpersist(blocking = false)
       System.err.println(s"[scale]   semdedup k=$k max_cluster=${sizes.getLong(0)} " +
         f"mean=${sizes.getDouble(1)}%.1f dropped=$dropped")
@@ -251,13 +256,34 @@ object ScaleSmoke {
     run("pack_sequences") {
       TextOps.packSequences(docs10, "text", "doc_id", "lang", 256L).count()
     }
+    val curateCfg = graft.text.Curate.Config(langs = Set("en", "de"),
+      minQuality = 0.3, maxDupBigramFrac = 0.5, minJaccard = 0.6,
+      evalPred = id => id % 5 === 0,
+      samplePermille = org.apache.spark.sql.functions.lit(700))
     run("curate_report") {
-      import graft.text.Curate
-      Curate.report(docs10, "text", "doc_id",
-        Curate.Config(langs = Set("en", "de"), minQuality = 0.3,
-          maxDupBigramFrac = 0.5, minJaccard = 0.6,
-          evalPred = id => id % 5 === 0,
-          samplePermille = org.apache.spark.sql.functions.lit(700))).count()
+      graft.text.Curate.report(docs10, "text", "doc_id", curateCfg).count()
+    }
+    // cap audit for curate_report's OWN near-dup stage: lshBucketStats over
+    // the gate-survivor frame that stage actually buckets, so top-octave
+    // curate growth is attributed by its own emitted/capped pair mass, not
+    // by analogy to dedup_minhash_keep's audit on the full corpus
+    run("curate_cap_audit") {
+      val surv = graft.text.Curate.gateSurvivors(docs10, "text", "doc_id",
+        curateCfg)
+      val r = TextOps.lshBucketStats(surv, "text", "doc_id").collect()(0)
+      val g = (c: String) => r.getLong(r.fieldIndex(c))
+      annotate("curate_report",
+        "nd_buckets_pairful" -> g("buckets_pairful"),
+        "nd_buckets_over_cap" -> g("buckets_over_cap"),
+        "nd_clique_pairs" -> g("clique_pairs"),
+        "nd_emitted_pairs" -> g("emitted_pairs"),
+        "nd_capped_away_pairs" -> g("capped_away_pairs"),
+        "nd_max_bucket" -> g("max_bucket"))
+      System.err.println(s"[scale]   curate nd buckets: pairful=${g("buckets_pairful")} " +
+        s"over_cap=${g("buckets_over_cap")} clique_pairs=${g("clique_pairs")} " +
+        s"emitted=${g("emitted_pairs")} capped_away=${g("capped_away_pairs")} " +
+        s"max=${g("max_bucket")}")
+      g("emitted_pairs")
     }
 
     val total = ops.values.map(_("sec").asInstanceOf[Double]).sum

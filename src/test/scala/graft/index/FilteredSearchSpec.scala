@@ -192,7 +192,7 @@ class FilteredSearchSpec extends AnyFunSuite {
     val adjacency = Array.tabulate(n)(i => ix.neighbors(i).filterNot(_ == orphanLabel))
     val cut = new graft.core.VamanaIndex(ix.dim, ix.metric,
       maxDegree = meta.maxDegree, buildComplexity = meta.buildComplexity)
-    loadInto(cut, n, ix, adjacency)
+    loadInto(cut, n, ix, adjacency, orphanLabel)
     DiskannFormat.writeFile(cut, sh.file)
     ShardCache.invalidate()
     // a filter matching ONLY the orphan: the beam escalates to saturation
@@ -204,10 +204,13 @@ class FilteredSearchSpec extends AnyFunSuite {
       s"saturated filtered search lost the churn-orphaned node: $got")
   }
 
-  /** VamanaIndex.load is private[core]; replay it via the public surface. */
+  /** VamanaIndex.load is private[core]; replay it via the public surface.
+   *  `orphan` must match the label severed from `adjacency`, so the entry
+   *  points exclude it too and the fixture truly disconnects the node. */
   private def loadInto(cut: graft.core.VamanaIndex, n: Int,
-      src: graft.core.VamanaIndex, adjacency: Array[Array[Int]]): Unit = {
+      src: graft.core.VamanaIndex, adjacency: Array[Array[Int]],
+      orphan: Int): Unit = {
     graft.core.GraphTestAccess.load(cut, n, src.rawVectors, adjacency,
-      src.entryPointIds.filterNot(_ == 5))
+      src.entryPointIds.filterNot(_ == orphan))
   }
 }
