@@ -334,6 +334,18 @@ object SparkEntry {
         .select("vec_id", "_distance")
     }),
 
+    // 'LSH16,RFlat' (FAISS IndexRefineFlat around IndexLSH): the seeded
+    // Hamming top-40 candidates re-ranked by EXACT double L2 — binary
+    // prefilter + exact re-rank, value-oracled end to end like
+    // ann_pq_refine_exact
+    "ann_lsh_refine_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_lshr_ex",
+        "LSH16,RFlat", Ann.BuildParams(seedK = 16, refineK = 4))
+      Ann.search(emb, "vec_id", "v_lshr_ex", q64Arr, 10)
+        .select("vec_id", "_distance")
+    }),
+
     "ann_batch" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_batch",
@@ -1553,6 +1565,34 @@ object SparkEntry {
          |  FROM bits t JOIN qbits q ON q.b = t.b GROUP BY t.vec_id)
          |SELECT vec_id, hamming FROM ham
          |ORDER BY hamming, vec_id LIMIT 10""".stripMargin,
+    // RFlat around LSH: the seeded Hamming top-40 candidates re-ranked by
+    // EXACT double L2 — the refine output value-oracles, not just the rank.
+    "ann_lsh_refine_exact" ->
+      s"""WITH hyps AS (
+         |  SELECT CAST(vec_id AS INT) AS b, CAST(embedding AS DOUBLE[]) AS h
+         |  FROM embeddings WHERE vec_id < 16),
+         |bits AS (
+         |  SELECT e.vec_id, hy.b,
+         |    CASE WHEN list_sum(list_transform(range(1, 65), i ->
+         |      CAST(e.embedding AS DOUBLE[])[i] * hy.h[i])) >= 0
+         |    THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN hyps hy),
+         |qbits AS (
+         |  SELECT b, CASE WHEN list_sum(list_transform(range(1, 65), i ->
+         |      ($q64Sql)[i] * h[i])) >= 0 THEN 1 ELSE 0 END AS qbit
+         |  FROM hyps),
+         |ham AS (
+         |  SELECT t.vec_id,
+         |    sum(CASE WHEN t.bit <> q.qbit THEN 1 ELSE 0 END)::BIGINT AS hamming
+         |  FROM bits t JOIN qbits q ON q.b = t.b GROUP BY t.vec_id),
+         |cand AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY hamming, vec_id) AS rn
+         |    FROM ham)
+         |  WHERE rn <= 40)
+         |SELECT e.vec_id, CAST(${d2Sql("e.embedding", q64Sql)} AS FLOAT) AS _distance
+         |FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id
+         |ORDER BY ${d2Sql("e.embedding", q64Sql)}, e.vec_id LIMIT 10""".stripMargin,
     // ADC replay with the seeded codebook: centroid c of subspace s is
     // embeddings[vec_id=c][s·8+1 .. s·8+8]; encode = argmin sq-L2 per
     // (doc, subspace) with ties to the lowest centroid id; ADC distance =

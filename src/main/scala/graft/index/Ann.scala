@@ -139,8 +139,9 @@ object Ann {
         "transform chains are not implemented")
     }
     val p2 = if (refine) {
-      require(p.engine == "pq" || p.engine == "ivfpq",
-        "RFlat refine applies to PQ engines (e.g. 'PQ8,RFlat', 'IVF64,PQ8,RFlat')")
+      require(p.engine == "pq" || p.engine == "ivfpq" || p.engine == "lsh",
+        "RFlat refine applies to code engines (e.g. 'PQ8,RFlat', " +
+        "'IVF64,PQ8,RFlat', 'LSH32,RFlat')")
       p.copy(refine = true)
     } else p
     if (sq8) {
@@ -646,15 +647,21 @@ object Ann {
     val hypsB = spark.sparkContext.broadcast(hyps)
     val encodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v))
     val out = s"$dir/data"
-    data.select(col("id"), encodeUdf(col("vec")).as("code"))
-      .write.mode("overwrite").parquet(out)
+    // RFlat ('LSH<nbits>,RFlat'): the raw vectors ride along for the exact
+    // re-rank stage, same as refined PQ — candidates still come from the
+    // codes-only projection, so the Hamming scan never reads them
+    val cosine = metric eq Metric.Cosine
+    val dataP = if (cosine) data.withColumn("vec", normalizeVecUdf(col("vec"))) else data
+    val stored = Seq(col("id"), encodeUdf(col("vec")).as("code")) ++
+      (if (params.refine) Seq(col("vec")) else Nil)
+    dataP.select(stored: _*).write.mode("overwrite").parquet(out)
     val n = spark.read.parquet(out).count()
     // nlist carries nbits (the hnsw precedent: IndexMeta reuses maxDegree
     // for m); quantized marks the code-only storage
     val meta = IndexMeta(name, "lsh", "vec", "id", dim, metric.name,
       maxDegree = 0, buildComplexity = 0, alpha = 0f, quantized = true,
       numVectors = n, numDeleted = 0L, shards = Nil, sourcePath = out,
-      nlist = nbits)
+      nlist = nbits, refine = params.refine, refineK = params.refineK)
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -694,7 +701,12 @@ object Ann {
         bit_count(col("code").bitwiseXOR(lit(qcode))).as("__dd"))
     val filtered = if (tomb.isEmpty) base
       else base.where(notTombstoned(col("row_id"), tomb))
-    filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
+    // RFlat: Hamming picks fetchK·refineFactor candidate IDS from the
+    // codes-only projection; only those rows' vectors are fetched back and
+    // re-ranked by the exact metric distance (same two-phase contract as
+    // refined PQ — refineStage scaladoc)
+    if (meta.refine) refineStage(spark, meta, filtered, query, fetchK)
+    else filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
       .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
   }
 
@@ -1961,9 +1973,28 @@ object Ann {
       case None =>
         val unfiltered = live0.withColumn("__dd", rawScore)
         val w = Window.partitionBy("__qid").orderBy(col("__dd"), base("id"))
-        unfiltered.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
-          .select(inSchema.fieldNames.map(f => qSide(f)).toSeq :+
-            base("id").as("row_id") :+ col("__dd").cast(FloatType).as("_distance"): _*)
+        if (!meta.refine) {
+          unfiltered.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+            .select(inSchema.fieldNames.map(f => qSide(f)).toSeq :+
+              base("id").as("row_id") :+ col("__dd").cast(FloatType).as("_distance"): _*)
+        } else {
+          // refined lsh: Hamming cuts k·refineFactor candidate ids from the
+          // codes-only scan instance (vec pruned there), then ONLY the
+          // candidates' vectors fetch back for the exact double re-rank —
+          // same two-phase contract as the frozen-query PQ branch above
+          val cand = unfiltered.withColumn("__crn", row_number().over(w))
+            .where(col("__crn") <= k * refineFactor(spark, meta))
+            .select(Seq(col("__qid"), base("id").as("__rid"), col("__q")) ++
+              inSchema.fieldNames.map(f => qSide(f)): _*)
+          val bv = base.select(col("id").as("__rid"), col("vec"))
+          val rejoined = cand.join(bv, "__rid")
+            .withColumn("__ed", distTo(col("vec"), col("__q")))
+          val w2 = Window.partitionBy("__qid").orderBy(col("__ed"), col("__rid"))
+          rejoined.withColumn("__rn", row_number().over(w2)).where(col("__rn") <= k)
+            .select(inSchema.fieldNames.map(f => col(f)).toSeq :+
+              col("__rid").as("row_id") :+
+              col("__ed").cast(FloatType).as("_distance"): _*)
+        }
     }
   }
 
@@ -2336,7 +2367,9 @@ object Ann {
         val hyps = IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin")
         val hypsB = spark.sparkContext.broadcast(hyps)
         val encodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v))
-        data.select(col("id"), encodeUdf(col("vec")).as("code"))
+        val lshCols = Seq(col("id"), encodeUdf(col("vec")).as("code")) ++
+          (if (meta.refine) Seq(col("vec")) else Nil) // data's vec is already prepped
+        data.select(lshCols: _*)
           .write.mode("append").parquet(meta.sourcePath)
       case e => throw new IllegalArgumentException(s"append: unknown engine $e")
     }

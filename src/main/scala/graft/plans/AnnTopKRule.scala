@@ -229,7 +229,12 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val meta = IndexCatalog.list(rootDir).filter { m =>
       m.sourceFiles.nonEmpty && m.sourceFiles.toSet == rootPaths &&
         m.column == colSide.name && m.metric == requiredMetric &&
-        m.dim == query.length
+        m.dim == query.length &&
+        // lsh serves HAMMING values, not the declared metric's distances —
+        // a rewrite would silently change the query's _distance semantics
+        // (every other engine returns true metric distances; only the
+        // RANKING is approximate)
+        m.engine != "lsh"
     }.sortBy(m => (if (m.engine == "flat") 0 else 1, m.name))
       .headOption.getOrElse(return None)
 

@@ -122,6 +122,37 @@ class LshSpec extends AnyFunSuite {
     assert(got.forall(_ % 7 == 3))
   }
 
+  test("RFlat refine: Hamming top-(k·kf) candidates re-ranked by exact metric distance") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_r", "LSH32,RFlat",
+      Ann.BuildParams(refineK = 4))
+    val meta = IndexCatalog.load(Ann.root(spark), "lsh_r")
+    assert(meta.engine == "lsh" && meta.refine && meta.refineK == 4)
+    val got = Ann.search(emb, "vec_id", "lsh_r", q0, 10)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq.sortBy(t => (t._2, t._1))
+    // reference: brute Hamming top-40 ids, exact double L2 re-rank, top 10
+    val candIds = bruteTop(LshCodec.randomHyperplanes(32, q0.length), q0, 40)
+      .map(_._1).toSet
+    val want = all.filter(t => candIds(t._1))
+      .map { case (id, v) =>
+        (id, graft.core.VectorOps.l2SqDoubleAcc(v, q0)) }
+      .sortBy { case (id, d) => (d, id) }.take(10)
+      .map { case (id, d) => (id, d.toFloat) }.toSeq
+    assert(got == want)
+  }
+
+  test("RFlat refine: batch surface re-ranks exactly like single-query") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_rb", "LSH32,RFlat",
+      Ann.BuildParams(refineK = 4))
+    val single = Ann.search(emb, "vec_id", "lsh_rb", q0, 5)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq.sortBy(t => (t._2, t._1))
+    val batch = Ann.searchBatch(emb, "vec_id", "lsh_rb", Seq(q0), 5)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq.sortBy(t => (t._2, t._1))
+    assert(batch == single)
+  }
+
   test("batch surface: per-query results match single-query search") {
     Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_b", "LSH32")
     val q1 = q0.map(v => -v)

@@ -191,6 +191,22 @@ class AnnTopKRuleSpec extends AnyFunSuite {
     assert(got.toSeq == brute.toSeq)
   }
 
+  test("lsh indexes are never rewrite candidates (Hamming != metric distance)") {
+    // a fresh catalog root where ONLY an lsh index covers the scan: the
+    // metric-distance top-k must stay a plain sort, because the lsh serve
+    // path returns Hamming VALUES — a rewrite would silently change the
+    // query's _distance semantics, not just its ranking
+    val oldRoot = spark.conf.get("spark.graft.ann.root")
+    spark.conf.set("spark.graft.ann.root", s"/tmp/graft-rule-lsh-${System.nanoTime()}")
+    try {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "rule_lsh", "LSH32")
+      val topk = emb.orderBy(array_distance(toFloatVec(col("embedding")),
+        floatVec(q.toSeq))).limit(10)
+      assert(!isRewritten(topk),
+        s"lsh index must not capture a metric top-k:\n${topk.queryExecution.optimizedPlan}")
+    } finally spark.conf.set("spark.graft.ann.root", oldRoot)
+  }
+
   test("index selection prefers the exact engine when several cover the scan") {
     builtOnce
     Ann.buildIndex(emb, "embedding", "vec_id", "a_flat_first",
