@@ -33,11 +33,13 @@ private[graft] object ExactServe {
   private final case class Data(
       fingerprint: String,
       ids: Array[Long],
-      vecs: Array[Array[Float]],    // flat / ivfflat
+      vecs: Array[Array[Float]],    // flat / ivfflat (refined pq/lsh: re-rank copy)
       codes: Array[Array[Byte]],    // pq / ivfpq
       clusters: Array[Int],         // ivfflat / ivfpq (else null)
       cents: Array[Array[Float]],   // ivfflat / ivfpq (else null)
-      cb: PqCodec.Codebook) {       // pq / ivfpq (else null)
+      cb: PqCodec.Codebook,         // pq / ivfpq (else null)
+      lcodes: Array[Long] = null,   // lsh (one 64-bit code per row)
+      hyps: Array[Array[Float]] = null) { // lsh hyperplanes
     /** id → position, built ONCE at load — the refine re-rank needs raw
      *  vectors by id on every query, and rebuilding a boxed map over up to
      *  ~250k ids per query defeats the job-free route's latency purpose. */
@@ -60,9 +62,12 @@ private[graft] object ExactServe {
 
   def eligible(spark: SparkSession, meta: IndexMeta): Boolean =
     (meta.engine == "flat" || meta.engine == "ivfflat" ||
-     meta.engine == "pq" || meta.engine == "ivfpq") &&
+     meta.engine == "pq" || meta.engine == "ivfpq" || meta.engine == "lsh") &&
       !meta.opq && // OPQ queries need the rotation step; serve via the scan
       meta.sourcePath.nonEmpty &&
+      // vec-based estimate: exact for flat/ivf, conservative (over) for
+      // code engines — pq stores m bytes/row, lsh 8; erring high only keeps
+      // a servable index on the distributed route, never the reverse
       meta.numVectors * (meta.dim.toLong * 4 + 16) <= maxBytes(spark)
 
   private def fingerprint(path: String): String = {
@@ -83,11 +88,12 @@ private[graft] object ExactServe {
   private def load(spark: SparkSession, meta: IndexMeta, fp: String): Data = {
     val hasCluster = meta.engine == "ivfflat" || meta.engine == "ivfpq"
     val hasCodes = meta.engine == "pq" || meta.engine == "ivfpq"
+    val isLsh = meta.engine == "lsh"
     val df = spark.read.parquet(meta.sourcePath)
-    // refined pq/ivfpq: raw vecs ride along for the exact re-rank stage
+    // refined pq/ivfpq/lsh: raw vecs ride along for the exact re-rank stage
     val cols = Seq(col("id").cast(LongType)) ++
-      (if (hasCodes) Seq(col("code")) else Seq(col("vec"))) ++
-      (if (hasCodes && meta.refine) Seq(col("vec")) else Nil) ++
+      (if (hasCodes || isLsh) Seq(col("code")) else Seq(col("vec"))) ++
+      (if ((hasCodes || isLsh) && meta.refine) Seq(col("vec")) else Nil) ++
       (if (hasCluster) Seq(col("cluster").cast(IntegerType)) else Nil)
     val rows = df.select(cols: _*).collect()
     val ids = rows.map(_.getLong(0))
@@ -96,14 +102,17 @@ private[graft] object ExactServe {
     Data(
       fingerprint = fp,
       ids = ids,
-      vecs = if (!hasCodes) rows.map(_.getSeq[Float](1).toArray)
+      vecs = if (!hasCodes && !isLsh) rows.map(_.getSeq[Float](1).toArray)
         else if (meta.refine) rows.map(_.getSeq[Float](2).toArray)
         else null,
       codes = if (hasCodes) rows.map(_.getAs[Array[Byte]](1)) else null,
       clusters = if (hasCluster) rows.map(_.getInt(clusterIdx)) else null,
       cents = if (hasCluster)
         IndexCatalog.readCentroids(s"$dirPath/centroids.bin") else null,
-      cb = if (hasCodes) PqCodec.read(s"$dirPath/pq.bin") else null)
+      cb = if (hasCodes) PqCodec.read(s"$dirPath/pq.bin") else null,
+      lcodes = if (isLsh) rows.map(_.getLong(1)) else null,
+      hyps = if (isLsh)
+        IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin") else null)
   }
 
   /** Top-fetchK (id, distance) — identical rows, distances, and order to the
@@ -131,7 +140,20 @@ private[graft] object ExactServe {
     val n = d.ids.length
     // packed candidates sorted by (distance, id) — mirrors orderBy(__dd, row_id)
     val cand = new java.util.ArrayList[(Double, Long, Float)](math.min(n, 4096))
-    if (d.codes == null) {
+    if (d.lcodes != null) {
+      // lsh: Hamming against the query's code — integers, so float parity
+      // with the codegen'd bit_count(XOR) scan is trivially exact
+      val qcode = graft.core.LshCodec.encode(d.hyps, query)
+      var i = 0
+      while (i < n) {
+        val id = d.ids(i)
+        if (!tomb.contains(id) && (allow == null || allow(id))) {
+          val hd = java.lang.Long.bitCount(d.lcodes(i) ^ qcode)
+          cand.add((hd.toDouble, id, hd.toFloat))
+        }
+        i += 1
+      }
+    } else if (d.codes == null) {
       var i = 0
       while (i < n) {
         val id = d.ids(i)
@@ -194,9 +216,10 @@ private[graft] object ExactServe {
     val arr = new Array[(Double, Long, Float)](cand.size)
     cand.toArray(arr)
     java.util.Arrays.sort(arr, Ordering.by((t: (Double, Long, Float)) => (t._1, t._2)))
-    if (d.codes != null && meta.refine) {
-      // RFlat: exact double re-rank of the ADC top (fetchK · refineFactor),
-      // same candidate cut and fold order as the distributed refineStage
+    if ((d.codes != null || d.lcodes != null) && meta.refine) {
+      // RFlat: exact double re-rank of the ADC/Hamming top
+      // (fetchK · refineFactor), same candidate cut and fold order as the
+      // distributed refineStage
       val refined = arr.take(fetchK * Ann.refineFactor(spark, meta)).map { t =>
         val v = d.vecs(d.idPos.get(t._2))
         var sEd = 0.0; var j = 0

@@ -153,6 +153,40 @@ class LshSpec extends AnyFunSuite {
     assert(batch == single)
   }
 
+  test("ExactServe route == distributed Hamming scan, bit-for-bit") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_sv", "LSH32")
+    val meta = IndexCatalog.load(Ann.root(spark), "lsh_sv")
+    assert(ExactServe.eligible(spark, meta), "small lsh index should be servable")
+    val before = ExactServe.localServeCount.get()
+    val served = Ann.search(emb, "vec_id", "lsh_sv", q0, 10)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(ExactServe.localServeCount.get() > before,
+      "search did not take the driver-local route")
+    spark.conf.set("spark.graft.ann.localExactMaxBytes", "0")
+    try {
+      val dist = Ann.search(emb, "vec_id", "lsh_sv", q0, 10)
+        .select("vec_id", "_distance").collect()
+        .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(served == dist)
+    } finally spark.conf.unset("spark.graft.ann.localExactMaxBytes")
+  }
+
+  test("ExactServe refined lsh == distributed refine, bit-for-bit") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_svr", "LSH32,RFlat",
+      Ann.BuildParams(refineK = 4))
+    val served = Ann.search(emb, "vec_id", "lsh_svr", q0, 10)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    spark.conf.set("spark.graft.ann.localExactMaxBytes", "0")
+    try {
+      val dist = Ann.search(emb, "vec_id", "lsh_svr", q0, 10)
+        .select("vec_id", "_distance").collect()
+        .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(served == dist)
+    } finally spark.conf.unset("spark.graft.ann.localExactMaxBytes")
+  }
+
   test("batch surface: per-query results match single-query search") {
     Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_b", "LSH32")
     val q1 = q0.map(v => -v)
