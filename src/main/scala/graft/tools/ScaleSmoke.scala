@@ -119,6 +119,11 @@ object ScaleSmoke {
     // the whole ladder)
     val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").toSet).filter(_.nonEmpty)
+    // annotations made from INSIDE an op's own run body land here and are
+    // folded in when the op entry is created (ops(name) exists only after
+    // the body returns — semdedup's k/max_cluster silently vanished from
+    // every artifact through r13 because of this)
+    val pendingAnn = scala.collection.mutable.Map.empty[String, Map[String, Any]]
     def run(name: String)(body: => Long): Unit = {
       if (skipOps(name) || !onlyOps.forall(_.contains(name))) {
         System.err.println(s"[scale] $name SKIPPED (env)"); return }
@@ -136,12 +141,16 @@ object ScaleSmoke {
         "major_stage_skew" -> majorSkew, "major_skew_stage" -> majorStage,
         "host_busy" -> f"$hostBusy%.3f".toDouble,
         "host_steal" -> f"$hostSteal%.3f".toDouble)
+      pendingAnn.remove(name).foreach(m => ops(name) = ops(name) ++ m)
       System.err.println(f"[scale] $name%-22s $sec%7.2fs rows=$rows " +
         f"skew=$skew%.2f major=$majorSkew%.2f busy=$hostBusy%.2f steal=$hostSteal%.2f")
     }
-    // named ops may attach extra audit counters to their artifact entry
+    // named ops may attach extra audit counters to their artifact entry —
+    // callable from a later op's body (entry exists) or from the op's own
+    // body (buffered until the entry is created)
     def annotate(name: String, kv: (String, Any)*): Unit =
       if (ops.contains(name)) ops(name) = ops(name) ++ kv.toMap
+      else pendingAnn(name) = pendingAnn.getOrElse(name, Map.empty) ++ kv.toMap
 
     val q0 = {
       val r = emb10.orderBy("vec_id").limit(1).collect()(0)
