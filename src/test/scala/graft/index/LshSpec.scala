@@ -153,38 +153,54 @@ class LshSpec extends AnyFunSuite {
     assert(batch == single)
   }
 
+  /** Run `body` with the serve budget pinned to `bytes`, restoring whatever
+   *  the shared session had before — suites share one SparkSession, and
+   *  TombstoneScaleSpec's builder leaves localExactMaxBytes=0 behind. */
+  private def withServeBudget[A](bytes: Long)(body: => A): A = {
+    val prev = spark.conf.getOption("spark.graft.ann.localExactMaxBytes")
+    spark.conf.set("spark.graft.ann.localExactMaxBytes", bytes.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.ann.localExactMaxBytes", v)
+      case None => spark.conf.unset("spark.graft.ann.localExactMaxBytes")
+    }
+  }
+
   test("ExactServe route == distributed Hamming scan, bit-for-bit") {
     Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_sv", "LSH32")
-    val meta = IndexCatalog.load(Ann.root(spark), "lsh_sv")
-    assert(ExactServe.eligible(spark, meta), "small lsh index should be servable")
-    val before = ExactServe.localServeCount.get()
-    val served = Ann.search(emb, "vec_id", "lsh_sv", q0, 10)
-      .select("vec_id", "_distance").collect()
-      .map(r => (r.getLong(0), r.getFloat(1))).toSeq
-    assert(ExactServe.localServeCount.get() > before,
-      "search did not take the driver-local route")
-    spark.conf.set("spark.graft.ann.localExactMaxBytes", "0")
-    try {
-      val dist = Ann.search(emb, "vec_id", "lsh_sv", q0, 10)
+    val served = withServeBudget(64L << 20) {
+      val meta = IndexCatalog.load(Ann.root(spark), "lsh_sv")
+      assert(ExactServe.eligible(spark, meta), "small lsh index should be servable")
+      val before = ExactServe.localServeCount.get()
+      val s = Ann.search(emb, "vec_id", "lsh_sv", q0, 10)
         .select("vec_id", "_distance").collect()
         .map(r => (r.getLong(0), r.getFloat(1))).toSeq
-      assert(served == dist)
-    } finally spark.conf.unset("spark.graft.ann.localExactMaxBytes")
+      assert(ExactServe.localServeCount.get() > before,
+        "search did not take the driver-local route")
+      s
+    }
+    val dist = withServeBudget(0L) {
+      Ann.search(emb, "vec_id", "lsh_sv", q0, 10)
+        .select("vec_id", "_distance").collect()
+        .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    }
+    assert(served == dist)
   }
 
   test("ExactServe refined lsh == distributed refine, bit-for-bit") {
     Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_svr", "LSH32,RFlat",
       Ann.BuildParams(refineK = 4))
-    val served = Ann.search(emb, "vec_id", "lsh_svr", q0, 10)
-      .select("vec_id", "_distance").collect()
-      .map(r => (r.getLong(0), r.getFloat(1))).toSeq
-    spark.conf.set("spark.graft.ann.localExactMaxBytes", "0")
-    try {
-      val dist = Ann.search(emb, "vec_id", "lsh_svr", q0, 10)
+    val served = withServeBudget(64L << 20) {
+      Ann.search(emb, "vec_id", "lsh_svr", q0, 10)
         .select("vec_id", "_distance").collect()
         .map(r => (r.getLong(0), r.getFloat(1))).toSeq
-      assert(served == dist)
-    } finally spark.conf.unset("spark.graft.ann.localExactMaxBytes")
+    }
+    val dist = withServeBudget(0L) {
+      Ann.search(emb, "vec_id", "lsh_svr", q0, 10)
+        .select("vec_id", "_distance").collect()
+        .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    }
+    assert(served == dist)
   }
 
   test("batch surface: per-query results match single-query search") {
