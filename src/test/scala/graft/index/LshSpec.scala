@@ -203,6 +203,27 @@ class LshSpec extends AnyFunSuite {
     assert(served == dist)
   }
 
+  test("plan shape: Hamming scan reads only (id, code), codegen'd, no UDF") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_p", "LSH32")
+    val df = withServeBudget(0L) { // force the distributed scan plan
+      Ann.indexScan(spark, "lsh_p", q0, 10)
+    }
+    val p = df.queryExecution.executedPlan.toString
+    // column pruning: the parquet scan must read the two-column code
+    // projection, never a vector column (at 100 TB that is the whole point
+    // of a binary code index)
+    assert(p.contains("ReadSchema: struct<id:bigint,code:bigint>"),
+      s"expected codes-only ReadSchema:\n$p")
+    // bit_count(XOR) ranks inside whole-stage codegen (the `*(n)` star in
+    // the plan string); top-k is TakeOrderedAndProject — per-partition heap
+    // + driver merge, NO global sort exchange
+    assert(p.contains("*(1) Project"), s"expected codegen'd projection:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k:\n$p")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in a scan top-k:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      s"UDF leaked into the Hamming scan:\n$p")
+  }
+
   test("batch surface: per-query results match single-query search") {
     Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_b", "LSH32")
     val q1 = q0.map(v => -v)
