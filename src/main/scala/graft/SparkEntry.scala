@@ -33,6 +33,32 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scalar-quantization saturation oracle at `levels` quantization levels
+    * (255 = SQ8, 63 = SQ6, 15 = SQ4): replay the per-dim min/max quantizer
+    * in SQL and rank by L2 of the dequantized vectors. */
+  private def sqExactOracleSql(levels: Int): String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
+       |         unnest(range(1, 65)) AS i
+       |  FROM embeddings),
+       |mm AS (
+       |  SELECT i, min(e) AS mn,
+       |    CASE WHEN max(e) > min(e) THEN max(e) - min(e) ELSE 1.0 END AS sc
+       |  FROM ex GROUP BY i),
+       |deq AS (
+       |  SELECT x.vec_id, x.i,
+       |    m.mn + (least($levels, greatest(0,
+       |      round((x.e - m.mn) / m.sc * $levels))) / $levels.0) * m.sc AS v
+       |  FROM ex x JOIN mm m ON m.i = x.i),
+       |dist AS (
+       |  SELECT vec_id,
+       |    sum((v - ($q64Sql)[i]) * (v - ($q64Sql)[i])) AS dd
+       |  FROM deq GROUP BY vec_id)
+       |SELECT vec_id, rank FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY dd, vec_id) AS rank
+       |  FROM dist)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   /** Read events.parquet robustly across testdata generations. Older fixtures
     * wrote `ts` as parquet TIMESTAMP(NANOS), which Spark can only read as a
     * nanos-as-long LongType (legacy conf); newer fixtures write
@@ -302,6 +328,38 @@ object SparkEntry {
         Ann.BuildParams(engine = "diskann", numShards = 1, quantization = "sq8"))
       import s.implicits._
       Ann.search(emb, "vec_id", "v_sq8_ex", q64Arr, 10, searchComplexity = 1024)
+        .select(col("vec_id"), col("_distance"))
+        .orderBy(col("_distance"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    // SQ4/SQ6 packed scalar quantization (FAISS ScalarQuantizer
+    // QT_4bit/QT_6bit analogs, beyond the reference's SQ8): same saturation
+    // oracle as ann_sq8_exact — one shard, corpus-global min/max, beam ≥ n —
+    // but the codes are 4/6-bit packed, so the oracle's 15/63-level
+    // quantizer replay checks the packed encode→extract→dequantize pipeline
+    // end to end. Built through the factory suffix ('DiskANN,SQ4').
+    "ann_sq4_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_sq4_ex",
+        "DiskANN,SQ4", Ann.BuildParams(numShards = 1))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_sq4_ex", q64Arr, 10, searchComplexity = 1024)
+        .select(col("vec_id"), col("_distance"))
+        .orderBy(col("_distance"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    "ann_sq6_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_sq6_ex",
+        "DiskANN,SQ6", Ann.BuildParams(numShards = 1))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_sq6_ex", q64Arr, 10, searchComplexity = 1024)
         .select(col("vec_id"), col("_distance"))
         .orderBy(col("_distance"), col("vec_id"))
         .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
@@ -1515,31 +1573,14 @@ object SparkEntry {
       s"""SELECT vec_id, row_number() OVER (
          |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
          |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
-    // SQ8 replay: per-dim min/max over the corpus, code = clamp(round(
-    // (v−min)/scale·255)), dequantize, rank by L2 of dequantized vectors
-    // (rust_lib/src/provider.rs:161-241 scheme; Sq8Codec mirrors it).
-    "ann_sq8_exact" ->
-      s"""WITH ex AS (
-         |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
-         |         unnest(range(1, 65)) AS i
-         |  FROM embeddings),
-         |mm AS (
-         |  SELECT i, min(e) AS mn,
-         |    CASE WHEN max(e) > min(e) THEN max(e) - min(e) ELSE 1.0 END AS sc
-         |  FROM ex GROUP BY i),
-         |deq AS (
-         |  SELECT x.vec_id, x.i,
-         |    m.mn + (least(255, greatest(0,
-         |      round((x.e - m.mn) / m.sc * 255))) / 255.0) * m.sc AS v
-         |  FROM ex x JOIN mm m ON m.i = x.i),
-         |dist AS (
-         |  SELECT vec_id,
-         |    sum((v - ($q64Sql)[i]) * (v - ($q64Sql)[i])) AS dd
-         |  FROM deq GROUP BY vec_id)
-         |SELECT vec_id, rank FROM (
-         |  SELECT vec_id, row_number() OVER (ORDER BY dd, vec_id) AS rank
-         |  FROM dist)
-         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // SQ replay: per-dim min/max over the corpus, code = clamp(round(
+    // (v−min)/scale·levels)), dequantize, rank by L2 of dequantized vectors
+    // (rust_lib/src/provider.rs:161-241 scheme at levels=255; the 15/63
+    // variants replay this library's packed SQ4/SQ6 extension — packing is
+    // storage-only, so the value replay is the same formula at fewer levels).
+    "ann_sq8_exact" -> sqExactOracleSql(255),
+    "ann_sq4_exact" -> sqExactOracleSql(15),
+    "ann_sq6_exact" -> sqExactOracleSql(63),
     // LSH replay with the seeded hyperplanes: hyperplane b is
     // embeddings[vec_id=b] (b < 16); bit = (dot(v, h_b) >= 0) in double;
     // hamming = #bits differing from the query's code; top-10 by

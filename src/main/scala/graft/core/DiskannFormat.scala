@@ -79,8 +79,11 @@ object DiskannFormat {
     }
 
     if (ix.isQuantized) {
+      // appendix tag carries the code width: "SQ8" is byte-compatible with
+      // the reference's section; "SQ4"/"SQ6" are this library's packed
+      // extensions (same header/params layout, packed data region)
       val sq = ix.sq8Data
-      bos.write("SQ8".getBytes("US-ASCII")); bos.write(0)
+      bos.write(s"SQ${sq.bits}".getBytes("US-ASCII")); bos.write(0)
       val head = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
       head.putInt(sq.dim)
       head.putLong(sq.data.length.toLong)
@@ -153,16 +156,19 @@ object DiskannFormat {
     }
     ix.load(n, vecs, adjacency, eps)
 
-    // optional SQ8 appendix
+    // optional scalar-quantization appendix: "SQ8" (reference-compatible)
+    // or this library's packed "SQ4"/"SQ6" extensions
     val stdEnd = end.toInt
     if (bytes.length > stdEnd + 4 && bytes(stdEnd) == 'S' && bytes(stdEnd + 1) == 'Q' &&
-        bytes(stdEnd + 2) == '8' && bytes(stdEnd + 3) == 0) {
+        (bytes(stdEnd + 2) == '8' || bytes(stdEnd + 2) == '4' || bytes(stdEnd + 2) == '6') &&
+        bytes(stdEnd + 3) == 0) {
+      val sqBits = bytes(stdEnd + 2) - '0'
       bb.position(stdEnd + 4)
       val sqDim = bb.getInt
       val qlen = bb.getLong
-      if (sqDim != dim) fail(s"SQ8 dim $sqDim != index dim $dim")
+      if (sqDim != dim) fail(s"SQ$sqBits dim $sqDim != index dim $dim")
       val need = stdEnd + 4 + 12 + sqDim.toLong * 8 + qlen
-      if (qlen < 0 || need > bytes.length) fail("SQ8 section truncated")
+      if (qlen < 0 || need > bytes.length) fail(s"SQ$sqBits section truncated")
       val mins = new Array[Float](sqDim)
       val scales = new Array[Float](sqDim)
       var d = 0
@@ -171,7 +177,9 @@ object DiskannFormat {
       while (d < sqDim) { scales(d) = bb.getFloat; d += 1 }
       val qdata = new Array[Byte](qlen.toInt)
       bb.get(qdata)
-      ix.loadSq8(Sq8Data(sqDim, n, mins, scales, qdata))
+      ix.loadSq8(
+        if (sqBits == 8) Sq8Data(sqDim, n, mins, scales, qdata)
+        else SqPackedData(sqBits, sqDim, n, mins, scales, qdata))
     }
     ix
   }

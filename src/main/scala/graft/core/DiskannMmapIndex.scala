@@ -40,12 +40,18 @@ final class DiskannMmapIndex private (
     val entryPoints: Array[Int],
     vecOff: Int,
     adjOff: Int,
-    // SQ8 appendix (quantized serving); sq8DataOff < 0 = full-precision shard
+    // SQ appendix (quantized serving); sq8DataOff < 0 = full-precision shard
     sq8Min: Array[Float],
     sq8Scale: Array[Float],
-    sq8DataOff: Long) extends GraphIndex with NodeStore {
+    sq8DataOff: Long,
+    sqBits: Int) extends GraphIndex with NodeStore {
 
   def isQuantized: Boolean = sq8DataOff >= 0
+  // packed-code geometry (SQ4/SQ6); for SQ8 rowStride == dim and the
+  // extractor degenerates to the plain byte read
+  private val sqRowStride: Int = if (sqBits == 8) dim else (dim * sqBits + 7) / 8
+  private val sqLevels: Float = ((1 << sqBits) - 1).toFloat
+  private val sqMask: Int = (1 << sqBits) - 1
 
   def size: Int = n
 
@@ -53,16 +59,30 @@ final class DiskannMmapIndex private (
     throw new UnsupportedOperationException(
       "mmap-served shard is read-only; appends create delta shards")
 
-  /** Dequantize node `id` from the mapped SQ8 codes — same arithmetic as
-   *  Sq8Data.dequantizeInto, so values match the heap reader bit-exactly. */
+  /** Dequantize node `id` from the mapped SQ codes — same arithmetic as
+   *  Sq8Data.dequantizeInto / SqPackedData.dequantizeInto, so values match
+   *  the heap reader bit-exactly. */
   private def dequantizeInto(bb: ByteBuffer, id: Int, out: Array[Float],
       outOff: Int): Unit = {
-    val off = sq8DataOff + id.toLong * dim
+    val off = sq8DataOff + id.toLong * sqRowStride
     var d = 0
-    while (d < dim) {
-      out(outOff + d) =
-        sq8Min(d) + ((bb.get((off + d).toInt) & 0xff) / 255.0f) * sq8Scale(d)
-      d += 1
+    if (sqBits == 8) {
+      while (d < dim) {
+        out(outOff + d) =
+          sq8Min(d) + ((bb.get((off + d).toInt) & 0xff) / 255.0f) * sq8Scale(d)
+        d += 1
+      }
+    } else {
+      while (d < dim) {
+        val bitOff = d * sqBits
+        val byteOff = (off + (bitOff >> 3)).toInt
+        val shift = bitOff & 7
+        val lo = bb.get(byteOff) & 0xff
+        val hi = if (shift + sqBits > 8) (bb.get(byteOff + 1) & 0xff) << 8 else 0
+        val code = ((lo | hi) >> shift) & sqMask
+        out(outOff + d) = sq8Min(d) + (code / sqLevels) * sq8Scale(d)
+        d += 1
+      }
     }
   }
 
@@ -237,24 +257,28 @@ object DiskannMmapIndex {
       val adjOff = vecOff + n.toLong * dim * 4
       val end = adjOff + n.toLong * maxDeg * 4
       if (end > len) fail(path, s"file truncated: need $end bytes, have $len")
-      // optional SQ8 appendix: small bounded reads (tag + header + params)
-      // BEFORE mapping; the bulk qdata region is only ever touched lazily
-      // through the map during search
+      // optional SQ appendix ("SQ8" u8 / "SQ4"/"SQ6" packed): small bounded
+      // reads (tag + header + params) BEFORE mapping; the bulk qdata region
+      // is only ever touched lazily through the map during search
       var sq8Min: Array[Float] = null
       var sq8Scale: Array[Float] = null
       var sq8DataOff = -1L
+      var sqBits = 8
       if (len > end + 4) {
         val tag = new Array[Byte](4)
         raf.seek(end)
         raf.readFully(tag)
-        if (tag(0) == 'S' && tag(1) == 'Q' && tag(2) == '8' && tag(3) == 0) {
+        if (tag(0) == 'S' && tag(1) == 'Q' &&
+            (tag(2) == '8' || tag(2) == '4' || tag(2) == '6') && tag(3) == 0) {
+          sqBits = tag(2) - '0'
+          val rowStride = if (sqBits == 8) dim else (dim * sqBits + 7) / 8
           val hdr2 = new Array[Byte](12)
           raf.readFully(hdr2)
           val h2 = ByteBuffer.wrap(hdr2).order(ByteOrder.LITTLE_ENDIAN)
           val sqDim = h2.getInt(0)
           val qlen = h2.getLong(4)
           val dataOff = end + 4 + 12 + sqDim.toLong * 8
-          if (sqDim != dim || qlen != n.toLong * dim || dataOff + qlen > len)
+          if (sqDim != dim || qlen != n.toLong * rowStride || dataOff + qlen > len)
             return null // malformed appendix: heap reader raises the real error
           val params = new Array[Byte](sqDim * 8)
           raf.readFully(params)
@@ -276,7 +300,8 @@ object DiskannMmapIndex {
       val metric = Metric.fromCode(metricCode, cosine = cosineMetadata)
       new DiskannMmapIndex(buf, dim, n, maxDeg,
         if (buildComplexity > 0) buildComplexity else VamanaIndex.DefaultBuildComplexity,
-        metric, eps, vecOff.toInt, adjOff.toInt, sq8Min, sq8Scale, sq8DataOff)
+        metric, eps, vecOff.toInt, adjOff.toInt, sq8Min, sq8Scale, sq8DataOff,
+        sqBits)
     } finally raf.close()
   }
 

@@ -1,6 +1,28 @@
 package graft.core
 
 /**
+ * Scalar-quantized vector storage contract shared by the u8 codec
+ * ([[Sq8Data]], the reference's byte-compatible scheme) and the packed
+ * sub-byte codecs ([[SqPackedData]], SQ4/SQ6 — a FAISS
+ * `ScalarQuantizer.QT_4bit/QT_6bit` analog this library adds beyond the
+ * reference's SQ8). Search code (VamanaIndex cursor, DiskannFormat,
+ * memory accounting) depends only on this trait.
+ */
+trait ScalarQuant extends Serializable {
+  def bits: Int
+  def dim: Int
+  def count: Int
+  def min: Array[Float]
+  def scale: Array[Float]
+  /** Raw code bytes (u8: one per dim; packed: ceil(dim·bits/8) per row). */
+  def data: Array[Byte]
+  def dequantizeInto(id: Int, out: Array[Float]): Unit
+  def dequantizeInto(id: Int, out: Array[Float], outOff: Int): Unit
+  /** Fused distance of stored vector `id` vs a full-precision query. */
+  def distance(metric: Metric, id: Int, q: Array[Float]): Float
+}
+
+/**
  * SQ8 scalar quantization: per-dimension min/scale → u8 codes, ~4x memory
  * reduction on vector storage. Mirrors the reference's scheme
  * (rust_lib/src/provider.rs:161-241): `code = round((v - min[d]) / scale[d] * 255)`
@@ -11,7 +33,9 @@ final case class Sq8Data(
     count: Int,
     min: Array[Float],
     scale: Array[Float],
-    data: Array[Byte]) extends Serializable {
+    data: Array[Byte]) extends ScalarQuant {
+
+  def bits: Int = 8
 
   @inline def dequantize(id: Int, d: Int): Float = {
     val code = data(id * dim + d) & 0xff

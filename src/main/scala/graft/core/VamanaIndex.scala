@@ -46,8 +46,9 @@ final class VamanaIndex(
 
   var entryPoints: Array[Int] = Array.emptyIntArray
 
-  // Optional SQ8 storage (quantize() swaps search reads to dequantized u8).
-  private var sq8: Sq8Data = null
+  // Optional scalar-quantized storage (quantize() swaps search reads to
+  // dequantized codes: u8 for SQ8, packed for SQ4/SQ6).
+  private var sq8: ScalarQuant = null
 
   // Build is single-threaded per shard; reuse one searcher's scratch buffers
   // across inserts (reference uses thread-local scratch, index_manager.rs:197-224).
@@ -55,7 +56,7 @@ final class VamanaIndex(
 
   def size: Int = count
   def isQuantized: Boolean = sq8 != null
-  def sq8Data: Sq8Data = sq8
+  def sq8Data: ScalarQuant = sq8
 
   def vector(id: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -461,14 +462,16 @@ final class VamanaIndex(
     entryPoints = eps
   }
 
-  /** SQ8-quantize all stored vectors (reference provider.rs:161-210).
-   *  Search afterwards reads dequantized values; inserts are frozen. */
-  def quantize(): Unit = {
+  /** Scalar-quantize all stored vectors (reference provider.rs:161-210 for
+   *  the u8 scheme; SQ4/SQ6 pack sub-byte codes — SqPackedCodec). Search
+   *  afterwards reads dequantized values; inserts are frozen. */
+  def quantize(bits: Int = 8): Unit = {
     if (count == 0) return
-    sq8 = Sq8Codec.quantize(vecs, count, dim)
+    sq8 = if (bits == 8) Sq8Codec.quantize(vecs, count, dim)
+      else SqPackedCodec.quantize(vecs, count, dim, bits)
   }
 
-  def loadSq8(data: Sq8Data): Unit = { sq8 = data }
+  def loadSq8(data: ScalarQuant): Unit = { sq8 = data }
 
   /** Approximate resident bytes (vectors + adjacency [+ SQ8]). */
   def memoryBytes: Long = {

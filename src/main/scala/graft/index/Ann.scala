@@ -43,7 +43,7 @@ object Ann {
       maxDegree: Int = VamanaIndex.DefaultMaxDegree,
       buildComplexity: Int = VamanaIndex.DefaultBuildComplexity,
       alpha: Float = VamanaIndex.DefaultAlpha,
-      quantization: String = "",           // "" | "sq8" (diskann only)
+      quantization: String = "",           // "" | "sq8" | "sq4" | "sq6" (diskann only)
       numShards: Int = 0,                  // 0 = auto from targetShardSize
       targetShardSize: Long = 1000000L,
       nlist: Int = 100,                    // ivfflat (reference default, faiss_index.hpp:38-43)
@@ -86,16 +86,23 @@ object Ann {
    * (reference passes factory strings through FaissParams,
    * src/include/faiss_index.hpp:37-113). Supported grammar:
    * `Flat` | `HNSW[m]` | `IVF<nlist>,Flat` | `IVF<nlist>,PQ<m>` |
-   * `DiskANN[degree]` | `PQ<m>` | `OPQ<m>,PQ<m>`, each optionally suffixed
-   * `,SQ8` (diskann only) or `,RFlat` (PQ engines).
+   * `DiskANN[degree]` | `PQ<m>` | `OPQ<m>,PQ<m>` | `LSH[nbits]`, each
+   * optionally suffixed `,SQ8`/`,SQ4`/`,SQ6` (diskann only) or `,RFlat`
+   * (code engines: PQ/IVFPQ/LSH).
    */
   def parseFactory(desc: String, base: BuildParams = BuildParams()): BuildParams = {
     val parts = desc.trim.split(",").map(_.trim).filter(_.nonEmpty)
     require(parts.nonEmpty, s"empty index factory string: '$desc'")
-    val sq8 = parts.exists(_.equalsIgnoreCase("SQ8"))
+    val sqSuffix = parts.collect {
+      case x if x.equalsIgnoreCase("SQ8") => "sq8"
+      case x if x.equalsIgnoreCase("SQ4") => "sq4"
+      case x if x.equalsIgnoreCase("SQ6") => "sq6"
+    }
+    require(sqSuffix.length <= 1, s"multiple SQ suffixes in '$desc'")
     val refine = parts.exists(_.equalsIgnoreCase("RFlat"))
     val core = parts.filterNot(x =>
-      x.equalsIgnoreCase("SQ8") || x.equalsIgnoreCase("RFlat"))
+      x.equalsIgnoreCase("SQ8") || x.equalsIgnoreCase("SQ4") ||
+      x.equalsIgnoreCase("SQ6") || x.equalsIgnoreCase("RFlat"))
     val Ivf = "(?i)IVF(\\d+)".r
     val Hnsw = "(?i)HNSW(\\d*)".r
     val Diskann = "(?i)DISKANN(\\d*)".r
@@ -134,8 +141,8 @@ object Ann {
         s"unsupported index factory description: '$desc' — supported: " +
         "Flat | HNSW[m] | IVF<nlist>[,Flat] | IVF<nlist>,PQ<m> | PQ<m> | " +
         "OPQ<m>,PQ<m> | LSH[nbits] | DiskANN[degree], optionally suffixed " +
-        "',SQ8' (diskann only) or ',RFlat' (PQ engines); SQ4/SQ6/IMI, " +
-        "LSH rotation suffixes (LSHr/LSHrt/LSHt), and multi-stage " +
+        "',SQ8'/',SQ4'/',SQ6' (diskann only) or ',RFlat' (PQ/LSH engines); " +
+        "IMI, LSH rotation suffixes (LSHr/LSHrt/LSHt), and multi-stage " +
         "transform chains are not implemented")
     }
     val p2 = if (refine) {
@@ -144,10 +151,13 @@ object Ann {
         "'IVF64,PQ8,RFlat', 'LSH32,RFlat')")
       p.copy(refine = true)
     } else p
-    if (sq8) {
-      require(p2.engine == "diskann", "SQ8 requires the diskann engine")
-      p2.copy(quantization = "sq8")
-    } else p2
+    sqSuffix.headOption match {
+      case Some(q) =>
+        require(p2.engine == "diskann",
+          s"${q.toUpperCase} requires the diskann engine")
+        p2.copy(quantization = q)
+      case None => p2
+    }
   }
 
   /** Build from a factory description string (`Flat`, `HNSW32`,
@@ -244,7 +254,9 @@ object Ann {
     val spark = data.sparkSession
     import spark.implicits._
     require(engine == "diskann" || params.quantization.isEmpty,
-      "sq8 quantization is supported for the diskann engine only")
+      "scalar quantization (sq8/sq4/sq6) is supported for the diskann engine only")
+    require(Set("", "sq8", "sq4", "sq6")(params.quantization),
+      s"unknown quantization '${params.quantization}' (supported: sq8, sq4, sq6)")
     require(engine != "hnsw" || params.hnswM <= 8192,
       s"hnsw m=${params.hnswM} exceeds the .hnsw format bound (8192)")
     val dim = inferDim(data)
@@ -339,7 +351,7 @@ object Ann {
         val idsF = f"$dir/shard-$pid%05d.ids"
         ix match {
           case v: VamanaIndex =>
-            if (quant == "sq8") v.quantize()
+            if (quant.nonEmpty) v.quantize(quant.stripPrefix("sq").toInt)
             DiskannFormat.writeFile(v, f)
           case h: HnswIndex => HnswFormat.writeFile(h, f)
         }
@@ -355,7 +367,9 @@ object Ann {
       else (params.maxDegree, params.buildComplexity)
     val meta = IndexMeta(name, engine, "vec", "id", dim, metric.name,
       md, bcMeta, params.alpha,
-      params.quantization == "sq8", shardMetas.map(_.count).sum, 0L, shardMetas)
+      params.quantization.nonEmpty, shardMetas.map(_.count).sum, 0L, shardMetas,
+      quantBits = if (params.quantization.isEmpty) 8
+        else params.quantization.stripPrefix("sq").toInt)
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -2245,6 +2259,7 @@ object Ann {
     val engine = meta.engine
     val maxDeg = meta.maxDegree; val bc = meta.buildComplexity; val alpha = meta.alpha
     val quant = meta.quantized
+    val quantBits = meta.quantBits
     val ext = if (engine == "hnsw") "hnsw" else "diskann"
     // Parallel delta build: a big batch splits into ceil(n/targetShardSize)
     // delta shards built concurrently — a single coalesce(1) task was the
@@ -2277,7 +2292,7 @@ object Ann {
         val f = f"$dir/shard-$deltaTag-$pid%05d.$ext"
         ix match {
           case vx: VamanaIndex =>
-            if (quant) vx.quantize()
+            if (quant) vx.quantize(quantBits)
             DiskannFormat.writeFile(vx, f)
           case h: HnswIndex => HnswFormat.writeFile(h, f)
         }
@@ -2422,6 +2437,7 @@ object Ann {
     val engine = meta.engine
     val maxDeg = meta.maxDegree; val bc = meta.buildComplexity; val alpha = meta.alpha
     val quant = meta.quantized
+    val quantBits = meta.quantBits
     val ext = if (engine == "hnsw") "hnsw" else "diskann"
     val newShards = spark.sparkContext
       .parallelize(meta.shards.zipWithIndex, math.max(meta.shards.size, 1))
@@ -2441,7 +2457,7 @@ object Ann {
           val idsF = f"$dir/shard-$i%05d-v$ver.ids"
           ix match {
             case vx: VamanaIndex =>
-              if (quant) vx.quantize()
+              if (quant) vx.quantize(quantBits)
               DiskannFormat.writeFile(vx, f)
             case h: HnswIndex => HnswFormat.writeFile(h, f)
           }

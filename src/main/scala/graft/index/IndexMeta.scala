@@ -44,7 +44,10 @@ case class IndexMeta(
     // build input was a plain file scan) — the binding the transparent
     // optimizer rewrite matches on (reference binds indexes to tables via
     // the catalog; we bind to file paths)
-    sourceFiles: List[String] = Nil) {
+    sourceFiles: List[String] = Nil,
+    // scalar-quantization code width when quantized (8 = u8 SQ8, 4/6 =
+    // packed); 8 default keeps pre-existing metadata.json readable
+    quantBits: Int = 8) {
   def metricObj: graft.core.Metric = graft.core.Metric.fromName(metric)
 }
 

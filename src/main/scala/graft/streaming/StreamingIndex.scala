@@ -79,7 +79,8 @@ object StreamingIndex {
     val tmpName = s"${name}__compacting"
     val params = Ann.BuildParams(engine = meta.engine, metric = meta.metric,
       maxDegree = meta.maxDegree, buildComplexity = meta.buildComplexity,
-      alpha = meta.alpha, quantization = if (meta.quantized) "sq8" else "",
+      alpha = meta.alpha,
+      quantization = if (meta.quantized) s"sq${meta.quantBits}" else "",
       numShards = targetShards,
       hnswM = meta.maxDegree, efConstruction = meta.buildComplexity)
     // NOTE: cosine vectors in shards are already normalized; re-normalizing
