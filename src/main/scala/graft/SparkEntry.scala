@@ -445,6 +445,35 @@ object SparkEntry {
 
     // ivfflat with nprobe == nlist scans every cluster → exact; oracle-able
     // as rank-only output (ordering is metric-monotonic).
+    // PCA transform chain (FAISS `PCA<d>,<index>` / IndexPreTransform):
+    // at d = input dim the fitted map is a pure rotation around the
+    // training mean, so the L2 top-k SET is preserved exactly (differences
+    // cancel the centering; rounding is absorbed by the double re-rank) —
+    // the full build→transform→store→query-transform→serve pipeline
+    // value-oracles against the UNtransformed exact top-k. The reduced-dim
+    // twin ann_pca_topk (PCA16 over an IVF terminal) is lossy by design →
+    // rows-only.
+    "ann_pca_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_pca_ex", "PCA64,Flat")
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_pca_ex", q64Arr, 10)
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
+        .orderBy(col("__dd"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    "ann_pca_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_pca16",
+        "PCA16,IVF8,Flat", Ann.BuildParams(nprobe = 8))
+      Ann.search(emb, "vec_id", "v_pca16", q64Arr, 10)
+        .select("vec_id", "_distance")
+    }),
+
     "ann_ivf_exact" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_ivf_exact",
@@ -1562,6 +1591,13 @@ object SparkEntry {
          | list_distance(CAST(embedding AS DOUBLE[]), $q64Sql) AS _distance
          |FROM embeddings ORDER BY vec_id""".stripMargin,
     "ann_ivf_exact" ->
+      s"""SELECT vec_id, row_number() OVER (
+         |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
+         |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
+    // full-dim PCA is a pure rotation: same exact-top-k oracle (the Spark
+    // side re-ranks its transformed-space hits by the original-space double
+    // distance, so the hash checks the SET and the ordering end to end)
+    "ann_pca_exact" ->
       s"""SELECT vec_id, row_number() OVER (
          |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
          |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,

@@ -67,6 +67,10 @@ object Ann {
       // vectors (SQL-replayable, like the PQ seeded codebook); otherwise
       // deterministic fixed-seed Gaussian hyperplanes.
       lshNbits: Int = 0,
+      // PCA pre-transform output dim (factory `PCA<d>,...`); 0 = off.
+      // flat/ivfflat + L2 only; d == input dim is a pure rotation (exact
+      // distances up to rounding), d < input dim is lossy
+      pcaDim: Int = 0,
       // graph build threads per shard task (VamanaIndex.addAllParallel);
       // >1 on a cluster requires spark.task.cpus to match. 1 = serial,
       // deterministic build.
@@ -109,6 +113,7 @@ object Ann {
     val Pq = "(?i)PQ(\\d+)".r
     val Opq = "(?i)OPQ(\\d+)".r
     val Lsh = "(?i)LSH(\\d*)".r
+    val Pca = "(?i)PCA(\\d+)".r
     val p = core.toList match {
       case Opq(m1) :: Pq(m2) :: Nil =>
         // FAISS `OPQ<m>,PQ<m>` analog (beyond the reference's grammar):
@@ -132,6 +137,16 @@ object Ann {
           maxDegree = if (deg.isEmpty) VamanaIndex.DefaultMaxDegree else deg.toInt)
       case Pq(m) :: Nil =>
         base.copy(engine = "pq", pqM = m.toInt)
+      // FAISS transform-chain prefix `PCA<d>,<index>` (IndexPreTransform +
+      // PCAMatrix): supported terminals are Flat and IVF<n>[,Flat]
+      case Pca(d) :: f :: Nil if f.equalsIgnoreCase("flat") =>
+        base.copy(engine = "flat", pcaDim = d.toInt)
+      case Pca(d) :: Ivf(nlist) :: rest
+          if rest.isEmpty || (rest.lengthCompare(1) == 0 && rest.head.equalsIgnoreCase("flat")) =>
+        base.copy(engine = "ivfflat", nlist = nlist.toInt, pcaDim = d.toInt)
+      case Pca(_) :: _ => throw new IllegalArgumentException(
+        s"PCA<d> needs a Flat or IVF<nlist>[,Flat] terminal (e.g. " +
+        s"'PCA32,Flat', 'PCA32,IVF64,Flat'): '$desc'")
       case Lsh(nb) :: Nil =>
         // FAISS `LSH` / `LSH<nbits>` (binary sign codes, Hamming ranking);
         // the r/rt/t rotation-and-threshold training suffixes are not
@@ -140,10 +155,11 @@ object Ann {
       case other => throw new IllegalArgumentException(
         s"unsupported index factory description: '$desc' — supported: " +
         "Flat | HNSW[m] | IVF<nlist>[,Flat] | IVF<nlist>,PQ<m> | PQ<m> | " +
-        "OPQ<m>,PQ<m> | LSH[nbits] | DiskANN[degree], optionally suffixed " +
-        "',SQ8'/',SQ4'/',SQ6' (diskann only) or ',RFlat' (PQ/LSH engines); " +
-        "IMI, LSH rotation suffixes (LSHr/LSHrt/LSHt), and multi-stage " +
-        "transform chains are not implemented")
+        "OPQ<m>,PQ<m> | LSH[nbits] | DiskANN[degree] | PCA<d>,Flat | " +
+        "PCA<d>,IVF<nlist>[,Flat], optionally suffixed ',SQ8'/',SQ4'/',SQ6' " +
+        "(diskann only) or ',RFlat' (PQ/LSH engines); IMI, PCAR/PCAW, LSH " +
+        "rotation suffixes (LSHr/LSHrt/LSHt), and other transform chains " +
+        "are not implemented")
     }
     val p2 = if (refine) {
       require(p.engine == "pq" || p.engine == "ivfpq" || p.engine == "lsh",
@@ -200,10 +216,32 @@ object Ann {
     IndexCatalog.drop(root(spark), name)
     new java.io.File(dir).mkdirs()
 
-    val data = df.select(
+    val data0 = df.select(
       col(idColumn).cast(LongType).as("id"),
       toFloatVec(col(column)).as("vec"))
       .where(col(idColumn).isNotNull && col(column).isNotNull)
+
+    // PCA pre-transform (factory `PCA<d>,...`): fit on the trainSample
+    // lowest-id vectors (deterministic), persist rotation+mean beside the
+    // index, and hand the ENGINE the transformed vectors — from here down
+    // the index neither knows nor cares a transform exists; queries map
+    // through the same file in prepQuery.
+    val (data, origDim, pcaPath) = if (params.pcaDim > 0) {
+      require(params.engine == "flat" || params.engine == "ivfflat",
+        s"PCA pre-transform supports flat/ivfflat terminals (got ${params.engine})")
+      require(metric eq Metric.L2,
+        "PCA pre-transform supports the l2 metric (centering shifts IP/cosine values)")
+      import spark.implicits._
+      val inDim = inferDim(data0)
+      val sample = data0.orderBy("id").limit(params.trainSample)
+        .select("vec").as[Array[Float]].collect()
+      val pca = graft.core.PcaCodec.fit(sample, params.pcaDim)
+      val path = s"$dir/pca.bin"
+      graft.core.PcaCodec.write(path, pca)
+      val pcaB = spark.sparkContext.broadcast(pca)
+      val tUdf = udf((v: Array[Float]) => pcaB.value.transform(v))
+      (data0.withColumn("vec", tUdf(col("vec"))), inDim, path)
+    } else (data0, 0, "")
 
     val srcFiles = sourceRootPaths(df)
     val built = params.engine.toLowerCase match {
@@ -217,7 +255,8 @@ object Ann {
       case e => throw new IllegalArgumentException(s"unknown engine: $e")
     }
     // record the user-facing binding (original column names + source files)
-    val bound = built.copy(column = column, idColumn = idColumn, sourceFiles = srcFiles)
+    val bound = built.copy(column = column, idColumn = idColumn,
+      sourceFiles = srcFiles, inputDim = origDim, pcaFile = pcaPath)
     IndexCatalog.save(root(spark), bound)
     if (reuse) buildMemo.put(name, fp)
     bound
@@ -903,7 +942,12 @@ object Ann {
         .collect().map(r => (r.getLong(0), r.getFloat(1)))
   }
 
-  private[index] def prepQuery(meta: IndexMeta, query: Array[Float]): Array[Float] = {
+  private[index] def prepQuery(meta: IndexMeta, query0: Array[Float]): Array[Float] = {
+    val query = if (meta.pcaFile.nonEmpty) {
+      require(query0.length == meta.inputDim,
+        s"query dimension ${query0.length} != index input dimension ${meta.inputDim}")
+      graft.core.PcaCodec.cached(meta.pcaFile).transform(query0)
+    } else query0
     require(query.length == meta.dim,
       s"query dimension ${query.length} != index dimension ${meta.dim}")
     if (meta.metricObj eq Metric.Cosine) VectorOps.normalize(query.clone()) else query
@@ -1580,8 +1624,9 @@ object Ann {
         // against ONE base scan. A per-query plan union would grow the
         // driver's analysis/codegen cost linearly in nq — fatal at nq in the
         // thousands, where this stays a single fixed-size plan.
-        queries.foreach(q => require(q.length == meta.dim,
-          s"query dimension ${q.length} != index dimension ${meta.dim}"))
+        val qDim = if (meta.inputDim > 0) meta.inputDim else meta.dim
+        queries.foreach(q => require(q.length == qDim,
+          s"query dimension ${q.length} != index dimension $qDim"))
         val qDf = spark.createDataFrame(
           queries.zipWithIndex.map { case (q, qi) => Row(qi, q.toSeq) }.asJava,
           StructType(Seq(StructField("query_idx", IntegerType),
@@ -1808,10 +1853,22 @@ object Ann {
     val l2 = meta.metricObj eq Metric.L2
     val inSchema = queriesDf.schema
     val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
-    val prepped0 = queriesDf
-      .withColumn(queryVecColumn, toFloatVec(col(queryVecColumn)))
-      .withColumn("__q",
-        if (cosine) toFloatVec(normalizeCol(col(queryVecColumn))) else col(queryVecColumn))
+    val prepped0 = {
+      val base0 = queriesDf.withColumn(queryVecColumn, toFloatVec(col(queryVecColumn)))
+      // pca indexes: __q is the frozen-transformed query (the stored vectors
+      // live in transformed space; the chain is L2-only so no normalization
+      // interaction exists) — the USER's query column stays untouched, it is
+      // part of the output contract
+      val qExpr =
+        if (meta.pcaFile.nonEmpty) {
+          val pcaB = spark.sparkContext.broadcast(graft.core.PcaCodec.cached(meta.pcaFile))
+          val tUdf = udf((v: Array[Float]) => pcaB.value.transform(v))
+          tUdf(col(queryVecColumn))
+        }
+        else if (cosine) toFloatVec(normalizeCol(col(queryVecColumn)))
+        else col(queryVecColumn)
+      base0.withColumn("__q", qExpr)
+    }
     // OPQ (pq engine only): ADC runs in rotated space — rotate each query
     // once on the broadcast side; exact re-ranks keep the unrotated `__q`
     val prepped1 =
@@ -2312,17 +2369,24 @@ object Ann {
   private def appendExact(df: DataFrame, column: String, idColumn: String,
       meta: IndexMeta): IndexMeta = {
     val spark = df.sparkSession
-    val dim = meta.dim
+    // pca indexes: appended rows arrive in the ORIGINAL dim and encode
+    // through the frozen transform, like the PQ frozen codebook
+    val dim = if (meta.inputDim > 0) meta.inputDim else meta.dim
     val cosine = meta.metricObj eq Metric.Cosine
     val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
     val checkUdf = udf((v: Array[Float]) => {
       require(v.length == dim, s"appended vector has dimension ${v.length}, expected $dim")
       if (cosine) VectorOps.normalize(v.clone()) else v
     })
-    val data = df
+    val data0 = df
       .select(col(idColumn).cast(LongType).as("id"), toFloatVec(col(column)).as("vec"))
       .where(col(idColumn).isNotNull && col(column).isNotNull)
       .withColumn("vec", checkUdf(col("vec")))
+    val data = if (meta.pcaFile.isEmpty) data0 else {
+      val pcaB = spark.sparkContext.broadcast(graft.core.PcaCodec.cached(meta.pcaFile))
+      val tUdf = udf((v: Array[Float]) => pcaB.value.transform(v))
+      data0.withColumn("vec", tUdf(col("vec")))
+    }
     val n = data.count()
     if (n == 0) return meta
     meta.engine match {

@@ -47,7 +47,13 @@ case class IndexMeta(
     sourceFiles: List[String] = Nil,
     // scalar-quantization code width when quantized (8 = u8 SQ8, 4/6 =
     // packed); 8 default keeps pre-existing metadata.json readable
-    quantBits: Int = 8) {
+    quantBits: Int = 8,
+    // PCA pre-transform (FAISS IndexPreTransform analog): when pcaFile is
+    // set, stored vectors live in the pcaDim(=dim)-dim transformed space,
+    // queries arrive in inputDim dims and are mapped through the stored
+    // rotation by Ann.prepQuery; distances are transformed-space distances
+    inputDim: Int = 0,
+    pcaFile: String = "") {
   def metricObj: graft.core.Metric = graft.core.Metric.fromName(metric)
 }
 

@@ -234,7 +234,10 @@ case class AnnTopKRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // a rewrite would silently change the query's _distance semantics
         // (every other engine returns true metric distances; only the
         // RANKING is approximate)
-        m.engine != "lsh"
+        m.engine != "lsh" &&
+        // pca-transformed indexes serve transformed-space distances (and
+        // take original-dim queries) — same value-semantics exclusion
+        m.pcaFile.isEmpty
     }.sortBy(m => (if (m.engine == "flat") 0 else 1, m.name))
       .headOption.getOrElse(return None)
 

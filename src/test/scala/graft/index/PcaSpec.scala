@@ -1,0 +1,147 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.PcaCodec
+
+/** Pins the PCA transform chain (factory `PCA<d>,Flat` / `PCA<d>,IVF<n>` —
+ *  FAISS PCAMatrix + IndexPreTransform analog): fitted-basis orthogonality
+ *  and variance ordering, full-dim rotation == exact top-k, reduced-dim
+ *  recall sanity, frozen-transform append, batch-surface parity, grammar
+ *  errors, and the rewrite-rule exclusion. */
+class PcaSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.graft.ann.root", s"/tmp/graft-test-pca-${System.nanoTime()}")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private val sf = "/root/testdata/sf0.001"
+  lazy val emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private lazy val all: Array[(Long, Array[Float])] = emb
+    .select("vec_id", "embedding").collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private lazy val q0: Array[Float] = all.minBy(_._1)._2
+
+  private def exactTop(k: Int, q: Array[Float]): Seq[Long] =
+    all.map { case (id, v) =>
+      (graft.core.VectorOps.l2SqDoubleAcc(v, q), id)
+    }.sortBy(t => (t._1, t._2)).take(k).map(_._2).toSeq
+
+  test("fit: rotation rows are orthonormal, eigenvalues descend") {
+    val sample = all.take(300).map(_._2)
+    val pca = PcaCodec.fit(sample, sample(0).length)
+    val rot = pca.rotation
+    for (a <- rot.indices; b <- a until rot.length) {
+      var s = 0.0
+      rot(a).indices.foreach(i => s += rot(a)(i).toDouble * rot(b)(i).toDouble)
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(s - want) < 1e-4, s"rot[$a]·rot[$b] = $s, want $want")
+    }
+    // component variances over the sample must descend
+    val vars = rot.map { row =>
+      val ys = sample.map { v =>
+        var s = 0.0
+        row.indices.foreach(i => s += row(i).toDouble * (v(i) - pca.mean(i)))
+        s
+      }
+      val m = ys.sum / ys.length
+      ys.map(y => (y - m) * (y - m)).sum / (ys.length - 1)
+    }
+    vars.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-9, s"variance not descending: $a < $b") }
+  }
+
+  test("full-dim PCA chain == exact top-k (rotation preserves L2)") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "pca_full", "PCA64,Flat")
+    val meta = IndexCatalog.load(Ann.root(spark), "pca_full")
+    assert(meta.engine == "flat" && meta.dim == 64 && meta.inputDim == 64 &&
+      meta.pcaFile.nonEmpty)
+    val got = Ann.search(emb, "vec_id", "pca_full", q0, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got.sorted == exactTop(10, q0).sorted,
+      s"rotated top-10 set differs from exact: $got")
+  }
+
+  test("reduced-dim PCA over an IVF terminal: clustered scan, sane recall") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "pca_ivf",
+      "PCA16,IVF8,Flat", Ann.BuildParams(nprobe = 8))
+    val meta = IndexCatalog.load(Ann.root(spark), "pca_ivf")
+    assert(meta.engine == "ivfflat" && meta.dim == 16 && meta.inputDim == 64)
+    val got = Ann.search(emb, "vec_id", "pca_ivf", q0, 10)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1)))
+    // q0 IS row 0's embedding: its projection is identical whatever the
+    // reduction, so self-retrieval at distance 0 survives any dim cut —
+    // the robust pipeline check (rank-recall on 16/64 dims of near-random
+    // vectors is legitimately low and would make the test a coin flip)
+    assert(got.head._1 == all.minBy(_._1)._1 && got.head._2 == 0.0f,
+      s"self-query did not retrieve itself first: ${got.toSeq}")
+    assert(got.length == 10)
+  }
+
+  test("append encodes through the FROZEN transform") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "pca_app", "PCA64,Flat")
+    import scala.jdk.CollectionConverters._
+    val row = org.apache.spark.sql.Row(888888L, q0.toSeq)
+    val df = spark.createDataFrame(Seq(row).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    Ann.append(df, "embedding", "vec_id", "pca_app")
+    val top = Ann.searchHits(spark, "pca_app", q0, 2).collect()
+      .map(r => (r.getLong(0), r.getFloat(1)))
+    // the appended clone of q0 transforms to the same point → distance ~0
+    assert(top.exists { case (id, d) => id == 888888L && d < 1e-6f },
+      s"appended clone not found at ~0: ${top.toSeq}")
+  }
+
+  test("batch/table surface transforms queries identically to single-query") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "pca_b", "PCA64,Flat")
+    val single = Ann.search(emb, "vec_id", "pca_b", q0, 5)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq.sortBy(t => (t._2, t._1))
+    val batch = Ann.searchBatch(emb, "vec_id", "pca_b", Seq(q0), 5)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq.sortBy(t => (t._2, t._1))
+    assert(batch.map(_._1) == single.map(_._1))
+  }
+
+  test("grammar and semantic errors") {
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "pca_e1", "PCA32")
+    }
+    assert(e1.getMessage.contains("terminal"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "pca_e2", "PCA32,HNSW16")
+    }
+    assert(e2.getMessage.contains("terminal"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "pca_e3", "PCA32,Flat",
+        Ann.BuildParams(metric = "cosine"))
+    }
+    assert(e3.getMessage.contains("l2"), e3.getMessage)
+  }
+
+  test("pca indexes are never rewrite candidates (transformed-space values)") {
+    val oldRoot = spark.conf.get("spark.graft.ann.root")
+    spark.conf.set("spark.graft.ann.root", s"/tmp/graft-rule-pca-${System.nanoTime()}")
+    try {
+      graft.plans.Graft.init(spark)
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "rule_pca", "PCA64,Flat")
+      import graft.functions.{toFloatVec, floatVec, array_distance}
+      val topk = emb.orderBy(array_distance(toFloatVec(col("embedding")),
+        floatVec(q0.toSeq))).limit(10)
+      assert(!topk.queryExecution.optimizedPlan.toString.contains("ann_index_scan"),
+        s"pca index captured a metric top-k:\n${topk.queryExecution.optimizedPlan}")
+    } finally spark.conf.set("spark.graft.ann.root", oldRoot)
+  }
+}
