@@ -474,6 +474,41 @@ object SparkEntry {
         .select("vec_id", "_distance")
     }),
 
+    // IMI2x<b> coarse quantizer (FAISS multi-index): cells are the cross
+    // product of two half-space codebooks, served through the ivfflat stack
+    // over materialized product centroids. Two oracles: saturating
+    // (nprobe = nlist ⇒ exact regardless of assignment — the serve path),
+    // and probe1 (seeded half-codebooks, nprobe = 1 ⇒ the answer is the
+    // exact top-k WITHIN the query's cell — checks assignment, probe
+    // selection, and ranking together; SQL replays the half-argmins).
+    "ann_imi_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_imi_ex", "IMI2x2",
+        Ann.BuildParams(nprobe = 16))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_imi_ex", q64Arr, 10)
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
+        .orderBy(col("__dd"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    "ann_imi_probe1" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_imi_p1", "IMI2x2",
+        Ann.BuildParams(seedK = 4, nprobe = 1))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_imi_p1", q64Arr, 10)
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
+        .orderBy(col("__dd"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
     "ann_ivf_exact" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_ivf_exact",
@@ -1594,6 +1629,57 @@ object SparkEntry {
       s"""SELECT vec_id, row_number() OVER (
          |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
          |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
+    // IMI saturating probe: every cell scanned ⇒ plain exact top-k
+    "ann_imi_exact" ->
+      s"""SELECT vec_id, row_number() OVER (
+         |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
+         |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
+    // IMI probe1 replay with seeded half-codebooks: half-codebook h's
+    // centroid c is the h-th half of embeddings[vec_id=c] (c < 4); every
+    // row's cell = (argmin over half 1)·4 + (argmin over half 2), ties to
+    // the lowest centroid id; the answer is the exact top-10 within the
+    // QUERY's cell — assignment, probe selection, and ranking in one hash.
+    "ann_imi_probe1" ->
+      s"""WITH seeds AS (
+         |  SELECT CAST(vec_id AS INT) AS c, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 4),
+         |a1 AS (
+         |  SELECT e.vec_id, s.c, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_sum(list_transform(range(1, 33), i ->
+         |      (CAST(e.embedding AS DOUBLE[])[i] - s.v[i])
+         |      * (CAST(e.embedding AS DOUBLE[])[i] - s.v[i]))), s.c) AS rn
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |a2 AS (
+         |  SELECT e.vec_id, s.c, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_sum(list_transform(range(33, 65), i ->
+         |      (CAST(e.embedding AS DOUBLE[])[i] - s.v[i])
+         |      * (CAST(e.embedding AS DOUBLE[])[i] - s.v[i]))), s.c) AS rn
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |cells AS (
+         |  SELECT x.vec_id, x.c * 4 + y.c AS cell
+         |  FROM a1 x JOIN a2 y ON y.vec_id = x.vec_id
+         |  WHERE x.rn = 1 AND y.rn = 1),
+         |q1 AS (
+         |  SELECT c, row_number() OVER (ORDER BY
+         |    list_sum(list_transform(range(1, 33), i ->
+         |      (($q64Sql)[i] - v[i]) * (($q64Sql)[i] - v[i]))), c) AS rn
+         |  FROM seeds),
+         |q2 AS (
+         |  SELECT c, row_number() OVER (ORDER BY
+         |    list_sum(list_transform(range(33, 65), i ->
+         |      (($q64Sql)[i] - v[i]) * (($q64Sql)[i] - v[i]))), c) AS rn
+         |  FROM seeds),
+         |qcell AS (
+         |  SELECT x.c * 4 + y.c AS cell FROM q1 x, q2 y
+         |  WHERE x.rn = 1 AND y.rn = 1)
+         |SELECT vec_id, rank FROM (
+         |  SELECT e.vec_id, row_number() OVER (
+         |    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), $q64Sql),
+         |      e.vec_id) AS rank
+         |  FROM embeddings e
+         |  JOIN cells ce ON ce.vec_id = e.vec_id
+         |  JOIN qcell q ON ce.cell = q.cell)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // full-dim PCA is a pure rotation: same exact-top-k oracle (the Spark
     // side re-ranks its transformed-space hits by the original-space double
     // distance, so the hash checks the SET and the ordering end to end)

@@ -71,6 +71,9 @@ object Ann {
       // flat/ivfflat + L2 only; d == input dim is a pure rotation (exact
       // distances up to rounding), d < input dim is lossy
       pcaDim: Int = 0,
+      // IMI coarse quantizer (factory `IMI2x<b>[,Flat]`): bits per
+      // half-space codebook; cells = cross product (nlist = 2^(2b)). 0 = off
+      imiB: Int = 0,
       // graph build threads per shard task (VamanaIndex.addAllParallel);
       // >1 on a cluster requires spark.task.cpus to match. 1 = serial,
       // deterministic build.
@@ -114,6 +117,7 @@ object Ann {
     val Opq = "(?i)OPQ(\\d+)".r
     val Lsh = "(?i)LSH(\\d*)".r
     val Pca = "(?i)PCA(\\d+)".r
+    val Imi = "(?i)IMI2X(\\d+)".r
     val p = core.toList match {
       case Opq(m1) :: Pq(m2) :: Nil =>
         // FAISS `OPQ<m>,PQ<m>` analog (beyond the reference's grammar):
@@ -147,6 +151,13 @@ object Ann {
       case Pca(_) :: _ => throw new IllegalArgumentException(
         s"PCA<d> needs a Flat or IVF<nlist>[,Flat] terminal (e.g. " +
         s"'PCA32,Flat', 'PCA32,IVF64,Flat'): '$desc'")
+      // FAISS `IMI2x<b>` coarse quantizer as an inverted-file terminal
+      // (multi-index: two half-space codebooks, cells = cross product)
+      case Imi(b) :: rest
+          if rest.isEmpty || (rest.lengthCompare(1) == 0 && rest.head.equalsIgnoreCase("flat")) =>
+        require(b.toInt >= 1 && b.toInt <= 8,
+          s"IMI2x<b> supports b in [1, 8] (${1 << (2 * b.toInt)} cells max): '$desc'")
+        base.copy(engine = "ivfflat", imiB = b.toInt)
       case Lsh(nb) :: Nil =>
         // FAISS `LSH` / `LSH<nbits>` (binary sign codes, Hamming ranking);
         // the r/rt/t rotation-and-threshold training suffixes are not
@@ -155,11 +166,11 @@ object Ann {
       case other => throw new IllegalArgumentException(
         s"unsupported index factory description: '$desc' — supported: " +
         "Flat | HNSW[m] | IVF<nlist>[,Flat] | IVF<nlist>,PQ<m> | PQ<m> | " +
-        "OPQ<m>,PQ<m> | LSH[nbits] | DiskANN[degree] | PCA<d>,Flat | " +
-        "PCA<d>,IVF<nlist>[,Flat], optionally suffixed ',SQ8'/',SQ4'/',SQ6' " +
-        "(diskann only) or ',RFlat' (PQ/LSH engines); IMI, PCAR/PCAW, LSH " +
-        "rotation suffixes (LSHr/LSHrt/LSHt), and other transform chains " +
-        "are not implemented")
+        "OPQ<m>,PQ<m> | LSH[nbits] | DiskANN[degree] | IMI2x<b>[,Flat] | " +
+        "PCA<d>,Flat | PCA<d>,IVF<nlist>[,Flat], optionally suffixed " +
+        "',SQ8'/',SQ4'/',SQ6' (diskann only) or ',RFlat' (PQ/LSH engines); " +
+        "IMI-with-PQ terminals, PCAR/PCAW, LSH rotation suffixes " +
+        "(LSHr/LSHrt/LSHt), and other transform chains are not implemented")
     }
     val p2 = if (refine) {
       require(p.engine == "pq" || p.engine == "ivfpq" || p.engine == "lsh",
@@ -449,13 +460,50 @@ object Ann {
       .take(params.trainSample)
     val prepped = if (metric eq Metric.Cosine) sample.map(v => VectorOps.normalize(v.clone()))
                   else sample
-    val cents = KMeansLite.train(prepped, params.nlist)
+    val cosine = metric eq Metric.Cosine
+    // IMI2x<b>: two half-space codebooks; the STORED centroid table is the
+    // cross-product concatenation [c1_i ; c2_j] (cell = i·|cb2| + j), so
+    // every downstream serve surface — nearestP probes, cluster-radii range
+    // pruning, partition-pruned scans, ExactServe — works UNCHANGED on
+    // centroids.bin: ||q − [c1;c2]||² = ||q₁−c1||² + ||q₂−c2||², hence
+    // cell ranking over product centroids IS the half-distance-sum ranking
+    // classic IMI computes. What IMI buys is the BUILD: 2^(2b) cells from
+    // two 2^b-centroid trainings (FAISS IndexIVF over a MultiIndexQuantizer,
+    // faiss IMI2x<b> factory form); the O(nlist·dim) probe enumeration is
+    // fine at the cell counts a single index holds (b ≤ 8 → ≤ 65k cells) —
+    // the O(2·2^b) multi-sequence probe trick only pays at IMI2x14 scale.
+    val (cents, imiHalves) = if (params.imiB > 0) {
+      require(dim % 2 == 0, s"IMI2x splits vectors into equal halves (dim=$dim is odd)")
+      val half = dim / 2
+      val kh = 1 << params.imiB
+      val (cb1, cb2) = if (params.seedK > 0) {
+        // seed mode: half-codebooks = halves of the kh lowest-id vectors,
+        // verbatim — SQL-replayable (the ann_imi_probe1 oracle)
+        val seeds = data.orderBy("id").limit(kh).select("vec").as[Array[Float]].collect()
+        val sp = if (cosine) seeds.map(v => VectorOps.normalize(v.clone())) else seeds
+        (sp.map(_.take(half)), sp.map(_.drop(half)))
+      } else
+        (KMeansLite.train(prepped.map(_.take(half)), kh),
+         KMeansLite.train(prepped.map(_.drop(half)), kh))
+      (for (c1 <- cb1; c2 <- cb2) yield c1 ++ c2, Some((cb1, cb2)))
+    } else (KMeansLite.train(prepped, params.nlist), None)
+    val nlist = cents.length
     val centPath = s"$dir/centroids.bin"
     IndexCatalog.writeCentroids(centPath, cents, dim)
 
     val centsB = spark.sparkContext.broadcast(cents)
-    val cosine = metric eq Metric.Cosine
-    val assignUdf = udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
+    // IMI assignment decomposes: argmin over the product = (argmin half 1,
+    // argmin half 2) — O(2·2^b) per row instead of O(2^(2b))
+    val assignUdf = imiHalves match {
+      case Some((cb1, cb2)) =>
+        val half = dim / 2
+        val cb1B = spark.sparkContext.broadcast(cb1)
+        val cb2B = spark.sparkContext.broadcast(cb2)
+        udf((v: Array[Float]) =>
+          KMeansLite.nearest(cb1B.value, v.take(half)) * cb2B.value.length +
+            KMeansLite.nearest(cb2B.value, v.drop(half)))
+      case None => udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
+    }
     val out = s"$dir/data"
     val withCluster = (if (cosine) data.withColumn("vec", normalizeVecUdf(col("vec"))) else data)
       .withColumn("cluster", assignUdf(col("vec")))
@@ -471,10 +519,10 @@ object Ann {
     // the freshly written table): lets range queries prune clusters by the
     // triangle inequality EXACTLY — d(q, member) ≥ d(q, centroid) − r_c
     IndexCatalog.writeRadii(s"$dir/radii.bin",
-      clusterRadii(spark.read.parquet(out), centsB, params.nlist))
+      clusterRadii(spark.read.parquet(out), centsB, nlist))
     val meta = IndexMeta(name, "ivfflat", "vec", "id", dim, metric.name,
       0, 0, 0f, false, n, 0L, Nil, sourcePath = out,
-      nlist = params.nlist, nprobe = params.nprobe)
+      nlist = nlist, nprobe = math.min(params.nprobe, nlist))
     IndexCatalog.save(root(spark), meta)
     meta
   }
