@@ -341,6 +341,28 @@ object AnnScaleSmoke {
     runServe("ivfpqr_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfpqr", 10).count()
     }
+    // ---- binary LSH at scale (round-15 engine family): 64-bit sign codes,
+    // the codes-only table is ~16 B/row (the compression extreme of the
+    // matrix) and the Hamming scan is ONE codegen'd bit_count(XOR) pass;
+    // the RFlat variant trades storage back for an exact re-rank of kf·k
+    // candidates — sign-LSH recall on adversarial uniform vectors is the
+    // honest lower bound, the refine column shows what the two-phase serve
+    // recovers.
+    if (!reuse) run("lsh_build") {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "as_lsh", "LSH64")
+      n
+    }
+    if (!reuse) run("lshr_build") {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "as_lshr", "LSH64,RFlat",
+        Ann.BuildParams(refineK = 16))
+      n
+    }
+    runServe("lsh_search_table_512q") {
+      Ann.searchTable(queries, "qvec", emb, "vec_id", "as_lsh", 10).count()
+    }
+    runServe("lshr_search_table_512q") {
+      Ann.searchTable(queries, "qvec", emb, "vec_id", "as_lshr", 10).count()
+    }
     // ---- RFlat k_factor sweep (IndexMeta.refineK — FAISS's mutable
     // IndexRefineFlat.k_factor): the default k_factor=4 re-ranks only 40
     // ADC candidates, so refine recall is bounded by ADC's top-40 quality,
@@ -381,7 +403,8 @@ object AnnScaleSmoke {
     val sweepNames = ivfSweep.map(np => s"as_ivf_np$np").filter(haveIdx)
     val recallEngines =
       Seq("as_disk", "as_ivf", "as_sq8", "as_ivfpq", "as_ivfpqr") ++ sweepNames ++
-        (kfSweep.map(kf => s"as_ivfpqr_kf$kf") :+ "as_hnsw").filter(haveIdx)
+        (kfSweep.map(kf => s"as_ivfpqr_kf$kf") ++
+          Seq("as_lsh", "as_lshr") :+ "as_hnsw").filter(haveIdx)
     var recallByName = Map.empty[String, (Double, Double)]
     run("recall_at10_200q_all") {
       val rows = Ann.measureRecallMany(emb, "embedding", "vec_id",
@@ -416,6 +439,10 @@ object AnnScaleSmoke {
         kf -> r
       }
     }
+    val (lshRecall, _) = recallByName.getOrElse("as_lsh", (-1.0, -1.0))
+    val (lshrRecall, _) = recallByName.getOrElse("as_lshr", (-1.0, -1.0))
+    System.err.println(f"[annscale] lsh recall@10 = $lshRecall%.4f; " +
+      f"lsh+rflat(kf16) = $lshrRecall%.4f")
     val hnswRecall = recallByName.get("as_hnsw").map(_._1)
     hnswRecall.foreach(r =>
       System.err.println(f"[annscale] hnsw recall@10 = $r%.4f ($hnswShards shards)"))
@@ -475,9 +502,13 @@ object AnnScaleSmoke {
     val ivfpqrBytes =
       if (haveIndex("as_ivfpqr")) dirBytes(IndexCatalog.load(Ann.root(spark), "as_ivfpqr").sourcePath)
       else 0L
+    val lshBytes =
+      if (haveIndex("as_lsh")) dirBytes(IndexCatalog.load(Ann.root(spark), "as_lsh").sourcePath)
+      else 0L
     System.err.println(
       f"[annscale] ivf storage ${ivfBytes / 1e6}%.1f MB vs ivfpq ${ivfpqBytes / 1e6}%.1f MB " +
-      f"(${ivfBytes.toDouble / math.max(1, ivfpqBytes)}%.1fx); ivfpq+rflat ${ivfpqrBytes / 1e6}%.1f MB")
+      f"(${ivfBytes.toDouble / math.max(1, ivfpqBytes)}%.1fx); ivfpq+rflat ${ivfpqrBytes / 1e6}%.1f MB; " +
+      f"lsh codes ${lshBytes / 1e6}%.1f MB (${ivfBytes.toDouble / math.max(1, lshBytes)}%.1fx)")
 
     // ---- serve-latency percentiles (round-9 verdict item 3): 200 warm ----
     // sequential single-query searches against the mmap-served graph.
@@ -626,6 +657,8 @@ object AnnScaleSmoke {
       pqrKfRecalls.map { case (kf, r) =>
         s""""recall_at10_kf$kf":$r,""" }.mkString +
       s""""storage_bytes":$ivfpqrBytes},""" +
+      s""""lsh":{"recall_at10":$lshRecall,"recall_at10_rflat_kf16":$lshrRecall,""" +
+      s""""storage_bytes":$lshBytes,"storage_ratio_vs_ivf":${ivfBytes.toDouble / math.max(1, lshBytes)}},""" +
       hnswRecall.map(r =>
         s""""hnsw":{"recall_at10":$r,"shards":$hnswShards},""").getOrElse("") +
       s""""latency":$latJson,"latency_concurrent_ms":$concJson,""" +
