@@ -2035,16 +2035,23 @@ object Ann {
         (stream.join(broadcast(probed), stream("cluster") === probed("__probe")),
           distTo(stream("vec"), col("__q")), probed, None)
       case "lsh" =>
-        // batch Hamming: queries encode ONCE on the broadcast side; the
-        // joined row carries only (id, code, __qcode), and the score is the
-        // same codegen'd bit_count(XOR) the single-query scan ranks by
+        // batch Hamming rides the FROZEN-query route: queries collect once,
+        // encode to one LONG code each on the driver, and the score is the
+        // same codegen'd bit_count(XOR) the single-query scan ranks by. The
+        // frozen LocalRelation is what lets the shared narrow-ranking branch
+        // below shuffle only (__qid, id, score) through the per-query window
+        // — the first cut of this path windowed the full 1.5M×512 cross
+        // join WITH the 256-byte query array on every row and OOMed an 8 GB
+        // driver at the scale smoke (the exact failure mode the PQ branch's
+        // narrow ranking documents).
         val hyps = IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin")
         val hypsB = spark.sparkContext.broadcast(hyps)
         val qcodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v))
-        val withCode = prepped.withColumn("__qcode", qcodeUdf(col("__q")))
-        (base.crossJoin(broadcast(withCode)),
+        val (frozen0, _) = frozenQueries("__q")
+        val frozen = frozen0.withColumn("__qcode", qcodeUdf(col("__q")))
+        (base.crossJoin(broadcast(frozen)),
           bit_count(base("code").bitwiseXOR(col("__qcode"))).cast(DoubleType),
-          withCode, None)
+          frozen, Some(frozen))
       case _ =>
         (base.crossJoin(broadcast(prepped)), distTo(base("vec"), col("__q")),
           prepped, None)
@@ -2092,28 +2099,9 @@ object Ann {
       case None =>
         val unfiltered = live0.withColumn("__dd", rawScore)
         val w = Window.partitionBy("__qid").orderBy(col("__dd"), base("id"))
-        if (!meta.refine) {
-          unfiltered.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
-            .select(inSchema.fieldNames.map(f => qSide(f)).toSeq :+
-              base("id").as("row_id") :+ col("__dd").cast(FloatType).as("_distance"): _*)
-        } else {
-          // refined lsh: Hamming cuts k·refineFactor candidate ids from the
-          // codes-only scan instance (vec pruned there), then ONLY the
-          // candidates' vectors fetch back for the exact double re-rank —
-          // same two-phase contract as the frozen-query PQ branch above
-          val cand = unfiltered.withColumn("__crn", row_number().over(w))
-            .where(col("__crn") <= k * refineFactor(spark, meta))
-            .select(Seq(col("__qid"), base("id").as("__rid"), col("__q")) ++
-              inSchema.fieldNames.map(f => qSide(f)): _*)
-          val bv = base.select(col("id").as("__rid"), col("vec"))
-          val rejoined = cand.join(bv, "__rid")
-            .withColumn("__ed", distTo(col("vec"), col("__q")))
-          val w2 = Window.partitionBy("__qid").orderBy(col("__ed"), col("__rid"))
-          rejoined.withColumn("__rn", row_number().over(w2)).where(col("__rn") <= k)
-            .select(inSchema.fieldNames.map(f => col(f)).toSeq :+
-              col("__rid").as("row_id") :+
-              col("__ed").cast(FloatType).as("_distance"): _*)
-        }
+        unfiltered.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+          .select(inSchema.fieldNames.map(f => qSide(f)).toSeq :+
+            base("id").as("row_id") :+ col("__dd").cast(FloatType).as("_distance"): _*)
     }
   }
 
