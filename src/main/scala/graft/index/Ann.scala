@@ -1562,11 +1562,20 @@ object Ann {
     require(meta.engine == "flat" || meta.engine == "ivfflat",
       s"rangeSearchTable supports exact engines (flat/ivfflat), got ${meta.engine}")
     val cosine = meta.metricObj eq Metric.Cosine
-    val prepped = queriesDf
-      .withColumn(queryVecColumn, toFloatVec(col(queryVecColumn)))
-      .withColumn("__q",
-        if (cosine) toFloatVec(normalizeCol(col(queryVecColumn)))
-        else col(queryVecColumn))
+    val prepped = {
+      val base0 = queriesDf.withColumn(queryVecColumn, toFloatVec(col(queryVecColumn)))
+      // pca indexes: __q maps through the frozen transform (stored vectors
+      // live in transformed space; pca is L2-only so no normalize interplay)
+      val qExpr =
+        if (meta.pcaFile.nonEmpty) {
+          val pcaB = spark.sparkContext.broadcast(graft.core.PcaCodec.cached(meta.pcaFile))
+          val tUdf = udf((v: Array[Float]) => pcaB.value.transform(v))
+          tUdf(col(queryVecColumn))
+        }
+        else if (cosine) toFloatVec(normalizeCol(col(queryVecColumn)))
+        else col(queryVecColumn)
+      base0.withColumn("__q", qExpr)
+    }
     val base = spark.read.parquet(meta.sourcePath)
     val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
     val radiiPath = s"$dirPath/radii.bin"

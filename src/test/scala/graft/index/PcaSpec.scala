@@ -115,6 +115,32 @@ class PcaSpec extends AnyFunSuite {
     assert(batch.map(_._1) == single.map(_._1))
   }
 
+  test("range search (single + table) transforms queries on full-dim chains") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "pca_r", "PCA64,Flat")
+    // radius = midway between the 20th and 21st NN distances: rotation
+    // preserves L2, and the mid-gap radius makes the in-radius set
+    // unambiguous under float rounding — exactly the 20 nearest ids
+    val ds = all.map(t => (graft.core.VectorOps.l2SqDoubleAcc(t._2, q0), t._1))
+      .sortBy(t => (t._1, t._2))
+    val radius = ((ds(19)._1 + ds(20)._1) / 2).toFloat
+    val want = ds.take(20).map(_._2).toSet
+    val got = Ann.rangeSearch(emb, "vec_id", "pca_r", q0, radius)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"range set off: got ${got.size}, want 20")
+    // TABLE route: one query row, same radius
+    import scala.jdk.CollectionConverters._
+    val qDf = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(q0.toSeq)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val gotT = Ann.rangeSearchTable(qDf, "qv", emb, "vec_id", "pca_r",
+        radius)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotT == got, s"table route differs: ${gotT.size} vs ${got.size}")
+  }
+
   test("grammar and semantic errors") {
     val e1 = intercept[IllegalArgumentException] {
       Ann.buildIndexFactory(emb, "embedding", "vec_id", "pca_e1", "PCA32")
