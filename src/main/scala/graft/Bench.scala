@@ -45,9 +45,11 @@ object Bench {
     val warmDir = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
     if (new java.io.File(warmDir).isDirectory) {
       entries.foreach { case (name, fn) =>
+        graft.index.Ann.BuildMemoTrace.setTag(s"warmup:$name")
         try { fn(spark, warmDir).count() }
         catch { case t: Throwable => System.err.println(s"[bench] warmup $name failed: $t") }
       }
+      graft.index.Ann.BuildMemoTrace.drain() // warmup reuse is not provenance
       // warmup state must not leak into entry 1's timings: drop any caches
       // the warmup queries persisted (index FILES stay memoized — that is
       // the reuseIndexes contract; this clears only Spark block storage)
@@ -82,8 +84,17 @@ object Bench {
     // is the driver host — the round-13 demand that regressions on
     // untouched code be attributable by artifact, not argued from prose
     final case class Trial(sec: Double, busy: Double, steal: Double, gc: Double)
+    // per-entry warm-state provenance (round-15 verdict item 1): when
+    // reuseIndexes serves an entry a build memoized by an EARLIER entry, its
+    // committed number is inherited-warm and swings with ladder composition
+    // (hybrid_search_ann printed 0.61 in-ladder vs ~1.0 s isolated in r15) —
+    // record index -> builder-entry per entry so a reader can tell without a
+    // re-run. Self-reuse (trial 2+ reusing trial 1's build) is the
+    // memoization contract, not inheritance, and is not recorded.
+    val reuseProv = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
     val results: Seq[(String, Seq[Trial])] = entries.map {
       case (name, fn) =>
+        graft.index.Ann.BuildMemoTrace.setTag(name)
         var target =
           math.max(1, if (buildTimed(name)) math.max(trials, buildTrials) else trials)
         var times = Vector.empty[Trial]
@@ -110,6 +121,9 @@ object Bench {
         // evicting under pressure and surfaced as within-run drift on
         // unrelated entries. Index memoization is file-level and unaffected.
         spark.catalog.clearCache()
+        val foreign = graft.index.Ann.BuildMemoTrace.drain()
+          .filter(_._2 != name).toMap
+        if (foreign.nonEmpty) reuseProv(name) = foreign
         name -> times
     }
     def fmt(v: Double): String = BigDecimal(v)
@@ -141,7 +155,14 @@ object Bench {
     // rev 2 in round 14) so cross-round per-entry deltas can be scoped to
     // same-harness artifacts instead of misattributed to plan changes
     val harnessRev = 2
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness_rev":$harnessRev,"queries":$qs,"trial_times":$tj,"trial_host_busy":$hb,"trial_host_steal":$hs,"trial_gc_sec":$gc,"build_timed":$bt,"slow_sec":$slowSec,"sf":"$sfDir"}"""
+    // entries ABSENT from index_reuse are cold: they built (or needed) no
+    // index memoized by an earlier entry; present entries inherited the
+    // named builder's construction and their time is serving-only
+    val ir = reuseProv.map { case (entry, m) =>
+      "\"" + entry + "\":" + m.map { case (ix, b) =>
+        "\"" + ix + "\":\"" + b + "\"" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness_rev":$harnessRev,"queries":$qs,"trial_times":$tj,"trial_host_busy":$hb,"trial_host_steal":$hs,"trial_gc_sec":$gc,"build_timed":$bt,"index_reuse":$ir,"slow_sec":$slowSec,"sf":"$sfDir"}"""
     // the driver's committed BENCH_r{N}.json keeps only a 2000-char stdout
     // tail, which truncates the per-trial map — persist the complete
     // artifact to disk and print ONLY a compact summary line that fits the
@@ -164,7 +185,7 @@ object Bench {
     val budget = 1800
     val mins = results.collect { case (k, ts) if ts.nonEmpty => k -> ts.map(_.sec).min }
     val bySlow = mins.sortBy(-_._2) // stable: ties keep sorted-name order
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness_rev":$harnessRev,"n_queries":${results.size},"full":"$fullPath","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness_rev":$harnessRev,"n_queries":${results.size},"warm_inherited":${reuseProv.size},"full":"$fullPath","sf":"$sfDir","queries":{"""
     val tail0 = s"""},"queries_omitted":"""
     var used = head.length + tail0.length + 8
     val kept = Vector.newBuilder[String]

@@ -169,6 +169,11 @@ object DiskannFormat {
       if (sqDim != dim) fail(s"SQ$sqBits dim $sqDim != index dim $dim")
       val need = stdEnd + 4 + 12 + sqDim.toLong * 8 + qlen
       if (qlen < 0 || need > bytes.length) fail(s"SQ$sqBits section truncated")
+      // mirror the mmap reader's geometry check: a short-but-present data
+      // region would otherwise surface as an ArrayIndexOutOfBounds mid-search
+      val rowStride = if (sqBits == 8) sqDim else (sqDim * sqBits + 7) / 8
+      if (qlen != n.toLong * rowStride)
+        fail(s"SQ$sqBits data length $qlen != n($n) * rowStride($rowStride)")
       val mins = new Array[Float](sqDim)
       val scales = new Array[Float](sqDim)
       var d = 0

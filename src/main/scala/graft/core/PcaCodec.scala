@@ -117,11 +117,19 @@ object PcaCodec {
     Pca(rot, mean)
   }
 
-  /** Process-wide cache keyed by file path — a PCA is frozen at build time
-   *  (vacuum rewrites parquet, never the transform), so plain memoization
-   *  is safe; serving must not re-read 16 KB per query. */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Pca]()
-  def cached(path: String): Pca = cache.computeIfAbsent(path, read(_))
+  /** Process-wide cache keyed by (path, mtime, size) — a PCA is frozen at
+   *  build time (vacuum rewrites parquet, never the transform), but a
+   *  same-name rebuild in the same JVM rewrites pca.bin at the same path;
+   *  fingerprinting the file keeps serving from transforming queries with a
+   *  stale rotation/mean after such a rebuild (same guard class as
+   *  ExactServe's content fingerprint). Serving must not re-read 16 KB per
+   *  query, so the hit path is one stat, not one read. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Pca]()
+  def cached(path: String): Pca = {
+    val p = java.nio.file.Paths.get(path)
+    val key = (path, java.nio.file.Files.getLastModifiedTime(p).toMillis, java.nio.file.Files.size(p))
+    cache.computeIfAbsent(key, k => read(k._1))
+  }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
    *  (eigenvalues, eigenvector matrix with vectors as COLUMNS). */

@@ -106,4 +106,32 @@ class SqPackedSpec extends AnyFunSuite {
     }.sortBy(t => (t._1, t._2)).take(10).map(_._2)
     assert(ids.toSeq == brute)
   }
+
+  test("heap reader rejects a packed appendix whose data region is short") {
+    // qlen fits in the file but != n*rowStride: the old reader accepted it
+    // and SqPackedData.code threw ArrayIndexOutOfBounds mid-search; now both
+    // the heap and mmap readers fail the geometry check at open time
+    val vecs = randVecs(64, 12, seed = 61)
+    val ix = VamanaIndex.build(vecs.iterator, 12, Metric.L2, 16, 32)
+    ix.quantize(4)
+    val f = java.io.File.createTempFile("sq4short", ".diskann")
+    f.deleteOnExit()
+    DiskannFormat.writeFile(ix, f.getAbsolutePath)
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // locate the appendix: "SQ4\0" after the standard section
+    var tag = -1
+    var i = 0
+    while (tag < 0 && i < bytes.length - 3) {
+      if (bytes(i) == 'S' && bytes(i + 1) == 'Q' && bytes(i + 2) == '4' &&
+          bytes(i + 3) == 0) tag = i
+      i += 1
+    }
+    assert(tag > 0, "SQ4 tag not found")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val qlenOff = tag + 4 + 4
+    val qlen = bb.getLong(qlenOff)
+    bb.putLong(qlenOff, qlen - 6) // still >= 0, still fits in the file
+    val ex = intercept[java.io.IOException] { DiskannFormat.read(bytes) }
+    assert(ex.getMessage.contains("rowStride"), ex.getMessage)
+  }
 }

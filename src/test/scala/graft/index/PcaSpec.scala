@@ -141,6 +141,46 @@ class PcaSpec extends AnyFunSuite {
     assert(gotT == got, s"table route differs: ${gotT.size} vs ${got.size}")
   }
 
+  test("range search REJECTS reduced-dim chains (lossy radius semantics)") {
+    // radius promises a metric-space ball; PCA16 over 64-dim input scores in
+    // lossy transformed space where the same radius selects a different set
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "pca_rr",
+      "PCA16,IVF8,Flat", Ann.BuildParams(nprobe = 8))
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.rangeSearch(emb, "vec_id", "pca_rr", q0, 1.0f)
+    }
+    assert(e1.getMessage.contains("transformed space"), e1.getMessage)
+    import scala.jdk.CollectionConverters._
+    val qDf = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(q0.toSeq)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.rangeSearchTable(qDf, "qv", emb, "vec_id", "pca_rr", 1.0f)
+    }
+    assert(e2.getMessage.contains("transformed space"), e2.getMessage)
+  }
+
+  test("same-name rebuild refreshes the cached transform (no stale rotation)") {
+    // Build, serve once (warms PcaCodec's cache), rebuild the SAME name on
+    // coordinate-reversed data (different fitted basis at the same pca.bin
+    // path), serve again: a stale cached rotation would transform the query
+    // with the old basis while stored vectors use the new one, so the
+    // self-query would no longer land at distance 0.
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "pca_stale", "PCA64,Flat")
+    val warm = Ann.searchHits(spark, "pca_stale", q0, 1).collect()
+    assert(warm.head.getFloat(1) == 0.0f)
+    val emb2 = emb.withColumn("embedding", reverse(col("embedding")))
+    Ann.buildIndexFactory(emb2, "embedding", "vec_id", "pca_stale", "PCA64,Flat")
+    val q0r = q0.reverse
+    val top = Ann.searchHits(spark, "pca_stale", q0r, 1).collect()
+      .map(r => (r.getLong(0), r.getFloat(1)))
+    assert(top.head == ((all.minBy(_._1)._1, 0.0f)),
+      s"self-query after same-name rebuild: ${top.toSeq} (stale PCA cache?)")
+  }
+
   test("grammar and semantic errors") {
     val e1 = intercept[IllegalArgumentException] {
       Ann.buildIndexFactory(emb, "embedding", "vec_id", "pca_e1", "PCA32")
