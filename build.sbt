@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST raw stdout line of `sbt -batch "runMain
+// graft.Bench"` as JSON (BENCH_r{N}.json `parsed` field). Two sbt logger
+// behaviors break that: forked output is re-logged with an "[info] " prefix,
+// and a "[success] Total time ..." line trails the JSON. Route forked run
+// output straight through and drop the success banner so the bench compact
+// line is the process's true last stdout line.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -36,6 +36,68 @@ object SparkEntry {
   /** Scalar-quantization saturation oracle at `levels` quantization levels
     * (255 = SQ8, 63 = SQ6, 15 = SQ4): replay the per-dim min/max quantizer
     * in SQL and rank by L2 of the dequantized vectors. */
+  /** Generated oracle for the LSH training suffixes (`LSH<nbits>[r|t|rt]`,
+    * seeded hyperplanes = the nbits lowest-id embeddings): replays the
+    * build bit-for-bit in SQL —
+    *   rotate:  unrolled CLASSICAL Gram-Schmidt (per row k: all dots
+    *            d_k_j = Σ h_k[i]·e_j[i] from the ORIGINAL row first, then
+    *            w_k[i] = h_k[i] − d_k_0·e_0[i] − … left-associated, then
+    *            normalize), in double, float-rounded once at the end —
+    *            exactly VectorOps.orthonormalizeRows + the f32 store;
+    *   trained: per-bit threshold = list_sum(list(p ORDER BY vec_id)) / n,
+    *            the same id-ordered sequential double mean
+    *            LshCodec.trainThresholds computes (trainSample covers the
+    *            whole corpus at oracle scale);
+    * then ranks by Hamming distance of the (thresholded) sign codes. */
+  private def lshVariantOracleSql(nbits: Int, rotate: Boolean,
+      trained: Boolean): String = {
+    val rng = "range(1, 65)"
+    val bits = 0 until nbits
+    val sb = new StringBuilder
+    sb ++= s"WITH h AS (\n  SELECT CAST(vec_id AS INT) AS b, CAST(embedding AS DOUBLE[]) AS v\n"
+    sb ++= s"  FROM embeddings WHERE vec_id < $nbits),\n"
+    sb ++= "g AS (SELECT " +
+      bits.map(b => s"(SELECT v FROM h WHERE b = $b) AS h$b").mkString(", ") + "),\n"
+    val lastE = if (rotate) {
+      sb ++= s"e0 AS (SELECT *, list_transform($rng, i -> h0[i] / " +
+        s"sqrt(list_sum(list_transform($rng, j -> h0[j]*h0[j])))) AS v0 FROM g),\n"
+      for (k <- 1 until nbits) {
+        val dots = (0 until k).map(j =>
+          s"list_sum(list_transform($rng, i -> h$k[i]*v$j[i])) AS d${k}_$j").mkString(", ")
+        sb ++= s"d$k AS (SELECT *, $dots FROM e${k - 1}),\n"
+        val sub = (0 until k).map(j => s" - d${k}_$j*v$j[i]").mkString
+        sb ++= s"w$k AS (SELECT *, list_transform($rng, i -> h$k[i]$sub) AS t$k FROM d$k),\n"
+        sb ++= s"e$k AS (SELECT *, list_transform($rng, i -> t$k[i] / " +
+          s"sqrt(list_sum(list_transform($rng, j -> t$k[j]*t$k[j])))) AS v$k FROM w$k),\n"
+      }
+      s"e${nbits - 1}"
+    } else "g"
+    // f<b>: the stored float hyperplanes (GS output rounds to f32 once;
+    // raw seeds are already f32-exact in their double cast)
+    val fCols = bits.map { b =>
+      if (rotate) s"list_transform(v$b, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS f$b"
+      else s"h$b AS f$b"
+    }.mkString(", ")
+    sb ++= s"ef AS (SELECT $fCols FROM $lastE),\n"
+    sb ++= "pv AS (SELECT e.vec_id, " + bits.map(b =>
+      s"list_sum(list_transform($rng, i -> CAST(e.embedding AS DOUBLE[])[i] * ef.f$b[i])) AS p$b")
+      .mkString(", ") + "\n  FROM embeddings e CROSS JOIN ef),\n"
+    sb ++= "pq AS (SELECT " + bits.map(b =>
+      s"list_sum(list_transform($rng, i -> ($q64Sql)[i] * f$b[i])) AS q$b")
+      .mkString(", ") + " FROM ef)"
+    if (trained)
+      sb ++= ",\nthr AS (SELECT " + bits.map(b =>
+        s"list_sum(list(p$b ORDER BY vec_id)) / count(*) AS t$b")
+        .mkString(", ") + " FROM pv)"
+    val thrOf = (b: Int) => if (trained) s"thr.t$b" else "0"
+    sb ++= "\nSELECT pv.vec_id, CAST(" + bits.map(b =>
+      s"(CASE WHEN (pv.p$b >= ${thrOf(b)}) <> (pq.q$b >= ${thrOf(b)}) THEN 1 ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT) AS hamming\n"
+    sb ++= "FROM pv CROSS JOIN pq" + (if (trained) " CROSS JOIN thr" else "") + "\n"
+    sb ++= "ORDER BY hamming, vec_id LIMIT 10"
+    sb.toString
+  }
+
   private def sqExactOracleSql(levels: Int): String =
     s"""WITH ex AS (
        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
@@ -404,6 +466,44 @@ object SparkEntry {
         .select("vec_id", "_distance")
     }),
 
+    // 'LSH16t' (IndexLSH train_thresholds): per-bit cut point = mean
+    // projection over the id-ordered corpus — the threshold TRAINING
+    // replays in SQL (ordered list_sum / n), so the thresholded codes and
+    // the whole Hamming ranking stay value-oracled
+    "ann_lsht_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_lsht_ex", "LSH16t",
+        Ann.BuildParams(seedK = 16))
+      Ann.search(emb, "vec_id", "v_lsht_ex", q64Arr, 10)
+        .select(col("vec_id"), col("_distance").cast("long").as("hamming"))
+        .orderBy("hamming", "vec_id")
+    }),
+
+    // 'LSH8r' (IndexLSH rotate_data): seeded hyperplanes orthonormalized by
+    // classical Gram-Schmidt in double — the oracle unrolls the exact GS
+    // operation order (all dots from the ORIGINAL row, then sequential
+    // subtraction, then normalize; VectorOps.orthonormalizeRows), so the
+    // rotated codes value-oracle bit-for-bit
+    "ann_lshr_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_lshrot_ex", "LSH8r",
+        Ann.BuildParams(seedK = 8))
+      Ann.search(emb, "vec_id", "v_lshrot_ex", q64Arr, 10)
+        .select(col("vec_id"), col("_distance").cast("long").as("hamming"))
+        .orderBy("hamming", "vec_id")
+    }),
+
+    // 'LSH8rt': rotation AND trained thresholds composed — the full FAISS
+    // IndexLSH training surface on one code path, still value-oracled
+    "ann_lshrt_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_lshrt_ex", "LSH8rt",
+        Ann.BuildParams(seedK = 8))
+      Ann.search(emb, "vec_id", "v_lshrt_ex", q64Arr, 10)
+        .select(col("vec_id"), col("_distance").cast("long").as("hamming"))
+        .orderBy("hamming", "vec_id")
+    }),
+
     "ann_batch" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_batch",
@@ -474,6 +574,37 @@ object SparkEntry {
         .select("vec_id", "_distance")
     }),
 
+    // PCAR<d> (FAISS PCAMatrix random_rotation): a fixed-seed orthonormal Q
+    // composed onto the eigenbasis at fit time. Q·R is still a rotation, so
+    // the full-dim chain preserves L2 top-k exactly — same rank oracle as
+    // ann_pca_exact, now also covering the variant-fold path
+    "ann_pcar_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_pcar_ex", "PCAR64,Flat")
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_pcar_ex", q64Arr, 10)
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
+        .orderBy(col("__dd"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    // PCAW<d> (FAISS eigen_power=-0.5 whitening): rows scaled by 1/sqrt(λ),
+    // distances are Mahalanobis — NOT SQL-replayable (the fit is a Jacobi
+    // eigendecomposition), so rows-only; the transform-chain code path it
+    // rides (fold → prepQuery → IVF serve) is value-oracled by
+    // ann_pca_exact / ann_pcar_exact, and PcaVariantsSpec pins the
+    // unit-variance whitening property itself
+    "ann_pcaw_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_pcaw16",
+        "PCAW16,IVF8,Flat", Ann.BuildParams(nprobe = 8))
+      Ann.search(emb, "vec_id", "v_pcaw16", q64Arr, 10)
+        .select("vec_id", "_distance")
+    }),
+
     // IMI2x<b> coarse quantizer (FAISS multi-index): cells are the cross
     // product of two half-space codebooks, served through the ivfflat stack
     // over materialized product centroids. Two oracles: saturating
@@ -504,6 +635,23 @@ object SparkEntry {
         .select(col("vec_id"),
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
         .orderBy(col("__dd"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    // IMI2x<b>,PQ<m> (FAISS IMI coarse quantizer over PQ residuals): the
+    // ivfpq engine with product cells — seeded half-codebooks + seeded
+    // residual PQ codebook replay in SQL, so the full ADC ranking at
+    // saturating probe width bit-oracles like ann_ivfpq_exact
+    "ann_imipq_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_imipq_ex",
+        "IMI2x2,PQ8", Ann.BuildParams(seedK = 16, nprobe = 16))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_imipq_ex", q64Arr, 10)
+        .select(col("vec_id"), col("_distance"))
+        .orderBy(col("_distance"), col("vec_id"))
         .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
         .toDF("vec_id", "rank")
         .orderBy("rank")
@@ -1756,6 +1904,81 @@ object SparkEntry {
          |SELECT e.vec_id, CAST(${d2Sql("e.embedding", q64Sql)} AS FLOAT) AS _distance
          |FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id
          |ORDER BY ${d2Sql("e.embedding", q64Sql)}, e.vec_id LIMIT 10""".stripMargin,
+    // the LSH training suffixes: thresholds-only (16 raw seeded rows),
+    // rotation-only (8 rows, unrolled Gram-Schmidt), and both composed —
+    // each generated by lshVariantOracleSql, each a full value oracle
+    "ann_lsht_exact" -> lshVariantOracleSql(16, rotate = false, trained = true),
+    "ann_lshr_exact" -> lshVariantOracleSql(8, rotate = true, trained = false),
+    "ann_lshrt_exact" -> lshVariantOracleSql(8, rotate = true, trained = true),
+    // PCAR full-dim: Q·R is a rotation, so the plain exact-top-k rank
+    // oracle applies (the Spark side re-ranks by original-space double L2)
+    "ann_pcar_exact" ->
+      s"""SELECT vec_id, row_number() OVER (
+         |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
+         |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
+    // IMI2x2,PQ8 replay: decomposed half-argmin assignment (cells = product
+    // of the 4 lowest-id seeds' halves), residual vs the PRODUCT centroid,
+    // seeded PQ codebook = residuals of the 16 lowest ids, full ADC at
+    // saturating probe width — ann_ivfpq_exact's pattern with the coarse
+    // quantizer swapped for the multi-index form
+    "ann_imipq_exact" ->
+      s"""WITH seeds AS (
+         |  SELECT CAST(vec_id AS INT) AS c, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 4),
+         |a1 AS (
+         |  SELECT e.vec_id, s.c, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_sum(list_transform(range(1, 33), i ->
+         |      (CAST(e.embedding AS DOUBLE[])[i] - s.v[i])
+         |      * (CAST(e.embedding AS DOUBLE[])[i] - s.v[i]))), s.c) AS rn
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |a2 AS (
+         |  SELECT e.vec_id, s.c, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_sum(list_transform(range(33, 65), i ->
+         |      (CAST(e.embedding AS DOUBLE[])[i] - s.v[i])
+         |      * (CAST(e.embedding AS DOUBLE[])[i] - s.v[i]))), s.c) AS rn
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |cells AS (
+         |  SELECT x.vec_id, x.c AS c1, y.c AS c2
+         |  FROM a1 x JOIN a2 y ON y.vec_id = x.vec_id
+         |  WHERE x.rn = 1 AND y.rn = 1),
+         |resid AS (
+         |  SELECT e.vec_id,
+         |    list_transform(range(1, 65), i -> CAST(e.embedding AS DOUBLE[])[i]
+         |      - CASE WHEN i <= 32 THEN s1.v[i] ELSE s2.v[i] END) AS rv,
+         |    ce.c1, ce.c2
+         |  FROM embeddings e JOIN cells ce ON ce.vec_id = e.vec_id
+         |    JOIN seeds s1 ON s1.c = ce.c1 JOIN seeds s2 ON s2.c = ce.c2),
+         |cents AS (
+         |  SELECT CAST(r.vec_id AS INT) AS c, r.rv AS v FROM resid r
+         |  WHERE r.vec_id < 16),
+         |subs AS (SELECT CAST(s AS INT) AS s FROM range(8) t(s)),
+         |codes AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT r.vec_id, sub.s, c.c, row_number() OVER (
+         |      PARTITION BY r.vec_id, sub.s ORDER BY
+         |        list_sum(list_transform(range(1, 9), i ->
+         |          (r.rv[sub.s*8 + i] - c.v[sub.s*8 + i])
+         |          * (r.rv[sub.s*8 + i] - c.v[sub.s*8 + i]))),
+         |        c.c) AS rn
+         |    FROM resid r CROSS JOIN subs sub CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |adc AS (
+         |  SELECT k.vec_id, sum(list_sum(list_transform(range(1, 9), i ->
+         |    (($q64Sql)[k.s*8 + i]
+         |      - CASE WHEN k.s*8 + i <= 32 THEN s1.v[k.s*8 + i]
+         |             ELSE s2.v[k.s*8 + i] END
+         |      - c.v[k.s*8 + i])
+         |    * (($q64Sql)[k.s*8 + i]
+         |      - CASE WHEN k.s*8 + i <= 32 THEN s1.v[k.s*8 + i]
+         |             ELSE s2.v[k.s*8 + i] END
+         |      - c.v[k.s*8 + i])))) AS dd
+         |  FROM codes k JOIN cells ce ON ce.vec_id = k.vec_id
+         |    JOIN seeds s1 ON s1.c = ce.c1 JOIN seeds s2 ON s2.c = ce.c2
+         |    JOIN cents c ON c.c = k.c
+         |  GROUP BY k.vec_id)
+         |SELECT vec_id, rank FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY dd, vec_id) AS rank FROM adc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // ADC replay with the seeded codebook: centroid c of subspace s is
     // embeddings[vec_id=c][s·8+1 .. s·8+8]; encode = argmin sq-L2 per
     // (doc, subspace) with ties to the lowest centroid id; ADC distance =
@@ -1926,12 +2149,15 @@ object SparkEntry {
          |  FROM q CROSS JOIN embeddings e)
          |WHERE __dd <= 1.5
          |ORDER BY qid, _distance, rid""".stripMargin,
+    // row order follows the DOUBLE distance end to end (the engine ranks
+    // near-ties by the full double; Ann.search preserves that rank instead
+    // of re-sorting by the f32-cast column)
     "ann_oversample" ->
       s"""SELECT vec_id, _distance FROM (
          |  SELECT vec_id, CAST(${d2Sql("embedding", q64Sql)} AS FLOAT) AS _distance,
          |         ${d2Sql("embedding", q64Sql)} AS __dd
          |  FROM embeddings ORDER BY __dd, vec_id LIMIT 15
-         |) ORDER BY _distance, vec_id""".stripMargin,
+         |) ORDER BY __dd, vec_id""".stripMargin,
     "ann_diskann_exact" ->
       s"""SELECT vec_id, row_number() OVER (
          |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
@@ -1958,7 +2184,7 @@ object SparkEntry {
          |         ${d2Sql("embedding", q64Sql)} AS __dd
          |  FROM embeddings WHERE vec_id NOT IN (3, 7, 11)
          |  ORDER BY __dd, vec_id LIMIT 10
-         |) ORDER BY _distance, vec_id""".stripMargin,
+         |) ORDER BY __dd, vec_id""".stripMargin,
     "ann_vacuum_info" ->
       """SELECT (count(*) - 5)::BIGINT AS num_vectors, 0::BIGINT AS num_deleted
         |FROM embeddings""".stripMargin,
@@ -2241,7 +2467,7 @@ object SparkEntry {
          |    CAST(-list_sum(list_transform(embedding::DOUBLE[], (x, i) -> x * ($q64Sql)[i])) AS FLOAT) AS _distance,
          |    -list_sum(list_transform(embedding::DOUBLE[], (x, i) -> x * ($q64Sql)[i])) AS __dd
          |  FROM embeddings ORDER BY __dd, vec_id LIMIT 10
-         |) ORDER BY _distance, vec_id""".stripMargin,
+         |) ORDER BY __dd, vec_id""".stripMargin,
     "ann_index_scan" ->
       s"""SELECT row_id, _distance FROM (
          |  SELECT vec_id AS row_id,
@@ -2255,7 +2481,7 @@ object SparkEntry {
          |    CAST(${d2Sql("embedding", q64Sql)} AS FLOAT) AS _distance,
          |    ${d2Sql("embedding", q64Sql)} AS __dd
          |  FROM embeddings ORDER BY __dd, vec_id LIMIT 10
-         |) ORDER BY _distance, row_id""".stripMargin,
+         |) ORDER BY __dd, row_id""".stripMargin,
     // exact because the rewrite serves from the FLAT index (and the entry
     // hard-fails if the rule does not fire); top-10 distances are distinct,
     // so the vec_id tiebreak here never reorders vs Spark's single-key sort

@@ -30,8 +30,12 @@ object LshCodec {
     Array.fill(nbits, dim)(rnd.nextGaussian().toFloat)
   }
 
-  /** Encode one vector: bit b set iff dot(hyps(b), v) >= 0 (double acc). */
-  def encode(hyps: Array[Array[Float]], v: Array[Float]): Long = {
+  /** Encode one vector: bit b set iff dot(hyps(b), v) >= threshold_b
+   *  (double acc; thresholds null/absent = 0, the plain sign code). FAISS
+   *  IndexLSH applies trained thresholds identically to database vectors
+   *  and queries, so one encode serves both sides. */
+  def encode(hyps: Array[Array[Float]], v: Array[Float],
+      thresholds: Array[Double] = null): Long = {
     var code = 0L
     var b = 0
     while (b < hyps.length) {
@@ -39,10 +43,38 @@ object LshCodec {
       var s = 0.0
       var i = 0
       while (i < h.length) { s += h(i).toDouble * v(i).toDouble; i += 1 }
-      if (s >= 0.0) code |= (1L << b)
+      val t = if (thresholds == null) 0.0 else thresholds(b)
+      if (s >= t) code |= (1L << b)
       b += 1
     }
     code
+  }
+
+  /** Per-bit thresholds = MEAN projection over `sample` (FAISS
+   *  IndexLSH::train semantics), accumulated in double in the given sample
+   *  order — with an id-ordered sample this is exactly replayable by the
+   *  DuckDB oracle (`list_sum(list(proj ORDER BY id)) / n`). */
+  def trainThresholds(hyps: Array[Array[Float]],
+      sample: Array[Array[Float]]): Array[Double] = {
+    require(sample.nonEmpty, "LSH threshold training needs a non-empty sample")
+    val out = new Array[Double](hyps.length)
+    var b = 0
+    while (b < hyps.length) {
+      val h = hyps(b)
+      var sum = 0.0
+      var r = 0
+      while (r < sample.length) {
+        val v = sample(r)
+        var s = 0.0
+        var i = 0
+        while (i < h.length) { s += h(i).toDouble * v(i).toDouble; i += 1 }
+        sum += s
+        r += 1
+      }
+      out(b) = sum / sample.length
+      b += 1
+    }
+    out
   }
 
   /** Hamming distance between two codes. */

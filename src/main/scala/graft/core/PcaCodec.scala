@@ -43,8 +43,19 @@ object PcaCodec {
   }
 
   /** Fit on `sample` (each row length dim), keeping the top `outDim`
-   *  components. Deterministic for a deterministic sample. */
-  def fit(sample: Array[Array[Float]], outDim: Int): Pca = {
+   *  components. `variant` selects the FAISS PCAMatrix flavor (all three
+   *  FOLD into the stored rotation matrix, so pca.bin's format and every
+   *  serving surface are identical across variants):
+   *    ""  — plain PCA (factory `PCA<d>`): rows are unit eigenvectors.
+   *    "r" — PCAR (faiss `PCAR<d>`, random_rotation_after_PCA): compose a
+   *          deterministic random orthonormal Q (outDim×outDim) onto the
+   *          eigenbasis; Q·R is still orthonormal-rowed, so at
+   *          outDim == dim the map stays a pure rotation (L2-exact).
+   *    "w" — PCAW (faiss `PCAW<d>`, eigen_power = -0.5 whitening): scale
+   *          row i by 1/sqrt(max(λ_i, ε)); distances become Mahalanobis —
+   *          NOT L2-preserving at any dim (rangeSearch rejects these).
+   *  Deterministic for a deterministic sample. */
+  def fit(sample: Array[Array[Float]], outDim: Int, variant: String = ""): Pca = {
     val n = sample.length
     require(n >= 2, s"PCA needs at least 2 sample rows (got $n)")
     val dim = sample(0).length
@@ -81,7 +92,7 @@ object PcaCodec {
     // order components by descending eigenvalue; deterministic tiebreak on
     // the original column index
     val order = values.indices.sortBy(j => (-values(j), j)).take(outDim)
-    val rot = order.map { j =>
+    val rotD: Array[Array[Double]] = order.map { j =>
       val col = Array.tabulate(dim)(r => vectors(r)(j))
       // sign convention: make the largest-|component| coordinate positive so
       // the fitted basis is unique (eigenvectors are sign-ambiguous)
@@ -90,9 +101,41 @@ object PcaCodec {
       var r = 0
       while (r < dim) { if (math.abs(col(r)) > mv) { mv = math.abs(col(r)); mi = r }; r += 1 }
       val s = if (col(mi) < 0) -1.0 else 1.0
-      col.map(x => (x * s).toFloat)
+      col.map(_ * s)
     }.toArray
-    Pca(rot, mean.map(_.toFloat))
+    val folded: Array[Array[Double]] = variant match {
+      case "" => rotD
+      case "w" =>
+        // whitening scale 1/sqrt(λ) per component, ε-floored like FAISS's
+        // PCAMatrix epsilon so a zero-variance direction cannot divide by 0
+        val eigs = order.map(values(_)).toArray
+        Array.tabulate(outDim) { i =>
+          val s = 1.0 / math.sqrt(math.max(eigs(i), 1e-12))
+          rotD(i).map(_ * s)
+        }
+      case "r" =>
+        // Q·R with Q a fixed-seed Gaussian matrix orthonormalized by
+        // classical Gram-Schmidt in double — deterministic on any host
+        val rnd = new java.util.Random(0x9E3779B97F4A7C15L ^
+          (outDim.toLong * 1000003L + dim))
+        val q = VectorOps.orthonormalizeRows(
+          Array.fill(outDim, outDim)(rnd.nextGaussian()))
+        Array.tabulate(outDim) { i =>
+          val row = new Array[Double](dim)
+          var c = 0
+          while (c < dim) {
+            var s = 0.0
+            var k = 0
+            while (k < outDim) { s += q(i)(k) * rotD(k)(c); k += 1 }
+            row(c) = s
+            c += 1
+          }
+          row
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown PCA variant '$other' (supported: \"\", \"r\", \"w\")")
+    }
+    Pca(folded.map(_.map(_.toFloat)), mean.map(_.toFloat))
   }
 
   /** pca.bin layout (little-endian): outDim, inputDim, mean floats,

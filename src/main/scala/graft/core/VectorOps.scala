@@ -79,6 +79,46 @@ object VectorOps {
     val den = math.sqrt(aa) * math.sqrt(bb)
     if (den == 0.0) 0.0 else ab / den
   }
+
+  /** CLASSICAL Gram-Schmidt orthonormalization of `rows` (double, in
+   *  row-index order): for each row k, first compute ALL projections
+   *  d_j = dot(h_k, e_j) (each a left-to-right accumulation), then
+   *  w_k[i] = h_k[i] − d_0·e_0[i] − … − d_{k−1}·e_{k−1}[i] sequentially,
+   *  then e_k = w_k / ‖w_k‖. Classical (not modified) GS is chosen
+   *  DELIBERATELY: the exact operation order is simple enough to replay
+   *  bit-for-bit in the DuckDB oracle's generated SQL (the `LSH<n>r`
+   *  rotation oracle); at the ≤64 vectors an LSH code or PCA post-rotation
+   *  needs, its weaker numerical stability is irrelevant. Requires rows to
+   *  be linearly independent (throws on a zero residual). */
+  def orthonormalizeRows(rows: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = rows.length
+    val out = new Array[Array[Double]](n)
+    var k = 0
+    while (k < n) {
+      val h = rows(k)
+      val dim = h.length
+      val dots = new Array[Double](k)
+      var j = 0
+      while (j < k) { dots(j) = dotD(h, out(j)); j += 1 }
+      val w = h.clone()
+      j = 0
+      while (j < k) {
+        val e = out(j)
+        val d = dots(j)
+        var i = 0
+        while (i < dim) { w(i) -= d * e(i); i += 1 }
+        j += 1
+      }
+      val nrm = math.sqrt(dotD(w, w))
+      require(nrm > 1e-12,
+        s"Gram-Schmidt: row $k is (numerically) dependent on rows 0..${k - 1}")
+      var i = 0
+      while (i < dim) { w(i) /= nrm; i += 1 }
+      out(k) = w
+      k += 1
+    }
+    out
+  }
 }
 
 /** Index metric. Matches the reference's on-disk codes (file_format.rs: 0=L2, 1=IP).

@@ -67,10 +67,22 @@ object Ann {
       // vectors (SQL-replayable, like the PQ seeded codebook); otherwise
       // deterministic fixed-seed Gaussian hyperplanes.
       lshNbits: Int = 0,
+      // lsh `r` suffix (FAISS IndexLSH rotate_data): orthonormalize the
+      // hyperplanes (classical Gram-Schmidt in double) so the projection is
+      // a proper rotation; `t` suffix (train_thresholds): per-bit threshold
+      // = mean projection over the trainSample lowest-id vectors (id-order
+      // double accumulation — SQL-replayable)
+      lshRotate: Boolean = false,
+      lshThresholds: Boolean = false,
       // PCA pre-transform output dim (factory `PCA<d>,...`); 0 = off.
       // flat/ivfflat + L2 only; d == input dim is a pure rotation (exact
       // distances up to rounding), d < input dim is lossy
       pcaDim: Int = 0,
+      // PCA flavor: "" plain | "r" PCAR (random rotation composed onto the
+      // eigenbasis) | "w" PCAW (1/sqrt(λ) whitening — Mahalanobis space).
+      // All fold into the stored rotation matrix (PcaCodec.fit), so serving
+      // is variant-blind.
+      pcaVariant: String = "",
       // IMI coarse quantizer (factory `IMI2x<b>[,Flat]`): bits per
       // half-space codebook; cells = cross product (nlist = 2^(2b)). 0 = off
       imiB: Int = 0,
@@ -115,8 +127,8 @@ object Ann {
     val Diskann = "(?i)DISKANN(\\d*)".r
     val Pq = "(?i)PQ(\\d+)".r
     val Opq = "(?i)OPQ(\\d+)".r
-    val Lsh = "(?i)LSH(\\d*)".r
-    val Pca = "(?i)PCA(\\d+)".r
+    val Lsh = "(?i)LSH(\\d*)(RT|R|T)?".r
+    val Pca = "(?i)PCA(R|W)?(\\d+)".r
     val Imi = "(?i)IMI2X(\\d+)".r
     val p = core.toList match {
       case Opq(m1) :: Pq(m2) :: Nil =>
@@ -142,15 +154,20 @@ object Ann {
       case Pq(m) :: Nil =>
         base.copy(engine = "pq", pqM = m.toInt)
       // FAISS transform-chain prefix `PCA<d>,<index>` (IndexPreTransform +
-      // PCAMatrix): supported terminals are Flat and IVF<n>[,Flat]
-      case Pca(d) :: f :: Nil if f.equalsIgnoreCase("flat") =>
-        base.copy(engine = "flat", pcaDim = d.toInt)
-      case Pca(d) :: Ivf(nlist) :: rest
+      // PCAMatrix), plus the PCAR<d> (random-rotation) and PCAW<d>
+      // (whitening) flavors — all fold into the stored rotation matrix at
+      // fit time, so the chain's terminals and serving are shared.
+      // Supported terminals are Flat and IVF<n>[,Flat]
+      case Pca(variant, d) :: f :: Nil if f.equalsIgnoreCase("flat") =>
+        base.copy(engine = "flat", pcaDim = d.toInt,
+          pcaVariant = Option(variant).getOrElse("").toLowerCase)
+      case Pca(variant, d) :: Ivf(nlist) :: rest
           if rest.isEmpty || (rest.lengthCompare(1) == 0 && rest.head.equalsIgnoreCase("flat")) =>
-        base.copy(engine = "ivfflat", nlist = nlist.toInt, pcaDim = d.toInt)
-      case Pca(_) :: _ => throw new IllegalArgumentException(
-        s"PCA<d> needs a Flat or IVF<nlist>[,Flat] terminal (e.g. " +
-        s"'PCA32,Flat', 'PCA32,IVF64,Flat'): '$desc'")
+        base.copy(engine = "ivfflat", nlist = nlist.toInt, pcaDim = d.toInt,
+          pcaVariant = Option(variant).getOrElse("").toLowerCase)
+      case Pca(_, _) :: _ => throw new IllegalArgumentException(
+        s"PCA[R|W]<d> needs a Flat or IVF<nlist>[,Flat] terminal (e.g. " +
+        s"'PCA32,Flat', 'PCAR32,Flat', 'PCAW32,IVF64,Flat'): '$desc'")
       // FAISS `IMI2x<b>` coarse quantizer as an inverted-file terminal
       // (multi-index: two half-space codebooks, cells = cross product)
       case Imi(b) :: rest
@@ -158,19 +175,30 @@ object Ann {
         require(b.toInt >= 1 && b.toInt <= 8,
           s"IMI2x<b> supports b in [1, 8] (${1 << (2 * b.toInt)} cells max): '$desc'")
         base.copy(engine = "ivfflat", imiB = b.toInt)
-      case Lsh(nb) :: Nil =>
-        // FAISS `LSH` / `LSH<nbits>` (binary sign codes, Hamming ranking);
-        // the r/rt/t rotation-and-threshold training suffixes are not
-        // implemented
-        base.copy(engine = "lsh", lshNbits = if (nb.isEmpty) 0 else nb.toInt)
+      // FAISS `IMI2x<b>,PQ<m>`: multi-index coarse quantizer over
+      // PQ-encoded residuals — the ivfpq engine with IMI product cells
+      // (cell centroid = [c1_i ; c2_j], residual = v − product centroid)
+      case Imi(b) :: Pq(m) :: Nil =>
+        require(b.toInt >= 1 && b.toInt <= 8,
+          s"IMI2x<b> supports b in [1, 8] (${1 << (2 * b.toInt)} cells max): '$desc'")
+        base.copy(engine = "ivfpq", imiB = b.toInt, pqM = m.toInt)
+      case Lsh(nb, suf) :: Nil =>
+        // FAISS `LSH[nbits][r|t|rt]` (IndexLSH): binary sign codes ranked
+        // by Hamming distance; `r` orthonormalizes the projection rows
+        // (IndexLSH rotate_data — a proper random rotation instead of raw
+        // Gaussian directions), `t` trains per-bit thresholds on the
+        // projection means of a deterministic sample (train_thresholds)
+        val s = Option(suf).getOrElse("").toLowerCase
+        base.copy(engine = "lsh", lshNbits = if (nb.isEmpty) 0 else nb.toInt,
+          lshRotate = s.contains("r"), lshThresholds = s.contains("t"))
       case other => throw new IllegalArgumentException(
         s"unsupported index factory description: '$desc' — supported: " +
         "Flat | HNSW[m] | IVF<nlist>[,Flat] | IVF<nlist>,PQ<m> | PQ<m> | " +
-        "OPQ<m>,PQ<m> | LSH[nbits] | DiskANN[degree] | IMI2x<b>[,Flat] | " +
-        "PCA<d>,Flat | PCA<d>,IVF<nlist>[,Flat], optionally suffixed " +
+        "OPQ<m>,PQ<m> | LSH[nbits][r|t|rt] | DiskANN[degree] | " +
+        "IMI2x<b>[,Flat] | IMI2x<b>,PQ<m> | PCA<d>,Flat | PCAR<d>/PCAW<d> " +
+        "chains | PCA<d>,IVF<nlist>[,Flat], optionally suffixed " +
         "',SQ8'/',SQ4'/',SQ6' (diskann only) or ',RFlat' (PQ/LSH engines); " +
-        "IMI-with-PQ terminals, PCAR/PCAW, LSH rotation suffixes " +
-        "(LSHr/LSHrt/LSHt), and other transform chains are not implemented")
+        "other transform chains are not implemented")
     }
     val p2 = if (refine) {
       require(p.engine == "pq" || p.engine == "ivfpq" || p.engine == "lsh",
@@ -275,7 +303,7 @@ object Ann {
       val inDim = inferDim(data0)
       val sample = data0.orderBy("id").limit(params.trainSample)
         .select("vec").as[Array[Float]].collect()
-      val pca = graft.core.PcaCodec.fit(sample, params.pcaDim)
+      val pca = graft.core.PcaCodec.fit(sample, params.pcaDim, params.pcaVariant)
       val path = s"$dir/pca.bin"
       graft.core.PcaCodec.write(path, pca)
       val pcaB = spark.sparkContext.broadcast(pca)
@@ -296,7 +324,8 @@ object Ann {
     }
     // record the user-facing binding (original column names + source files)
     val bound = built.copy(column = column, idColumn = idColumn,
-      sourceFiles = srcFiles, inputDim = origDim, pcaFile = pcaPath)
+      sourceFiles = srcFiles, inputDim = origDim, pcaFile = pcaPath,
+      pcaVariant = if (pcaPath.nonEmpty) params.pcaVariant else "")
     IndexCatalog.save(root(spark), bound)
     if (reuse) { buildMemo.put(name, fp); BuildMemoTrace.recordBuild(name) }
     bound
@@ -686,39 +715,98 @@ object Ann {
       while (i < dim) { r(i) = v(i) - c(i); i += 1 }
       r
     }
-    val (cents, cb) = if (params.seedK > 0) {
-      // seed mode: coarse centroids = the nlist lowest-id vectors verbatim;
-      // PQ codebook = residuals of the seedK lowest-id vectors against their
-      // assigned coarse centroid — both SQL-replayable for the bit oracle
-      val seeds = data.orderBy("id").limit(math.max(params.nlist, params.seedK))
-        .select("vec").as[Array[Float]].collect()
-      val prepped = if (cosine) seeds.map(v => VectorOps.normalize(v.clone())) else seeds
-      val cents = prepped.take(params.nlist)
-      val cb = PqCodec.fromSeeds(
-        prepped.take(params.seedK).map(residualOf(cents, _)), params.pqM)
-      (cents, cb)
-    } else {
-      val nTotal = data.count()
-      val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
-      val sample = data.select("vec").as[Array[Float]].rdd
-        .zipWithIndex()
-        .filter { case (_, i) => i % stride == 0 }
-        .map(_._1)
-        .take(params.trainSample)
-      val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
-      // coarse quantizer (L2 assignment — the standard IVF choice for every
-      // metric; cosine inputs are normalized so L2 and cosine ranking agree)
-      val cents = KMeansLite.train(prepped, params.nlist)
-      // PQ trains on the sample's residuals against its assigned centroids
-      val cb = PqCodec.train(prepped.map(residualOf(cents, _)), params.pqM)
-      (cents, cb)
+    // IMI2x<b>,PQ<m>: the coarse quantizer is the same product-centroid
+    // construction as buildIvf's IMI branch — the STORED centroid table is
+    // the cross product [c1_i ; c2_j], so probe enumeration, residual
+    // encode, ADC serving, and ExactServe are all centroid-table-generic
+    // and need no IMI awareness; only assignment decomposes (O(2·2^b))
+    val imiHalves: Option[(Array[Array[Float]], Array[Array[Float]])] =
+      if (params.imiB > 0) {
+        require(dim % 2 == 0, s"IMI2x splits vectors into equal halves (dim=$dim is odd)")
+        val half = dim / 2
+        val kh = 1 << params.imiB
+        val (cb1, cb2) = if (params.seedK > 0) {
+          val seeds = data.orderBy("id").limit(kh).select("vec").as[Array[Float]].collect()
+          val sp = if (cosine) seeds.map(v => VectorOps.normalize(v.clone())) else seeds
+          (sp.map(_.take(half)), sp.map(_.drop(half)))
+        } else {
+          val nTotal = data.count()
+          val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
+          val sample = data.select("vec").as[Array[Float]].rdd
+            .zipWithIndex()
+            .filter { case (_, i) => i % stride == 0 }
+            .map(_._1)
+            .take(params.trainSample)
+          val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
+          (KMeansLite.train(prepped.map(_.take(half)), kh),
+           KMeansLite.train(prepped.map(_.drop(half)), kh))
+        }
+        Some((cb1, cb2))
+      } else None
+    val (cents, cb) = imiHalves match {
+      case Some((cb1, cb2)) =>
+        val cents = for (c1 <- cb1; c2 <- cb2) yield c1 ++ c2
+        // PQ codebook on residuals vs the assigned PRODUCT centroid — seeded
+        // from the seedK lowest ids (SQL-replayable) or trained on the sample
+        val cb = if (params.seedK > 0) {
+          val seeds = data.orderBy("id").limit(params.seedK)
+            .select("vec").as[Array[Float]].collect()
+          val sp = if (cosine) seeds.map(v => VectorOps.normalize(v.clone())) else seeds
+          PqCodec.fromSeeds(sp.map(residualOf(cents, _)), params.pqM)
+        } else {
+          val nTotal = data.count()
+          val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
+          val sample = data.select("vec").as[Array[Float]].rdd
+            .zipWithIndex()
+            .filter { case (_, i) => i % stride == 0 }
+            .map(_._1)
+            .take(params.trainSample)
+          val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
+          PqCodec.train(prepped.map(residualOf(cents, _)), params.pqM)
+        }
+        (cents, cb)
+      case None if params.seedK > 0 =>
+        // seed mode: coarse centroids = the nlist lowest-id vectors verbatim;
+        // PQ codebook = residuals of the seedK lowest-id vectors against their
+        // assigned coarse centroid — both SQL-replayable for the bit oracle
+        val seeds = data.orderBy("id").limit(math.max(params.nlist, params.seedK))
+          .select("vec").as[Array[Float]].collect()
+        val prepped = if (cosine) seeds.map(v => VectorOps.normalize(v.clone())) else seeds
+        val cents = prepped.take(params.nlist)
+        val cb = PqCodec.fromSeeds(
+          prepped.take(params.seedK).map(residualOf(cents, _)), params.pqM)
+        (cents, cb)
+      case None =>
+        val nTotal = data.count()
+        val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
+        val sample = data.select("vec").as[Array[Float]].rdd
+          .zipWithIndex()
+          .filter { case (_, i) => i % stride == 0 }
+          .map(_._1)
+          .take(params.trainSample)
+        val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
+        // coarse quantizer (L2 assignment — the standard IVF choice for every
+        // metric; cosine inputs are normalized so L2 and cosine ranking agree)
+        val cents = KMeansLite.train(prepped, params.nlist)
+        // PQ trains on the sample's residuals against its assigned centroids
+        val cb = PqCodec.train(prepped.map(residualOf(cents, _)), params.pqM)
+        (cents, cb)
     }
     IndexCatalog.writeCentroids(s"$dir/centroids.bin", cents, dim)
     PqCodec.write(s"$dir/pq.bin", cb)
 
     val centsB = spark.sparkContext.broadcast(cents)
     val cbB = spark.sparkContext.broadcast(cb)
-    val assignUdf = udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
+    val assignUdf = imiHalves match {
+      case Some((cb1, cb2)) =>
+        val half = dim / 2
+        val cb1B = spark.sparkContext.broadcast(cb1)
+        val cb2B = spark.sparkContext.broadcast(cb2)
+        udf((v: Array[Float]) =>
+          KMeansLite.nearest(cb1B.value, v.take(half)) * cb2B.value.length +
+            KMeansLite.nearest(cb2B.value, v.drop(half)))
+      case None => udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
+    }
     val encodeUdf = udf((v: Array[Float], cluster: Int) => {
       val c = centsB.value(cluster)
       val r = new Array[Float](v.length)
@@ -740,8 +828,8 @@ object Ann {
     val meta = IndexMeta(name, "ivfpq", "vec", "id", dim, metric.name,
       maxDegree = params.pqM, buildComplexity = 0, alpha = 0f, quantized = true,
       numVectors = n, numDeleted = 0L, shards = Nil, sourcePath = out,
-      nlist = params.nlist, nprobe = params.nprobe, refine = params.refine,
-      refineK = params.refineK)
+      nlist = cents.length, nprobe = math.min(params.nprobe, cents.length),
+      refine = params.refine, refineK = params.refineK)
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -767,20 +855,45 @@ object Ann {
       if (params.lshNbits > 0) params.lshNbits else math.min(dim, LshCodec.MaxBits)
     require(nbits <= LshCodec.MaxBits,
       s"lsh supports at most ${LshCodec.MaxBits} bits per code (got $nbits)")
-    val hyps: Array[Array[Float]] =
+    val hyps0: Array[Array[Float]] =
       if (params.seedK > 0)
         data.orderBy("id").limit(nbits).select("vec").as[Array[Float]].collect()
       else LshCodec.randomHyperplanes(nbits, dim)
-    require(hyps.length == nbits,
-      s"lsh seed mode needs >= $nbits rows (got ${hyps.length})")
+    require(hyps0.length == nbits,
+      s"lsh seed mode needs >= $nbits rows (got ${hyps0.length})")
+    // `r` suffix (IndexLSH rotate_data): orthonormalize the projection rows
+    // — classical Gram-Schmidt in double, deterministic, SQL-replayable
+    // (VectorOps.orthonormalizeRows documents the exact operation order the
+    // oracle unrolls); stored hyperplanes.bin holds the FINAL rows either way
+    val hyps: Array[Array[Float]] =
+      if (params.lshRotate)
+        VectorOps.orthonormalizeRows(hyps0.map(_.map(_.toDouble)))
+          .map(_.map(_.toFloat))
+      else hyps0
     IndexCatalog.writeCentroids(s"$dir/hyperplanes.bin", hyps, dim)
+    val cosine = metric eq Metric.Cosine
+    // `t` suffix (IndexLSH train_thresholds): per-bit cut point = mean
+    // projection over the trainSample LOWEST-ID vectors (id order, double) —
+    // deterministic and replayable; trained on the same representation the
+    // encode sees (normalized when the metric is cosine, since thresholds —
+    // unlike plain sign codes — are NOT scale-invariant)
+    val thresholds: Array[Double] =
+      if (params.lshThresholds) {
+        val sample0 = data.orderBy("id").limit(params.trainSample)
+          .select("vec").as[Array[Float]].collect()
+        val sample = if (cosine) sample0.map(v => VectorOps.normalize(v.clone()))
+                     else sample0
+        val t = LshCodec.trainThresholds(hyps, sample)
+        IndexCatalog.writeThresholds(s"$dir/thresholds.bin", t)
+        t
+      } else null
     val hypsB = spark.sparkContext.broadcast(hyps)
-    val encodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v))
+    val thrB = spark.sparkContext.broadcast(thresholds)
+    val encodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v, thrB.value))
     val out = s"$dir/data"
     // RFlat ('LSH<nbits>,RFlat'): the raw vectors ride along for the exact
     // re-rank stage, same as refined PQ — candidates still come from the
     // codes-only projection, so the Hamming scan never reads them
-    val cosine = metric eq Metric.Cosine
     val dataP = if (cosine) data.withColumn("vec", normalizeVecUdf(col("vec"))) else data
     val stored = Seq(col("id"), encodeUdf(col("vec")).as("code")) ++
       (if (params.refine) Seq(col("vec")) else Nil)
@@ -791,7 +904,9 @@ object Ann {
     val meta = IndexMeta(name, "lsh", "vec", "id", dim, metric.name,
       maxDegree = 0, buildComplexity = 0, alpha = 0f, quantized = true,
       numVectors = n, numDeleted = 0L, shards = Nil, sourcePath = out,
-      nlist = nbits, refine = params.refine, refineK = params.refineK)
+      nlist = nbits, refine = params.refine, refineK = params.refineK,
+      lshVariant = (if (params.lshRotate) "r" else "") +
+        (if (params.lshThresholds) "t" else ""))
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -815,6 +930,15 @@ object Ann {
     }
   }
 
+  /** Trained per-bit thresholds for an lsh index built with the `t` suffix
+   *  (null otherwise) — every encode site, build or serve, must pass these
+   *  so database codes and query codes share the cut points. */
+  private def lshThresholdsOf(spark: SparkSession, meta: IndexMeta): Array[Double] =
+    if (meta.lshVariant.contains("t"))
+      IndexCatalog.readThresholds(
+        s"${IndexCatalog.indexDir(root(spark), meta.name)}/thresholds.bin")
+    else null
+
   /** Hamming top-k over the binary code table: encode the query against the
    *  frozen hyperplanes, then rank by codegen'd `bit_count(code XOR qcode)` —
    *  no UDF, no vector column read; ties break on row_id. `_distance` is the
@@ -824,7 +948,7 @@ object Ann {
     val query = prepQuery(meta, query0)
     val hyps = IndexCatalog.readCentroids(
       s"${IndexCatalog.indexDir(root(spark), meta.name)}/hyperplanes.bin")
-    val qcode = LshCodec.encode(hyps, query)
+    val qcode = LshCodec.encode(hyps, query, lshThresholdsOf(spark, meta))
     val scan0 = spark.read.parquet(meta.sourcePath)
     val base = extraFilter.fold(scan0)(scan0.where)
       .select(col("id").as("row_id"),
@@ -1026,11 +1150,19 @@ object Ann {
    *  set — reject rather than silently answer a different question.
    *  Full-dim PCA (inputDim == dim) is a pure rotation, which preserves L2
    *  distances, so the ball semantics hold and it stays allowed. */
-  private def requireMetricSpaceRadius(meta: IndexMeta, op: String): Unit =
+  private def requireMetricSpaceRadius(meta: IndexMeta, op: String): Unit = {
     require(meta.pcaFile.isEmpty || meta.inputDim == 0 || meta.inputDim == meta.dim,
       s"$op radius semantics require metric-space distances; reduced-dim PCA index " +
         s"'${meta.name}' (PCA ${meta.inputDim}->${meta.dim}) scores in lossy " +
         "transformed space. Use a full-dim PCA, flat, or ivfflat index.")
+    // whitening (PCAW) rescales each component by 1/sqrt(λ): distances are
+    // Mahalanobis even at full dim, so the metric ball the radius describes
+    // does not exist in the stored space
+    require(meta.pcaFile.isEmpty || meta.pcaVariant != "w",
+      s"$op radius semantics require metric-space distances; whitened PCAW index " +
+        s"'${meta.name}' scores in Mahalanobis space at any output dim. " +
+        "Use a plain PCA/PCAR full-dim, flat, or ivfflat index.")
+  }
 
   private[index] def prepQuery(meta: IndexMeta, query0: Array[Float]): Array[Float] = {
     val query = if (meta.pcaFile.nonEmpty) {
@@ -1201,16 +1333,22 @@ object Ann {
     val spark = df.sparkSession
     val hits = collectHits(spark, name, query, k, searchComplexity, oversample)
     val ids = hits.map(_._1)
-    val distDf = spark.createDataFrame(hits.toSeq.map(h =>
-        Row(h._1, h._2)).asJava,
-      StructType(Seq(StructField("__ann_id", LongType), StructField("_distance", FloatType))))
+    val distDf = spark.createDataFrame(hits.toSeq.zipWithIndex.map { case (h, i) =>
+        Row(h._1, h._2, i) }.asJava,
+      StructType(Seq(StructField("__ann_id", LongType),
+        StructField("_distance", FloatType), StructField("__ann_rank", IntegerType))))
     // isin literal reaches the parquet scan (PushedFilters: In(id, ...)) —
     // the scale-safe analog of rowid fetch; then a broadcast join attaches
-    // the distance.
+    // the distance. Output order preserves the ENGINE's ranking (carried as
+    // __ann_rank) rather than re-sorting by the f32-cast `_distance`: the
+    // engine ranks near-ties by the full double distance (refine re-rank,
+    // ExactServe's double fold), and a float re-sort would flip any pair
+    // whose doubles differ only below f32 precision.
     df.where(col(idColumn).isin(ids.map(java.lang.Long.valueOf).toSeq: _*))
       .join(broadcast(distDf), col(idColumn) === col("__ann_id"))
       .drop("__ann_id")
-      .orderBy(col("_distance"), col(idColumn))
+      .orderBy(col("__ann_rank"))
+      .drop("__ann_rank")
   }
 
   /**
@@ -2099,7 +2237,8 @@ object Ann {
         // narrow ranking documents).
         val hyps = IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin")
         val hypsB = spark.sparkContext.broadcast(hyps)
-        val qcodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v))
+        val thrB = spark.sparkContext.broadcast(lshThresholdsOf(spark, meta))
+        val qcodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v, thrB.value))
         val (frozen0, _) = frozenQueries("__q")
         val frozen = frozen0.withColumn("__qcode", qcodeUdf(col("__q")))
         (base.crossJoin(broadcast(frozen)),
@@ -2534,7 +2673,8 @@ object Ann {
         // the build's hyperplanes, exactly like the PQ frozen codebook
         val hyps = IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin")
         val hypsB = spark.sparkContext.broadcast(hyps)
-        val encodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v))
+        val thrB = spark.sparkContext.broadcast(lshThresholdsOf(spark, meta))
+        val encodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v, thrB.value))
         val lshCols = Seq(col("id"), encodeUdf(col("vec")).as("code")) ++
           (if (meta.refine) Seq(col("vec")) else Nil) // data's vec is already prepped
         data.select(lshCols: _*)

@@ -39,7 +39,8 @@ private[graft] object ExactServe {
       cents: Array[Array[Float]],   // ivfflat / ivfpq (else null)
       cb: PqCodec.Codebook,         // pq / ivfpq (else null)
       lcodes: Array[Long] = null,   // lsh (one 64-bit code per row)
-      hyps: Array[Array[Float]] = null) { // lsh hyperplanes
+      hyps: Array[Array[Float]] = null, // lsh hyperplanes
+      lshThr: Array[Double] = null) {   // lsh trained thresholds (`t` suffix)
     /** id → position, built ONCE at load — the refine re-rank needs raw
      *  vectors by id on every query, and rebuilding a boxed map over up to
      *  ~250k ids per query defeats the job-free route's latency purpose. */
@@ -112,7 +113,9 @@ private[graft] object ExactServe {
       cb = if (hasCodes) PqCodec.read(s"$dirPath/pq.bin") else null,
       lcodes = if (isLsh) rows.map(_.getLong(1)) else null,
       hyps = if (isLsh)
-        IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin") else null)
+        IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin") else null,
+      lshThr = if (isLsh && meta.lshVariant.contains("t"))
+        IndexCatalog.readThresholds(s"$dirPath/thresholds.bin") else null)
   }
 
   /** Top-fetchK (id, distance) — identical rows, distances, and order to the
@@ -143,7 +146,7 @@ private[graft] object ExactServe {
     if (d.lcodes != null) {
       // lsh: Hamming against the query's code — integers, so float parity
       // with the codegen'd bit_count(XOR) scan is trivially exact
-      val qcode = graft.core.LshCodec.encode(d.hyps, query)
+      val qcode = graft.core.LshCodec.encode(d.hyps, query, d.lshThr)
       var i = 0
       while (i < n) {
         val id = d.ids(i)

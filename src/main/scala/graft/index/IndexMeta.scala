@@ -53,7 +53,16 @@ case class IndexMeta(
     // queries arrive in inputDim dims and are mapped through the stored
     // rotation by Ann.prepQuery; distances are transformed-space distances
     inputDim: Int = 0,
-    pcaFile: String = "") {
+    pcaFile: String = "",
+    // PCA flavor the stored rotation was fit with: "" plain | "r" PCAR
+    // (still a rotation — L2-preserving at full dim) | "w" PCAW (whitening —
+    // Mahalanobis space, rejected by rangeSearch at any dim). The transform
+    // itself is fully folded into pca.bin; this field only gates semantics.
+    pcaVariant: String = "",
+    // lsh: FAISS IndexLSH training flags the stored hyperplanes were built
+    // with — "r" rows are orthonormalized, "t" thresholds.bin holds trained
+    // per-bit cut points ("rt" = both, "" = raw sign projections)
+    lshVariant: String = "") {
   def metricObj: graft.core.Metric = graft.core.Metric.fromName(metric)
 }
 
@@ -178,6 +187,26 @@ object IndexCatalog {
     bb.putInt(radii.length)
     radii.foreach(bb.putFloat)
     Files.write(Paths.get(path), bb.array())
+  }
+
+  // ---- lsh trained thresholds: [n u32][f64 * n] LE ----
+  // (double, not float: the sign decision s >= t must replay bit-for-bit in
+  //  the DuckDB oracle, which computes both sides in double)
+
+  def writeThresholds(path: String, t: Array[Double]): Unit = {
+    val bb = ByteBuffer.allocate(4 + t.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(t.length)
+    t.foreach(bb.putDouble)
+    Files.write(Paths.get(path), bb.array())
+  }
+
+  def readThresholds(path: String): Array[Double] = {
+    val bb = ByteBuffer.wrap(Files.readAllBytes(Paths.get(path))).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getDouble; i += 1 }
+    out
   }
 
   def readRadii(path: String): Array[Float] = {

@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Merge an isolated-op scale artifact (a `SPARK_GRAFT_SCALE_ONLY=<op>` run)
+ * into a full-ladder artifact WITHOUT breaking footer consistency — the
+ * round-15 failure mode: semdedup's in-ladder entry was hand-replaced by an
+ * isolated re-run, leaving the footer's `worst_major_stage_skew` (6.27)
+ * orphaned from the max over its own ops (3.09). This tool:
+ *
+ *   1. replaces each op present in the isolated artifact, keeping the
+ *      replaced entry's numbers beside the new ones as `inladder_sec` /
+ *      `inladder_worst_task_skew` / `inladder_major_stage_skew` and
+ *      stamping `rerun_isolated: true`, so both measurements survive;
+ *   2. RECOMPUTES the footer (`value` total, `worst_task_skew`,
+ *      `worst_major_stage_skew`) from the merged per-op values, so the
+ *      artifact is self-consistent by construction.
+ *
+ * Usage: runMain graft.tools.ScaleMerge <ladder.json> <isolated.json> <out.json>
+ */
+object ScaleMerge {
+  implicit private val fmts: Formats = DefaultFormats
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: ScaleMerge <ladder.json> <isolated.json> <out.json>")
+    val ladder = JsonMethods.parse(slurp(args(0)))
+    val iso = JsonMethods.parse(slurp(args(1)))
+    val merged = merge(ladder, iso)
+    val out = JsonMethods.compact(JsonMethods.render(merged))
+    java.nio.file.Files.write(java.nio.file.Paths.get(args(2)),
+      out.getBytes("UTF-8"))
+    println(out)
+  }
+
+  private def slurp(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+
+  private[tools] def merge(ladder: JValue, iso: JValue): JValue = {
+    val ladderOps = (ladder \ "ops").asInstanceOf[JObject].obj
+    val isoOps = (iso \ "ops").asInstanceOf[JObject].obj.toMap
+    val mergedOps = ladderOps.map { case (name, oldEntry) =>
+      isoOps.get(name) match {
+        case Some(newEntry) =>
+          val keep = Seq("sec" -> "inladder_sec",
+            "worst_task_skew" -> "inladder_worst_task_skew",
+            "major_stage_skew" -> "inladder_major_stage_skew").flatMap {
+            case (src, dst) => (oldEntry \ src) match {
+              case JNothing => None
+              case v => Some(JField(dst, v))
+            }
+          }
+          name -> JObject(newEntry.asInstanceOf[JObject].obj ++
+            keep :+ JField("rerun_isolated", JBool(true)))
+        case None => name -> oldEntry
+      }
+    }
+    // ops present only in the isolated artifact append at the end
+    val extra = isoOps.view.filterKeys(k => !ladderOps.exists(_._1 == k)).toSeq
+      .sortBy(_._1)
+      .map { case (n, e) => n ->
+        JObject(e.asInstanceOf[JObject].obj :+ JField("rerun_isolated", JBool(true))) }
+    val allOps = mergedOps ++ extra
+    def num(v: JValue): Double = v match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDecimal(d) => d.toDouble
+      case _ => 0.0
+    }
+    def maxOver(field: String): Double =
+      allOps.map { case (_, e) => num(e \ field) }.foldLeft(1.0)(math.max)
+    val total = allOps.map { case (_, e) => num(e \ "sec") }.sum
+    val footer = Map(
+      "value" -> JDouble(total),
+      "worst_task_skew" -> JDouble(maxOver("worst_task_skew")),
+      "worst_major_stage_skew" -> JDouble(maxOver("major_stage_skew")),
+      "ops" -> JObject(allOps))
+    JObject(ladder.asInstanceOf[JObject].obj.map {
+      case JField(k, _) if footer.contains(k) => JField(k, footer(k))
+      case f => f
+    })
+  }
+}

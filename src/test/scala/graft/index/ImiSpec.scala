@@ -89,14 +89,60 @@ class ImiSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
-  test("grammar: b out of range errors; IMI with a non-Flat terminal errors") {
+  test("grammar: b out of range errors; IMI with an unknown terminal errors") {
     val e = intercept[IllegalArgumentException] {
       Ann.buildIndexFactory(emb, "embedding", "vec_id", "imi_e", "IMI2x9")
     }
     assert(e.getMessage.contains("IMI2x<b>"), e.getMessage)
     val e2 = intercept[IllegalArgumentException] {
-      Ann.buildIndexFactory(emb, "embedding", "vec_id", "imi_e2", "IMI2x4,PQ8")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "imi_e2", "IMI2x4,HNSW16")
     }
     assert(e2.getMessage.contains("supported:"), e2.getMessage)
+  }
+
+  test("IMI2x<b>,PQ<m>: ivfpq engine over product cells; assignment decomposes") {
+    val m = Ann.buildIndexFactory(emb, "embedding", "vec_id", "imipq",
+      "IMI2x2,PQ8", Ann.BuildParams(seedK = 16, nprobe = 16))
+    assert(m.engine == "ivfpq" && m.nlist == 16 && m.maxDegree == 8)
+    val dirPath = IndexCatalog.indexDir(Ann.root(spark), "imipq")
+    val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
+    assert(cents.length == 16)
+    // stored cluster = argmin over the product table (== decomposed argmin:
+    // the product's global min decomposes into per-half minima)
+    val meta = IndexCatalog.load(Ann.root(spark), "imipq")
+    val byId = all.toMap
+    spark.read.parquet(meta.sourcePath).select("id", "cluster").collect()
+      .foreach { r =>
+        val id = r.getLong(0)
+        assert(r.getInt(1) == KMeansLite.nearest(cents, byId(id)),
+          s"row $id cluster != product argmin")
+      }
+    // full probe returns k rows ranked by non-decreasing ADC distance
+    val got = Ann.search(emb, "vec_id", "imipq", q0, 10)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1)))
+    assert(got.length == 10)
+    assert(got.map(_._2).sliding(2).forall(a => a.length < 2 || a(0) <= a(1)))
+    // distributed scan and the job-free local serve rank identically
+    val local = ExactServe.search(spark, meta,
+      Set.empty, q0, 10).toSeq
+    assert(local.map(_._1).toSeq == got.map(_._1).toSeq,
+      s"ExactServe order differs: $local vs ${got.toSeq}")
+  }
+
+  test("IMI2x<b>,PQ<m>,RFlat: exact re-rank over IMI-celled ADC candidates") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "imipqr",
+      "IMI2x2,PQ8,RFlat", Ann.BuildParams(seedK = 16, nprobe = 16, refineK = 4))
+    val got = Ann.search(emb, "vec_id", "imipqr", q0, 5)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1)))
+    assert(got.length == 5)
+    // refined distances are the EXACT metric distances of the candidates
+    val byId = all.toMap
+    got.foreach { case (id, d) =>
+      val exact = graft.core.VectorOps.l2SqDoubleAcc(byId(id), q0).toFloat
+      assert(math.abs(d - exact) <= math.ulp(exact) * 4,
+        s"refined distance for $id not exact: $d vs $exact")
+    }
   }
 }

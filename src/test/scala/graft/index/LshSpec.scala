@@ -49,9 +49,9 @@ class LshSpec extends AnyFunSuite {
   }
 
   test("factory: unsupported forms error with a message naming the supported grammar") {
-    // NOTE: "SQ4", "PCA32,IVF64,Flat", and "IMI2x8" used to be in this
-    // list — all are implemented now and parse successfully
-    for (bad <- Seq("LSHrt", "IMI2x4,PQ8", "SQ5", "Flat,HNSW8")) {
+    // NOTE: "SQ4", "PCA32,IVF64,Flat", "IMI2x8", "LSHrt", and "IMI2x4,PQ8"
+    // used to be in this list — all are implemented now and parse
+    for (bad <- Seq("LSHx", "SQ5", "Flat,HNSW8")) {
       val e = intercept[IllegalArgumentException] {
         Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_bad", bad)
       }
