@@ -238,13 +238,44 @@ object SemDedup {
   }
 
   /** Cluster-keyed partitioner: a cluster's members land in ONE partition
-   *  (the pairwise rule needs whole clusters), many clusters per partition. */
-  private final class ClusterPartitioner(parts: Int) extends Partitioner {
+   *  (the pairwise rule needs whole clusters), many clusters per partition.
+   *  `partOf` carries the cost-aware placement ([[lptPack]]); clusters
+   *  absent from it (never in practice — the pack covers every assigned
+   *  cluster) fall back to modulo. */
+  private final class ClusterPartitioner(parts: Int,
+      partOf: scala.collection.Map[Int, Int]) extends Partitioner {
     override def numPartitions: Int = parts
     override def getPartition(key: Any): Int = {
       val c = key.asInstanceOf[(Int, Long)]._1
-      java.lang.Math.floorMod(c, parts)
+      partOf.getOrElse(c, java.lang.Math.floorMod(c, parts))
     }
+  }
+
+  /** Longest-processing-time bin packing of clusters into `parts` bins by
+   *  QUADRATIC cost (the pairwise stage does O(size²) cosine work per
+   *  cluster): place each cluster, largest cost first, onto the
+   *  least-loaded bin. Deterministic — ties break on (cluster asc) for the
+   *  ordering and (bin index asc) for the bin choice. The modulo placement
+   *  this replaces left the cluster-size lottery free to stack several
+   *  max-cap clusters in one partition: with max_cluster/mean = 4 the
+   *  worst partition carries 16× a mean cluster's pair mass per unlucky
+   *  co-residence, which the 1000× ladder read as a 5.7× major-stage skew
+   *  on the pairwise stage (r15 in-ladder: 6.27). LPT bounds the makespan
+   *  at 4/3 of optimal regardless of the lottery. */
+  private[text] def lptPack(sizes: Array[(Int, Long)],
+      parts: Int): scala.collection.Map[Int, Int] = {
+    // min-heap on (load, bin): PriorityQueue is a max-heap, so invert
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Int)](
+      Ordering.by(t => (-t._1, -t._2)))
+    (0 until parts).foreach(p => heap.enqueue((0L, p)))
+    val out = new java.util.HashMap[Int, Int](sizes.length * 2)
+    sizes.sortBy { case (c, n) => (-(n * n), c) }.foreach { case (c, n) =>
+      val (load, p) = heap.dequeue()
+      out.put(c, p)
+      heap.enqueue((load + n * n, p))
+    }
+    import scala.jdk.CollectionConverters._
+    out.asScala
   }
 
   /**
@@ -276,9 +307,8 @@ object SemDedup {
     // floor of 4 waves over the session parallelism: per-cluster pairwise
     // work is data-dependent (clique-heavy clusters early-exit, diverse
     // clusters scan fully), so the floor gives the scheduler enough tasks
-    // to average the cluster-size lottery — at 75 partitions on 32 cores
-    // one heavy partition read as a 4–6× stage skew; at ≥4 waves it
-    // amortizes. k ∝ N keeps per-partition data ~constant as the corpus
+    // to average the residual variance LPT packing can't see (early-exit
+    // rates). k ∝ N keeps per-partition data ~constant as the corpus
     // grows. Per-task memory is bounded by ONE cluster regardless (the
     // reducer streams), so this knob trades scheduling overhead against
     // wave-averaging, not against memory.
@@ -288,6 +318,19 @@ object SemDedup {
     val parts = math.max(4 * spark.sparkContext.defaultParallelism,
       centroids.length / math.max(1, perPart))
     implicit val keyOrd: Ordering[(Int, Long)] = Ordering.Tuple2[Int, Long]
+    // cost-aware placement: a cheap assignment-only pre-pass counts cluster
+    // sizes (shuffles k (cluster, count) pairs — nothing else), then LPT
+    // packs clusters into partitions by QUADRATIC cost on the driver. The
+    // pre-pass re-runs the assignment map rather than caching the keyed
+    // vectors: at 100 TB a second streaming pass over the source is bounded
+    // and stateless, while persisting the shuffled corpus is neither.
+    // Placement only moves clusters between tasks — results are
+    // partition-invariant, so the oracle and every spec are untouched.
+    val sizes = in.rdd.mapPartitions { it =>
+        val asg = bc.value
+        it.map(r => (asg(r.getSeq[Float](1).toArray)._1, 1L))
+      }.reduceByKey(_ + _).collect()
+    val partOf = lptPack(sizes, parts)
     // assignment fused into the shuffle-write pass: ONE shuffle total,
     // keyed by (cluster, id), no join back to the source
     val rdd = in.rdd
@@ -296,7 +339,7 @@ object SemDedup {
         val (best, _) = bc.value(v)
         ((best, r.getLong(0)), v)
       }
-      .repartitionAndSortWithinPartitions(new ClusterPartitioner(parts))
+      .repartitionAndSortWithinPartitions(new ClusterPartitioner(parts, partOf))
       .mapPartitions { it0 =>
         // stream one cluster at a time off the sorted iterator: rows arrive
         // grouped by cluster and ascending id, so the pairwise lower-id scan

@@ -357,6 +357,15 @@ object AnnScaleSmoke {
         Ann.BuildParams(refineK = 16))
       n
     }
+    // `rt`-trained variant (round-16 family): rotation makes the projection
+    // a proper random rotation and trained thresholds center each bit on
+    // its mean — the code-balance training FAISS offers for exactly this
+    // uniform-corpus case; measured beside the untrained row so the matrix
+    // prices what the training buys at 1.5M
+    if (!reuse) run("lshrt_build") {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "as_lshrt", "LSH64rt")
+      n
+    }
     runServe("lsh_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_lsh", 10).count()
     }
@@ -404,7 +413,7 @@ object AnnScaleSmoke {
     val recallEngines =
       Seq("as_disk", "as_ivf", "as_sq8", "as_ivfpq", "as_ivfpqr") ++ sweepNames ++
         (kfSweep.map(kf => s"as_ivfpqr_kf$kf") ++
-          Seq("as_lsh", "as_lshr") :+ "as_hnsw").filter(haveIdx)
+          Seq("as_lsh", "as_lshr", "as_lshrt") :+ "as_hnsw").filter(haveIdx)
     var recallByName = Map.empty[String, (Double, Double)]
     run("recall_at10_200q_all") {
       val rows = Ann.measureRecallMany(emb, "embedding", "vec_id",
@@ -441,8 +450,9 @@ object AnnScaleSmoke {
     }
     val (lshRecall, _) = recallByName.getOrElse("as_lsh", (-1.0, -1.0))
     val (lshrRecall, _) = recallByName.getOrElse("as_lshr", (-1.0, -1.0))
+    val (lshrtRecall, _) = recallByName.getOrElse("as_lshrt", (-1.0, -1.0))
     System.err.println(f"[annscale] lsh recall@10 = $lshRecall%.4f; " +
-      f"lsh+rflat(kf16) = $lshrRecall%.4f")
+      f"lsh+rflat(kf16) = $lshrRecall%.4f; lsh-rt = $lshrtRecall%.4f")
     val hnswRecall = recallByName.get("as_hnsw").map(_._1)
     hnswRecall.foreach(r =>
       System.err.println(f"[annscale] hnsw recall@10 = $r%.4f ($hnswShards shards)"))
@@ -658,6 +668,7 @@ object AnnScaleSmoke {
         s""""recall_at10_kf$kf":$r,""" }.mkString +
       s""""storage_bytes":$ivfpqrBytes},""" +
       s""""lsh":{"recall_at10":$lshRecall,"recall_at10_rflat_kf16":$lshrRecall,""" +
+      s""""recall_at10_rt":$lshrtRecall,""" +
       s""""storage_bytes":$lshBytes,"storage_ratio_vs_ivf":${ivfBytes.toDouble / math.max(1, lshBytes)}},""" +
       hnswRecall.map(r =>
         s""""hnsw":{"recall_at10":$r,"shards":$hnswShards},""").getOrElse("") +

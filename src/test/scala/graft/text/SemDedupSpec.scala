@@ -146,4 +146,34 @@ class SemDedupSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).sum
     assert(sizes == 60L)
   }
+
+  test("lptPack: quadratic-cost bins balance within the LPT bound") {
+    // adversarial for the old modulo placement: the four max-cap clusters
+    // all hash to bin 0 at parts=4 (ids 0,4,8,12), stacking 16x a mean
+    // cluster's pair mass in one task
+    val sizes = Array.tabulate(16)(c => (c, if (c % 4 == 0) 2000L else 500L))
+    val partOf = SemDedup.lptPack(sizes, 4)
+    assert(partOf.size == 16)
+    val loads = (0 until 4).map(p =>
+      sizes.collect { case (c, n) if partOf(c) == p => n * n }.sum)
+    val ideal = sizes.map { case (_, n) => n * n }.sum / 4.0
+    // LPT guarantees makespan <= 4/3 * OPT; with these sizes it lands far
+    // closer — assert the bound, and that the big clusters spread out
+    assert(loads.max <= ideal * 4 / 3, s"loads $loads vs ideal $ideal")
+    val bigBins = sizes.collect { case (c, 2000L) => partOf(c) }
+    assert(bigBins.distinct.length == 4, s"max-cap clusters stacked: $bigBins")
+    // deterministic: same input -> same placement
+    assert(SemDedup.lptPack(sizes, 4) == partOf)
+  }
+
+  test("semdedup results are invariant under the cost-aware placement") {
+    // skewed fixture (one dominant cluster) — results must equal the brute
+    // force regardless of which tasks the clusters land on
+    val df = fixture(240, 8)
+    val seeds = SemDedup.seedCentroids(df, "embedding", "vec_id", 6)
+    val got = SemDedup.semdedup(df, "embedding", "vec_id", seeds, 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    val rows = df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(got == bruteForce(rows, seeds, 0.95))
+  }
 }
