@@ -657,6 +657,35 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // IVF<n>,SQ8 (FAISS IndexIVFScalarQuantizer, by_residual=false): u8
+    // scalar codes under inverted lists. At saturating probe width the
+    // ranking is exactly the dequantized-L2 brute force, and the per-dim
+    // min/max quantizer replays in SQL — the SAME saturation oracle the
+    // diskann SQ8 engine uses (sqExactOracleSql), now covering the
+    // IVF + synthetic-codebook ADC route end to end
+    "ann_ivfsq_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_ivfsq_ex", "IVF4,SQ8",
+        Ann.BuildParams(nprobe = 4))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_ivfsq_ex", q64Arr, 10)
+        .select(col("vec_id"), col("_distance"))
+        .orderBy(col("_distance"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    // realistic-parameter twin: trained coarse quantizer, nprobe 4/16 —
+    // probe-bounded recall, rows-only, same code path as the oracled twin
+    "ann_ivfsq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_ivfsq", "IVF16,SQ8",
+        Ann.BuildParams(nprobe = 4))
+      Ann.search(emb, "vec_id", "v_ivfsq", q64Arr, 10)
+        .select("vec_id", "_distance")
+    }),
+
     "ann_ivf_exact" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_ivf_exact",
@@ -1849,6 +1878,10 @@ object SparkEntry {
     // variants replay this library's packed SQ4/SQ6 extension — packing is
     // storage-only, so the value replay is the same formula at fewer levels).
     "ann_sq8_exact" -> sqExactOracleSql(255),
+    // IVF,SQ8 at saturating nprobe: the probe set covers every list, so the
+    // ranking is the dequantized brute force — the identical quantizer
+    // replay, now exercising the IVF ADC serve route
+    "ann_ivfsq_exact" -> sqExactOracleSql(255),
     "ann_sq4_exact" -> sqExactOracleSql(15),
     "ann_sq6_exact" -> sqExactOracleSql(63),
     // LSH replay with the seeded hyperplanes: hyperplane b is

@@ -76,6 +76,24 @@ final case class Sq8Data(
 }
 
 object Sq8Codec {
+
+  /** Encode ONE vector against frozen per-dim ranges — float-for-float the
+   *  same arithmetic as [[quantize]]'s inner loop (and the DuckDB oracle's
+   *  `least(255, greatest(0, round((v − mn)/sc · 255)))` replay), split out
+   *  for engines that quantize distributedly against driver-trained ranges
+   *  (the `IVF<n>,SQ8` build UDF and its append path). */
+  def encodeRow(v: Array[Float], mins: Array[Float], scales: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](v.length)
+    var d = 0
+    while (d < v.length) {
+      val norm = (v(d) - mins(d)) / scales(d)
+      val code = math.round(norm * 255.0f)
+      out(d) = math.max(0, math.min(255, code)).toByte
+      d += 1
+    }
+    out
+  }
+
   /** Quantize `count` vectors stored flat row-major in `vecs`. */
   def quantize(vecs: Array[Float], count: Int, dim: Int): Sq8Data = {
     val mins = Array.fill(dim)(Float.MaxValue)

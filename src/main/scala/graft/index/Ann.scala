@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 import graft.core.{Metric, GraphIndex, VamanaIndex, HnswIndex, VectorOps,
-  DiskannFormat, HnswFormat, LshCodec}
+  DiskannFormat, HnswFormat, LshCodec, Sq8Codec}
 import graft.functions.{toFloatVec, array_distance_sq, array_negative_inner_product,
   array_cosine_similarity}
 
@@ -200,19 +200,26 @@ object Ann {
         "',SQ8'/',SQ4'/',SQ6' (diskann only) or ',RFlat' (PQ/LSH engines); " +
         "other transform chains are not implemented")
     }
-    val p2 = if (refine) {
-      require(p.engine == "pq" || p.engine == "ivfpq" || p.engine == "lsh",
-        "RFlat refine applies to code engines (e.g. 'PQ8,RFlat', " +
-        "'IVF64,PQ8,RFlat', 'LSH32,RFlat')")
-      p.copy(refine = true)
-    } else p
-    sqSuffix.headOption match {
+    val p2 = sqSuffix.headOption match {
+      // FAISS `IVF<n>,SQ8` (IndexIVFScalarQuantizer, by_residual=false):
+      // inverted lists over u8 scalar-quantized codes — a distinct engine
+      // (the diskann SQ suffix quantizes graph-shard storage instead)
+      case Some("sq8") if p.engine == "ivfflat" && p.imiB == 0 && p.pcaDim == 0 =>
+        p.copy(engine = "ivfsq", quantization = "sq8")
       case Some(q) =>
-        require(p2.engine == "diskann",
-          s"${q.toUpperCase} requires the diskann engine")
-        p2.copy(quantization = q)
-      case None => p2
+        require(p.engine == "diskann",
+          s"${q.toUpperCase} requires the diskann engine (IVF<n>,SQ8 is the " +
+          "one IVF+SQ form; IVF+SQ4/SQ6 and IMI/PCA+SQ chains are not implemented)")
+        p.copy(quantization = q)
+      case None => p
     }
+    if (refine) {
+      require(p2.engine == "pq" || p2.engine == "ivfpq" || p2.engine == "lsh" ||
+        p2.engine == "ivfsq",
+        "RFlat refine applies to code engines (e.g. 'PQ8,RFlat', " +
+        "'IVF64,PQ8,RFlat', 'LSH32,RFlat', 'IVF64,SQ8,RFlat')")
+      p2.copy(refine = true)
+    } else p2
   }
 
   /** Build from a factory description string (`Flat`, `HNSW32`,
@@ -319,6 +326,7 @@ object Ann {
       case "ivfflat" => buildIvf(data, name, dir, metric, params)
       case "pq"      => buildPq(data, name, dir, metric, params)
       case "ivfpq"   => buildIvfPq(data, name, dir, metric, params)
+      case "ivfsq"   => buildIvfSq(data, name, dir, metric, params)
       case "lsh"     => buildLsh(data, name, dir, metric, params)
       case e => throw new IllegalArgumentException(s"unknown engine: $e")
     }
@@ -846,6 +854,109 @@ object Ann {
    * Like FAISS, encoding ignores the metric (signs are scale/normalization
    * invariant).
    */
+  /**
+   * `IVF<nlist>,SQ8` build (FAISS IndexIVFScalarQuantizer with
+   * by_residual=false): inverted lists over u8 scalar-quantized codes —
+   * 4× vector compression with per-dim reconstruction far tighter than
+   * PQ's subspace centroids. The per-dim min/max train over the WHOLE
+   * corpus in one order-independent distributed agg (exact, and exactly
+   * what the DuckDB saturation oracle replays); codes quantize RAW stored
+   * vectors (not residuals), so ONE query LUT serves every probe.
+   *
+   * Serving reuses the PQ ADC machinery wholesale: pq.bin stores a
+   * SYNTHETIC codebook with m = dim, dsub = 1, k = 256 whose "centroids"
+   * are the 256 dequantization levels per dimension
+   * (`min_d + (b/255)·scale_d` — bit-identical to [[Sq8Data.dequantize]]),
+   * so `PqCodec.lut/adc`, the codegen'd [[PqAdcScore]] batch path, the
+   * RFlat refine stage, and ExactServe's code route all work unchanged.
+   * Encoding does NOT go through codebook argmin (an exact-midpoint value
+   * would round down by argmin's lowest-index tiebreak but UP by the SQ
+   * round rule the oracle replays) — it uses [[Sq8Codec.encodeRow]].
+   */
+  private def buildIvfSq(data: DataFrame, name: String, dir: String,
+      metric: Metric, params: BuildParams): IndexMeta = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val dim = inferDim(data)
+    val cosine = metric eq Metric.Cosine
+    val dataP = if (cosine) data.withColumn("vec", normalizeVecUdf(col("vec"))) else data
+    // coarse centroids: same seeded/trained construction as buildIvf
+    val cents = if (params.seedK > 0) {
+      val seeds = data.orderBy("id").limit(math.max(params.nlist, params.seedK))
+        .select("vec").as[Array[Float]].collect()
+      val prepped = if (cosine) seeds.map(v => VectorOps.normalize(v.clone())) else seeds
+      prepped.take(params.nlist)
+    } else {
+      val nTotal = data.count()
+      val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
+      val sample = data.select("vec").as[Array[Float]].rdd
+        .zipWithIndex()
+        .filter { case (_, i) => i % stride == 0 }
+        .map(_._1)
+        .take(params.trainSample)
+      val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
+      KMeansLite.train(prepped, params.nlist)
+    }
+    IndexCatalog.writeCentroids(s"$dir/centroids.bin", cents, dim)
+    // per-dim min/max over the STORED representation (normalized if cosine):
+    // elementwise min/max is order-independent, so the distributed agg is
+    // exact and host-count-invariant
+    val zero = (Array.fill(dim)(Float.MaxValue), Array.fill(dim)(Float.MinValue))
+    val (mins, maxs) = dataP.select("vec").as[Array[Float]].rdd.treeAggregate(zero)(
+      (acc, v) => {
+        var d = 0
+        while (d < dim) {
+          if (v(d) < acc._1(d)) acc._1(d) = v(d)
+          if (v(d) > acc._2(d)) acc._2(d) = v(d)
+          d += 1
+        }
+        acc
+      },
+      (a, b) => {
+        var d = 0
+        while (d < dim) {
+          if (b._1(d) < a._1(d)) a._1(d) = b._1(d)
+          if (b._2(d) > a._2(d)) a._2(d) = b._2(d)
+          d += 1
+        }
+        a
+      })
+    val scales = Array.tabulate(dim) { d =>
+      val r = maxs(d) - mins(d)
+      if (r > 0f) r else 1.0f
+    }
+    // sq.bin: [mins row; scales row] in the centroids file format (append
+    // re-encodes against these frozen ranges)
+    IndexCatalog.writeCentroids(s"$dir/sq.bin", Array(mins, scales), dim)
+    // synthetic per-dim codebook — the dequantization levels
+    val levels: Array[Array[Array[Float]]] = Array.tabulate(dim) { d =>
+      Array.tabulate(256)(b => Array(mins(d) + (b / 255.0f) * scales(d)))
+    }
+    PqCodec.write(s"$dir/pq.bin", PqCodec.Codebook(dim, 1, 256, levels))
+
+    val centsB = spark.sparkContext.broadcast(cents)
+    val minsB = spark.sparkContext.broadcast(mins)
+    val scalesB = spark.sparkContext.broadcast(scales)
+    val assignUdf = udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
+    val encodeUdf = udf((v: Array[Float]) =>
+      Sq8Codec.encodeRow(v, minsB.value, scalesB.value))
+    val out = s"$dir/data"
+    val stored0 = dataP.select(col("id"), encodeUdf(col("vec")).as("code"),
+      col("vec"), assignUdf(col("vec")).as("cluster"))
+    val stored = if (params.refine) stored0 else stored0.drop("vec")
+    // same cluster co-location as the ivfflat write: one file per cluster
+    stored.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(out)
+    val n = spark.read.parquet(out).count()
+    val meta = IndexMeta(name, "ivfsq", "vec", "id", dim, metric.name,
+      maxDegree = 0, buildComplexity = 0, alpha = 0f, quantized = true,
+      numVectors = n, numDeleted = 0L, shards = Nil, sourcePath = out,
+      nlist = cents.length, nprobe = math.min(params.nprobe, cents.length),
+      refine = params.refine, refineK = params.refineK, quantBits = 8)
+    IndexCatalog.save(root(spark), meta)
+    meta
+  }
+
   private def buildLsh(data: DataFrame, name: String, dir: String,
       metric: Metric, params: BuildParams): IndexMeta = {
     val spark = data.sparkSession
@@ -926,8 +1037,38 @@ object Ann {
       case "flat" | "ivfflat" => exactScanIds(spark, meta, query, fetchK, tomb)
       case "pq" => pqScanIds(spark, meta, query, fetchK, tomb)
       case "ivfpq" => ivfPqScanIds(spark, meta, query, fetchK, tomb)
+      case "ivfsq" => ivfSqScanIds(spark, meta, query, fetchK, tomb)
       case "lsh" => lshScanIds(spark, meta, query, fetchK, tomb)
     }
+  }
+
+  /** `IVF<n>,SQ8` top-k: probe-pruned parquet scan over u8 codes, ranked by
+   *  the per-dim dequantization LUT (ADC with m = dim, k = 256 against the
+   *  synthetic codebook buildIvfSq wrote). Codes quantize RAW vectors, so
+   *  one query LUT serves every probe — no per-probe residual tables. */
+  private def ivfSqScanIds(spark: SparkSession, meta: IndexMeta, query0: Array[Float],
+      fetchK: Int, tomb: Set[Long], extraFilter: Option[Column] = None,
+      nprobeOverride: Int = 0): DataFrame = {
+    val query = prepQuery(meta, query0)
+    val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
+    val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
+    val cb = PqCodec.read(s"$dirPath/pq.bin")
+    val l2 = meta.metricObj eq Metric.L2
+    val nprobe = if (nprobeOverride > 0) nprobeOverride else meta.nprobe
+    val probes = KMeansLite.nearestP(cents, query, nprobe)
+    val lut = PqCodec.lut(cb, query, l2)
+    val k = cb.k
+    val lutB = spark.sparkContext.broadcast(lut)
+    val adcUdf = udf((code: Array[Byte]) => PqCodec.adc(lutB.value, k, code))
+    val scan0 = spark.read.parquet(meta.sourcePath)
+      .where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
+    val base = extraFilter.fold(scan0)(scan0.where)
+      .select(col("id").as("row_id"), adcUdf(col("code")).as("__dd"))
+    val filtered = if (tomb.isEmpty) base
+      else base.where(notTombstoned(col("row_id"), tomb))
+    if (meta.refine) refineStage(spark, meta, filtered, query, fetchK)
+    else filtered.orderBy(col("__dd"), col("row_id")).limit(fetchK)
+      .select(col("row_id"), col("__dd").cast(FloatType).as("_distance"))
   }
 
   /** Trained per-bit thresholds for an lsh index built with the `t` suffix
@@ -1551,7 +1692,8 @@ object Ann {
       k: Int, filter: IdFilter, searchComplexity: Int = 0): DataFrame = {
     val meta = IndexCatalog.load(root(spark), name)
     val tomb = IndexCatalog.readTombstones(root(spark), name)
-    if (meta.engine == "pq" || meta.engine == "ivfpq" || meta.engine == "lsh") {
+    if (meta.engine == "pq" || meta.engine == "ivfpq" || meta.engine == "lsh" ||
+        meta.engine == "ivfsq") {
       // quantized engines: the id predicate splices into the ADC/Hamming
       // scan so the code compression survives (a raw-vector fallback would
       // read the flat copy at 100 TB). The answer is the code-space top-k of
@@ -1564,13 +1706,16 @@ object Ann {
         val scored = meta.engine match {
           case "pq" => pqScanIds(spark, meta, query0, k, tomb, Some(filter.column))
           case "lsh" => lshScanIds(spark, meta, query0, k, tomb, Some(filter.column))
+          case "ivfsq" => ivfSqScanIds(spark, meta, query0, k, tomb,
+            Some(filter.column), np)
           case _ => ivfPqScanIds(spark, meta, query0, k, tomb,
             Some(filter.column), np)
         }
         scored.select(col("row_id"), col("_distance"))
       }
       val probed = topK(0)
-      if (meta.engine == "ivfpq" && meta.nprobe < meta.nlist) {
+      if ((meta.engine == "ivfpq" || meta.engine == "ivfsq") &&
+          meta.nprobe < meta.nlist) {
         // under-fill check: collect the ≤ k probed rows ONCE and decide
         // escalation from the local length — a count()-then-return would
         // re-execute the probed scan when the caller consumes the result,
@@ -2207,6 +2352,29 @@ object Ann {
           graft.functions.mkExpr(stream("code")), state))
         (stream.join(broadcast(probed), stream("cluster") === probed("__probe")),
           score, probed, Some(frozen))
+      case "ivfsq" =>
+        // ivfpq's probe join for cluster pruning, but the score rides the
+        // probe-independent flat LUT (codes quantize raw vectors, not
+        // residuals): PqAdcScore with probe = -1 resolves one LUT per
+        // (query, plan) from the executor cache — same codegen span
+        val cb = PqCodec.read(s"$dirPath/pq.bin")
+        val cbB = spark.sparkContext.broadcast(cb)
+        val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
+        val centsB = spark.sparkContext.broadcast(cents)
+        val nprobe = meta.nprobe
+        val token = adcPlanTokens.incrementAndGet()
+        val probeUdf = udf((v: Array[Float]) => KMeansLite.nearestP(centsB.value, v, nprobe))
+        val (frozen, qMapB) = frozenQueries("__q")
+        val state = new AdcScoreState(cbB, null, qMapB, l2, token)
+        val probed = frozen.withColumn("__probe", explode(probeUdf(col("__q"))))
+        val stream = if (rebalanceProbedScan(spark, queriesDf, meta.dim))
+          base.repartition(spark.sessionState.conf.numShufflePartitions) else base
+        val score = graft.functions.mkCol(PqAdcScore(
+          graft.functions.mkExpr(col("__qid")),
+          graft.functions.mkExpr(lit(-1)),
+          graft.functions.mkExpr(stream("code")), state))
+        (stream.join(broadcast(probed), stream("cluster") === probed("__probe")),
+          score, probed, Some(frozen))
       case "ivfflat" if meta.nprobe < meta.nlist =>
         val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
         val centsB = spark.sparkContext.broadcast(cents)
@@ -2668,6 +2836,23 @@ object Ann {
         data.withColumn("cluster", assignUdf(col("vec")))
           .select(ipqCols: _*)
           .write.mode("append").partitionBy("cluster").parquet(meta.sourcePath)
+      case "ivfsq" =>
+        // frozen-range append (FAISS add()): new rows quantize against the
+        // build's per-dim min/scale from sq.bin — values outside the
+        // trained range clamp, same as FAISS's trained ScalarQuantizer
+        val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
+        val sq = IndexCatalog.readCentroids(s"$dirPath/sq.bin")
+        val centsB = spark.sparkContext.broadcast(cents)
+        val minsB = spark.sparkContext.broadcast(sq(0))
+        val scalesB = spark.sparkContext.broadcast(sq(1))
+        val assignUdf = udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
+        val encodeUdf = udf((v: Array[Float]) =>
+          graft.core.Sq8Codec.encodeRow(v, minsB.value, scalesB.value))
+        val isqCols = Seq(col("id"), encodeUdf(col("vec")).as("code")) ++
+          (if (meta.refine) Seq(col("vec")) else Nil) :+ col("cluster")
+        data.withColumn("cluster", assignUdf(col("vec")))
+          .select(isqCols: _*)
+          .write.mode("append").partitionBy("cluster").parquet(meta.sourcePath)
       case "lsh" =>
         // frozen-hyperplane append (FAISS add()): new rows encode against
         // the build's hyperplanes, exactly like the PQ frozen codebook
@@ -2695,7 +2880,8 @@ object Ann {
   def setNprobe(spark: SparkSession, name: String, nprobe: Int): IndexMeta = {
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     val meta = IndexCatalog.load(root(spark), name)
-    require(meta.engine == "ivfflat" || meta.engine == "ivfpq",
+    require(meta.engine == "ivfflat" || meta.engine == "ivfpq" ||
+      meta.engine == "ivfsq",
       s"nprobe applies to IVF engines; '$name' is ${meta.engine}")
     val updated = meta.copy(nprobe = math.min(nprobe, meta.nlist))
     IndexCatalog.save(root(spark), updated)
@@ -2806,7 +2992,8 @@ object Ann {
     val newPath = s"$dir/data-v$ver"
     val df0 = spark.read.parquet(meta.sourcePath)
     val live = if (tomb.isEmpty) df0 else df0.where(notTombstoned(col("id"), tomb))
-    val ivf = meta.engine == "ivfflat" || meta.engine == "ivfpq"
+    val ivf = meta.engine == "ivfflat" || meta.engine == "ivfpq" ||
+      meta.engine == "ivfsq"
     val targetBytes = spark.conf.getOption("spark.graft.ann.compactTargetBytes")
       .map(_.toLong).getOrElse(128L << 20)
     val estBytes = dirBytes(new java.io.File(meta.sourcePath))

@@ -63,7 +63,8 @@ private[graft] object ExactServe {
 
   def eligible(spark: SparkSession, meta: IndexMeta): Boolean =
     (meta.engine == "flat" || meta.engine == "ivfflat" ||
-     meta.engine == "pq" || meta.engine == "ivfpq" || meta.engine == "lsh") &&
+     meta.engine == "pq" || meta.engine == "ivfpq" ||
+     meta.engine == "ivfsq" || meta.engine == "lsh") &&
       !meta.opq && // OPQ queries need the rotation step; serve via the scan
       meta.sourcePath.nonEmpty &&
       // vec-based estimate: exact for flat/ivf, conservative (over) for
@@ -87,8 +88,10 @@ private[graft] object ExactServe {
   }
 
   private def load(spark: SparkSession, meta: IndexMeta, fp: String): Data = {
-    val hasCluster = meta.engine == "ivfflat" || meta.engine == "ivfpq"
-    val hasCodes = meta.engine == "pq" || meta.engine == "ivfpq"
+    val hasCluster = meta.engine == "ivfflat" || meta.engine == "ivfpq" ||
+      meta.engine == "ivfsq"
+    val hasCodes = meta.engine == "pq" || meta.engine == "ivfpq" ||
+      meta.engine == "ivfsq"
     val isLsh = meta.engine == "lsh"
     val df = spark.read.parquet(meta.sourcePath)
     // refined pq/ivfpq/lsh: raw vecs ride along for the exact re-rank stage
@@ -177,10 +180,13 @@ private[graft] object ExactServe {
         i += 1
       }
     } else {
-      // pq/ivfpq: ADC over cached codes, float math identical to the scan UDFs
+      // pq/ivfpq/ivfsq: ADC over cached codes, float math identical to the
+      // scan UDFs. ivfsq codes quantize RAW vectors (no residual), so its
+      // LUT is probe-independent — the flat table with the probeSet filter
       val k = d.cb.k
+      val noResidual = meta.engine == "ivfsq"
       val perProbe: Map[Int, (Array[Float], Float)] =
-        if (d.clusters == null) null
+        if (d.clusters == null || noResidual) null
         else {
           val probes =
             if (probeSet != null) probeSet.indices.filter(probeSet(_))
@@ -197,7 +203,8 @@ private[graft] object ExactServe {
           }.toMap
         }
       val flatLut =
-        if (d.clusters == null) PqCodec.lut(d.cb, query, l2 = l2) else null
+        if (d.clusters == null || noResidual) PqCodec.lut(d.cb, query, l2 = l2)
+        else null
       var i = 0
       while (i < n) {
         val id = d.ids(i)
@@ -205,7 +212,7 @@ private[graft] object ExactServe {
           (d.clusters != null && probeSet(d.clusters(i)))
         if (inProbe && !tomb.contains(id) && (allow == null || allow(id))) {
           val dd: Float =
-            if (d.clusters == null) PqCodec.adc(flatLut, k, d.codes(i))
+            if (flatLut != null) PqCodec.adc(flatLut, k, d.codes(i))
             else {
               val (t, off) = perProbe(d.clusters(i))
               PqCodec.adc(t, k, d.codes(i)) + off

@@ -331,9 +331,22 @@ object AnnScaleSmoke {
           pqM = 8, refine = true))
       n
     }
+    // IVF,SQ8 (round-16 engine family): u8 scalar codes under inverted
+    // lists — per-dim reconstruction (vs ivfpq's subspace centroids) at the
+    // same 4x compression, so its recall ceiling is the IVF probe ceiling
+    // rather than ADC quality. Build gated on existence, not just !reuse,
+    // so an OPS-filtered REUSE run can add this row to an existing corpus.
+    if (!reuse || !haveIdx("as_ivfsq")) run("ivfsq_build") {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "as_ivfsq",
+        s"IVF$nlist,SQ8", Ann.BuildParams(nprobe = pqNprobe))
+      n
+    }
     runServe("sq8_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_sq8", 10,
         searchComplexity = serveSc).count()
+    }
+    runServe("ivfsq_search_table_512q") {
+      Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfsq", 10).count()
     }
     runServe("ivfpq_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfpq", 10).count()
@@ -411,7 +424,7 @@ object AnnScaleSmoke {
     // loop rounds 8-10 ran, with spec-pinned bit-parity (RecallManySpec).
     val sweepNames = ivfSweep.map(np => s"as_ivf_np$np").filter(haveIdx)
     val recallEngines =
-      Seq("as_disk", "as_ivf", "as_sq8", "as_ivfpq", "as_ivfpqr") ++ sweepNames ++
+      Seq("as_disk", "as_ivf", "as_sq8", "as_ivfsq", "as_ivfpq", "as_ivfpqr") ++ sweepNames ++
         (kfSweep.map(kf => s"as_ivfpqr_kf$kf") ++
           Seq("as_lsh", "as_lshr", "as_lshrt") :+ "as_hnsw").filter(haveIdx)
     var recallByName = Map.empty[String, (Double, Double)]
@@ -440,6 +453,8 @@ object AnnScaleSmoke {
     System.err.println(f"[annscale] sq8 recall@10 = $sq8Recall%.4f (ids $sq8RecallIds%.4f)")
     val (pqRecall, pqRecallIds) = recallByName.getOrElse("as_ivfpq", (-1.0, -1.0))
     System.err.println(f"[annscale] ivfpq recall@10 = $pqRecall%.4f (ids $pqRecallIds%.4f)")
+    val (ivfsqRecall, ivfsqRecallIds) = recallByName.getOrElse("as_ivfsq", (-1.0, -1.0))
+    System.err.println(f"[annscale] ivfsq recall@10 = $ivfsqRecall%.4f (ids $ivfsqRecallIds%.4f)")
     val (pqrRecall, pqrRecallIds) = recallByName.getOrElse("as_ivfpqr", (-1.0, -1.0))
     System.err.println(f"[annscale] ivfpq+rflat recall@10 = $pqrRecall%.4f (ids $pqrRecallIds%.4f)")
     val pqrKfRecalls = kfSweep.flatMap { kf =>
@@ -514,6 +529,9 @@ object AnnScaleSmoke {
       else 0L
     val lshBytes =
       if (haveIndex("as_lsh")) dirBytes(IndexCatalog.load(Ann.root(spark), "as_lsh").sourcePath)
+      else 0L
+    val ivfsqBytes =
+      if (haveIndex("as_ivfsq")) dirBytes(IndexCatalog.load(Ann.root(spark), "as_ivfsq").sourcePath)
       else 0L
     System.err.println(
       f"[annscale] ivf storage ${ivfBytes / 1e6}%.1f MB vs ivfpq ${ivfpqBytes / 1e6}%.1f MB " +
@@ -663,6 +681,9 @@ object AnnScaleSmoke {
       s""""ivfpq":{"recall_at10":$pqRecall,"recall_at10_ids":$pqRecallIds,""" +
       s""""ivf_storage_bytes":$ivfBytes,"ivfpq_storage_bytes":$ivfpqBytes,""" +
       s""""storage_ratio":${ivfBytes.toDouble / math.max(1, ivfpqBytes)}},""" +
+      s""""ivfsq":{"recall_at10":$ivfsqRecall,"recall_at10_ids":$ivfsqRecallIds,""" +
+      s""""storage_bytes":$ivfsqBytes,""" +
+      s""""storage_ratio_vs_ivf":${ivfBytes.toDouble / math.max(1, ivfsqBytes)}},""" +
       s""""ivfpq_rflat":{"recall_at10":$pqrRecall,"recall_at10_ids":$pqrRecallIds,""" +
       pqrKfRecalls.map { case (kf, r) =>
         s""""recall_at10_kf$kf":$r,""" }.mkString +
