@@ -508,15 +508,15 @@ object Ann {
     meta
   }
 
-  private def buildIvf(data: DataFrame, name: String, dir: String,
-      metric: Metric, params: BuildParams): IndexMeta = {
+  /** Deterministic stride sample across the WHOLE dataset, cosine-prepped —
+   *  the shared IVF/PQ/SQ training input (reference stride-samples to
+   *  25600, faiss_index.cpp:304-319). A prefix limit() would train on a
+   *  biased slice of sorted/clustered input; never more than trainSample
+   *  vectors reach the driver. */
+  private def strideSample(data: DataFrame, params: BuildParams,
+      cosine: Boolean): Array[Array[Float]] = {
     val spark = data.sparkSession
     import spark.implicits._
-    val dim = inferDim(data)
-    // deterministic stride sample across the WHOLE dataset (reference
-    // stride-samples to 25600, faiss_index.cpp:304-319) — a prefix limit()
-    // would train centroids on a biased slice of sorted/clustered input;
-    // never more than trainSample vectors reach the driver.
     val nTotal = data.count()
     val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
     val sample = data.select("vec").as[Array[Float]].rdd
@@ -524,9 +524,18 @@ object Ann {
       .filter { case (_, i) => i % stride == 0 }
       .map(_._1)
       .take(params.trainSample)
-    val prepped = if (metric eq Metric.Cosine) sample.map(v => VectorOps.normalize(v.clone()))
-                  else sample
+    if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
+  }
+
+  private def buildIvf(data: DataFrame, name: String, dir: String,
+      metric: Metric, params: BuildParams): IndexMeta = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val dim = inferDim(data)
     val cosine = metric eq Metric.Cosine
+    // lazy: the seeded IMI branch never samples (its codebooks come from
+    // the kh lowest-id rows), so seed-mode builds skip the corpus pass
+    lazy val prepped = strideSample(data, params, cosine)
     // IMI2x<b>: two half-space codebooks; the STORED centroid table is the
     // cross-product concatenation [c1_i ; c2_j] (cell = i·|cb2| + j), so
     // every downstream serve surface — nearestP probes, cluster-radii range
@@ -655,15 +664,7 @@ object Ann {
         (null, t)
       }
     } else {
-      // deterministic stride sample (same rationale as buildIvf)
-      val nTotal = data.count()
-      val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
-      val sample = data.select("vec").as[Array[Float]].rdd
-        .zipWithIndex()
-        .filter { case (_, i) => i % stride == 0 }
-        .map(_._1)
-        .take(params.trainSample)
-      val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
+      val prepped = strideSample(data, params, cosine)
       if (params.opq) {
         val trained = OpqCodec.train(prepped, params.pqM)
         IndexCatalog.writeCentroids(s"$dir/rotation.bin", trained.rotation, dim)
@@ -727,7 +728,11 @@ object Ann {
     // construction as buildIvf's IMI branch — the STORED centroid table is
     // the cross product [c1_i ; c2_j], so probe enumeration, residual
     // encode, ADC serving, and ExactServe are all centroid-table-generic
-    // and need no IMI awareness; only assignment decomposes (O(2·2^b))
+    // and need no IMI awareness; only assignment decomposes (O(2·2^b)).
+    // Trained mode collects ONE stride sample and reuses it for both the
+    // half codebooks and the PQ residual training (a second full-corpus
+    // sampling pass would double build IO for identical data).
+    lazy val trainedSample: Array[Array[Float]] = strideSample(data, params, cosine)
     val imiHalves: Option[(Array[Array[Float]], Array[Array[Float]])] =
       if (params.imiB > 0) {
         require(dim % 2 == 0, s"IMI2x splits vectors into equal halves (dim=$dim is odd)")
@@ -737,41 +742,39 @@ object Ann {
           val seeds = data.orderBy("id").limit(kh).select("vec").as[Array[Float]].collect()
           val sp = if (cosine) seeds.map(v => VectorOps.normalize(v.clone())) else seeds
           (sp.map(_.take(half)), sp.map(_.drop(half)))
-        } else {
-          val nTotal = data.count()
-          val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
-          val sample = data.select("vec").as[Array[Float]].rdd
-            .zipWithIndex()
-            .filter { case (_, i) => i % stride == 0 }
-            .map(_._1)
-            .take(params.trainSample)
-          val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
-          (KMeansLite.train(prepped.map(_.take(half)), kh),
-           KMeansLite.train(prepped.map(_.drop(half)), kh))
-        }
+        } else
+          (KMeansLite.train(trainedSample.map(_.take(half)), kh),
+           KMeansLite.train(trainedSample.map(_.drop(half)), kh))
         Some((cb1, cb2))
       } else None
     val (cents, cb) = imiHalves match {
       case Some((cb1, cb2)) =>
         val cents = for (c1 <- cb1; c2 <- cb2) yield c1 ++ c2
+        // residuals use the DECOMPOSED per-half argmin — the same float
+        // arithmetic the stored assignment (assignUdf below) and the DuckDB
+        // oracle's half-argmin CTEs run. A full-product float scan agrees
+        // in real arithmetic but can round a near-tie differently (one
+        // 64-dim accumulation vs two 32-dim ones), which would seed the
+        // codebook against a different centroid than the row is stored
+        // under and bit-desync the oracle.
+        val half = dim / 2
+        def imiResidual(v: Array[Float]): Array[Float] = {
+          val cell = KMeansLite.nearest(cb1, v.take(half)) * cb2.length +
+            KMeansLite.nearest(cb2, v.drop(half))
+          val c = cents(cell)
+          val r = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { r(i) = v(i) - c(i); i += 1 }
+          r
+        }
         // PQ codebook on residuals vs the assigned PRODUCT centroid — seeded
         // from the seedK lowest ids (SQL-replayable) or trained on the sample
         val cb = if (params.seedK > 0) {
           val seeds = data.orderBy("id").limit(params.seedK)
             .select("vec").as[Array[Float]].collect()
           val sp = if (cosine) seeds.map(v => VectorOps.normalize(v.clone())) else seeds
-          PqCodec.fromSeeds(sp.map(residualOf(cents, _)), params.pqM)
-        } else {
-          val nTotal = data.count()
-          val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
-          val sample = data.select("vec").as[Array[Float]].rdd
-            .zipWithIndex()
-            .filter { case (_, i) => i % stride == 0 }
-            .map(_._1)
-            .take(params.trainSample)
-          val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
-          PqCodec.train(prepped.map(residualOf(cents, _)), params.pqM)
-        }
+          PqCodec.fromSeeds(sp.map(imiResidual), params.pqM)
+        } else PqCodec.train(trainedSample.map(imiResidual), params.pqM)
         (cents, cb)
       case None if params.seedK > 0 =>
         // seed mode: coarse centroids = the nlist lowest-id vectors verbatim;
@@ -785,19 +788,11 @@ object Ann {
           prepped.take(params.seedK).map(residualOf(cents, _)), params.pqM)
         (cents, cb)
       case None =>
-        val nTotal = data.count()
-        val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
-        val sample = data.select("vec").as[Array[Float]].rdd
-          .zipWithIndex()
-          .filter { case (_, i) => i % stride == 0 }
-          .map(_._1)
-          .take(params.trainSample)
-        val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
         // coarse quantizer (L2 assignment — the standard IVF choice for every
         // metric; cosine inputs are normalized so L2 and cosine ranking agree)
-        val cents = KMeansLite.train(prepped, params.nlist)
+        val cents = KMeansLite.train(trainedSample, params.nlist)
         // PQ trains on the sample's residuals against its assigned centroids
-        val cb = PqCodec.train(prepped.map(residualOf(cents, _)), params.pqM)
+        val cb = PqCodec.train(trainedSample.map(residualOf(cents, _)), params.pqM)
         (cents, cb)
     }
     IndexCatalog.writeCentroids(s"$dir/centroids.bin", cents, dim)
@@ -886,17 +881,7 @@ object Ann {
         .select("vec").as[Array[Float]].collect()
       val prepped = if (cosine) seeds.map(v => VectorOps.normalize(v.clone())) else seeds
       prepped.take(params.nlist)
-    } else {
-      val nTotal = data.count()
-      val stride = math.max(1L, nTotal / math.max(1, params.trainSample))
-      val sample = data.select("vec").as[Array[Float]].rdd
-        .zipWithIndex()
-        .filter { case (_, i) => i % stride == 0 }
-        .map(_._1)
-        .take(params.trainSample)
-      val prepped = if (cosine) sample.map(v => VectorOps.normalize(v.clone())) else sample
-      KMeansLite.train(prepped, params.nlist)
-    }
+    } else KMeansLite.train(strideSample(data, params, cosine), params.nlist)
     IndexCatalog.writeCentroids(s"$dir/centroids.bin", cents, dim)
     // per-dim min/max over the STORED representation (normalized if cosine):
     // elementwise min/max is order-independent, so the distributed agg is

@@ -253,7 +253,8 @@ private[graft] object ExactServe {
   def searchFiltered(spark: SparkSession, meta: IndexMeta, tomb: Set[Long],
       query0: Array[Float], k: Int, allow: Long => Boolean): Array[(Long, Float)] = {
     val probed = search(spark, meta, tomb, query0, k, allow)
-    val ivf = meta.engine == "ivfflat" || meta.engine == "ivfpq"
+    val ivf = meta.engine == "ivfflat" || meta.engine == "ivfpq" ||
+      meta.engine == "ivfsq"
     if (ivf && meta.nprobe < meta.nlist && probed.length < k)
       search(spark, meta, tomb, query0, k, allow, nprobeOverride = meta.nlist)
     else probed

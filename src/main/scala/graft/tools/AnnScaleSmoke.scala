@@ -375,7 +375,7 @@ object AnnScaleSmoke {
     // its mean — the code-balance training FAISS offers for exactly this
     // uniform-corpus case; measured beside the untrained row so the matrix
     // prices what the training buys at 1.5M
-    if (!reuse) run("lshrt_build") {
+    if (!reuse || !haveIdx("as_lshrt")) run("lshrt_build") {
       Ann.buildIndexFactory(emb, "embedding", "vec_id", "as_lshrt", "LSH64rt")
       n
     }

@@ -78,9 +78,19 @@ object ScaleMerge {
       "worst_task_skew" -> JDouble(maxOver("worst_task_skew")),
       "worst_major_stage_skew" -> JDouble(maxOver("major_stage_skew")),
       "ops" -> JObject(allOps))
-    JObject(ladder.asInstanceOf[JObject].obj.map {
+    // replace in place where the key exists, APPEND where it doesn't — an
+    // older ladder artifact missing a footer field must still come out
+    // carrying the recomputed value, or the tool's self-consistency-by-
+    // construction claim silently fails on exactly the artifacts that need
+    // repair most
+    val present = ladder.asInstanceOf[JObject].obj.map(_._1).toSet
+    val replaced = ladder.asInstanceOf[JObject].obj.map {
       case JField(k, _) if footer.contains(k) => JField(k, footer(k))
       case f => f
-    })
+    }
+    val appended = footer.collect {
+      case (k, v) if !present.contains(k) => JField(k, v)
+    }
+    JObject(replaced ++ appended)
   }
 }

@@ -107,15 +107,20 @@ class ImiSpec extends AnyFunSuite {
     val dirPath = IndexCatalog.indexDir(Ann.root(spark), "imipq")
     val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
     assert(cents.length == 16)
-    // stored cluster = argmin over the product table (== decomposed argmin:
-    // the product's global min decomposes into per-half minima)
+    // stored cluster = the DECOMPOSED per-half argmin (what the build UDF
+    // and the oracle compute; a full-product float scan agrees up to float
+    // near-ties, so the spec replays the engine's own arithmetic)
     val meta = IndexCatalog.load(Ann.root(spark), "imipq")
     val byId = all.toMap
+    val seeds = all.sortBy(_._1).take(4).map(_._2)
+    val (cb1, cb2) = (seeds.map(_.take(32)), seeds.map(_.drop(32)))
     spark.read.parquet(meta.sourcePath).select("id", "cluster").collect()
       .foreach { r =>
         val id = r.getLong(0)
-        assert(r.getInt(1) == KMeansLite.nearest(cents, byId(id)),
-          s"row $id cluster != product argmin")
+        val v = byId(id)
+        val want = KMeansLite.nearest(cb1, v.take(32)) * 4 +
+          KMeansLite.nearest(cb2, v.drop(32))
+        assert(r.getInt(1) == want, s"row $id cluster != decomposed argmin")
       }
     // full probe returns k rows ranked by non-decreasing ADC distance
     val got = Ann.search(emb, "vec_id", "imipq", q0, 10)

@@ -44,6 +44,19 @@ class ScaleMergeSpec extends AnyFunSuite {
     assert((m \ "worst_major_stage_skew").extract[Double] == 1.5)
   }
 
+  test("footer fields missing from the ladder are APPENDED, not dropped") {
+    val bare = JsonMethods.parse(
+      """{"metric":"scale1000x_total","value":100.0,
+        |"ops":{"op_a":{"sec":40.0,"worst_task_skew":2.0,"major_stage_skew":1.5},
+        |"op_b":{"sec":60.0,"worst_task_skew":6.3,"major_stage_skew":6.3}}}""".stripMargin)
+    val m = ScaleMerge.merge(bare, iso)
+    // the old artifact had no skew footer at all — the recomputed values
+    // must still be present in the output
+    assert((m \ "worst_task_skew").extract[Double] == 2.0)
+    assert((m \ "worst_major_stage_skew").extract[Double] == 1.5)
+    assert((m \ "value").extract[Double] == 95.0)
+  }
+
   test("ops only in the isolated artifact append with the rerun stamp") {
     val iso2 = JsonMethods.parse(
       """{"ops":{"op_new":{"sec":5.0,"worst_task_skew":1.0,"major_stage_skew":1.0}}}""")
