@@ -538,15 +538,16 @@ object Ann {
     lazy val prepped = strideSample(data, params, cosine)
     // IMI2x<b>: two half-space codebooks; the STORED centroid table is the
     // cross-product concatenation [c1_i ; c2_j] (cell = i·|cb2| + j), so
-    // every downstream serve surface — nearestP probes, cluster-radii range
-    // pruning, partition-pruned scans, ExactServe — works UNCHANGED on
-    // centroids.bin: ||q − [c1;c2]||² = ||q₁−c1||² + ||q₂−c2||², hence
-    // cell ranking over product centroids IS the half-distance-sum ranking
-    // classic IMI computes. What IMI buys is the BUILD: 2^(2b) cells from
-    // two 2^b-centroid trainings (FAISS IndexIVF over a MultiIndexQuantizer,
-    // faiss IMI2x<b> factory form); the O(nlist·dim) probe enumeration is
-    // fine at the cell counts a single index holds (b ≤ 8 → ≤ 65k cells) —
-    // the O(2·2^b) multi-sequence probe trick only pays at IMI2x14 scale.
+    // every downstream serve surface — probe-pruned scans, cluster-radii
+    // range pruning, ExactServe — works UNCHANGED on centroids.bin:
+    // ||q − [c1;c2]||² = ||q₁−c1||² + ||q₂−c2||², hence cell ranking over
+    // product centroids IS the half-distance-sum ranking classic IMI
+    // computes. IMI buys both ends: the BUILD gets 2^(2b) cells from two
+    // 2^b-centroid trainings (FAISS IndexIVF over a MultiIndexQuantizer),
+    // and probe SELECTION decomposes into O(2·2^b) half distances + a heap
+    // merge (KMeansLite.nearestPImi — the FAISS multi-sequence analog,
+    // dispatched via meta.imiB) instead of a 2^(2b)·dim product-table scan,
+    // 128× less per-query distance work at the grammar's allowed b=8.
     val (cents, imiHalves) = if (params.imiB > 0) {
       require(dim % 2 == 0, s"IMI2x splits vectors into equal halves (dim=$dim is odd)")
       val half = dim / 2
@@ -597,7 +598,8 @@ object Ann {
       clusterRadii(spark.read.parquet(out), centsB, nlist))
     val meta = IndexMeta(name, "ivfflat", "vec", "id", dim, metric.name,
       0, 0, 0f, false, n, 0L, Nil, sourcePath = out,
-      nlist = nlist, nprobe = math.min(params.nprobe, nlist))
+      nlist = nlist, nprobe = math.min(params.nprobe, nlist),
+      imiB = params.imiB)
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -832,7 +834,7 @@ object Ann {
       maxDegree = params.pqM, buildComplexity = 0, alpha = 0f, quantized = true,
       numVectors = n, numDeleted = 0L, shards = Nil, sourcePath = out,
       nlist = cents.length, nprobe = math.min(params.nprobe, cents.length),
-      refine = params.refine, refineK = params.refineK)
+      refine = params.refine, refineK = params.refineK, imiB = params.imiB)
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -1009,6 +1011,17 @@ object Ann {
 
   // ----------------------------------------------------------------- search
 
+  /** Probe selection for IVF-family serving: plain IVF ranks the centroid
+   *  table directly; IMI indexes (imiB > 0) decompose into per-half distance
+   *  lists + a heap merge over the SAME stored table
+   *  ([[KMeansLite.nearestPImi]]) — identical probe set, O(2·2^b) instead of
+   *  O(2^(2b)) distance work per query. Static (cents, imiB) signature so
+   *  executor-side UDFs capture only broadcast values. */
+  private[index] def selectProbes(cents: Array[Array[Float]], imiB: Int,
+      query: Array[Float], nprobe: Int): Array[Int] =
+    if (imiB > 0) KMeansLite.nearestPImi(cents, imiB, query, nprobe)
+    else KMeansLite.nearestP(cents, query, nprobe)
+
   /** Low-level index scan → DataFrame(row_id LONG, _distance FLOAT), sorted,
    *  ≤ k·oversample rows (reference diskann_index_scan / faiss_index_scan). */
   def indexScan(spark: SparkSession, name: String, query: Array[Float], k: Int,
@@ -1103,7 +1116,7 @@ object Ann {
     val cb = PqCodec.read(s"$dirPath/pq.bin")
     val l2 = meta.metricObj eq Metric.L2
     val nprobe = if (nprobeOverride > 0) nprobeOverride else meta.nprobe
-    val probes = KMeansLite.nearestP(cents, query, nprobe)
+    val probes = selectProbes(cents, meta.imiB, query, nprobe)
     val k = cb.k
     // the IP/cosine LUT depends only on the query — build it once and vary
     // only the per-probe -dot(q, centroid) offset; L2 needs a per-probe
@@ -1406,7 +1419,7 @@ object Ann {
       val nprobe = if (nprobeOverride > 0) nprobeOverride else meta.nprobe
       val cents = IndexCatalog.readCentroids(
         s"${IndexCatalog.indexDir(root(spark), meta.name)}/centroids.bin")
-      val probes = KMeansLite.nearestP(cents, query, nprobe)
+      val probes = selectProbes(cents, meta.imiB, query, nprobe)
       df.where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
     } else df
   }
@@ -1911,8 +1924,9 @@ object Ann {
         val centsB = spark.sparkContext.broadcast(
           IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
         val np = meta.nprobe
+        val imiB = meta.imiB
         val probesUdf = udf((q: Array[Float]) =>
-          KMeansLite.nearestP(centsB.value, q, np))
+          selectProbes(centsB.value, imiB, q, np))
         val qprobe = prepped.withColumn("__cluster", explode(probesUdf(col("__q"))))
         base.join(broadcast(qprobe), base("cluster") === qprobe("__cluster"))
       } else base.crossJoin(broadcast(prepped))
@@ -2323,8 +2337,9 @@ object Ann {
         val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
         val centsB = spark.sparkContext.broadcast(cents)
         val nprobe = meta.nprobe
+        val imiB = meta.imiB
         val token = adcPlanTokens.incrementAndGet()
-        val probeUdf = udf((v: Array[Float]) => KMeansLite.nearestP(centsB.value, v, nprobe))
+        val probeUdf = udf((v: Array[Float]) => selectProbes(centsB.value, imiB, v, nprobe))
         val (frozen, qMapB) = frozenQueries("__q")
         val state = new AdcScoreState(cbB, centsB, qMapB, l2, token)
         val probed = frozen.withColumn("__probe", explode(probeUdf(col("__q"))))
@@ -2364,7 +2379,8 @@ object Ann {
         val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
         val centsB = spark.sparkContext.broadcast(cents)
         val nprobe = meta.nprobe
-        val probeUdf = udf((v: Array[Float]) => KMeansLite.nearestP(centsB.value, v, nprobe))
+        val imiB = meta.imiB
+        val probeUdf = udf((v: Array[Float]) => selectProbes(centsB.value, imiB, v, nprobe))
         val probed = prepped.withColumn("__probe", explode(probeUdf(col("__q"))))
         // per-task work here is sum over the task's clusters of
         // size(cluster) x queries-probing(cluster) — a popularity-weighted

@@ -61,16 +61,31 @@ private[graft] object ExactServe {
     spark.conf.getOption("spark.graft.ann.localExactMaxBytes")
       .map(_.toLong).getOrElse(64L << 20)
 
-  def eligible(spark: SparkSession, meta: IndexMeta): Boolean =
+  def eligible(spark: SparkSession, meta: IndexMeta): Boolean = {
+    // REFINED quantized indexes cache codes PLUS the raw vec column for the
+    // exact re-rank, so the estimate adds the per-row code bytes on top of
+    // the vec term (~dim·5 bytes/row for refined ivfsq) — without it the
+    // driver cache could exceed localExactMaxBytes by ~25% for exactly the
+    // indexes that cache the most
+    val codeBytes: Long =
+      if (!meta.refine) 0L
+      else meta.engine match {
+        case "pq" | "ivfpq" => meta.maxDegree.toLong // m bytes/row
+        case "ivfsq" => (meta.dim.toLong * meta.quantBits + 7) / 8
+        case "lsh" => ((meta.nlist + 63) / 64).toLong * 8
+        case _ => 0L
+      }
     (meta.engine == "flat" || meta.engine == "ivfflat" ||
      meta.engine == "pq" || meta.engine == "ivfpq" ||
      meta.engine == "ivfsq" || meta.engine == "lsh") &&
       !meta.opq && // OPQ queries need the rotation step; serve via the scan
       meta.sourcePath.nonEmpty &&
       // vec-based estimate: exact for flat/ivf, conservative (over) for
-      // code engines — pq stores m bytes/row, lsh 8; erring high only keeps
-      // a servable index on the distributed route, never the reverse
-      meta.numVectors * (meta.dim.toLong * 4 + 16) <= maxBytes(spark)
+      // unrefined code engines — pq stores m bytes/row, lsh 8; erring high
+      // only keeps a servable index on the distributed route, never the
+      // reverse
+      meta.numVectors * (meta.dim.toLong * 4 + 16 + codeBytes) <= maxBytes(spark)
+  }
 
   private def fingerprint(path: String): String = {
     val sb = new StringBuilder
@@ -139,7 +154,7 @@ private[graft] object ExactServe {
     val probeSet: Array[Boolean] =
       if (d.clusters != null && nprobe < meta.nlist) {
         val p = new Array[Boolean](math.max(meta.nlist, d.cents.length))
-        KMeansLite.nearestP(d.cents, query, nprobe).foreach(p(_) = true)
+        Ann.selectProbes(d.cents, meta.imiB, query, nprobe).foreach(p(_) = true)
         p
       } else null
 

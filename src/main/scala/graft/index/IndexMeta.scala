@@ -62,7 +62,15 @@ case class IndexMeta(
     // lsh: FAISS IndexLSH training flags the stored hyperplanes were built
     // with — "r" rows are orthonormalized, "t" thresholds.bin holds trained
     // per-bit cut points ("rt" = both, "" = raw sign projections)
-    lshVariant: String = "") {
+    lshVariant: String = "",
+    // IMI coarse quantizer (factory `IMI2x<b>[,Flat|,PQ<m>]`): bits per
+    // half-space codebook. The stored centroid table is the 2^(2b)-cell
+    // cross product (every serve surface stays centroid-table-generic);
+    // this field lets probe SELECTION decompose into per-half distance
+    // lists + a heap merge (KMeansLite.nearestPImi) instead of scanning
+    // the product table. 0 = plain IVF (default keeps old metadata.json
+    // readable).
+    imiB: Int = 0) {
   def metricObj: graft.core.Metric = graft.core.Metric.fromName(metric)
 }
 

@@ -229,4 +229,67 @@ object KMeansLite {
   def nearestP(cents: Array[Array[Float]], v: Array[Float], p: Int): Array[Int] =
     cents.indices.map(c => (VectorOps.l2Sq(v, cents(c)), c))
       .sortBy(x => (x._1, x._2)).take(math.min(p, cents.length)).map(_._2).toArray
+
+  /**
+   * Decomposed IMI probe selection — the FAISS multi-sequence analog
+   * (MultiIndexQuantizer::search's per-half distance lists + heap merge):
+   * O(2·2^b) half-space distances + an O(nprobe·log) merge instead of a
+   * 2^(2b)-row product-table scan per query (128× less distance work at
+   * the grammar's allowed b=8, where the product table holds 65,536 cells).
+   *
+   * The stored product table is untouched: cents(i·2^b + j) = cb1(i) ++
+   * cb2(j) by construction (Ann.buildIvf's IMI branch), so cb1(i) is the
+   * first half of row i·2^b and cb2(j) the second half of row j — the
+   * half-codebooks reconstruct from the table with zero extra files.
+   *
+   * Ordering convention (pinned by the `ann_imi_probe1` oracle): cells rank
+   * by fl(d1(i) + d2(j)) — each half distance the SAME float kernel and
+   * element order as the stored assignment's per-half argmin (buildIvf
+   * assignUdf), the sum one float add — ties by cell id. Float addition is
+   * monotone in each argument, so the sorted-half frontier bound holds in
+   * float exactly as in real arithmetic; the merge keeps popping while the
+   * boundary sum persists and cuts with a final (sum, cell) sort, making
+   * the selected probe SET identical to a full (sum, cellId) sort at any
+   * nprobe — and probe1 identical to the decomposed assignment argmin
+   * (the 956e6c7 rationale: one 2·(dim/2)-float accumulation convention
+   * everywhere, never a mix with full-dim accumulation that can round a
+   * near-tie differently).
+   */
+  def nearestPImi(cents: Array[Array[Float]], imiB: Int, v: Array[Float],
+      p: Int): Array[Int] = {
+    val kh = 1 << imiB
+    require(cents.length == kh * kh,
+      s"IMI2x$imiB product table must hold ${kh * kh} cells (got ${cents.length})")
+    val dim = v.length
+    val half = dim / 2
+    val nprobe = math.min(p, cents.length)
+    val d1 = new Array[Float](kh)
+    val d2 = new Array[Float](kh)
+    var i = 0
+    while (i < kh) {
+      d1(i) = graft.core.Simd.l2Sq(v, 0, cents(i * kh), 0, half)
+      d2(i) = graft.core.Simd.l2Sq(v, half, cents(i), half, dim - half)
+      i += 1
+    }
+    // half lists ascending by (distance, index) — the oracle's `ORDER BY
+    // dist, c` tiebreak on each a1/a2 CTE
+    val s1 = d1.indices.sortBy(i => (d1(i), i)).toArray
+    val s2 = d2.indices.sortBy(j => (d2(j), j)).toArray
+    def cellOf(a: Int, b: Int): Int = s1(a) * kh + s2(b)
+    // frontier heap over positions in the sorted half lists; each pair is
+    // pushed exactly once ((a, b+1) always, (a+1, b) only at b == 0)
+    val heapOrd = Ordering.by((e: (Float, Int, Int)) =>
+      (e._1, cellOf(e._2, e._3))).reverse
+    val heap = scala.collection.mutable.PriorityQueue(
+      (d1(s1(0)) + d2(s2(0)), 0, 0))(heapOrd)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Float, Int)]
+    while (heap.nonEmpty &&
+        (out.length < nprobe || heap.head._1 <= out(nprobe - 1)._1)) {
+      val (sum, a, b) = heap.dequeue()
+      out += ((sum, cellOf(a, b)))
+      if (b + 1 < kh) heap.enqueue((d1(s1(a)) + d2(s2(b + 1)), a, b + 1))
+      if (b == 0 && a + 1 < kh) heap.enqueue((d1(s1(a + 1)) + d2(s2(0)), a + 1, 0))
+    }
+    out.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2).toArray
+  }
 }

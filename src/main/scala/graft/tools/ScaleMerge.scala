@@ -38,21 +38,38 @@ object ScaleMerge {
   private def slurp(p: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
 
+  /** Fields this tool itself stamps onto a merged entry. Stripped from both
+   *  sides before composing so merge() is IDEMPOTENT: re-merging into an
+   *  already-merged ladder must neither duplicate `rerun_isolated` JFields
+   *  nor overwrite the ORIGINAL in-ladder provenance with numbers that are
+   *  themselves isolated re-runs. */
+  private val MergeStamps = Set("rerun_isolated", "inladder_sec",
+    "inladder_worst_task_skew", "inladder_major_stage_skew")
+
+  private def stripStamps(e: JValue): List[JField] =
+    e.asInstanceOf[JObject].obj.filterNot(f => MergeStamps.contains(f._1))
+
   private[tools] def merge(ladder: JValue, iso: JValue): JValue = {
     val ladderOps = (ladder \ "ops").asInstanceOf[JObject].obj
     val isoOps = (iso \ "ops").asInstanceOf[JObject].obj.toMap
     val mergedOps = ladderOps.map { case (name, oldEntry) =>
       isoOps.get(name) match {
         case Some(newEntry) =>
+          // in-ladder provenance: if the old entry was ALREADY merged, its
+          // inladder_* fields are the true ladder numbers — carry them
+          // through verbatim; otherwise derive them from the old entry
           val keep = Seq("sec" -> "inladder_sec",
             "worst_task_skew" -> "inladder_worst_task_skew",
             "major_stage_skew" -> "inladder_major_stage_skew").flatMap {
-            case (src, dst) => (oldEntry \ src) match {
-              case JNothing => None
-              case v => Some(JField(dst, v))
+            case (src, dst) => (oldEntry \ dst) match {
+              case JNothing => (oldEntry \ src) match {
+                case JNothing => None
+                case v => Some(JField(dst, v))
+              }
+              case prior => Some(JField(dst, prior))
             }
           }
-          name -> JObject(newEntry.asInstanceOf[JObject].obj ++
+          name -> JObject(stripStamps(newEntry) ++
             keep :+ JField("rerun_isolated", JBool(true)))
         case None => name -> oldEntry
       }
@@ -61,18 +78,25 @@ object ScaleMerge {
     val extra = isoOps.view.filterKeys(k => !ladderOps.exists(_._1 == k)).toSeq
       .sortBy(_._1)
       .map { case (n, e) => n ->
-        JObject(e.asInstanceOf[JObject].obj :+ JField("rerun_isolated", JBool(true))) }
+        JObject(stripStamps(e) :+ JField("rerun_isolated", JBool(true))) }
     val allOps = mergedOps ++ extra
-    def num(v: JValue): Double = v match {
-      case JDouble(d) => d
-      case JInt(i) => i.toDouble
-      case JLong(l) => l.toDouble
-      case JDecimal(d) => d.toDouble
-      case _ => 0.0
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(d) => Some(d)
+      case JInt(i) => Some(i.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case _ => None
     }
+    // skew fields may be legitimately absent (trivial ops); `sec` may not —
+    // coercing a malformed entry to 0.0 would silently deflate the footer
+    // total, counter to the tool's self-consistency-by-construction claim
     def maxOver(field: String): Double =
-      allOps.map { case (_, e) => num(e \ field) }.foldLeft(1.0)(math.max)
-    val total = allOps.map { case (_, e) => num(e \ "sec") }.sum
+      allOps.flatMap { case (_, e) => num(e \ field) }.foldLeft(1.0)(math.max)
+    val total = allOps.map { case (name, e) =>
+      num(e \ "sec").getOrElse(throw new IllegalArgumentException(
+        s"op '$name' lacks a numeric 'sec' field — refusing to fold it into " +
+        "the footer total as 0.0"))
+    }.sum
     val footer = Map(
       "value" -> JDouble(total),
       "worst_task_skew" -> JDouble(maxOver("worst_task_skew")),

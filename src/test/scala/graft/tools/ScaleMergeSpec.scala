@@ -67,4 +67,32 @@ class ScaleMergeSpec extends AnyFunSuite {
     // footer skews keep op_b's in-ladder 6.3 — it was not replaced
     assert((m \ "worst_major_stage_skew").extract[Double] == 6.3)
   }
+
+  test("merge is idempotent: re-merging an already-merged ladder keeps the " +
+      "ORIGINAL in-ladder provenance and emits no duplicate fields") {
+    val once = ScaleMerge.merge(ladder, iso)
+    val iso2 = JsonMethods.parse(
+      """{"ops":{"op_b":{"sec":52.0,"worst_task_skew":1.2,"major_stage_skew":1.1}}}""")
+    val twice = ScaleMerge.merge(once, iso2)
+    val opB = twice \ "ops" \ "op_b"
+    assert((opB \ "sec").extract[Double] == 52.0)
+    // in-ladder provenance is the TRUE ladder number (60.0), not the first
+    // isolated re-run's 55.0
+    assert((opB \ "inladder_sec").extract[Double] == 60.0)
+    assert((opB \ "inladder_major_stage_skew").extract[Double] == 6.3)
+    // exactly one occurrence of each stamped field
+    val fields = opB.asInstanceOf[JObject].obj.map(_._1)
+    assert(fields.count(_ == "rerun_isolated") == 1)
+    assert(fields.count(_ == "inladder_sec") == 1)
+    assert((twice \ "value").extract[Double] == 92.0)
+  }
+
+  test("an op entry without a numeric 'sec' fails loudly instead of " +
+      "deflating the footer total") {
+    val bad = JsonMethods.parse(
+      """{"ops":{"op_a":{"worst_task_skew":2.0},
+        |"op_b":{"sec":60.0,"worst_task_skew":6.3,"major_stage_skew":6.3}}}""".stripMargin)
+    val ex = intercept[IllegalArgumentException](ScaleMerge.merge(bad, iso))
+    assert(ex.getMessage.contains("op_a"))
+  }
 }
