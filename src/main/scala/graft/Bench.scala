@@ -182,19 +182,41 @@ object Bench {
     // the SLOWEST entries first until the char budget is reached — those
     // are the ones a reader of the committed snapshot needs, and the full
     // per-query map lives in BENCH_full_latest.json.
+    //
+    // Warmth indicators ride the summary so a committed number's warmth
+    // class is readable from BENCH_r{N}.json ALONE (the r16 request: the
+    // committed sample was the noisier of two same-HEAD runs and telling
+    // required the uncommitted full artifact): host_busy_* summarize the
+    // host-busy fraction DURING each entry's min (reported) trial —
+    // host_busy_max > ~0.3 means at least one reported number ran on a
+    // loaded host; p50 near it means the whole ladder did, and the round
+    // should prefer a quieter re-run over committing this sample.
     val budget = 1800
-    val mins = results.collect { case (k, ts) if ts.nonEmpty => k -> ts.map(_.sec).min }
-    val bySlow = mins.sortBy(-_._2) // stable: ties keep sorted-name order
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness_rev":$harnessRev,"n_queries":${results.size},"warm_inherited":${reuseProv.size},"full":"$fullPath","sf":"$sfDir","queries":{"""
-    val tail0 = s"""},"queries_omitted":"""
-    var used = head.length + tail0.length + 8
-    val kept = Vector.newBuilder[String]
-    var nKept = 0
-    bySlow.foreach { case (k, v) =>
-      val piece = "\"" + k + "\":" + fmt(v)
-      if (used + piece.length + 1 <= budget) { kept += piece; used += piece.length + 1; nKept += 1 }
+    val mins = results.collect { case (k, ts) if ts.nonEmpty =>
+      val best = ts.minBy(_.sec)
+      (k, best.sec, best.busy)
     }
-    val compact = head + kept.result().mkString(",") + tail0 + (results.size - nKept) + "}"
+    val busies = mins.map(_._3).sorted
+    val busyMax = if (busies.nonEmpty) busies.last else 0.0
+    val busyP50 = if (busies.nonEmpty) busies(busies.length / 2) else 0.0
+    val bySlow = mins.sortBy(-_._2) // stable: ties keep sorted-name order
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness_rev":$harnessRev,"n_queries":${results.size},"warm_inherited":${reuseProv.size},"host_busy_max":${fmt3(busyMax)},"host_busy_p50":${fmt3(busyP50)},"full":"$fullPath","sf":"$sfDir","queries":{"""
+    val tail0 = s"""},"queries_busy":{"""
+    val tail1 = s"""},"queries_omitted":"""
+    var used = head.length + tail0.length + tail1.length + 8
+    val kept = Vector.newBuilder[String]
+    val keptBusy = Vector.newBuilder[String]
+    var nKept = 0
+    bySlow.foreach { case (k, v, busy) =>
+      val piece = "\"" + k + "\":" + fmt(v)
+      val pieceB = "\"" + k + "\":" + fmt3(busy)
+      if (used + piece.length + pieceB.length + 2 <= budget) {
+        kept += piece; keptBusy += pieceB
+        used += piece.length + pieceB.length + 2; nKept += 1
+      }
+    }
+    val compact = head + kept.result().mkString(",") + tail0 +
+      keptBusy.result().mkString(",") + tail1 + (results.size - nKept) + "}"
     println(compact)
     spark.stop()
   }

@@ -98,7 +98,11 @@ object SparkEntry {
     sb.toString
   }
 
-  private def sqExactOracleSql(levels: Int): String =
+  /** Shared CTE chain of the SQ quantizer replay: per-dim min/max over the
+    * corpus, code = clamp(round((v−min)/scale·levels)), dequantize, then the
+    * L2 distance of each dequantized vector to the query — ends with a
+    * `dist(vec_id, dd)` relation the caller ranks or radius-filters. */
+  private def sqDequantDistSql(levels: Int): String =
     s"""WITH ex AS (
        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
        |         unnest(range(1, 65)) AS i
@@ -115,11 +119,20 @@ object SparkEntry {
        |dist AS (
        |  SELECT vec_id,
        |    sum((v - ($q64Sql)[i]) * (v - ($q64Sql)[i])) AS dd
-       |  FROM deq GROUP BY vec_id)
+       |  FROM deq GROUP BY vec_id)""".stripMargin
+
+  private def sqExactOracleSql(levels: Int): String =
+    s"""${sqDequantDistSql(levels)}
        |SELECT vec_id, rank FROM (
        |  SELECT vec_id, row_number() OVER (ORDER BY dd, vec_id) AS rank
        |  FROM dist)
        |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  /** Range variant of the SQ replay: every row whose dequantized L2 distance
+    * is within the radius (row-SET oracle — ann_range_graph_exact pattern). */
+  private def sqRangeOracleSql(levels: Int, radius: String): String =
+    s"""${sqDequantDistSql(levels)}
+       |SELECT vec_id FROM dist WHERE dd <= $radius ORDER BY vec_id""".stripMargin
 
   /** Read events.parquet robustly across testdata generations. Older fixtures
     * wrote `ts` as parquet TIMESTAMP(NANOS), which Spark can only read as a
@@ -504,6 +517,31 @@ object SparkEntry {
         .orderBy("hamming", "vec_id")
     }),
 
+    // 'LSH256' (FAISS IndexLSH at arbitrary nbits — codes wider than one
+    // machine word): 256-bit codes stored as array<bigint> of 4 words,
+    // ranked by the SUM of per-word XOR popcounts. Seeded hyperplanes =
+    // the 256 lowest-id embeddings, so the whole multi-word Hamming
+    // ranking value-oracles exactly like ann_lsh_exact.
+    "ann_lsh256_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_lsh256_ex", "LSH256",
+        Ann.BuildParams(seedK = 256))
+      Ann.search(emb, "vec_id", "v_lsh256_ex", q64Arr, 10)
+        .select(col("vec_id"), col("_distance").cast("long").as("hamming"))
+        .orderBy("hamming", "vec_id")
+    }),
+
+    // realistic-parameter twin: 'LSH256rt' — the padded random rotation
+    // (nbits > dim, FAISS rotate_data's RandomRotationMatrix form) plus
+    // trained thresholds; generated rotation rows are not SQL-replayable,
+    // so rows-only, same multi-word code path as the oracled twin
+    "ann_lsh256_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_lsh256", "LSH256rt")
+      Ann.search(emb, "vec_id", "v_lsh256", q64Arr, 10)
+        .select("vec_id", "_distance")
+    }),
+
     "ann_batch" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_batch",
@@ -684,6 +722,52 @@ object SparkEntry {
         Ann.BuildParams(nprobe = 4))
       Ann.search(emb, "vec_id", "v_ivfsq", q64Arr, 10)
         .select("vec_id", "_distance")
+    }),
+
+    // quantized range search (FAISS IndexIVFScalarQuantizer range_search):
+    // the radius filters CODE-SPACE distances (to the dequantized
+    // reconstructions), and the cluster pruning uses radii computed over
+    // those same reconstructions — exact in code space even at nprobe=1,
+    // so the row SET oracles via the sq quantizer replay with a radius
+    // filter (the ann_range_graph_exact id-set pattern: the engine computes
+    // its double fold over float levels, the oracle doubles throughout —
+    // the saturation contract is the exact ROW SET, not the float repr)
+    "ann_range_ivfsq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_range_isq",
+        "IVF4,SQ8", Ann.BuildParams(nprobe = 1))
+      Ann.rangeSearch(emb, "vec_id", "v_range_isq", q64Arr, 16.5f)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
+    // IVF over PACKED sub-byte scalar codes (FAISS QT_4bit/QT_6bit under
+    // IndexIVFScalarQuantizer): same saturation + quantizer-replay oracle
+    // as IVF,SQ8, at 15/63 levels — covers the packed encode, the inline
+    // level extraction on the scan, and the 2^bits-level synthetic codebook
+    "ann_ivfsq4_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_ivfsq4_ex", "IVF4,SQ4",
+        Ann.BuildParams(nprobe = 4))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_ivfsq4_ex", q64Arr, 10)
+        .select(col("vec_id"), col("_distance"))
+        .orderBy(col("_distance"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    "ann_ivfsq6_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_ivfsq6_ex", "IVF4,SQ6",
+        Ann.BuildParams(nprobe = 4))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_ivfsq6_ex", q64Arr, 10)
+        .select(col("vec_id"), col("_distance"))
+        .orderBy(col("_distance"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
     }),
 
     "ann_ivf_exact" -> ((s, dir) => {
@@ -1882,8 +1966,16 @@ object SparkEntry {
     // ranking is the dequantized brute force — the identical quantizer
     // replay, now exercising the IVF ADC serve route
     "ann_ivfsq_exact" -> sqExactOracleSql(255),
+    // quantized range search: the same dequantization replay, radius filter
+    // instead of rank cut — exact in code space at nprobe=1 because the
+    // cluster pruning radii are computed over the reconstructions themselves
+    "ann_range_ivfsq" -> sqRangeOracleSql(255, "16.5"),
     "ann_sq4_exact" -> sqExactOracleSql(15),
     "ann_sq6_exact" -> sqExactOracleSql(63),
+    // packed IVF scalar quantization: the same replay at 15/63 levels —
+    // packing is storage-only, so the value formula is unchanged
+    "ann_ivfsq4_exact" -> sqExactOracleSql(15),
+    "ann_ivfsq6_exact" -> sqExactOracleSql(63),
     // LSH replay with the seeded hyperplanes: hyperplane b is
     // embeddings[vec_id=b] (b < 16); bit = (dot(v, h_b) >= 0) in double;
     // hamming = #bits differing from the query's code; top-10 by
@@ -1937,6 +2029,30 @@ object SparkEntry {
          |SELECT e.vec_id, CAST(${d2Sql("e.embedding", q64Sql)} AS FLOAT) AS _distance
          |FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id
          |ORDER BY ${d2Sql("e.embedding", q64Sql)}, e.vec_id LIMIT 10""".stripMargin,
+    // LSH256: the ann_lsh_exact replay at 256 seeded hyperplanes — the
+    // `bits` CTE is a join over b, so width needs no unrolling; hamming is
+    // the summed per-word popcounts on the Spark side, a plain bit count
+    // here (identical integers either way)
+    "ann_lsh256_exact" ->
+      s"""WITH hyps AS (
+         |  SELECT CAST(vec_id AS INT) AS b, CAST(embedding AS DOUBLE[]) AS h
+         |  FROM embeddings WHERE vec_id < 256),
+         |bits AS (
+         |  SELECT e.vec_id, hy.b,
+         |    CASE WHEN list_sum(list_transform(range(1, 65), i ->
+         |      CAST(e.embedding AS DOUBLE[])[i] * hy.h[i])) >= 0
+         |    THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN hyps hy),
+         |qbits AS (
+         |  SELECT b, CASE WHEN list_sum(list_transform(range(1, 65), i ->
+         |      ($q64Sql)[i] * h[i])) >= 0 THEN 1 ELSE 0 END AS qbit
+         |  FROM hyps),
+         |ham AS (
+         |  SELECT t.vec_id,
+         |    sum(CASE WHEN t.bit <> q.qbit THEN 1 ELSE 0 END)::BIGINT AS hamming
+         |  FROM bits t JOIN qbits q ON q.b = t.b GROUP BY t.vec_id)
+         |SELECT vec_id, hamming FROM ham
+         |ORDER BY hamming, vec_id LIMIT 10""".stripMargin,
     // the LSH training suffixes: thresholds-only (16 raw seeded rows),
     // rotation-only (8 rows, unrolled Gram-Schmidt), and both composed —
     // each generated by lshVariantOracleSql, each a full value oracle

@@ -73,6 +73,57 @@ final case class SqPackedData(
 }
 
 object SqPackedCodec {
+
+  /** Encode ONE vector against frozen per-dim ranges into a packed row —
+   *  float-for-float the arithmetic of [[quantize]]'s inner loop (and the
+   *  DuckDB oracle's `least(levels, greatest(0, round((v−mn)/sc·levels)))`
+   *  replay), split out for engines that quantize distributedly against
+   *  driver-trained ranges (the `IVF<n>,SQ4/SQ6` build UDF + append). */
+  def encodeRow(v: Array[Float], mins: Array[Float], scales: Array[Float],
+      bits: Int): Array[Byte] = {
+    val levels = (1 << bits) - 1
+    val out = new Array[Byte]((v.length * bits + 7) / 8)
+    var d = 0
+    while (d < v.length) {
+      val norm = (v(d) - mins(d)) / scales(d)
+      val code = math.max(0, math.min(levels, math.round(norm * levels)))
+      val bitOff = d * bits
+      val byteOff = bitOff >> 3
+      val shift = bitOff & 7
+      out(byteOff) = (out(byteOff) | ((code << shift) & 0xff)).toByte
+      if (shift + bits > 8)
+        out(byteOff + 1) = (out(byteOff + 1) | (code >> (8 - shift))).toByte
+      d += 1
+    }
+    out
+  }
+
+  /** Level index of dimension `d` in one packed row (the 16-bit-window
+   *  extraction of [[SqPackedData.code]], over a standalone row). */
+  @inline def codeAt(packed: Array[Byte], d: Int, bits: Int): Int = {
+    val bitOff = d * bits
+    val byteOff = bitOff >> 3
+    val shift = bitOff & 7
+    val lo = packed(byteOff) & 0xff
+    val hi = if (shift + bits > 8) (packed(byteOff + 1) & 0xff) << 8 else 0
+    ((lo | hi) >> shift) & ((1 << bits) - 1)
+  }
+
+  /** ADC over one packed row against a flattened [d·k + level] lookup table
+   *  (the PqCodec.lut layout with m = dim, k = 2^bits) — the packed analog
+   *  of PqCodec.adc: one extract + one table add per dimension, float
+   *  accumulation in dimension order. */
+  def adc(table: Array[Float], bits: Int, dim: Int, packed: Array[Byte]): Float = {
+    val k = 1 << bits
+    var s = 0.0f
+    var d = 0
+    while (d < dim) {
+      s += table(d * k + codeAt(packed, d, bits))
+      d += 1
+    }
+    s
+  }
+
   /** Quantize `count` vectors stored flat row-major in `vecs` to `bits`-bit
    *  packed codes (same per-dimension min/scale scheme as Sq8Codec). */
   def quantize(vecs: Array[Float], count: Int, dim: Int, bits: Int): SqPackedData = {

@@ -18,7 +18,10 @@ final class AdcScoreState(
     val centsB: Broadcast[Array[Array[Float]]], // null for plain pq
     val qArrB: Broadcast[Array[Array[Float]]], // indexed by driver-frozen qid
     val l2: Boolean,
-    val token: Long) extends Serializable {
+    val token: Long,
+    // scalar code width for packed ivfsq rows (4/6); 8 = byte-per-entry
+    // codes (pq/ivfpq/ivfsq-u8), the PqCodec.adc fast path
+    val bits: Int = 8) extends Serializable {
 
   @transient private lazy val cb: PqCodec.Codebook = cbB.value
   @transient private lazy val cbK: Int = cb.k
@@ -43,7 +46,8 @@ final class AdcScoreState(
           -graft.core.VectorOps.dot(q, c))
       }
     }
-    PqCodec.adc(e.lut, cbK, code) + e.off
+    (if (bits == 8) PqCodec.adc(e.lut, cbK, code)
+     else graft.core.SqPackedCodec.adc(e.lut, bits, cb.m, code)) + e.off
   }
 }
 

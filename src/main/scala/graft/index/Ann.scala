@@ -197,19 +197,20 @@ object Ann {
         "OPQ<m>,PQ<m> | LSH[nbits][r|t|rt] | DiskANN[degree] | " +
         "IMI2x<b>[,Flat] | IMI2x<b>,PQ<m> | PCA<d>,Flat | PCAR<d>/PCAW<d> " +
         "chains | PCA<d>,IVF<nlist>[,Flat], optionally suffixed " +
-        "',SQ8'/',SQ4'/',SQ6' (diskann only) or ',RFlat' (PQ/LSH engines); " +
-        "other transform chains are not implemented")
+        "',SQ8'/',SQ4'/',SQ6' (diskann or IVF<nlist>) or ',RFlat' " +
+        "(PQ/LSH/IVFSQ engines); other transform chains are not implemented")
     }
     val p2 = sqSuffix.headOption match {
-      // FAISS `IVF<n>,SQ8` (IndexIVFScalarQuantizer, by_residual=false):
-      // inverted lists over u8 scalar-quantized codes — a distinct engine
-      // (the diskann SQ suffix quantizes graph-shard storage instead)
-      case Some("sq8") if p.engine == "ivfflat" && p.imiB == 0 && p.pcaDim == 0 =>
-        p.copy(engine = "ivfsq", quantization = "sq8")
+      // FAISS `IVF<n>,SQ8/SQ4/SQ6` (IndexIVFScalarQuantizer with
+      // QT_8bit/QT_4bit/QT_6bit, by_residual=false): inverted lists over
+      // scalar-quantized codes — a distinct engine (the diskann SQ suffix
+      // quantizes graph-shard storage instead); SQ4/SQ6 pack sub-byte rows
+      case Some(q) if p.engine == "ivfflat" && p.imiB == 0 && p.pcaDim == 0 =>
+        p.copy(engine = "ivfsq", quantization = q)
       case Some(q) =>
         require(p.engine == "diskann",
-          s"${q.toUpperCase} requires the diskann engine (IVF<n>,SQ8 is the " +
-          "one IVF+SQ form; IVF+SQ4/SQ6 and IMI/PCA+SQ chains are not implemented)")
+          s"${q.toUpperCase} requires the diskann or IVF engine " +
+          "(IMI/PCA+SQ chains are not implemented)")
         p.copy(quantization = q)
       case None => p
     }
@@ -623,6 +624,46 @@ object Ann {
     Array.tabulate(nlist)(c => maxes.getOrElse(c, 0f))
   }
 
+  /** Reconstruction from an ivfsq code row: byte-per-dim codes decode
+   *  through the synthetic codebook; packed SQ4/SQ6 rows extract each
+   *  dimension's level index first (same 16-bit-window extraction the
+   *  packed scan uses). Values are exactly the stored dequantization
+   *  levels either way. */
+  private def sqDecode(cb: PqCodec.Codebook, bits: Int,
+      code: Array[Byte]): Array[Float] =
+    if (bits >= 8) PqCodec.decode(cb, code)
+    else {
+      val out = new Array[Float](cb.m)
+      var d = 0
+      while (d < cb.m) {
+        out(d) = cb.centroids(d)(graft.core.SqPackedCodec.codeAt(code, d, bits))(0)
+        d += 1
+      }
+      out
+    }
+
+  /** [[clusterRadii]] over the DEQUANTIZED reconstructions of a quantized
+   *  engine's code table: r_c = max over members of d(x̂, centroid_c), the
+   *  bound quantized range search needs (its per-row filter compares
+   *  d(q, x̂), which raw-vector radii do not bound). Same double-accumulate
+   *  + ulp-round-up contract, so pruning can only over-probe. */
+  private def sqClusterRadii(stored: DataFrame,
+      centsB: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+      cbB: org.apache.spark.broadcast.Broadcast[PqCodec.Codebook],
+      nlist: Int, bits: Int = 8): Array[Float] = {
+    val distUdf = udf((code: Array[Byte], cl: Int) => {
+      val vhat = sqDecode(cbB.value, bits, code)
+      Math.nextUp(math.sqrt(
+        VectorOps.l2SqDoubleAcc(vhat, centsB.value(cl))).toFloat)
+    })
+    val maxes = stored
+      .select(col("cluster").cast(IntegerType).as("cluster"),
+        distUdf(col("code"), col("cluster").cast(IntegerType)).as("__d"))
+      .groupBy("cluster").agg(max(col("__d")).as("__r"))
+      .collect().map(r => r.getInt(0) -> r.getFloat(1)).toMap
+    Array.tabulate(nlist)(c => maxes.getOrElse(c, 0f))
+  }
+
   /**
    * PQ<m> build (reference factory passthrough, faiss_index.cpp:39-60):
    * train per-subspace codebooks on a stride sample, then encode every
@@ -915,18 +956,32 @@ object Ann {
     // sq.bin: [mins row; scales row] in the centroids file format (append
     // re-encodes against these frozen ranges)
     IndexCatalog.writeCentroids(s"$dir/sq.bin", Array(mins, scales), dim)
+    // code width: 8 = u8 byte-per-dim (the FAISS QT_8bit analog), 4/6 =
+    // packed sub-byte rows via SqPackedCodec (QT_4bit/QT_6bit) — the
+    // synthetic codebook just has fewer levels, so every LUT consumer is
+    // width-generic; only encode/extract branch on the packing
+    val bits = params.quantization match {
+      case "sq4" => 4
+      case "sq6" => 6
+      case _ => 8
+    }
+    val nLevels = (1 << bits) - 1
     // synthetic per-dim codebook — the dequantization levels
     val levels: Array[Array[Array[Float]]] = Array.tabulate(dim) { d =>
-      Array.tabulate(256)(b => Array(mins(d) + (b / 255.0f) * scales(d)))
+      Array.tabulate(1 << bits)(b =>
+        Array(mins(d) + (b / nLevels.toFloat) * scales(d)))
     }
-    PqCodec.write(s"$dir/pq.bin", PqCodec.Codebook(dim, 1, 256, levels))
+    PqCodec.write(s"$dir/pq.bin", PqCodec.Codebook(dim, 1, 1 << bits, levels))
 
     val centsB = spark.sparkContext.broadcast(cents)
     val minsB = spark.sparkContext.broadcast(mins)
     val scalesB = spark.sparkContext.broadcast(scales)
     val assignUdf = udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
-    val encodeUdf = udf((v: Array[Float]) =>
-      Sq8Codec.encodeRow(v, minsB.value, scalesB.value))
+    val encodeUdf =
+      if (bits == 8) udf((v: Array[Float]) =>
+        Sq8Codec.encodeRow(v, minsB.value, scalesB.value))
+      else udf((v: Array[Float]) =>
+        graft.core.SqPackedCodec.encodeRow(v, minsB.value, scalesB.value, bits))
     val out = s"$dir/data"
     val stored0 = dataP.select(col("id"), encodeUdf(col("vec")).as("code"),
       col("vec"), assignUdf(col("vec")).as("cluster"))
@@ -935,11 +990,20 @@ object Ann {
     stored.repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(out)
     val n = spark.read.parquet(out).count()
+    // CODE-SPACE cluster radii (one distributed agg over the written codes):
+    // range search on a quantized engine filters distances to the
+    // DEQUANTIZED reconstructions, and raw-vector radii do not bound those
+    // (quantization can move a point up to half a level outward) — so the
+    // stored radius is max over members of d(x̂, centroid), making the
+    // triangle-inequality pruning exact in code space at any nprobe
+    val cbB = spark.sparkContext.broadcast(PqCodec.read(s"$dir/pq.bin"))
+    IndexCatalog.writeRadii(s"$dir/radii.bin",
+      sqClusterRadii(spark.read.parquet(out), centsB, cbB, cents.length, bits))
     val meta = IndexMeta(name, "ivfsq", "vec", "id", dim, metric.name,
       maxDegree = 0, buildComplexity = 0, alpha = 0f, quantized = true,
       numVectors = n, numDeleted = 0L, shards = Nil, sourcePath = out,
       nlist = cents.length, nprobe = math.min(params.nprobe, cents.length),
-      refine = params.refine, refineK = params.refineK, quantBits = 8)
+      refine = params.refine, refineK = params.refineK, quantBits = bits)
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -951,23 +1015,32 @@ object Ann {
     val dim = inferDim(data)
     val nbits =
       if (params.lshNbits > 0) params.lshNbits else math.min(dim, LshCodec.MaxBits)
-    require(nbits <= LshCodec.MaxBits,
-      s"lsh supports at most ${LshCodec.MaxBits} bits per code (got $nbits)")
-    val hyps0: Array[Array[Float]] =
-      if (params.seedK > 0)
-        data.orderBy("id").limit(nbits).select("vec").as[Array[Float]].collect()
-      else LshCodec.randomHyperplanes(nbits, dim)
-    require(hyps0.length == nbits,
-      s"lsh seed mode needs >= $nbits rows (got ${hyps0.length})")
-    // `r` suffix (IndexLSH rotate_data): orthonormalize the projection rows
-    // — classical Gram-Schmidt in double, deterministic, SQL-replayable
-    // (VectorOps.orthonormalizeRows documents the exact operation order the
-    // oracle unrolls); stored hyperplanes.bin holds the FINAL rows either way
+    require(nbits <= LshCodec.MaxBitsWide,
+      s"lsh supports at most ${LshCodec.MaxBitsWide} bits per code (got $nbits)")
+    val wide = nbits > LshCodec.MaxBits
+    // `r` suffix (IndexLSH rotate_data): at nbits ≤ dim, orthonormalize the
+    // projection rows — classical Gram-Schmidt in double, deterministic,
+    // SQL-replayable (VectorOps.orthonormalizeRows documents the exact
+    // operation order the oracle unrolls). At nbits > dim no such rows
+    // exist (rank ≤ dim) — FAISS pads instead: a seeded orthonormal
+    // nbits×nbits rotation applied to the zero-padded input
+    // (LshCodec.paddedRotationRows), data-independent like FAISS's, so
+    // seed mode does not alter it. Stored hyperplanes.bin holds the FINAL
+    // rows either way.
     val hyps: Array[Array[Float]] =
-      if (params.lshRotate)
-        VectorOps.orthonormalizeRows(hyps0.map(_.map(_.toDouble)))
-          .map(_.map(_.toFloat))
-      else hyps0
+      if (params.lshRotate && nbits > dim) LshCodec.paddedRotationRows(nbits, dim)
+      else {
+        val hyps0: Array[Array[Float]] =
+          if (params.seedK > 0)
+            data.orderBy("id").limit(nbits).select("vec").as[Array[Float]].collect()
+          else LshCodec.randomHyperplanes(nbits, dim)
+        require(hyps0.length == nbits,
+          s"lsh seed mode needs >= $nbits rows (got ${hyps0.length})")
+        if (params.lshRotate)
+          VectorOps.orthonormalizeRows(hyps0.map(_.map(_.toDouble)))
+            .map(_.map(_.toFloat))
+        else hyps0
+      }
     IndexCatalog.writeCentroids(s"$dir/hyperplanes.bin", hyps, dim)
     val cosine = metric eq Metric.Cosine
     // `t` suffix (IndexLSH train_thresholds): per-bit cut point = mean
@@ -987,7 +1060,11 @@ object Ann {
       } else null
     val hypsB = spark.sparkContext.broadcast(hyps)
     val thrB = spark.sparkContext.broadcast(thresholds)
-    val encodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v, thrB.value))
+    // ≤64 bits: one BIGINT `code` column; wider: array<bigint> of
+    // ⌈nbits/64⌉ words (word 0's layout identical to the single-long code)
+    val encodeUdf =
+      if (wide) udf((v: Array[Float]) => LshCodec.encodeWords(hypsB.value, v, thrB.value))
+      else udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v, thrB.value))
     val out = s"$dir/data"
     // RFlat ('LSH<nbits>,RFlat'): the raw vectors ride along for the exact
     // re-rank stage, same as refined PQ — candidates still come from the
@@ -1040,10 +1117,12 @@ object Ann {
     }
   }
 
-  /** `IVF<n>,SQ8` top-k: probe-pruned parquet scan over u8 codes, ranked by
-   *  the per-dim dequantization LUT (ADC with m = dim, k = 256 against the
-   *  synthetic codebook buildIvfSq wrote). Codes quantize RAW vectors, so
-   *  one query LUT serves every probe — no per-probe residual tables. */
+  /** `IVF<n>,SQ8/SQ4/SQ6` top-k: probe-pruned parquet scan over scalar
+   *  codes, ranked by the per-dim dequantization LUT (ADC with m = dim,
+   *  k = 2^bits against the synthetic codebook buildIvfSq wrote; packed
+   *  sub-byte rows extract level indices inline). Codes quantize RAW
+   *  vectors, so one query LUT serves every probe — no per-probe residual
+   *  tables. */
   private def ivfSqScanIds(spark: SparkSession, meta: IndexMeta, query0: Array[Float],
       fetchK: Int, tomb: Set[Long], extraFilter: Option[Column] = None,
       nprobeOverride: Int = 0): DataFrame = {
@@ -1056,8 +1135,13 @@ object Ann {
     val probes = KMeansLite.nearestP(cents, query, nprobe)
     val lut = PqCodec.lut(cb, query, l2)
     val k = cb.k
+    val bits = meta.quantBits
+    val dim = meta.dim
     val lutB = spark.sparkContext.broadcast(lut)
-    val adcUdf = udf((code: Array[Byte]) => PqCodec.adc(lutB.value, k, code))
+    val adcUdf =
+      if (bits == 8) udf((code: Array[Byte]) => PqCodec.adc(lutB.value, k, code))
+      else udf((code: Array[Byte]) =>
+        graft.core.SqPackedCodec.adc(lutB.value, bits, dim, code))
     val scan0 = spark.read.parquet(meta.sourcePath)
       .where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
     val base = extraFilter.fold(scan0)(scan0.where)
@@ -1078,20 +1162,37 @@ object Ann {
         s"${IndexCatalog.indexDir(root(spark), meta.name)}/thresholds.bin")
     else null
 
+  /** Codegen'd Hamming distance column against a query code: single-word
+   *  codes are one `bit_count(code XOR qcode)`; wide codes (array<bigint>)
+   *  sum per-word XOR popcounts — the word count is a plan-time constant,
+   *  so this stays builtin expressions with no UDF on the scan hot path. */
+  private def hammingCol(codeCol: Column, qcode: Array[Long]): Column =
+    if (qcode.length == 1) bit_count(codeCol.bitwiseXOR(lit(qcode(0))))
+    else qcode.indices.map(w =>
+      bit_count(element_at(codeCol, w + 1).bitwiseXOR(lit(qcode(w)))))
+      .reduce(_ + _)
+
+  /** Query code in the stored layout: one word for ≤64-bit codes (the
+   *  meta.nlist slot carries nbits), ⌈nbits/64⌉ words otherwise. */
+  private def lshQueryCode(meta: IndexMeta, hyps: Array[Array[Float]],
+      query: Array[Float], thr: Array[Double]): Array[Long] =
+    if (meta.nlist > LshCodec.MaxBits) LshCodec.encodeWords(hyps, query, thr)
+    else Array(LshCodec.encode(hyps, query, thr))
+
   /** Hamming top-k over the binary code table: encode the query against the
-   *  frozen hyperplanes, then rank by codegen'd `bit_count(code XOR qcode)` —
-   *  no UDF, no vector column read; ties break on row_id. `_distance` is the
-   *  Hamming distance (integral, surfaced as FLOAT like every engine). */
+   *  frozen hyperplanes, then rank by codegen'd `bit_count(code XOR qcode)`
+   *  (per-word-summed for >64-bit codes) — no UDF, no vector column read;
+   *  ties break on row_id. `_distance` is the Hamming distance (integral,
+   *  surfaced as FLOAT like every engine). */
   private def lshScanIds(spark: SparkSession, meta: IndexMeta, query0: Array[Float],
       fetchK: Int, tomb: Set[Long], extraFilter: Option[Column] = None): DataFrame = {
     val query = prepQuery(meta, query0)
     val hyps = IndexCatalog.readCentroids(
       s"${IndexCatalog.indexDir(root(spark), meta.name)}/hyperplanes.bin")
-    val qcode = LshCodec.encode(hyps, query, lshThresholdsOf(spark, meta))
+    val qcode = lshQueryCode(meta, hyps, query, lshThresholdsOf(spark, meta))
     val scan0 = spark.read.parquet(meta.sourcePath)
     val base = extraFilter.fold(scan0)(scan0.where)
-      .select(col("id").as("row_id"),
-        bit_count(col("code").bitwiseXOR(lit(qcode))).as("__dd"))
+      .select(col("id").as("row_id"), hammingCol(col("code"), qcode).as("__dd"))
     val filtered = if (tomb.isEmpty) base
       else base.where(notTombstoned(col("row_id"), tomb))
     // RFlat: Hamming picks fetchK·refineFactor candidate IDS from the
@@ -1453,6 +1554,22 @@ object Ann {
         })
         nQueries >= 64
     }
+
+  /** Sequential double fold over float inputs — the exact accumulation of
+   *  the Catalyst distance expressions (and ExactServe): squared L2, or the
+   *  negated dot for IP/cosine. Used by quantized range search so the
+   *  radius decision and the double-replay oracle share one convention. */
+  private def doubleFoldDist(v: Array[Float], q: Array[Float], l2: Boolean): Double = {
+    var s = 0.0
+    var j = 0
+    if (l2) while (j < v.length) {
+      val x = v(j).toDouble - q(j).toDouble; s += x * x; j += 1
+    } else {
+      while (j < v.length) { s += v(j).toDouble * q(j).toDouble; j += 1 }
+      s = -s
+    }
+    s
+  }
 
   /** Engine-semantics distance column: squared L2 / negated IP / negated cos. */
   private def metricDistanceCol(metric: Metric, vec: Column, query: Array[Float]): Column = {
@@ -1831,6 +1948,85 @@ object Ann {
           .select(col("__ann_id"), col("__dd").cast(FloatType).as("_distance"))
         // plain equi-join (not forced broadcast): a wide radius can match
         // a large fraction of the base table; AQE broadcasts if small
+        df.join(hits, col(idColumn) === col("__ann_id"))
+          .drop("__ann_id")
+          .orderBy(col("_distance"), col(idColumn))
+      case "ivfsq" | "pq" | "ivfpq" =>
+        // Quantized range search (FAISS IndexIVFScalarQuantizer/IndexIVFPQ
+        // range_search analog): ONE distributed filter over the code table,
+        // no top-k heap, no driver pooling. `_distance` is the CODE-SPACE
+        // distance — the metric distance to the dequantized reconstruction,
+        // the only distance a quantized engine can know (FAISS likewise
+        // compares reconstructed distances against the radius) — computed
+        // in DOUBLE like the exact engines' range filter, so the radius
+        // decision follows the same convention the saturation oracle
+        // replays; the top-k path keeps its float ADC LUT. Scan pruning:
+        //  - pq: full code scan — exact in code space.
+        //  - ivfsq + L2: triangle-inequality pruning over radii.bin, which
+        //    buildIvfSq computes from the DEQUANTIZED reconstructions —
+        //    exact in code space at ANY nprobe, like the ivfflat range scan.
+        //  - ivfpq (and non-L2 ivfsq): the nprobe probe set — approximate
+        //    exactly like top-k; nprobe = nlist makes it exact in code
+        //    space. (IVFPQ residual reconstructions straddle cluster
+        //    boundaries, so exact pruning radii would need a build-time
+        //    decode pass; the honest nprobe semantics match FAISS's.)
+        // The RFlat refine flag does not apply here (FAISS IndexRefineFlat
+        // has no range_search either): refined indexes answer in code space.
+        val q0 = prepQuery(meta, query)
+        val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
+        val cb = PqCodec.read(s"$dirPath/pq.bin")
+        // OPQ codes live in rotated space; rotate the query once (distances
+        // are rotation-invariant up to float rounding — code space anyway)
+        val q = if (meta.engine == "pq" && meta.opq)
+          OpqCodec.rotate(readRotation(spark, meta), q0) else q0
+        val l2 = meta.metricObj eq Metric.L2
+        val radiiPath = s"$dirPath/radii.bin"
+        val scan0 = spark.read.parquet(meta.sourcePath)
+        val scan = meta.engine match {
+          case "pq" => scan0
+          case "ivfsq" if l2 &&
+              java.nio.file.Files.exists(java.nio.file.Paths.get(radiiPath)) =>
+            val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
+            val radii = IndexCatalog.readRadii(radiiPath)
+            val rq = math.sqrt(math.max(0.0, radius.toDouble))
+            val keep = cents.indices.filter { c =>
+              val dc = math.sqrt(VectorOps.l2SqDoubleAcc(q, cents(c)))
+              dc - radii(c) <= rq + 1e-6 * (1.0 + rq)
+            }
+            scan0.where(col("cluster").isin(keep.map(Integer.valueOf): _*))
+          case _ =>
+            val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
+            val probes = selectProbes(cents, meta.imiB, q, meta.nprobe)
+            scan0.where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
+        }
+        val cbB = spark.sparkContext.broadcast(cb)
+        val qB = spark.sparkContext.broadcast(q)
+        val scored = if (meta.engine == "ivfpq") {
+          // reconstruction = centroid + decoded residual, in float (the
+          // stored code space), then the double distance fold
+          val centsB = spark.sparkContext.broadcast(
+            IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
+          val distUdf = udf((code: Array[Byte], cl: Int) => {
+            val vhat = PqCodec.decode(cbB.value, code)
+            val c = centsB.value(cl)
+            var i = 0
+            while (i < vhat.length) { vhat(i) += c(i); i += 1 }
+            doubleFoldDist(vhat, qB.value, l2)
+          })
+          scan.select(col("id").as("__ann_id"),
+            distUdf(col("code"), col("cluster").cast(IntegerType)).as("__dd"))
+        } else {
+          // pq decodes through the codebook; ivfsq sub-byte codes extract
+          // their level indices first (sqDecode handles both)
+          val bits = if (meta.engine == "ivfsq") meta.quantBits else 8
+          val distUdf = udf((code: Array[Byte]) =>
+            doubleFoldDist(sqDecode(cbB.value, bits, code), qB.value, l2))
+          scan.select(col("id").as("__ann_id"), distUdf(col("code")).as("__dd"))
+        }
+        val base = scored.where(col("__dd") <= radius.toDouble)
+        val hits = (if (tomb.isEmpty) base
+          else base.where(notTombstoned(col("__ann_id"), tomb)))
+          .select(col("__ann_id"), col("__dd").cast(FloatType).as("_distance"))
         df.join(hits, col(idColumn) === col("__ann_id"))
           .drop("__ann_id")
           .orderBy(col("_distance"), col(idColumn))
@@ -2365,7 +2561,7 @@ object Ann {
         val token = adcPlanTokens.incrementAndGet()
         val probeUdf = udf((v: Array[Float]) => KMeansLite.nearestP(centsB.value, v, nprobe))
         val (frozen, qMapB) = frozenQueries("__q")
-        val state = new AdcScoreState(cbB, null, qMapB, l2, token)
+        val state = new AdcScoreState(cbB, null, qMapB, l2, token, meta.quantBits)
         val probed = frozen.withColumn("__probe", explode(probeUdf(col("__q"))))
         val stream = if (rebalanceProbedScan(spark, queriesDf, meta.dim))
           base.repartition(spark.sessionState.conf.numShufflePartitions) else base
@@ -2407,12 +2603,21 @@ object Ann {
         val hyps = IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin")
         val hypsB = spark.sparkContext.broadcast(hyps)
         val thrB = spark.sparkContext.broadcast(lshThresholdsOf(spark, meta))
-        val qcodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v, thrB.value))
+        val wide = meta.nlist > LshCodec.MaxBits
+        val qcodeUdf =
+          if (wide) udf((v: Array[Float]) => LshCodec.encodeWords(hypsB.value, v, thrB.value))
+          else udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v, thrB.value))
         val (frozen0, _) = frozenQueries("__q")
         val frozen = frozen0.withColumn("__qcode", qcodeUdf(col("__q")))
-        (base.crossJoin(broadcast(frozen)),
-          bit_count(base("code").bitwiseXOR(col("__qcode"))).cast(DoubleType),
-          frozen, Some(frozen))
+        // wide codes: per-word XOR popcounts summed — the word count is a
+        // plan-time constant, so the score stays builtin expressions
+        val score =
+          if (wide) (0 until LshCodec.words(meta.nlist)).map(w =>
+              bit_count(element_at(base("code"), w + 1)
+                .bitwiseXOR(element_at(col("__qcode"), w + 1))))
+            .reduce(_ + _).cast(DoubleType)
+          else bit_count(base("code").bitwiseXOR(col("__qcode"))).cast(DoubleType)
+        (base.crossJoin(broadcast(frozen)), score, frozen, Some(frozen))
       case _ =>
         (base.crossJoin(broadcast(prepped)), distTo(base("vec"), col("__q")),
           prepped, None)
@@ -2847,20 +3052,38 @@ object Ann {
         val minsB = spark.sparkContext.broadcast(sq(0))
         val scalesB = spark.sparkContext.broadcast(sq(1))
         val assignUdf = udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
-        val encodeUdf = udf((v: Array[Float]) =>
-          graft.core.Sq8Codec.encodeRow(v, minsB.value, scalesB.value))
+        val sqBits = meta.quantBits
+        val encodeUdf =
+          if (sqBits == 8) udf((v: Array[Float]) =>
+            graft.core.Sq8Codec.encodeRow(v, minsB.value, scalesB.value))
+          else udf((v: Array[Float]) =>
+            graft.core.SqPackedCodec.encodeRow(v, minsB.value, scalesB.value, sqBits))
         val isqCols = Seq(col("id"), encodeUdf(col("vec")).as("code")) ++
           (if (meta.refine) Seq(col("vec")) else Nil) :+ col("cluster")
-        data.withColumn("cluster", assignUdf(col("vec")))
+        val encoded = data.withColumn("cluster", assignUdf(col("vec")))
           .select(isqCols: _*)
-          .write.mode("append").partitionBy("cluster").parquet(meta.sourcePath)
+        encoded.write.mode("append").partitionBy("cluster").parquet(meta.sourcePath)
+        // appended reconstructions may extend a cluster's code-space radius:
+        // merge-max the batch's dequantized radii so range pruning stays
+        // exact (the ivfflat append's radii contract, over x̂ not v)
+        val radiiPath = s"$dirPath/radii.bin"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(radiiPath))) {
+          val cbB = spark.sparkContext.broadcast(PqCodec.read(s"$dirPath/pq.bin"))
+          val old = IndexCatalog.readRadii(radiiPath)
+          val add = sqClusterRadii(encoded, centsB, cbB, old.length, sqBits)
+          IndexCatalog.writeRadii(radiiPath,
+            Array.tabulate(old.length)(c => math.max(old(c), add(c))))
+        }
       case "lsh" =>
         // frozen-hyperplane append (FAISS add()): new rows encode against
         // the build's hyperplanes, exactly like the PQ frozen codebook
         val hyps = IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin")
         val hypsB = spark.sparkContext.broadcast(hyps)
         val thrB = spark.sparkContext.broadcast(lshThresholdsOf(spark, meta))
-        val encodeUdf = udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v, thrB.value))
+        val encodeUdf =
+          if (meta.nlist > LshCodec.MaxBits)
+            udf((v: Array[Float]) => LshCodec.encodeWords(hypsB.value, v, thrB.value))
+          else udf((v: Array[Float]) => LshCodec.encode(hypsB.value, v, thrB.value))
         val lshCols = Seq(col("id"), encodeUdf(col("vec")).as("code")) ++
           (if (meta.refine) Seq(col("vec")) else Nil) // data's vec is already prepped
         data.select(lshCols: _*)

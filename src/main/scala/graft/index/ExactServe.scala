@@ -38,7 +38,8 @@ private[graft] object ExactServe {
       clusters: Array[Int],         // ivfflat / ivfpq (else null)
       cents: Array[Array[Float]],   // ivfflat / ivfpq (else null)
       cb: PqCodec.Codebook,         // pq / ivfpq (else null)
-      lcodes: Array[Long] = null,   // lsh (one 64-bit code per row)
+      lcodes: Array[Long] = null,   // lsh ≤64 bits (one word per row)
+      lwcodes: Array[Array[Long]] = null, // lsh >64 bits (⌈nbits/64⌉ words)
       hyps: Array[Array[Float]] = null, // lsh hyperplanes
       lshThr: Array[Double] = null) {   // lsh trained thresholds (`t` suffix)
     /** id → position, built ONCE at load — the refine re-rank needs raw
@@ -129,7 +130,10 @@ private[graft] object ExactServe {
       cents = if (hasCluster)
         IndexCatalog.readCentroids(s"$dirPath/centroids.bin") else null,
       cb = if (hasCodes) PqCodec.read(s"$dirPath/pq.bin") else null,
-      lcodes = if (isLsh) rows.map(_.getLong(1)) else null,
+      lcodes = if (isLsh && meta.nlist <= graft.core.LshCodec.MaxBits)
+        rows.map(_.getLong(1)) else null,
+      lwcodes = if (isLsh && meta.nlist > graft.core.LshCodec.MaxBits)
+        rows.map(_.getSeq[Long](1).toArray) else null,
       hyps = if (isLsh)
         IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin") else null,
       lshThr = if (isLsh && meta.lshVariant.contains("t"))
@@ -161,15 +165,29 @@ private[graft] object ExactServe {
     val n = d.ids.length
     // packed candidates sorted by (distance, id) — mirrors orderBy(__dd, row_id)
     val cand = new java.util.ArrayList[(Double, Long, Float)](math.min(n, 4096))
-    if (d.lcodes != null) {
+    if (d.lcodes != null || d.lwcodes != null) {
       // lsh: Hamming against the query's code — integers, so float parity
-      // with the codegen'd bit_count(XOR) scan is trivially exact
-      val qcode = graft.core.LshCodec.encode(d.hyps, query, d.lshThr)
+      // with the codegen'd bit_count(XOR) scan is trivially exact (wide
+      // codes sum per-word popcounts, same as the scan's summed columns)
+      val qcode = if (d.lcodes != null)
+        graft.core.LshCodec.encode(d.hyps, query, d.lshThr) else 0L
+      val qwords = if (d.lwcodes != null)
+        graft.core.LshCodec.encodeWords(d.hyps, query, d.lshThr) else null
       var i = 0
       while (i < n) {
         val id = d.ids(i)
         if (!tomb.contains(id) && (allow == null || allow(id))) {
-          val hd = java.lang.Long.bitCount(d.lcodes(i) ^ qcode)
+          val hd =
+            if (d.lcodes != null) java.lang.Long.bitCount(d.lcodes(i) ^ qcode)
+            else {
+              val cw = d.lwcodes(i)
+              var h = 0
+              var w = 0
+              while (w < cw.length) {
+                h += java.lang.Long.bitCount(cw(w) ^ qwords(w)); w += 1
+              }
+              h
+            }
           cand.add((hd.toDouble, id, hd.toFloat))
         }
         i += 1
@@ -200,6 +218,9 @@ private[graft] object ExactServe {
       // LUT is probe-independent — the flat table with the probeSet filter
       val k = d.cb.k
       val noResidual = meta.engine == "ivfsq"
+      // packed ivfsq rows (SQ4/SQ6) extract level indices inline; byte
+      // codes take the PqCodec.adc fast path — float-identical to the scan
+      val sqBits = if (noResidual) meta.quantBits else 8
       val perProbe: Map[Int, (Array[Float], Float)] =
         if (d.clusters == null || noResidual) null
         else {
@@ -227,8 +248,10 @@ private[graft] object ExactServe {
           (d.clusters != null && probeSet(d.clusters(i)))
         if (inProbe && !tomb.contains(id) && (allow == null || allow(id))) {
           val dd: Float =
-            if (flatLut != null) PqCodec.adc(flatLut, k, d.codes(i))
-            else {
+            if (flatLut != null) {
+              if (sqBits == 8) PqCodec.adc(flatLut, k, d.codes(i))
+              else graft.core.SqPackedCodec.adc(flatLut, sqBits, meta.dim, d.codes(i))
+            } else {
               val (t, off) = perProbe(d.clusters(i))
               PqCodec.adc(t, k, d.codes(i)) + off
             }
@@ -241,7 +264,7 @@ private[graft] object ExactServe {
     val arr = new Array[(Double, Long, Float)](cand.size)
     cand.toArray(arr)
     java.util.Arrays.sort(arr, Ordering.by((t: (Double, Long, Float)) => (t._1, t._2)))
-    if ((d.codes != null || d.lcodes != null) && meta.refine) {
+    if ((d.codes != null || d.lcodes != null || d.lwcodes != null) && meta.refine) {
       // RFlat: exact double re-rank of the ADC/Hamming top
       // (fetchK · refineFactor), same candidate cut and fold order as the
       // distributed refineStage

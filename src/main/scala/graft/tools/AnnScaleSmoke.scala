@@ -385,6 +385,82 @@ object AnnScaleSmoke {
     runServe("lshr_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_lshr", 10).count()
     }
+    // 256-bit codes (round-17 family): 4 array<bigint> words ranked by
+    // summed per-word XOR popcounts — the 1.5M matrix showed 64-bit codes
+    // cap recall@10 at ~0.13 even rt-trained; this row prices what 4× more
+    // bits buy at a still-32B/row code table. rt = padded random rotation
+    // (nbits > dim) + trained thresholds, the FAISS balance-the-bits combo.
+    if (!reuse || !haveIdx("as_lsh256")) run("lsh256_build") {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "as_lsh256", "LSH256rt")
+      n
+    }
+    if (haveIdx("as_lsh256")) runServe("lsh256_search_table_512q") {
+      Ann.searchTable(queries, "qvec", emb, "vec_id", "as_lsh256", 10).count()
+    }
+    // IVF over packed 4-bit scalar codes (round-17): 8× vector compression
+    // under inverted lists — recall stays probe-ceiling-bound like ivfsq,
+    // the row prices what halving the code again costs in ADC fidelity.
+    if (!reuse || !haveIdx("as_ivfsq4")) run("ivfsq4_build") {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "as_ivfsq4",
+        s"IVF$nlist,SQ4", Ann.BuildParams(nprobe = pqNprobe))
+      n
+    }
+    if (haveIdx("as_ivfsq4")) runServe("ivfsq4_search_table_512q") {
+      Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfsq4", 10).count()
+    }
+    // ---- IMI2x8 at scale (round-17): 65,536 product cells from two
+    // 256-centroid half trainings — a cell count k-means cannot reach
+    // (65k centroids over a 25.6k training sample is ill-posed; the
+    // multi-index construction is how FAISS gets there). Serving differs
+    // from ivfflat AT EQUAL NLIST only in probe SELECTION — the
+    // `as_imi_flat` catalog clone (imiB=0, same centroids/radii/parquet)
+    // IS that ivfflat, selecting probes by the 65,536-row product-table
+    // scan where as_imi runs the decomposed per-half heap merge
+    // (KMeansLite.nearestPImi, O(2·2^8) distances) — so the serve pair
+    // measures exactly the decomposition's delta, and the probe_select
+    // microbench prices selection alone.
+    // Honest scale caveat: at 65,536 cells the parquet partitionBy layout
+    // enters the many-small-files regime (one dir per populated cell); a
+    // 100 TB deployment would cap dirs (~4k) or consolidate lists into
+    // bucketed files — recorded here as a measured build cost, not hidden.
+    val imiNprobe = 512 // ~0.8% of cells — fraction, not count, is the knob
+    if (!reuse || !haveIdx("as_imi")) run("imi2x8_build") {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "as_imi", "IMI2x8",
+        Ann.BuildParams(nprobe = imiNprobe))
+      n
+    }
+    if (haveIdx("as_imi")) {
+      val imiMeta = IndexCatalog.load(Ann.root(spark), "as_imi")
+      IndexCatalog.save(Ann.root(spark),
+        imiMeta.copy(name = "as_imi_flat", imiB = 0))
+      Seq("centroids.bin", "radii.bin").foreach { f =>
+        val src = java.nio.file.Paths.get(
+          IndexCatalog.indexDir(Ann.root(spark), "as_imi"), f)
+        if (java.nio.file.Files.exists(src))
+          java.nio.file.Files.copy(src, java.nio.file.Paths.get(
+            IndexCatalog.indexDir(Ann.root(spark), "as_imi_flat"), f),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      runServe("imi_search_table_512q") {
+        Ann.searchTable(queries, "qvec", emb, "vec_id", "as_imi", 10).count()
+      }
+      runServe("imiflat_search_table_512q") {
+        Ann.searchTable(queries, "qvec", emb, "vec_id", "as_imi_flat", 10).count()
+      }
+      // probe-selection microbench, driver-side (no Spark job): the same
+      // 512 queries × nprobe=512 selection over the same 65,536-cell table
+      val imiCents = IndexCatalog.readCentroids(java.nio.file.Paths.get(
+        IndexCatalog.indexDir(Ann.root(spark), "as_imi"), "centroids.bin").toString)
+      val qsArr = queries.orderBy("qid").collect().map(_.getSeq[Float](1).toArray)
+      run("probe_select_decomposed_512q") {
+        qsArr.foreach(q => graft.index.KMeansLite.nearestPImi(imiCents, 8, q, imiNprobe))
+        qsArr.length.toLong
+      }
+      run("probe_select_product_512q") {
+        qsArr.foreach(q => graft.index.KMeansLite.nearestP(imiCents, q, imiNprobe))
+        qsArr.length.toLong
+      }
+    }
     // ---- RFlat k_factor sweep (IndexMeta.refineK — FAISS's mutable
     // IndexRefineFlat.k_factor): the default k_factor=4 re-ranks only 40
     // ADC candidates, so refine recall is bounded by ADC's top-40 quality,
@@ -426,7 +502,8 @@ object AnnScaleSmoke {
     val recallEngines =
       Seq("as_disk", "as_ivf", "as_sq8", "as_ivfsq", "as_ivfpq", "as_ivfpqr") ++ sweepNames ++
         (kfSweep.map(kf => s"as_ivfpqr_kf$kf") ++
-          Seq("as_lsh", "as_lshr", "as_lshrt") :+ "as_hnsw").filter(haveIdx)
+          Seq("as_lsh", "as_lshr", "as_lshrt", "as_lsh256", "as_ivfsq4",
+            "as_imi") :+ "as_hnsw").filter(haveIdx)
     var recallByName = Map.empty[String, (Double, Double)]
     run("recall_at10_200q_all") {
       val rows = Ann.measureRecallMany(emb, "embedding", "vec_id",
@@ -468,6 +545,11 @@ object AnnScaleSmoke {
     val (lshrtRecall, _) = recallByName.getOrElse("as_lshrt", (-1.0, -1.0))
     System.err.println(f"[annscale] lsh recall@10 = $lshRecall%.4f; " +
       f"lsh+rflat(kf16) = $lshrRecall%.4f; lsh-rt = $lshrtRecall%.4f")
+    val (lsh256Recall, _) = recallByName.getOrElse("as_lsh256", (-1.0, -1.0))
+    val (ivfsq4Recall, _) = recallByName.getOrElse("as_ivfsq4", (-1.0, -1.0))
+    val (imiRecall, _) = recallByName.getOrElse("as_imi", (-1.0, -1.0))
+    System.err.println(f"[annscale] lsh256-rt recall@10 = $lsh256Recall%.4f; " +
+      f"ivfsq4 = $ivfsq4Recall%.4f; imi2x8 = $imiRecall%.4f")
     val hnswRecall = recallByName.get("as_hnsw").map(_._1)
     hnswRecall.foreach(r =>
       System.err.println(f"[annscale] hnsw recall@10 = $r%.4f ($hnswShards shards)"))
@@ -532,6 +614,12 @@ object AnnScaleSmoke {
       else 0L
     val ivfsqBytes =
       if (haveIndex("as_ivfsq")) dirBytes(IndexCatalog.load(Ann.root(spark), "as_ivfsq").sourcePath)
+      else 0L
+    val ivfsq4Bytes =
+      if (haveIndex("as_ivfsq4")) dirBytes(IndexCatalog.load(Ann.root(spark), "as_ivfsq4").sourcePath)
+      else 0L
+    val lsh256Bytes =
+      if (haveIndex("as_lsh256")) dirBytes(IndexCatalog.load(Ann.root(spark), "as_lsh256").sourcePath)
       else 0L
     System.err.println(
       f"[annscale] ivf storage ${ivfBytes / 1e6}%.1f MB vs ivfpq ${ivfpqBytes / 1e6}%.1f MB " +
@@ -684,6 +772,10 @@ object AnnScaleSmoke {
       s""""ivfsq":{"recall_at10":$ivfsqRecall,"recall_at10_ids":$ivfsqRecallIds,""" +
       s""""storage_bytes":$ivfsqBytes,""" +
       s""""storage_ratio_vs_ivf":${ivfBytes.toDouble / math.max(1, ivfsqBytes)}},""" +
+      s""""ivfsq4":{"recall_at10":$ivfsq4Recall,"storage_bytes":$ivfsq4Bytes,""" +
+      s""""storage_ratio_vs_ivf":${ivfBytes.toDouble / math.max(1, ivfsq4Bytes)}},""" +
+      s""""lsh256":{"recall_at10":$lsh256Recall,"storage_bytes":$lsh256Bytes},""" +
+      s""""imi":{"recall_at10":$imiRecall,"cells":65536,"nprobe":512},""" +
       s""""ivfpq_rflat":{"recall_at10":$pqrRecall,"recall_at10_ids":$pqrRecallIds,""" +
       pqrKfRecalls.map { case (kf, r) =>
         s""""recall_at10_kf$kf":$r,""" }.mkString +

@@ -51,17 +51,104 @@ class IvfSqSpec extends AnyFunSuite {
     }.sortBy(t => (t._2, t._1)).take(k).toSeq
   }
 
-  test("factory grammar: IVF<n>,SQ8 parses; unsupported SQ chains reject") {
+  test("factory grammar: IVF<n>,SQ8/SQ4/SQ6 parse; unsupported SQ chains reject") {
     val p = Ann.parseFactory("IVF64,SQ8")
     assert(p.engine == "ivfsq" && p.nlist == 64 && p.quantization == "sq8")
     val pr = Ann.parseFactory("IVF64,SQ8,RFlat")
     assert(pr.engine == "ivfsq" && pr.refine)
-    val e1 = intercept[IllegalArgumentException] { Ann.parseFactory("IVF64,SQ4") }
-    assert(e1.getMessage.contains("diskann"), e1.getMessage)
+    // NOTE: "IVF64,SQ4" used to be in the reject list — the packed QT_4bit/
+    // QT_6bit forms are implemented now and parse to the ivfsq engine
+    val p4 = Ann.parseFactory("IVF64,SQ4")
+    assert(p4.engine == "ivfsq" && p4.quantization == "sq4")
+    val p6 = Ann.parseFactory("IVF32,SQ6,RFlat")
+    assert(p6.engine == "ivfsq" && p6.quantization == "sq6" && p6.refine)
     val e2 = intercept[IllegalArgumentException] { Ann.parseFactory("PCA16,IVF8,Flat,SQ8") }
     assert(e2.getMessage.contains("diskann"), e2.getMessage)
     val e3 = intercept[IllegalArgumentException] { Ann.parseFactory("IMI2x2,SQ8") }
     assert(e3.getMessage.contains("diskann"), e3.getMessage)
+  }
+
+  /** Brute-force dequantized ranking at sub-byte widths (packed rows). */
+  private def bruteDequantTopBits(name: String, q: Array[Float], k: Int,
+      bits: Int): Seq[(Long, Float)] = {
+    val sq = IndexCatalog.readCentroids(s"${dirOf(name)}/sq.bin")
+    val (mins, scales) = (sq(0), sq(1))
+    val nLevels = (1 << bits) - 1
+    all.map { case (id, v) =>
+      val code = graft.core.SqPackedCodec.encodeRow(v, mins, scales, bits)
+      var s = 0.0f
+      var d = 0
+      while (d < v.length) {
+        val lvl = graft.core.SqPackedCodec.codeAt(code, d, bits)
+        val deq = mins(d) + (lvl / nLevels.toFloat) * scales(d)
+        val diff = q(d) - deq
+        s += diff * diff
+        d += 1
+      }
+      (id, s)
+    }.sortBy(t => (t._2, t._1)).take(k).toSeq
+  }
+
+  test("IVF,SQ4 and IVF,SQ6: packed codes, saturating probe == dequantized " +
+      "brute force on the scan AND ExactServe routes") {
+    for ((bits, factory, name) <- Seq((4, "IVF4,SQ4", "isq_p4"),
+        (6, "IVF4,SQ6", "isq_p6"))) {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", name, factory,
+        Ann.BuildParams(nprobe = 4))
+      val meta = IndexCatalog.load(Ann.root(spark), name)
+      assert(meta.engine == "ivfsq" && meta.quantBits == bits)
+      // stored rows are PACKED: ceil(dim*bits/8) bytes, not dim
+      val row0 = spark.read.parquet(meta.sourcePath)
+        .select("code").limit(1).collect()(0).getAs[Array[Byte]](0)
+      assert(row0.length == (meta.dim * bits + 7) / 8, s"row ${row0.length}")
+      val want = bruteDequantTopBits(name, q0, 10, bits)
+      val got = Ann.search(emb, "vec_id", name, q0, 10)
+        .select("vec_id", "_distance").collect()
+        .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(got == want, s"$factory scan: $got != $want")
+      val local = ExactServe.search(spark, meta, Set.empty, q0, 10).toSeq
+      assert(local == want, s"$factory ExactServe: $local != $want")
+      // batch/table surface rides the same packed extraction (PqAdcScore)
+      val batch = Ann.searchBatch(emb, "vec_id", name, Seq(q0), 10)
+        .select("vec_id", "_distance").collect()
+        .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(batch == want, s"$factory batch: $batch != $want")
+    }
+  }
+
+  test("IVF,SQ4: frozen-range append and quantized range search stay exact") {
+    val half = emb.where(col("vec_id") < 250)
+    Ann.buildIndexFactory(half, "embedding", "vec_id", "isq_p4a", "IVF4,SQ4",
+      Ann.BuildParams(nprobe = 4))
+    Ann.append(emb.where(col("vec_id") >= 250), "embedding", "vec_id", "isq_p4a")
+    val want = bruteDequantTopBits("isq_p4a", q0, 10, 4)
+    val got = Ann.search(emb, "vec_id", "isq_p4a", q0, 10)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(got == want)
+    // range: code-space ball at nprobe=1 (dequantized radii pruning covers
+    // appended rows via the merge-max) — engine double fold vs brute double
+    val radius = 16.5f
+    val sq = IndexCatalog.readCentroids(s"${dirOf("isq_p4a")}/sq.bin")
+    val (mins, scales) = (sq(0), sq(1))
+    Ann.setNprobe(spark, "isq_p4a", 1)
+    val gotBall = Ann.rangeSearch(emb, "vec_id", "isq_p4a", q0, radius)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val wantBall = all.filter { case (_, v) =>
+      val code = graft.core.SqPackedCodec.encodeRow(v, mins, scales, 4)
+      var s = 0.0
+      var d = 0
+      while (d < v.length) {
+        val lvl = graft.core.SqPackedCodec.codeAt(code, d, 4)
+        val deq = mins(d) + (lvl / 15.0f) * scales(d)
+        val diff = deq.toDouble - q0(d).toDouble
+        s += diff * diff
+        d += 1
+      }
+      s <= radius
+    }.map(_._1).toSet
+    assert(gotBall == wantBall)
+    assert(gotBall.nonEmpty)
   }
 
   test("saturating probe == dequantized brute force; ExactServe parity") {

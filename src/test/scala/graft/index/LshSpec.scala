@@ -237,4 +237,81 @@ class LshSpec extends AnyFunSuite {
     assert(batch(0) == bruteTop(h, q0, 5))
     assert(batch(1) == bruteTop(h, q1, 5))
   }
+
+  // ---- wide codes (nbits > 64: array<bigint> multi-word layout) ----
+
+  /** Brute-force multi-word Hamming top-k, ties by id. */
+  private def bruteTopWide(hyps: Array[Array[Float]], q: Array[Float],
+      k: Int): Seq[(Long, Int)] = {
+    val qc = LshCodec.encodeWords(hyps, q)
+    all.map { case (id, v) =>
+      val c = LshCodec.encodeWords(hyps, v)
+      (id, c.indices.map(w => java.lang.Long.bitCount(c(w) ^ qc(w))).sum)
+    }.toSeq.sortBy { case (id, hd) => (hd, id) }.take(k)
+  }
+
+  test("encodeWords word 0 is bit-identical to the single-long encode") {
+    val h = LshCodec.randomHyperplanes(64, q0.length)
+    for ((_, v) <- all.take(20))
+      assert(LshCodec.encodeWords(h, v)(0) == LshCodec.encode(h, v))
+  }
+
+  test("LSH256: multi-word Hamming search == brute force, on the " +
+      "driver-local AND distributed routes") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_w256", "LSH256")
+    val h = LshCodec.randomHyperplanes(256, q0.length)
+    val want = bruteTopWide(h, q0, 10)
+    def got(): Seq[(Long, Int)] =
+      Ann.search(emb, "vec_id", "lsh_w256", q0, 10)
+        .select("vec_id", "_distance").collect()
+        .map(r => (r.getLong(0), r.getFloat(1).toInt)).toSeq
+    assert(got() == want)
+    // force the distributed Hamming scan (summed per-word popcount columns)
+    spark.conf.set("spark.graft.ann.localExactMaxBytes", "0")
+    try assert(got() == want)
+    finally spark.conf.unset("spark.graft.ann.localExactMaxBytes")
+  }
+
+  test("LSH256rt: padded rotation (nbits > dim) is norm-preserving and the " +
+      "trained-threshold build serves") {
+    val m = Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_w256rt",
+      "LSH256rt")
+    assert(m.nlist == 256 && m.lshVariant == "rt")
+    val hyps = IndexCatalog.readCentroids(
+      s"${IndexCatalog.indexDir(Ann.root(spark), "lsh_w256rt")}/hyperplanes.bin")
+    assert(hyps.length == 256)
+    // rows are the first dim columns of an orthonormal 256x256 rotation:
+    // the induced map v -> (dot(h_b, v))_b preserves the norm
+    for ((_, v) <- all.take(5)) {
+      val n2 = v.map(x => x.toDouble * x).sum
+      val p2 = hyps.map(h =>
+        math.pow(h.indices.map(i => h(i).toDouble * v(i)).sum, 2)).sum
+      assert(math.abs(p2 - n2) <= 1e-4 * (1.0 + n2), s"$p2 vs $n2")
+    }
+    assert(Ann.search(emb, "vec_id", "lsh_w256rt", q0, 10).count() == 10)
+  }
+
+  test("LSH128r (nbits > dim) builds via the padded rotation instead of " +
+      "failing inside Gram-Schmidt") {
+    val m = Ann.buildIndexFactory(emb, "embedding", "vec_id", "lsh_w128r",
+      "LSH128r")
+    assert(m.nlist == 128 && m.lshVariant == "r")
+    assert(Ann.search(emb, "vec_id", "lsh_w128r", q0, 5).count() == 5)
+  }
+
+  test("wide-code append encodes against the FROZEN hyperplanes") {
+    val half = emb.where(col("vec_id") < 250)
+    Ann.buildIndexFactory(half, "embedding", "vec_id", "lsh_wapp", "LSH128")
+    val before = IndexCatalog.readCentroids(
+      s"${IndexCatalog.indexDir(Ann.root(spark), "lsh_wapp")}/hyperplanes.bin")
+    Ann.append(emb.where(col("vec_id") >= 250), "embedding", "vec_id", "lsh_wapp")
+    val after = IndexCatalog.readCentroids(
+      s"${IndexCatalog.indexDir(Ann.root(spark), "lsh_wapp")}/hyperplanes.bin")
+    assert(before.map(_.toSeq).toSeq == after.map(_.toSeq).toSeq)
+    val h = LshCodec.randomHyperplanes(128, q0.length)
+    val got = Ann.search(emb, "vec_id", "lsh_wapp", q0, 10)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1).toInt)).toSeq
+    assert(got == bruteTopWide(h, q0, 10))
+  }
 }
