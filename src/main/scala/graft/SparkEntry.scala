@@ -714,6 +714,26 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // FAISS reconstruct/reconstruct_n analog, oracled on the ivfsq engine:
+    // reconstruct returns the per-dim dequantization levels, and the SQ
+    // replay recomputes them in SQL — codes via the proven saturation
+    // replay, values in DuckDB REAL (float32) arithmetic mirroring the
+    // synthetic codebook's `min + (lvl/255f)*scale` float expression, cast
+    // to DOUBLE once at the end on both sides. Other engines' reconstruct
+    // semantics (raw, PQ/OPQ decode, centroid+residual, RFlat exact,
+    // LSH reject) are pinned by ReconstructSpec.
+    "ann_reconstruct" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_recon", "IVF4,SQ8",
+        Ann.BuildParams(nprobe = 4))
+      Ann.reconstruct(s, "v_recon", Seq(0L, 1L, 2L, 3L))
+        .select(col("row_id").as("vec_id"),
+          posexplode(col("vector")).as(Seq("pos", "vf")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+          col("vf").cast("double").as("v"))
+        .orderBy("vec_id", "i")
+    }),
+
     // realistic-parameter twin: trained coarse quantizer, nprobe 4/16 —
     // probe-bounded recall, rows-only, same code path as the oracled twin
     "ann_ivfsq_topk" -> ((s, dir) => {
@@ -785,6 +805,36 @@ object SparkEntry {
         .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
         .toDF("vec_id", "rank")
         .orderBy("rank")
+    }),
+
+    // IVF<n>_HNSW<m> (FAISS HNSW coarse quantizer): probe selection walks
+    // an HNSW graph over the centroids instead of ranking all nlist of
+    // them. At saturating nprobe the graph is bypassed (every cell probed),
+    // so the serve stack oracles exactly like ann_ivf_exact; graph-probed
+    // operating points are the rows-only twin below + IvfHnswSpec's
+    // probe-set recall pin.
+    "ann_ivfhnsw_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_ivfh_ex",
+        "IVF8_HNSW16,Flat", Ann.BuildParams(nprobe = 8))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_ivfh_ex", q64Arr, 10)
+        .select(col("vec_id"),
+          array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
+        .orderBy(col("__dd"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    // realistic-parameter twin: nprobe 4/16 selected BY THE GRAPH — the
+    // rows-only operating point covering CoarseProbe.select end to end
+    "ann_ivfhnsw_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_ivfh",
+        "IVF16_HNSW8,Flat", Ann.BuildParams(nprobe = 4))
+      Ann.search(emb, "vec_id", "v_ivfh", q64Arr, 10)
+        .select("vec_id", "_distance")
     }),
 
     "ann_merge_flat" -> ((s, dir) => {
@@ -1890,6 +1940,12 @@ object SparkEntry {
       s"""SELECT vec_id, row_number() OVER (
          |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
          |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
+    // IVF_HNSW saturating probe: every cell scanned ⇒ plain exact top-k
+    // (the coarse graph is bypassed at nprobe = nlist by construction)
+    "ann_ivfhnsw_exact" ->
+      s"""SELECT vec_id, row_number() OVER (
+         |  ORDER BY list_distance(CAST(embedding AS DOUBLE[]), $q64Sql), vec_id) AS rank
+         |FROM embeddings ORDER BY rank LIMIT 10""".stripMargin,
     // IMI saturating probe: every cell scanned ⇒ plain exact top-k
     "ann_imi_exact" ->
       s"""SELECT vec_id, row_number() OVER (
@@ -1966,6 +2022,27 @@ object SparkEntry {
     // ranking is the dequantized brute force — the identical quantizer
     // replay, now exercising the IVF ADC serve route
     "ann_ivfsq_exact" -> sqExactOracleSql(255),
+    // reconstruct replay: codes via the same (e-mn)/sc*255 round rule the
+    // saturation oracles replay; VALUES recomputed in REAL (float32)
+    // arithmetic — mnf + (lvl/255f)*scf left-to-right — mirroring the
+    // synthetic codebook's float expression, double-cast once at the end
+    "ann_reconstruct" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS e,
+         |         unnest(range(1, 65)) AS i
+         |  FROM embeddings),
+         |mm AS (
+         |  SELECT i, min(e) AS mn,
+         |    CASE WHEN max(e) > min(e) THEN max(e) - min(e) ELSE 1.0 END AS sc
+         |  FROM ex GROUP BY i),
+         |lv AS (
+         |  SELECT x.vec_id, x.i,
+         |    CAST(least(255, greatest(0, round((x.e - m.mn) / m.sc * 255))) AS BIGINT) AS lvl,
+         |    CAST(m.mn AS FLOAT) AS mnf, CAST(m.sc AS FLOAT) AS scf
+         |  FROM ex x JOIN mm m ON m.i = x.i WHERE x.vec_id < 4)
+         |SELECT vec_id, i,
+         |  CAST(mnf + (CAST(lvl AS FLOAT) / CAST(255 AS FLOAT)) * scf AS DOUBLE) AS v
+         |FROM lv ORDER BY vec_id, i""".stripMargin,
     // quantized range search: the same dequantization replay, radius filter
     // instead of rank cut — exact in code space at nprobe=1 because the
     // cluster pruning radii are computed over the reconstructions themselves

@@ -86,6 +86,11 @@ object Ann {
       // IMI coarse quantizer (factory `IMI2x<b>[,Flat]`): bits per
       // half-space codebook; cells = cross product (nlist = 2^(2b)). 0 = off
       imiB: Int = 0,
+      // HNSW coarse quantizer (factory `IVF<n>_HNSW<m>`): graph degree of
+      // the navigable graph built over the centroids for query-time probe
+      // selection (FAISS quantizer=IndexHNSWFlat analog). 0 = exact probe
+      // selection. See IndexMeta.coarseHnswM for the serve semantics.
+      coarseHnswM: Int = 0,
       // graph build threads per shard task (VamanaIndex.addAllParallel);
       // >1 on a cluster requires spark.task.cpus to match. 1 = serial,
       // deterministic build.
@@ -105,6 +110,7 @@ object Ann {
    * (reference passes factory strings through FaissParams,
    * src/include/faiss_index.hpp:37-113). Supported grammar:
    * `Flat` | `HNSW[m]` | `IVF<nlist>,Flat` | `IVF<nlist>,PQ<m>` |
+   * `IVF<nlist>_HNSW<m>[,Flat|,PQ<m>]` (HNSW coarse quantizer) |
    * `DiskANN[degree]` | `PQ<m>` | `OPQ<m>,PQ<m>` | `LSH[nbits]`, each
    * optionally suffixed `,SQ8`/`,SQ4`/`,SQ6` (diskann only) or `,RFlat`
    * (code engines: PQ/IVFPQ/LSH).
@@ -123,6 +129,12 @@ object Ann {
       x.equalsIgnoreCase("SQ8") || x.equalsIgnoreCase("SQ4") ||
       x.equalsIgnoreCase("SQ6") || x.equalsIgnoreCase("RFlat"))
     val Ivf = "(?i)IVF(\\d+)".r
+    // FAISS `IVF<nlist>_HNSW<m>`: IVF whose coarse quantizer is an HNSW
+    // graph over the centroids (quantizer = IndexHNSWFlat). Probe
+    // SELECTION walks the graph instead of ranking all nlist centroids —
+    // the serve-latency lever at nlist ≥ ~10⁴; build-side assignment stays
+    // the exact distributed scan (see IndexMeta.coarseHnswM).
+    val IvfHnsw = "(?i)IVF(\\d+)_HNSW(\\d*)".r
     val Hnsw = "(?i)HNSW(\\d*)".r
     val Diskann = "(?i)DISKANN(\\d*)".r
     val Pq = "(?i)PQ(\\d+)".r
@@ -140,6 +152,15 @@ object Ann {
       case Opq(_) :: _ => throw new IllegalArgumentException(
         s"OPQ requires the PQ engine (e.g. 'OPQ8,PQ8[,RFlat]'): '$desc'")
       case f :: Nil if f.equalsIgnoreCase("flat") => base.copy(engine = "flat")
+      // IVF<n>_HNSW<m> must match before plain IVF<n> (the regex prefix of
+      // `IVF123_HNSW32` is a valid IVF match)
+      case IvfHnsw(nlist, m) :: rest
+          if rest.isEmpty || (rest.lengthCompare(1) == 0 && rest.head.equalsIgnoreCase("flat")) =>
+        base.copy(engine = "ivfflat", nlist = nlist.toInt,
+          coarseHnswM = if (m.isEmpty) HnswIndex.DefaultM else m.toInt)
+      case IvfHnsw(nlist, m) :: Pq(pm) :: Nil =>
+        base.copy(engine = "ivfpq", nlist = nlist.toInt, pqM = pm.toInt,
+          coarseHnswM = if (m.isEmpty) HnswIndex.DefaultM else m.toInt)
       case Ivf(nlist) :: rest
           if rest.isEmpty || (rest.lengthCompare(1) == 0 && rest.head.equalsIgnoreCase("flat")) =>
         base.copy(engine = "ivfflat", nlist = nlist.toInt)
@@ -193,13 +214,16 @@ object Ann {
           lshRotate = s.contains("r"), lshThresholds = s.contains("t"))
       case other => throw new IllegalArgumentException(
         s"unsupported index factory description: '$desc' — supported: " +
-        "Flat | HNSW[m] | IVF<nlist>[,Flat] | IVF<nlist>,PQ<m> | PQ<m> | " +
+        "Flat | HNSW[m] | IVF<nlist>[,Flat] | IVF<nlist>,PQ<m> | " +
+        "IVF<nlist>_HNSW<m>[,Flat|,PQ<m>] | PQ<m> | " +
         "OPQ<m>,PQ<m> | LSH[nbits][r|t|rt] | DiskANN[degree] | " +
         "IMI2x<b>[,Flat] | IMI2x<b>,PQ<m> | PCA<d>,Flat | PCAR<d>/PCAW<d> " +
         "chains | PCA<d>,IVF<nlist>[,Flat], optionally suffixed " +
         "',SQ8'/',SQ4'/',SQ6' (diskann or IVF<nlist>) or ',RFlat' " +
         "(PQ/LSH/IVFSQ engines); other transform chains are not implemented")
     }
+    require(p.coarseHnswM == 0 || p.coarseHnswM > 1,
+      s"IVF<n>_HNSW<m> needs graph degree m > 1: '$desc'")
     val p2 = sqSuffix.headOption match {
       // FAISS `IVF<n>,SQ8/SQ4/SQ6` (IndexIVFScalarQuantizer with
       // QT_8bit/QT_4bit/QT_6bit, by_residual=false): inverted lists over
@@ -567,6 +591,7 @@ object Ann {
     val nlist = cents.length
     val centPath = s"$dir/centroids.bin"
     IndexCatalog.writeCentroids(centPath, cents, dim)
+    writeCoarseHnsw(dir, cents, dim, params.coarseHnswM)
 
     val centsB = spark.sparkContext.broadcast(cents)
     // IMI assignment decomposes: argmin over the product = (argmin half 1,
@@ -600,9 +625,25 @@ object Ann {
     val meta = IndexMeta(name, "ivfflat", "vec", "id", dim, metric.name,
       0, 0, 0f, false, n, 0L, Nil, sourcePath = out,
       nlist = nlist, nprobe = math.min(params.nprobe, nlist),
-      imiB = params.imiB)
+      imiB = params.imiB, coarseHnswM = params.coarseHnswM)
     IndexCatalog.save(root(spark), meta)
     meta
+  }
+
+  /** Build + persist the HNSW coarse quantizer over the centroid table
+   *  (`coarse.hnsw`, the FAISS quantizer=IndexHNSWFlat analog; L2 — the
+   *  same metric every IVF assignment/probe ranking here uses). Driver-side
+   *  by design: the centroid table is already a driver-resident artifact
+   *  (readCentroids loads it whole on every serve), so an O(nlist·log nlist)
+   *  insert loop over it adds nothing new to the scale profile — at the
+   *  nlist ≈ √N ≈ 10⁵–10⁶ a 100 TB corpus wants, the graph builds in
+   *  seconds once per index. The graph is frozen WITH the centroids:
+   *  append/vacuum/merge never move centroids, so they never invalidate it. */
+  private def writeCoarseHnsw(dir: String, cents: Array[Array[Float]],
+      dim: Int, m: Int): Unit = if (m > 0) {
+    val ix = new HnswIndex(dim, Metric.L2, m)
+    cents.foreach(ix.add)
+    HnswFormat.writeFile(ix, s"$dir/coarse.hnsw")
   }
 
   /** Per-cluster max L2 distance to the assigned centroid, accumulated in
@@ -840,6 +881,7 @@ object Ann {
     }
     IndexCatalog.writeCentroids(s"$dir/centroids.bin", cents, dim)
     PqCodec.write(s"$dir/pq.bin", cb)
+    writeCoarseHnsw(dir, cents, dim, params.coarseHnswM)
 
     val centsB = spark.sparkContext.broadcast(cents)
     val cbB = spark.sparkContext.broadcast(cb)
@@ -875,7 +917,8 @@ object Ann {
       maxDegree = params.pqM, buildComplexity = 0, alpha = 0f, quantized = true,
       numVectors = n, numDeleted = 0L, shards = Nil, sourcePath = out,
       nlist = cents.length, nprobe = math.min(params.nprobe, cents.length),
-      refine = params.refine, refineK = params.refineK, imiB = params.imiB)
+      refine = params.refine, refineK = params.refineK, imiB = params.imiB,
+      coarseHnswM = params.coarseHnswM)
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -926,6 +969,7 @@ object Ann {
       prepped.take(params.nlist)
     } else KMeansLite.train(strideSample(data, params, cosine), params.nlist)
     IndexCatalog.writeCentroids(s"$dir/centroids.bin", cents, dim)
+    writeCoarseHnsw(dir, cents, dim, params.coarseHnswM)
     // per-dim min/max over the STORED representation (normalized if cosine):
     // elementwise min/max is order-independent, so the distributed agg is
     // exact and host-count-invariant
@@ -1003,7 +1047,8 @@ object Ann {
       maxDegree = 0, buildComplexity = 0, alpha = 0f, quantized = true,
       numVectors = n, numDeleted = 0L, shards = Nil, sourcePath = out,
       nlist = cents.length, nprobe = math.min(params.nprobe, cents.length),
-      refine = params.refine, refineK = params.refineK, quantBits = bits)
+      refine = params.refine, refineK = params.refineK, quantBits = bits,
+      coarseHnswM = params.coarseHnswM)
     IndexCatalog.save(root(spark), meta)
     meta
   }
@@ -1088,15 +1133,48 @@ object Ann {
 
   // ----------------------------------------------------------------- search
 
+  /** Serializable HNSW probe-selection accelerator (`IVF<n>_HNSW<m>`): the
+   *  `coarse.hnsw` image travels as bytes (broadcast- and closure-safe) and
+   *  deserializes lazily per JVM; L2 graph search is read-only with
+   *  per-call scratch, so one instance serves all task threads. `ef` is the
+   *  graph beam width (≥ nprobe; FAISS quantizer efSearch analog). */
+  private[index] final class CoarseProbe(bytes: Array[Byte], ef: Int)
+      extends Serializable {
+    @transient private lazy val graph: HnswIndex = HnswFormat.readBytes(bytes)
+    def select(query: Array[Float], nprobe: Int): Array[Int] =
+      graph.search(query, nprobe, math.max(ef, 2 * nprobe))._1
+  }
+
+  /** Load the probe-selection accelerator for an index, or null when the
+   *  index has none (`coarseHnswM == 0`). Session conf
+   *  `spark.graft.ann.coarseEfSearch` (default 64) sets the graph beam
+   *  floor — probe recall vs exact selection is ef-tunable without
+   *  touching the stored graph, like FAISS quantizer->hnsw.efSearch. */
+  private[index] def coarseProbe(spark: SparkSession, meta: IndexMeta): CoarseProbe =
+    if (meta.coarseHnswM == 0) null
+    else {
+      val dir = IndexCatalog.indexDir(root(spark), meta.name)
+      val ef = spark.conf.getOption("spark.graft.ann.coarseEfSearch")
+        .map(_.toInt).getOrElse(64)
+      new CoarseProbe(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/coarse.hnsw")), ef)
+    }
+
   /** Probe selection for IVF-family serving: plain IVF ranks the centroid
    *  table directly; IMI indexes (imiB > 0) decompose into per-half distance
    *  lists + a heap merge over the SAME stored table
    *  ([[KMeansLite.nearestPImi]]) — identical probe set, O(2·2^b) instead of
-   *  O(2^(2b)) distance work per query. Static (cents, imiB) signature so
-   *  executor-side UDFs capture only broadcast values. */
+   *  O(2^(2b)) distance work per query; IVF_HNSW indexes (coarse != null)
+   *  walk the centroid graph — O(ef·log nlist) instead of O(nlist) distance
+   *  work, the serve-latency lever at the nlist ≈ √N a 100 TB corpus wants.
+   *  At nprobe ≥ nlist the graph is bypassed (every cell probed — trivially
+   *  exact, which is what the saturation oracles pin). Static
+   *  (cents, imiB, coarse) signature so executor-side UDFs capture only
+   *  broadcast/serializable values. */
   private[index] def selectProbes(cents: Array[Array[Float]], imiB: Int,
-      query: Array[Float], nprobe: Int): Array[Int] =
+      query: Array[Float], nprobe: Int, coarse: CoarseProbe = null): Array[Int] =
     if (imiB > 0) KMeansLite.nearestPImi(cents, imiB, query, nprobe)
+    else if (coarse != null && nprobe < cents.length) coarse.select(query, nprobe)
     else KMeansLite.nearestP(cents, query, nprobe)
 
   /** Low-level index scan → DataFrame(row_id LONG, _distance FLOAT), sorted,
@@ -1132,7 +1210,7 @@ object Ann {
     val cb = PqCodec.read(s"$dirPath/pq.bin")
     val l2 = meta.metricObj eq Metric.L2
     val nprobe = if (nprobeOverride > 0) nprobeOverride else meta.nprobe
-    val probes = KMeansLite.nearestP(cents, query, nprobe)
+    val probes = selectProbes(cents, 0, query, nprobe, coarseProbe(spark, meta))
     val lut = PqCodec.lut(cb, query, l2)
     val k = cb.k
     val bits = meta.quantBits
@@ -1217,7 +1295,7 @@ object Ann {
     val cb = PqCodec.read(s"$dirPath/pq.bin")
     val l2 = meta.metricObj eq Metric.L2
     val nprobe = if (nprobeOverride > 0) nprobeOverride else meta.nprobe
-    val probes = selectProbes(cents, meta.imiB, query, nprobe)
+    val probes = selectProbes(cents, meta.imiB, query, nprobe, coarseProbe(spark, meta))
     val k = cb.k
     // the IP/cosine LUT depends only on the query — build it once and vary
     // only the per-probe -dot(q, centroid) offset; L2 needs a per-probe
@@ -1520,7 +1598,7 @@ object Ann {
       val nprobe = if (nprobeOverride > 0) nprobeOverride else meta.nprobe
       val cents = IndexCatalog.readCentroids(
         s"${IndexCatalog.indexDir(root(spark), meta.name)}/centroids.bin")
-      val probes = selectProbes(cents, meta.imiB, query, nprobe)
+      val probes = selectProbes(cents, meta.imiB, query, nprobe, coarseProbe(spark, meta))
       df.where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
     } else df
   }
@@ -1996,7 +2074,8 @@ object Ann {
             scan0.where(col("cluster").isin(keep.map(Integer.valueOf): _*))
           case _ =>
             val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
-            val probes = selectProbes(cents, meta.imiB, q, meta.nprobe)
+            val probes = selectProbes(cents, meta.imiB, q, meta.nprobe,
+              coarseProbe(spark, meta))
             scan0.where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
         }
         val cbB = spark.sparkContext.broadcast(cb)
@@ -2121,8 +2200,9 @@ object Ann {
           IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
         val np = meta.nprobe
         val imiB = meta.imiB
+        val coarse = coarseProbe(spark, meta)
         val probesUdf = udf((q: Array[Float]) =>
-          selectProbes(centsB.value, imiB, q, np))
+          selectProbes(centsB.value, imiB, q, np, coarse))
         val qprobe = prepped.withColumn("__cluster", explode(probesUdf(col("__q"))))
         base.join(broadcast(qprobe), base("cluster") === qprobe("__cluster"))
       } else base.crossJoin(broadcast(prepped))
@@ -2534,8 +2614,10 @@ object Ann {
         val centsB = spark.sparkContext.broadcast(cents)
         val nprobe = meta.nprobe
         val imiB = meta.imiB
+        val coarse = coarseProbe(spark, meta)
         val token = adcPlanTokens.incrementAndGet()
-        val probeUdf = udf((v: Array[Float]) => selectProbes(centsB.value, imiB, v, nprobe))
+        val probeUdf = udf((v: Array[Float]) =>
+          selectProbes(centsB.value, imiB, v, nprobe, coarse))
         val (frozen, qMapB) = frozenQueries("__q")
         val state = new AdcScoreState(cbB, centsB, qMapB, l2, token)
         val probed = frozen.withColumn("__probe", explode(probeUdf(col("__q"))))
@@ -2558,8 +2640,10 @@ object Ann {
         val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
         val centsB = spark.sparkContext.broadcast(cents)
         val nprobe = meta.nprobe
+        val coarse = coarseProbe(spark, meta)
         val token = adcPlanTokens.incrementAndGet()
-        val probeUdf = udf((v: Array[Float]) => KMeansLite.nearestP(centsB.value, v, nprobe))
+        val probeUdf = udf((v: Array[Float]) =>
+          selectProbes(centsB.value, 0, v, nprobe, coarse))
         val (frozen, qMapB) = frozenQueries("__q")
         val state = new AdcScoreState(cbB, null, qMapB, l2, token, meta.quantBits)
         val probed = frozen.withColumn("__probe", explode(probeUdf(col("__q"))))
@@ -2576,7 +2660,9 @@ object Ann {
         val centsB = spark.sparkContext.broadcast(cents)
         val nprobe = meta.nprobe
         val imiB = meta.imiB
-        val probeUdf = udf((v: Array[Float]) => selectProbes(centsB.value, imiB, v, nprobe))
+        val coarse = coarseProbe(spark, meta)
+        val probeUdf = udf((v: Array[Float]) =>
+          selectProbes(centsB.value, imiB, v, nprobe, coarse))
         val probed = prepped.withColumn("__probe", explode(probeUdf(col("__q"))))
         // per-task work here is sum over the task's clusters of
         // size(cluster) x queries-probing(cluster) — a popularity-weighted
@@ -2887,6 +2973,107 @@ object Ann {
   private def normalizeCol(vec: Column): Column = {
     val n = sqrt(aggregate(transform(vec, x => x * x), lit(0.0d), (a, x) => a + x))
     transform(vec, x => when(n > 0, x / n).otherwise(x))
+  }
+
+  /**
+   * FAISS `reconstruct`/`reconstruct_n` analog: decode the STORED
+   * representation of the given ids back to vectors —
+   * (row_id LONG, vector ARRAY&lt;FLOAT&gt;), row_id ascending.
+   *
+   * Per engine (mirroring each FAISS index's reconstruct semantics):
+   *  - flat/ivfflat and the graph engines return the stored vector
+   *    (normalized when the metric is cosine — reconstruction is of what
+   *    the index SEARCHES, exactly FAISS's contract for preprocessed adds);
+   *    graph shards decode through the same ShardCache the serve path uses,
+   *    so a quantized DiskANN shard returns its SQ dequantization;
+   *  - pq decodes subspace codes (OPQ applies the inverse rotation Rᵀ —
+   *    IndexPreTransform.reconstruct's reverse_transform);
+   *  - ivfpq returns coarse centroid + decoded residual;
+   *  - ivfsq returns the per-dim dequantization levels (SQ8 or packed
+   *    SQ4/SQ6);
+   *  - RFlat-refined code engines return the refine storage's exact raw
+   *    vectors (FAISS IndexRefineFlat.reconstruct);
+   *  - lsh rejects: sign codes are not reconstructible (FAISS IndexLSH has
+   *    no reconstruct either).
+   * Tombstoned ids are omitted. The ids list is a driver-side argument by
+   * contract (point lookups); each engine's decode runs distributed over
+   * the code/vector table, so the scan scales with the corpus, not the
+   * driver.
+   */
+  def reconstruct(spark: SparkSession, name: String, ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val meta = IndexCatalog.load(root(spark), name)
+    val tomb = IndexCatalog.readTombstones(root(spark), name)
+    val want = ids.toSet -- tomb
+    val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
+    val wantCol = want.toSeq.sorted.map(java.lang.Long.valueOf)
+    def fromStored(): DataFrame =
+      spark.read.parquet(meta.sourcePath)
+        .where(col("id").isin(wantCol: _*))
+        .select(col("id").as("row_id"), toFloatVec(col("vec")).as("vector"))
+    val out: DataFrame = meta.engine match {
+      case "lsh" => throw new IllegalArgumentException(
+        s"index '$name' is LSH: sign codes are not reconstructible " +
+        "(FAISS IndexLSH has no reconstruct)")
+      case e if isGraphEngine(e) =>
+        val cosine = meta.metricObj eq Metric.Cosine
+        val wantB = spark.sparkContext.broadcast(want)
+        val shards = meta.shards
+        spark.sparkContext.parallelize(shards, math.max(shards.size, 1))
+          .flatMap { sh =>
+            val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
+            val w = wantB.value
+            loaded.ids.indices.iterator.collect {
+              case l if w(loaded.ids(l)) => (loaded.ids(l), loaded.index.vector(l))
+            }
+          }.toDF("row_id", "vector")
+      case "flat" | "ivfflat" => fromStored()
+      case "pq" | "ivfpq" | "ivfsq" if meta.refine => fromStored()
+      case "pq" =>
+        val cb = PqCodec.read(s"$dirPath/pq.bin")
+        // OPQ stores codes in rotated space; reconstruct applies Rᵀ (the
+        // inverse of the orthogonal rotation) to the decode
+        val rotT = if (!meta.opq) null else {
+          val r = readRotation(spark, meta)
+          Array.tabulate(r.length)(i => Array.tabulate(r.length)(j => r(j)(i)))
+        }
+        val cbB = spark.sparkContext.broadcast(cb)
+        val rotTB = spark.sparkContext.broadcast(rotT)
+        val dec = udf((code: Array[Byte]) => {
+          val y = PqCodec.decode(cbB.value, code)
+          if (rotTB.value == null) y else OpqCodec.rotate(rotTB.value, y)
+        })
+        spark.read.parquet(meta.sourcePath)
+          .where(col("id").isin(wantCol: _*))
+          .select(col("id").as("row_id"), dec(col("code")).as("vector"))
+      case "ivfpq" =>
+        val cb = PqCodec.read(s"$dirPath/pq.bin")
+        val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
+        val cbB = spark.sparkContext.broadcast(cb)
+        val centsB = spark.sparkContext.broadcast(cents)
+        val dec = udf((code: Array[Byte], cluster: Int) => {
+          val r = PqCodec.decode(cbB.value, code)
+          val c = centsB.value(cluster)
+          var i = 0
+          while (i < r.length) { r(i) = c(i) + r(i); i += 1 }
+          r
+        })
+        spark.read.parquet(meta.sourcePath)
+          .where(col("id").isin(wantCol: _*))
+          .select(col("id").as("row_id"),
+            dec(col("code"), col("cluster").cast(IntegerType)).as("vector"))
+      case "ivfsq" =>
+        val cb = PqCodec.read(s"$dirPath/pq.bin")
+        val bits = meta.quantBits
+        val cbB = spark.sparkContext.broadcast(cb)
+        val dec = udf((code: Array[Byte]) => sqDecode(cbB.value, bits, code))
+        spark.read.parquet(meta.sourcePath)
+          .where(col("id").isin(wantCol: _*))
+          .select(col("id").as("row_id"), dec(col("code")).as("vector"))
+      case other => throw new IllegalArgumentException(
+        s"reconstruct: unsupported engine '$other' for index '$name'")
+    }
+    out.orderBy("row_id")
   }
 
   // ----------------------------------------------------- maintenance / DML

@@ -41,7 +41,8 @@ private[graft] object ExactServe {
       lcodes: Array[Long] = null,   // lsh ≤64 bits (one word per row)
       lwcodes: Array[Array[Long]] = null, // lsh >64 bits (⌈nbits/64⌉ words)
       hyps: Array[Array[Float]] = null, // lsh hyperplanes
-      lshThr: Array[Double] = null) {   // lsh trained thresholds (`t` suffix)
+      lshThr: Array[Double] = null, // lsh trained thresholds (`t` suffix)
+      coarse: Ann.CoarseProbe = null) { // IVF_HNSW probe selection (else null)
     /** id → position, built ONCE at load — the refine re-rank needs raw
      *  vectors by id on every query, and rebuilding a boxed map over up to
      *  ~250k ids per query defeats the job-free route's latency purpose. */
@@ -137,7 +138,10 @@ private[graft] object ExactServe {
       hyps = if (isLsh)
         IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin") else null,
       lshThr = if (isLsh && meta.lshVariant.contains("t"))
-        IndexCatalog.readThresholds(s"$dirPath/thresholds.bin") else null)
+        IndexCatalog.readThresholds(s"$dirPath/thresholds.bin") else null,
+      // the SAME graph selection as the distributed scans — the job-free
+      // route must answer identically to the cluster route at any nprobe
+      coarse = if (hasCluster) Ann.coarseProbe(spark, meta) else null)
   }
 
   /** Top-fetchK (id, distance) — identical rows, distances, and order to the
@@ -158,7 +162,8 @@ private[graft] object ExactServe {
     val probeSet: Array[Boolean] =
       if (d.clusters != null && nprobe < meta.nlist) {
         val p = new Array[Boolean](math.max(meta.nlist, d.cents.length))
-        Ann.selectProbes(d.cents, meta.imiB, query, nprobe).foreach(p(_) = true)
+        Ann.selectProbes(d.cents, meta.imiB, query, nprobe, d.coarse)
+          .foreach(p(_) = true)
         p
       } else null
 

@@ -70,7 +70,17 @@ case class IndexMeta(
     // lists + a heap merge (KMeansLite.nearestPImi) instead of scanning
     // the product table. 0 = plain IVF (default keeps old metadata.json
     // readable).
-    imiB: Int = 0) {
+    imiB: Int = 0,
+    // HNSW coarse quantizer (factory `IVF<n>_HNSW<m>[,Flat|,PQ<m>|,SQ8…]`,
+    // the FAISS IndexHNSWFlat-as-quantizer analog): HNSW graph degree of
+    // `coarse.hnsw`, a navigable graph over the SAME centroids.bin used
+    // for QUERY-TIME probe selection — O(ef·log nlist) half of the serve
+    // latency that plain IVF spends ranking all nlist centroids per query.
+    // Build/append assignment stays the exact distributed scan (a Spark
+    // cluster has the parallelism where FAISS's single process does not),
+    // so index CONTENTS are bit-identical to plain IVF and only probe
+    // SETS at nprobe < nlist may differ. 0 = exact probe selection.
+    coarseHnswM: Int = 0) {
   def metricObj: graft.core.Metric = graft.core.Metric.fromName(metric)
 }
 
