@@ -1138,7 +1138,7 @@ object Ann {
    *  deserializes lazily per JVM; L2 graph search is read-only with
    *  per-call scratch, so one instance serves all task threads. `ef` is the
    *  graph beam width (≥ nprobe; FAISS quantizer efSearch analog). */
-  private[index] final class CoarseProbe(bytes: Array[Byte], ef: Int)
+  private[graft] final class CoarseProbe(bytes: Array[Byte], ef: Int)
       extends Serializable {
     @transient private lazy val graph: HnswIndex = HnswFormat.readBytes(bytes)
     def select(query: Array[Float], nprobe: Int): Array[Int] =
@@ -1150,7 +1150,7 @@ object Ann {
    *  `spark.graft.ann.coarseEfSearch` (default 64) sets the graph beam
    *  floor — probe recall vs exact selection is ef-tunable without
    *  touching the stored graph, like FAISS quantizer->hnsw.efSearch. */
-  private[index] def coarseProbe(spark: SparkSession, meta: IndexMeta): CoarseProbe =
+  private[graft] def coarseProbe(spark: SparkSession, meta: IndexMeta): CoarseProbe =
     if (meta.coarseHnswM == 0) null
     else {
       val dir = IndexCatalog.indexDir(root(spark), meta.name)
@@ -1171,7 +1171,7 @@ object Ann {
    *  exact, which is what the saturation oracles pin). Static
    *  (cents, imiB, coarse) signature so executor-side UDFs capture only
    *  broadcast/serializable values. */
-  private[index] def selectProbes(cents: Array[Array[Float]], imiB: Int,
+  private[graft] def selectProbes(cents: Array[Array[Float]], imiB: Int,
       query: Array[Float], nprobe: Int, coarse: CoarseProbe = null): Array[Int] =
     if (imiB > 0) KMeansLite.nearestPImi(cents, imiB, query, nprobe)
     else if (coarse != null && nprobe < cents.length) coarse.select(query, nprobe)

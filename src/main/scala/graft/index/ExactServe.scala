@@ -77,6 +77,12 @@ private[graft] object ExactServe {
         case "lsh" => ((meta.nlist + 63) / 64).toLong * 8
         case _ => 0L
       }
+    // side artifacts the cache also holds: the centroid table for IVF
+    // engines, twice when an IVF_HNSW coarse graph rides along (graph
+    // vectors ≈ another centroid-table copy; links are a small multiple
+    // of m·nlist ints, absorbed by the ×2)
+    val sideBytes: Long =
+      meta.nlist.toLong * meta.dim * 4 * (if (meta.coarseHnswM > 0) 2 else 1)
     (meta.engine == "flat" || meta.engine == "ivfflat" ||
      meta.engine == "pq" || meta.engine == "ivfpq" ||
      meta.engine == "ivfsq" || meta.engine == "lsh") &&
@@ -86,7 +92,8 @@ private[graft] object ExactServe {
       // unrefined code engines — pq stores m bytes/row, lsh 8; erring high
       // only keeps a servable index on the distributed route, never the
       // reverse
-      meta.numVectors * (meta.dim.toLong * 4 + 16 + codeBytes) <= maxBytes(spark)
+      meta.numVectors * (meta.dim.toLong * 4 + 16 + codeBytes) + sideBytes <=
+        maxBytes(spark)
   }
 
   private def fingerprint(path: String): String = {

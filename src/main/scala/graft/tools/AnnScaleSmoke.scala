@@ -460,6 +460,58 @@ object AnnScaleSmoke {
         qsArr.foreach(q => graft.index.KMeansLite.nearestP(imiCents, q, imiNprobe))
         qsArr.length.toLong
       }
+      // ---- IVF_HNSW at scale (round-17): the HNSW coarse quantizer over
+      // the SAME 65,536-cell centroid table — a third catalog clone
+      // (imiB=0, coarseHnswM=32, same parquet/radii), so the serve pair vs
+      // as_imi_flat isolates exactly what graph probe selection changes,
+      // and the probe_select microbench prices selection alone against
+      // both the exact O(nlist) scan and the IMI decomposition. The
+      // coarse graph build is the one-off driver cost the clone pays.
+      locally {
+        // clone first (save() mkdirs the index dir the graph build writes
+        // into), then pay the one-off coarse-graph cost as its own op
+        IndexCatalog.save(Ann.root(spark),
+          imiMeta.copy(name = "as_ivfhnsw", imiB = 0, coarseHnswM = 32))
+        Seq("centroids.bin", "radii.bin").foreach { f =>
+          val src = java.nio.file.Paths.get(
+            IndexCatalog.indexDir(Ann.root(spark), "as_imi"), f)
+          if (java.nio.file.Files.exists(src))
+            java.nio.file.Files.copy(src, java.nio.file.Paths.get(
+              IndexCatalog.indexDir(Ann.root(spark), "as_ivfhnsw"), f),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        run("ivfhnsw_coarse_build") {
+          val ix = new graft.core.HnswIndex(imiCents(0).length,
+            graft.core.Metric.L2, 32)
+          imiCents.foreach(ix.add)
+          graft.core.HnswFormat.writeFile(ix, java.nio.file.Paths.get(
+            IndexCatalog.indexDir(Ann.root(spark), "as_ivfhnsw"),
+            "coarse.hnsw").toString)
+          imiCents.length.toLong
+        }
+        runServe("ivfhnsw_search_table_512q") {
+          Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfhnsw", 10).count()
+        }
+        val hnswMeta = IndexCatalog.load(Ann.root(spark), "as_ivfhnsw")
+        val coarse = Ann.coarseProbe(spark, hnswMeta)
+        run("probe_select_hnsw_512q") {
+          qsArr.foreach(q => Ann.selectProbes(imiCents, 0, q, imiNprobe, coarse))
+          qsArr.length.toLong
+        }
+        // probe-set quality: mean overlap of the graph's nprobe=512 set
+        // with the exact top-512 cells (the selection-level recall that
+        // bounds any serve-level recall delta vs as_imi_flat)
+        var overlap = 0L
+        qsArr.foreach { q =>
+          val exact = graft.index.KMeansLite.nearestP(imiCents, q, imiNprobe).toSet
+          overlap += Ann.selectProbes(imiCents, 0, q, imiNprobe, coarse)
+            .count(exact)
+        }
+        if (ops.contains("probe_select_hnsw_512q"))
+          ops("probe_select_hnsw_512q") = ops("probe_select_hnsw_512q") +
+            ("probe_recall" ->
+              f"${overlap.toDouble / (qsArr.length.toLong * imiNprobe)}%.4f".toDouble)
+      }
     }
     // ---- RFlat k_factor sweep (IndexMeta.refineK — FAISS's mutable
     // IndexRefineFlat.k_factor): the default k_factor=4 re-ranks only 40
