@@ -1110,6 +1110,38 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // OPQ,IVF,PQ chain bit oracle (FAISS's canonical billion-scale factory
+    // `OPQ<m>,IVF<n>,PQ<m>`): seeded rotation = the reversal permutation
+    // (the plain seeded-OPQ convention), then the FULL seeded-ivfpq replay
+    // runs in rotated space — coarse assignment, residual codebook, and
+    // residual-ADC ranking at saturating nprobe all recompute in SQL over
+    // the reversed lists. Covers the chain fold end to end: build-side
+    // rotation, prepQuery's query rotation, and the unchanged ivfpq serve.
+    "ann_opqivf_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_opqivf_ex",
+        "OPQ8,IVF4,PQ8", Ann.BuildParams(seedK = 16, nprobe = 4))
+      import s.implicits._
+      Ann.search(emb, "vec_id", "v_opqivf_ex", q64Arr, 10)
+        .select(col("vec_id"), col("_distance"))
+        .orderBy(col("_distance"), col("vec_id"))
+        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
+        .toDF("vec_id", "rank")
+        .orderBy("rank")
+    }),
+
+    // realistic-parameter twin for the reduction chain `PCA<d>,IVF<n>,PQ<m>`
+    // (trained Jacobi eigenbasis, 64→32 dims, PQ over the reduced space) —
+    // lossy by design, rows-only; the chain fold itself is value-oracled by
+    // ann_opqivf_exact on the same code path
+    "ann_pcaivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_pcaivfpq",
+        "PCA32,IVF8,PQ8", Ann.BuildParams(nprobe = 4))
+      Ann.search(emb, "vec_id", "v_pcaivfpq", q64Arr, 10)
+        .select("vec_id", "_distance")
+    }),
+
     // RFlat refine bit oracle: seeded-ADC candidates (k · k_factor=4) are
     // re-ranked by the exact double-precision metric distance, so the FULL
     // VALUE oracles (not just rank) — FAISS IndexRefineFlat semantics.
@@ -2309,6 +2341,56 @@ object SparkEntry {
          |    * (($q64Sql)[k.s*8 + i] - g.v[k.s*8 + i] - c.v[k.s*8 + i])))) AS dd
          |  FROM codes k JOIN asg a ON a.vec_id = k.vec_id
          |    JOIN coarse g ON g.cl = a.cl JOIN cents c ON c.c = k.c
+         |  GROUP BY k.vec_id)
+         |SELECT vec_id, rank FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY dd, vec_id) AS rank FROM adc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    // OPQ,IVF,PQ chain replay: the ann_ivfpq_exact replay with every vector
+    // (and the query) passed through the seeded reversal rotation first —
+    // exactly what the stored mean-zero pca.bin fold computes.
+    "ann_opqivf_exact" ->
+      s"""WITH rot AS (
+         |  SELECT vec_id, list_transform(range(1, 65),
+         |    i -> CAST(embedding AS DOUBLE[])[65 - i]) AS v
+         |  FROM embeddings),
+         |qrot AS (
+         |  SELECT list_transform(range(1, 65), i -> ($q64Sql)[65 - i]) AS q),
+         |coarse AS (
+         |  SELECT CAST(vec_id AS INT) AS cl, v FROM rot WHERE vec_id < 4),
+         |asg AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT r.vec_id, g.cl, row_number() OVER (PARTITION BY r.vec_id
+         |      ORDER BY list_sum(list_transform(range(1, 65), i ->
+         |        (r.v[i] - g.v[i]) * (r.v[i] - g.v[i]))),
+         |      g.cl) AS rn
+         |    FROM rot r CROSS JOIN coarse g)
+         |  WHERE rn = 1),
+         |resid AS (
+         |  SELECT r.vec_id, a.cl,
+         |    list_transform(range(1, 65), i -> r.v[i] - g.v[i]) AS rv
+         |  FROM rot r JOIN asg a ON a.vec_id = r.vec_id
+         |    JOIN coarse g ON g.cl = a.cl),
+         |cents AS (
+         |  SELECT CAST(r.vec_id AS INT) AS c, r.rv AS v FROM resid r
+         |  WHERE r.vec_id < 16),
+         |subs AS (SELECT CAST(s AS INT) AS s FROM range(8) t(s)),
+         |codes AS (
+         |  SELECT vec_id, s, c FROM (
+         |    SELECT r.vec_id, sub.s, c.c, row_number() OVER (
+         |      PARTITION BY r.vec_id, sub.s ORDER BY
+         |        list_sum(list_transform(range(1, 9), i ->
+         |          (r.rv[sub.s*8 + i] - c.v[sub.s*8 + i])
+         |          * (r.rv[sub.s*8 + i] - c.v[sub.s*8 + i]))),
+         |        c.c) AS rn
+         |    FROM resid r CROSS JOIN subs sub CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |adc AS (
+         |  SELECT k.vec_id, sum(list_sum(list_transform(range(1, 9), i ->
+         |    (q.q[k.s*8 + i] - g.v[k.s*8 + i] - c.v[k.s*8 + i])
+         |    * (q.q[k.s*8 + i] - g.v[k.s*8 + i] - c.v[k.s*8 + i])))) AS dd
+         |  FROM codes k JOIN asg a ON a.vec_id = k.vec_id
+         |    JOIN coarse g ON g.cl = a.cl JOIN cents c ON c.c = k.c
+         |    CROSS JOIN qrot q
          |  GROUP BY k.vec_id)
          |SELECT vec_id, rank FROM (
          |  SELECT vec_id, row_number() OVER (ORDER BY dd, vec_id) AS rank FROM adc)

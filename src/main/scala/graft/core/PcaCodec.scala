@@ -40,6 +40,24 @@ object PcaCodec {
       }
       out
     }
+
+    /** x̂ = Rᵀ · y + mean — the FAISS PCAMatrix reverse_transform, valid
+     *  when the rows are orthonormal (plain/PCAR/OPQ-chain rotations; at
+     *  outDim < inputDim the transpose is the minimum-norm pseudo-inverse,
+     *  exactly FAISS's choice). Whitened ("w") rotations are NOT
+     *  orthonormal — callers must reject those (Ann.reconstruct does). */
+    def inverseTransform(y: Array[Float]): Array[Float] = {
+      val out = new Array[Float](inputDim)
+      var i = 0
+      while (i < inputDim) {
+        var s = 0.0
+        var r = 0
+        while (r < rotation.length) { s += rotation(r)(i).toDouble * y(r).toDouble; r += 1 }
+        out(i) = (s + mean(i)).toFloat
+        i += 1
+      }
+      out
+    }
   }
 
   /** Fit on `sample` (each row length dim), keeping the top `outDim`

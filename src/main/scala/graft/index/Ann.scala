@@ -83,6 +83,13 @@ object Ann {
       // All fold into the stored rotation matrix (PcaCodec.fit), so serving
       // is variant-blind.
       pcaVariant: String = "",
+      // OPQ rotation as a transform-chain prefix over the ivfpq terminal
+      // (factory `OPQ<m>,IVF<n>,PQ<m>` — FAISS's canonical billion-scale
+      // recipe): the rotation is fitted PQ-aware (OpqCodec.train) and
+      // stored as a mean-zero pca.bin, so every serve surface reuses the
+      // PCA-chain fold (prepQuery). Seed mode uses the reversal
+      // permutation, like plain seeded OPQ. false = off.
+      opqChain: Boolean = false,
       // IMI coarse quantizer (factory `IMI2x<b>[,Flat]`): bits per
       // half-space codebook; cells = cross product (nlist = 2^(2b)). 0 = off
       imiB: Int = 0,
@@ -149,8 +156,18 @@ object Ann {
         require(m1.toInt == m2.toInt,
           s"OPQ subquantizer count must match PQ (got OPQ$m1,PQ$m2)")
         base.copy(engine = "pq", pqM = m2.toInt, opq = true)
+      // FAISS `OPQ<m>,IVF<n>,PQ<m>` — the canonical billion-scale recipe:
+      // a PQ-aware learned rotation as a transform chain over the ivfpq
+      // terminal (IVF trains/assigns in rotated space, PQ encodes rotated
+      // residuals, prepQuery rotates queries through the stored fold)
+      case Opq(m1) :: Ivf(nlist) :: Pq(m2) :: Nil =>
+        require(m1.toInt == m2.toInt,
+          s"OPQ subquantizer count must match PQ (got OPQ$m1,...,PQ$m2)")
+        base.copy(engine = "ivfpq", nlist = nlist.toInt, pqM = m2.toInt,
+          opqChain = true)
       case Opq(_) :: _ => throw new IllegalArgumentException(
-        s"OPQ requires the PQ engine (e.g. 'OPQ8,PQ8[,RFlat]'): '$desc'")
+        s"OPQ requires a PQ terminal (e.g. 'OPQ8,PQ8[,RFlat]' or " +
+        s"'OPQ8,IVF256,PQ8'): '$desc'")
       case f :: Nil if f.equalsIgnoreCase("flat") => base.copy(engine = "flat")
       // IVF<n>_HNSW<m> must match before plain IVF<n> (the regex prefix of
       // `IVF123_HNSW32` is a valid IVF match)
@@ -186,9 +203,17 @@ object Ann {
           if rest.isEmpty || (rest.lengthCompare(1) == 0 && rest.head.equalsIgnoreCase("flat")) =>
         base.copy(engine = "ivfflat", nlist = nlist.toInt, pcaDim = d.toInt,
           pcaVariant = Option(variant).getOrElse("").toLowerCase)
+      // FAISS `PCA<d>,IVF<n>,PQ<m>`: dimensionality reduction before the
+      // quantized inverted file — the PQ subquantizers split the REDUCED
+      // dim (d % m == 0 checked at build)
+      case Pca(variant, d) :: Ivf(nlist) :: Pq(m) :: Nil =>
+        base.copy(engine = "ivfpq", nlist = nlist.toInt, pqM = m.toInt,
+          pcaDim = d.toInt,
+          pcaVariant = Option(variant).getOrElse("").toLowerCase)
       case Pca(_, _) :: _ => throw new IllegalArgumentException(
-        s"PCA[R|W]<d> needs a Flat or IVF<nlist>[,Flat] terminal (e.g. " +
-        s"'PCA32,Flat', 'PCAR32,Flat', 'PCAW32,IVF64,Flat'): '$desc'")
+        s"PCA[R|W]<d> needs a Flat, IVF<nlist>[,Flat], or IVF<nlist>,PQ<m> " +
+        s"terminal (e.g. 'PCA32,Flat', 'PCAR32,Flat', 'PCAW32,IVF64,Flat', " +
+        s"'PCA32,IVF64,PQ8'): '$desc'")
       // FAISS `IMI2x<b>` coarse quantizer as an inverted-file terminal
       // (multi-index: two half-space codebooks, cells = cross product)
       case Imi(b) :: rest
@@ -216,9 +241,10 @@ object Ann {
         s"unsupported index factory description: '$desc' — supported: " +
         "Flat | HNSW[m] | IVF<nlist>[,Flat] | IVF<nlist>,PQ<m> | " +
         "IVF<nlist>_HNSW<m>[,Flat|,PQ<m>] | PQ<m> | " +
-        "OPQ<m>,PQ<m> | LSH[nbits][r|t|rt] | DiskANN[degree] | " +
+        "OPQ<m>,PQ<m> | OPQ<m>,IVF<nlist>,PQ<m> | LSH[nbits][r|t|rt] | " +
+        "DiskANN[degree] | " +
         "IMI2x<b>[,Flat] | IMI2x<b>,PQ<m> | PCA<d>,Flat | PCAR<d>/PCAW<d> " +
-        "chains | PCA<d>,IVF<nlist>[,Flat], optionally suffixed " +
+        "chains | PCA<d>,IVF<nlist>[,Flat|,PQ<m>], optionally suffixed " +
         "',SQ8'/',SQ4'/',SQ6' (diskann or IVF<nlist>) or ',RFlat' " +
         "(PQ/LSH/IVFSQ engines); other transform chains are not implemented")
     }
@@ -326,9 +352,10 @@ object Ann {
     // index, and hand the ENGINE the transformed vectors — from here down
     // the index neither knows nor cares a transform exists; queries map
     // through the same file in prepQuery.
-    val (data, origDim, pcaPath) = if (params.pcaDim > 0) {
-      require(params.engine == "flat" || params.engine == "ivfflat",
-        s"PCA pre-transform supports flat/ivfflat terminals (got ${params.engine})")
+    val (data, origDim, pcaPath, chainVariant) = if (params.pcaDim > 0) {
+      require(params.engine == "flat" || params.engine == "ivfflat" ||
+        params.engine == "ivfpq",
+        s"PCA pre-transform supports flat/ivfflat/ivfpq terminals (got ${params.engine})")
       require(metric eq Metric.L2,
         "PCA pre-transform supports the l2 metric (centering shifts IP/cosine values)")
       import spark.implicits._
@@ -340,8 +367,39 @@ object Ann {
       graft.core.PcaCodec.write(path, pca)
       val pcaB = spark.sparkContext.broadcast(pca)
       val tUdf = udf((v: Array[Float]) => pcaB.value.transform(v))
-      (data0.withColumn("vec", tUdf(col("vec"))), inDim, path)
-    } else (data0, 0, "")
+      (data0.withColumn("vec", tUdf(col("vec"))), inDim, path, params.pcaVariant)
+    } else if (params.opqChain) {
+      // OPQ chain over the ivfpq terminal (`OPQ<m>,IVF<n>,PQ<m>`): the
+      // rotation is fitted PQ-aware on the sample (OpqCodec.train — FAISS
+      // trains the OPQ VectorTransform the same way, then IVFPQ trains on
+      // transformed vectors), or is the seeded reversal permutation in
+      // seed mode (the plain seeded-OPQ convention, SQL-replayable). It is
+      // stored as a MEAN-ZERO pca.bin, so every serve surface — prepQuery,
+      // batch/table query transforms, append, ExactServe — reuses the
+      // PCA-chain fold unchanged. Mean zero means no centering: rotations
+      // preserve norms and dots, so the chain is metric-safe for
+      // l2/ip/cosine (normalize∘rotate = rotate∘normalize).
+      require(params.engine == "ivfpq",
+        s"the OPQ chain form targets the ivfpq terminal (got ${params.engine})")
+      import spark.implicits._
+      val inDim = inferDim(data0)
+      val rot =
+        if (params.seedK > 0)
+          Array.tabulate(inDim, inDim)((i, j) => if (j == inDim - 1 - i) 1.0f else 0.0f)
+        else {
+          val sample = data0.orderBy("id").limit(params.trainSample)
+            .select("vec").as[Array[Float]].collect()
+          val prepped = if (metric eq Metric.Cosine)
+            sample.map(v => VectorOps.normalize(v.clone())) else sample
+          OpqCodec.train(prepped, params.pqM).rotation
+        }
+      val pca = graft.core.PcaCodec.Pca(rot, new Array[Float](inDim))
+      val path = s"$dir/pca.bin"
+      graft.core.PcaCodec.write(path, pca)
+      val pcaB = spark.sparkContext.broadcast(pca)
+      val tUdf = udf((v: Array[Float]) => pcaB.value.transform(v))
+      (data0.withColumn("vec", tUdf(col("vec"))), inDim, path, "q")
+    } else (data0, 0, "", "")
 
     val srcFiles = sourceRootPaths(df)
     val built = params.engine.toLowerCase match {
@@ -358,7 +416,7 @@ object Ann {
     // record the user-facing binding (original column names + source files)
     val bound = built.copy(column = column, idColumn = idColumn,
       sourceFiles = srcFiles, inputDim = origDim, pcaFile = pcaPath,
-      pcaVariant = if (pcaPath.nonEmpty) params.pcaVariant else "")
+      pcaVariant = if (pcaPath.nonEmpty) chainVariant else "")
     IndexCatalog.save(root(spark), bound)
     if (reuse) { buildMemo.put(name, fp); BuildMemoTrace.recordBuild(name) }
     bound
@@ -3073,7 +3131,21 @@ object Ann {
       case other => throw new IllegalArgumentException(
         s"reconstruct: unsupported engine '$other' for index '$name'")
     }
-    out.orderBy("row_id")
+    // transform-chained indexes (PCA/PCAR/OPQ-chain) store vectors in the
+    // rotated space; reconstruct maps them back through Rᵀ·y + mean —
+    // FAISS IndexPreTransform.reconstruct's reverse_transform, valid for
+    // orthonormal rotations (at reduced dim the transpose is the
+    // minimum-norm pseudo-inverse, FAISS's choice). Whitened rotations are
+    // not orthonormal: reject, like rangeSearch does.
+    val back = if (meta.pcaFile.isEmpty) out else {
+      require(meta.pcaVariant != "w",
+        s"reconstruct: whitened PCAW index '$name' has no orthonormal " +
+        "inverse (FAISS PCAMatrix reverse_transform requires is_orthonormal)")
+      val pcaB = spark.sparkContext.broadcast(graft.core.PcaCodec.cached(meta.pcaFile))
+      val invUdf = udf((y: Array[Float]) => pcaB.value.inverseTransform(y))
+      out.withColumn("vector", invUdf(col("vector")))
+    }
+    back.orderBy("row_id")
   }
 
   // ----------------------------------------------------- maintenance / DML

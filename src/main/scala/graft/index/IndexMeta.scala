@@ -56,8 +56,10 @@ case class IndexMeta(
     pcaFile: String = "",
     // PCA flavor the stored rotation was fit with: "" plain | "r" PCAR
     // (still a rotation — L2-preserving at full dim) | "w" PCAW (whitening —
-    // Mahalanobis space, rejected by rangeSearch at any dim). The transform
-    // itself is fully folded into pca.bin; this field only gates semantics.
+    // Mahalanobis space, rejected by rangeSearch at any dim) | "q" OPQ
+    // chain (`OPQ<m>,IVF<n>,PQ<m>` — a PQ-aware full-dim rotation with
+    // mean zero, metric-safe for every metric). The transform itself is
+    // fully folded into pca.bin; this field only gates semantics.
     pcaVariant: String = "",
     // lsh: FAISS IndexLSH training flags the stored hyperplanes were built
     // with — "r" rows are orthonormalized, "t" thresholds.bin holds trained

@@ -1,0 +1,113 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.PcaCodec
+
+/** Pins the transform-chain factory forms over the ivfpq terminal —
+ *  `OPQ<m>,IVF<n>,PQ<m>` (FAISS's canonical billion-scale recipe) and
+ *  `PCA<d>,IVF<n>,PQ<m>`: grammar, the seeded chain's bit-parity with a
+ *  manually rotated plain ivfpq, the stored rotation's orthonormality and
+ *  inverse round-trip, reconstruct through the inverse fold, and append
+ *  through the frozen rotation. */
+class OpqChainSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.graft.ann.root", s"/tmp/graft-test-opqchain-${System.nanoTime()}")
+    .getOrCreate()
+  locally { spark.sparkContext.setLogLevel("ERROR") }
+
+  private val sf = "/root/testdata/sf0.001"
+  lazy val emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val q0: Array[Float] = {
+    val r = emb.orderBy("vec_id").limit(1).collect()(0)
+    r.getSeq[Float](r.fieldIndex("embedding")).toArray
+  }
+  private def dirOf(name: String): String =
+    IndexCatalog.indexDir(Ann.root(spark), name)
+
+  test("factory grammar: chain forms parse; mismatched m and bad chains reject") {
+    val p = Ann.parseFactory("OPQ8,IVF64,PQ8")
+    assert(p.engine == "ivfpq" && p.nlist == 64 && p.pqM == 8 && p.opqChain)
+    val pp = Ann.parseFactory("PCA32,IVF64,PQ8")
+    assert(pp.engine == "ivfpq" && pp.pcaDim == 32 && pp.pqM == 8 && !pp.opqChain)
+    val pr = Ann.parseFactory("PCAR32,IVF64,PQ8")
+    assert(pr.pcaVariant == "r")
+    intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,IVF64,PQ4"))
+    intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,IVF64"))
+    intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,IVF64,SQ8"))
+  }
+
+  test("seeded OPQ chain == plain seeded ivfpq over manually reversed vectors") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "oc_chain",
+      "OPQ8,IVF4,PQ8", Ann.BuildParams(seedK = 16, nprobe = 4))
+    // manual reference: reverse every embedding (the seeded rotation) and
+    // build a plain seeded ivfpq over it; search with the reversed query
+    val rev = emb.withColumn("embedding",
+      reverse(col("embedding")).cast("array<float>"))
+    Ann.buildIndex(rev, "embedding", "vec_id", "oc_manual",
+      Ann.BuildParams(engine = "ivfpq", nlist = 4, nprobe = 4, pqM = 8,
+        seedK = 16))
+    val a = Ann.search(emb, "vec_id", "oc_chain", q0, 10)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val b = Ann.search(rev, "vec_id", "oc_manual", q0.reverse, 10)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(a == b)
+    val meta = IndexCatalog.load(Ann.root(spark), "oc_chain")
+    assert(meta.pcaVariant == "q" && meta.pcaFile.nonEmpty &&
+      meta.inputDim == meta.dim)
+  }
+
+  test("trained OPQ chain: stored rotation is orthonormal, mean zero; inverse round-trips") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "oc_train",
+      "OPQ8,IVF4,PQ8", Ann.BuildParams(nprobe = 4))
+    val pca = PcaCodec.cached(s"${dirOf("oc_train")}/pca.bin")
+    assert(pca.mean.forall(_ == 0f))
+    val r = pca.rotation
+    for (i <- r.indices; j <- r.indices) {
+      val dot = r(i).zip(r(j)).map { case (a, b) => a.toDouble * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-4,
+        s"rotation rows $i,$j dot=$dot")
+    }
+    val x = q0
+    val back = pca.inverseTransform(pca.transform(x))
+    val err = x.zip(back).map { case (a, b) => math.abs(a - b) }.max
+    assert(err < 1e-4, s"inverse round-trip err $err")
+  }
+
+  test("reconstruct on the chain applies the inverse fold (centroid+residual, then R^T)") {
+    val meta = IndexCatalog.load(Ann.root(spark), "oc_chain")
+    val pca = PcaCodec.cached(s"${dirOf("oc_chain")}/pca.bin")
+    val cb = PqCodec.read(s"${dirOf("oc_chain")}/pq.bin")
+    val cents = IndexCatalog.readCentroids(s"${dirOf("oc_chain")}/centroids.bin")
+    val row = spark.read.parquet(meta.sourcePath)
+      .where(col("id") === 5L).select("code", "cluster").collect()(0)
+    val res = PqCodec.decode(cb, row.getAs[Array[Byte]](0))
+    val c = cents(row.getInt(1))
+    val yhat = res.indices.map(i => c(i) + res(i)).toArray
+    val want = pca.inverseTransform(yhat)
+    val got = Ann.reconstruct(spark, "oc_chain", Seq(5L)).collect()(0)
+      .getSeq[Float](1).toArray
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("PCA32,IVF8,PQ8 reduction chain builds and serves; append rides the frozen fold") {
+    Ann.buildIndexFactory(emb.where(col("vec_id") < 150), "embedding",
+      "vec_id", "oc_pca", "PCA32,IVF8,PQ8", Ann.BuildParams(nprobe = 8))
+    val meta = IndexCatalog.load(Ann.root(spark), "oc_pca")
+    assert(meta.dim == 32 && meta.inputDim == 64)
+    Ann.append(emb.where(col("vec_id") >= 150 && col("vec_id") < 200),
+      "embedding", "vec_id", "oc_pca")
+    val hits = Ann.search(emb, "vec_id", "oc_pca", q0, 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(hits.length == 10)
+    // appended ids are servable (full corpus present in the code table)
+    val n = spark.read.parquet(meta.sourcePath).count()
+    assert(n == 200)
+  }
+}

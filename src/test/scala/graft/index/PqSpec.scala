@@ -86,7 +86,9 @@ class PqSpec extends AnyFunSuite {
     assert(p.engine == "pq" && p.pqM == 8 && p.opq)
     assert(Ann.parseFactory("OPQ4,PQ4,RFlat").refine)
     intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,PQ4"))
-    intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,IVF16,PQ8"))
+    // NOTE: "OPQ8,IVF16,PQ8" used to be in the reject list — the chain
+    // form over the ivfpq terminal is implemented now (OpqChainSpec)
+    assert(Ann.parseFactory("OPQ8,IVF16,PQ8").opqChain)
     intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,Flat"))
 
     // correlated data: a fixed dense rotation of an axis-aligned decaying-
