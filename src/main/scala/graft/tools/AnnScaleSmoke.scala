@@ -408,6 +408,19 @@ object AnnScaleSmoke {
     if (haveIdx("as_ivfsq4")) runServe("ivfsq4_search_table_512q") {
       Ann.searchTable(queries, "qvec", emb, "vec_id", "as_ivfsq4", 10).count()
     }
+    // OPQ transform chain over ivfpq (round-17): FAISS's billion-scale
+    // recipe `OPQ<m>,IVF<n>,PQ<m>` priced head-to-head with plain IVFPQ at
+    // the SAME byte budget (identical nlist/m/nprobe) — the learned
+    // rotation's ADC-recall recovery is the whole pitch, and it should show
+    // most clearly where plain PQ's fixed subspace split is worst.
+    if (!reuse || !haveIdx("as_opqivfpq")) run("opqivfpq_build") {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "as_opqivfpq",
+        s"OPQ8,IVF$nlist,PQ8", Ann.BuildParams(nprobe = pqNprobe))
+      n
+    }
+    if (haveIdx("as_opqivfpq")) runServe("opqivfpq_search_table_512q") {
+      Ann.searchTable(queries, "qvec", emb, "vec_id", "as_opqivfpq", 10).count()
+    }
     // ---- IMI2x8 at scale (round-17): 65,536 product cells from two
     // 256-centroid half trainings — a cell count k-means cannot reach
     // (65k centroids over a 25.6k training sample is ill-posed; the
@@ -555,7 +568,7 @@ object AnnScaleSmoke {
       Seq("as_disk", "as_ivf", "as_sq8", "as_ivfsq", "as_ivfpq", "as_ivfpqr") ++ sweepNames ++
         (kfSweep.map(kf => s"as_ivfpqr_kf$kf") ++
           Seq("as_lsh", "as_lshr", "as_lshrt", "as_lsh256", "as_ivfsq4",
-            "as_imi") :+ "as_hnsw").filter(haveIdx)
+            "as_opqivfpq", "as_imi") :+ "as_hnsw").filter(haveIdx)
     var recallByName = Map.empty[String, (Double, Double)]
     run("recall_at10_200q_all") {
       val rows = Ann.measureRecallMany(emb, "embedding", "vec_id",
@@ -600,8 +613,10 @@ object AnnScaleSmoke {
     val (lsh256Recall, _) = recallByName.getOrElse("as_lsh256", (-1.0, -1.0))
     val (ivfsq4Recall, _) = recallByName.getOrElse("as_ivfsq4", (-1.0, -1.0))
     val (imiRecall, _) = recallByName.getOrElse("as_imi", (-1.0, -1.0))
+    val (opqIvfpqRecall, _) = recallByName.getOrElse("as_opqivfpq", (-1.0, -1.0))
     System.err.println(f"[annscale] lsh256-rt recall@10 = $lsh256Recall%.4f; " +
-      f"ivfsq4 = $ivfsq4Recall%.4f; imi2x8 = $imiRecall%.4f")
+      f"ivfsq4 = $ivfsq4Recall%.4f; imi2x8 = $imiRecall%.4f; " +
+      f"opq+ivfpq = $opqIvfpqRecall%.4f (vs ivfpq $pqRecall%.4f)")
     val hnswRecall = recallByName.get("as_hnsw").map(_._1)
     hnswRecall.foreach(r =>
       System.err.println(f"[annscale] hnsw recall@10 = $r%.4f ($hnswShards shards)"))
@@ -828,6 +843,7 @@ object AnnScaleSmoke {
       s""""storage_ratio_vs_ivf":${ivfBytes.toDouble / math.max(1, ivfsq4Bytes)}},""" +
       s""""lsh256":{"recall_at10":$lsh256Recall,"storage_bytes":$lsh256Bytes},""" +
       s""""imi":{"recall_at10":$imiRecall,"cells":65536,"nprobe":512},""" +
+      s""""opq_ivfpq":{"recall_at10":$opqIvfpqRecall,"recall_at10_ivfpq":$pqRecall},""" +
       s""""ivfpq_rflat":{"recall_at10":$pqrRecall,"recall_at10_ids":$pqrRecallIds,""" +
       pqrKfRecalls.map { case (kf, r) =>
         s""""recall_at10_kf$kf":$r,""" }.mkString +
