@@ -42,7 +42,8 @@ private[graft] object ExactServe {
       lwcodes: Array[Array[Long]] = null, // lsh >64 bits (⌈nbits/64⌉ words)
       hyps: Array[Array[Float]] = null, // lsh hyperplanes
       lshThr: Array[Double] = null, // lsh trained thresholds (`t` suffix)
-      coarse: Ann.CoarseProbe = null) { // IVF_HNSW probe selection (else null)
+      coarse: Ann.CoarseProbe = null, // IVF_HNSW probe selection (else null)
+      rot: Array[Array[Float]] = null) { // plain-pq OPQ rotation (else null)
     /** id → position, built ONCE at load — the refine re-rank needs raw
      *  vectors by id on every query, and rebuilding a boxed map over up to
      *  ~250k ids per query defeats the job-free route's latency purpose. */
@@ -86,7 +87,8 @@ private[graft] object ExactServe {
     (meta.engine == "flat" || meta.engine == "ivfflat" ||
      meta.engine == "pq" || meta.engine == "ivfpq" ||
      meta.engine == "ivfsq" || meta.engine == "lsh") &&
-      !meta.opq && // OPQ queries need the rotation step; serve via the scan
+      // OPQ is servable job-free since r17: the ADC query rotates through
+      // the cached rotation matrix (Data.rot) exactly like the scan path
       meta.sourcePath.nonEmpty &&
       // vec-based estimate: exact for flat/ivf, conservative (over) for
       // unrefined code engines — pq stores m bytes/row, lsh 8; erring high
@@ -148,7 +150,12 @@ private[graft] object ExactServe {
         IndexCatalog.readThresholds(s"$dirPath/thresholds.bin") else null,
       // the SAME graph selection as the distributed scans — the job-free
       // route must answer identically to the cluster route at any nprobe
-      coarse = if (hasCluster) Ann.coarseProbe(spark, meta) else null)
+      coarse = if (hasCluster) Ann.coarseProbe(spark, meta) else null,
+      // plain-pq OPQ: codes live in rotated space; the ADC query rotates
+      // through the same stored matrix the distributed scan uses (the
+      // refine re-rank stays UNROTATED, like refineStage)
+      rot = if (meta.engine == "pq" && meta.opq)
+        IndexCatalog.readCentroids(s"$dirPath/rotation.bin") else null)
   }
 
   /** Top-fetchK (id, distance) — identical rows, distances, and order to the
@@ -233,25 +240,29 @@ private[graft] object ExactServe {
       // packed ivfsq rows (SQ4/SQ6) extract level indices inline; byte
       // codes take the PqCodec.adc fast path — float-identical to the scan
       val sqBits = if (noResidual) meta.quantBits else 8
+      // plain-pq OPQ codes are in rotated space: the ADC query rotates
+      // once (same double-fold rotate as the distributed scan); the refine
+      // re-rank below keeps the UNROTATED query against the raw vectors
+      val adcQuery = if (d.rot != null) OpqCodec.rotate(d.rot, query) else query
       val perProbe: Map[Int, (Array[Float], Float)] =
         if (d.clusters == null || noResidual) null
         else {
           val probes =
             if (probeSet != null) probeSet.indices.filter(probeSet(_))
             else d.cents.indices
-          val ipLut = if (l2) null else PqCodec.lut(d.cb, query, l2 = false)
+          val ipLut = if (l2) null else PqCodec.lut(d.cb, adcQuery, l2 = false)
           probes.map { p =>
             val c = d.cents(p)
             if (l2) {
-              val qr = new Array[Float](query.length)
+              val qr = new Array[Float](adcQuery.length)
               var i = 0
-              while (i < query.length) { qr(i) = query(i) - c(i); i += 1 }
+              while (i < adcQuery.length) { qr(i) = adcQuery(i) - c(i); i += 1 }
               p -> (PqCodec.lut(d.cb, qr, l2 = true), 0.0f)
-            } else p -> (ipLut, -graft.core.VectorOps.dot(query, c))
+            } else p -> (ipLut, -graft.core.VectorOps.dot(adcQuery, c))
           }.toMap
         }
       val flatLut =
-        if (d.clusters == null || noResidual) PqCodec.lut(d.cb, query, l2 = l2)
+        if (d.clusters == null || noResidual) PqCodec.lut(d.cb, adcQuery, l2 = l2)
         else null
       var i = 0
       while (i < n) {

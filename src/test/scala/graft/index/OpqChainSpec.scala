@@ -96,6 +96,27 @@ class OpqChainSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("plain OPQ serves job-free: ExactServe == distributed scan (ADC rotated, refine unrotated)") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "oc_srv", "OPQ8,PQ8",
+      Ann.BuildParams(seedK = 16))
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "oc_srv_r",
+      "OPQ8,PQ8,RFlat", Ann.BuildParams(seedK = 16, refineK = 4))
+    for (nm <- Seq("oc_srv", "oc_srv_r")) {
+      spark.conf.set("spark.graft.ann.localExactMaxBytes", "0")
+      val dist = Ann.search(emb, "vec_id", nm, q0, 10)
+        .select("vec_id", "_distance").collect()
+        .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      spark.conf.set("spark.graft.ann.localExactMaxBytes", (64L << 20).toString)
+      val meta = IndexCatalog.load(Ann.root(spark), nm)
+      assert(ExactServe.eligible(spark, meta), s"$nm should be job-free eligible")
+      val local = Ann.search(emb, "vec_id", nm, q0, 10)
+        .select("vec_id", "_distance").collect()
+        .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+      assert(local == dist, s"$nm job-free route diverged")
+    }
+    spark.conf.unset("spark.graft.ann.localExactMaxBytes")
+  }
+
   test("PCA32,IVF8,PQ8 reduction chain builds and serves; append rides the frozen fold") {
     Ann.buildIndexFactory(emb.where(col("vec_id") < 150), "embedding",
       "vec_id", "oc_pca", "PCA32,IVF8,PQ8", Ann.BuildParams(nprobe = 8))
