@@ -1193,29 +1193,49 @@ object Ann {
 
   /** Serializable HNSW probe-selection accelerator (`IVF<n>_HNSW<m>`): the
    *  `coarse.hnsw` image travels as bytes (broadcast- and closure-safe) and
-   *  deserializes lazily per JVM; L2 graph search is read-only with
-   *  per-call scratch, so one instance serves all task threads. `ef` is the
-   *  graph beam width (≥ nprobe; FAISS quantizer efSearch analog). */
-  private[graft] final class CoarseProbe(bytes: Array[Byte], ef: Int)
-      extends Serializable {
-    @transient private lazy val graph: HnswIndex = HnswFormat.readBytes(bytes)
+   *  deserializes through a process-wide cache keyed by the file
+   *  fingerprint — one graph decode per JVM no matter how many tasks
+   *  deserialize the closure (the graph at nlist ≈ 10⁵–10⁶ is tens of MB;
+   *  a per-task decode would cost more than the O(nlist) scan it
+   *  replaces). L2 graph search is read-only with per-call scratch, so the
+   *  shared instance serves all task threads. `ef` is the graph beam
+   *  width (≥ nprobe; FAISS quantizer efSearch analog). */
+  private[graft] final class CoarseProbe(bytes: Array[Byte], ef: Int,
+      fingerprint: String) extends Serializable {
+    @transient private lazy val graph: HnswIndex =
+      coarseGraphCache.computeIfAbsent(fingerprint, _ => HnswFormat.readBytes(bytes))
     def select(query: Array[Float], nprobe: Int): Array[Int] =
       graph.search(query, nprobe, math.max(ef, 2 * nprobe))._1
   }
 
+  /** fingerprint → decoded coarse graph, process-wide (bounded: one entry
+   *  per built index generation; coarse.hnsw is frozen with the centroids,
+   *  so the (path, mtime, length) key invalidates exactly on rebuild —
+   *  the PcaCodec.cached / ShardCache pattern). */
+  private val coarseGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, HnswIndex]()
+  private val coarseProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CoarseProbe]()
+
   /** Load the probe-selection accelerator for an index, or null when the
-   *  index has none (`coarseHnswM == 0`). Session conf
-   *  `spark.graft.ann.coarseEfSearch` (default 64) sets the graph beam
-   *  floor — probe recall vs exact selection is ef-tunable without
-   *  touching the stored graph, like FAISS quantizer->hnsw.efSearch. */
+   *  index has none (`coarseHnswM == 0`). Cached per (file generation, ef):
+   *  single-query serves stopped paying a file read + graph decode per
+   *  query. Session conf `spark.graft.ann.coarseEfSearch` (default 64)
+   *  sets the graph beam floor — probe recall vs exact selection is
+   *  ef-tunable without touching the stored graph, like FAISS
+   *  quantizer->hnsw.efSearch. */
   private[graft] def coarseProbe(spark: SparkSession, meta: IndexMeta): CoarseProbe =
     if (meta.coarseHnswM == 0) null
     else {
       val dir = IndexCatalog.indexDir(root(spark), meta.name)
+      val path = s"$dir/coarse.hnsw"
       val ef = spark.conf.getOption("spark.graft.ann.coarseEfSearch")
         .map(_.toInt).getOrElse(64)
-      new CoarseProbe(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(s"$dir/coarse.hnsw")), ef)
+      val f = new java.io.File(path)
+      val graphFp = s"$path:${f.lastModified}:${f.length}"
+      coarseProbeCache.computeIfAbsent(s"$graphFp:ef=$ef", _ =>
+        new CoarseProbe(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), ef, graphFp))
     }
 
   /** Probe selection for IVF-family serving: plain IVF ranks the centroid
@@ -3051,8 +3071,9 @@ object Ann {
    *    SQ4/SQ6);
    *  - RFlat-refined code engines return the refine storage's exact raw
    *    vectors (FAISS IndexRefineFlat.reconstruct);
-   *  - lsh rejects: sign codes are not reconstructible (FAISS IndexLSH has
-   *    no reconstruct either).
+   *  - unrefined lsh rejects: sign codes are not reconstructible (FAISS
+   *    IndexLSH has no reconstruct either; LSH,RFlat keeps raw vectors and
+   *    reconstructs exactly via the refined arm above).
    * Tombstoned ids are omitted. The ids list is a driver-side argument by
    * contract (point lookups); each engine's decode runs distributed over
    * the code/vector table, so the scan scales with the corpus, not the
@@ -3070,6 +3091,10 @@ object Ann {
         .where(col("id").isin(wantCol: _*))
         .select(col("id").as("row_id"), toFloatVec(col("vec")).as("vector"))
     val out: DataFrame = meta.engine match {
+      // RFlat-refined code engines keep the raw vec column — reconstruct
+      // returns the refine storage exactly (FAISS IndexRefineFlat), so
+      // this arm must win over the unrefined-LSH reject below
+      case "pq" | "ivfpq" | "ivfsq" | "lsh" if meta.refine => fromStored()
       case "lsh" => throw new IllegalArgumentException(
         s"index '$name' is LSH: sign codes are not reconstructible " +
         "(FAISS IndexLSH has no reconstruct)")
@@ -3086,7 +3111,6 @@ object Ann {
             }
           }.toDF("row_id", "vector")
       case "flat" | "ivfflat" => fromStored()
-      case "pq" | "ivfpq" | "ivfsq" if meta.refine => fromStored()
       case "pq" =>
         val cb = PqCodec.read(s"$dirPath/pq.bin")
         // OPQ stores codes in rotated space; reconstruct applies Rᵀ (the
@@ -3235,18 +3259,28 @@ object Ann {
     val dim = if (meta.inputDim > 0) meta.inputDim else meta.dim
     val cosine = meta.metricObj eq Metric.Cosine
     val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
+    // transform FIRST, normalize AFTER — the build's float order (buildIndex
+    // rotates raw vectors, then the engine normalizes; prepQuery matches).
+    // Normalizing before an OPQ-chain rotation agrees only in exact
+    // arithmetic — in float the two orders differ by an ulp, enough to
+    // flip an appended row's cluster/code at a cell boundary and break the
+    // frozen-transform append's bit-parity convention.
     val checkUdf = udf((v: Array[Float]) => {
       require(v.length == dim, s"appended vector has dimension ${v.length}, expected $dim")
-      if (cosine) VectorOps.normalize(v.clone()) else v
+      v
     })
     val data0 = df
       .select(col(idColumn).cast(LongType).as("id"), toFloatVec(col(column)).as("vec"))
       .where(col(idColumn).isNotNull && col(column).isNotNull)
       .withColumn("vec", checkUdf(col("vec")))
-    val data = if (meta.pcaFile.isEmpty) data0 else {
+    val transformed = if (meta.pcaFile.isEmpty) data0 else {
       val pcaB = spark.sparkContext.broadcast(graft.core.PcaCodec.cached(meta.pcaFile))
       val tUdf = udf((v: Array[Float]) => pcaB.value.transform(v))
       data0.withColumn("vec", tUdf(col("vec")))
+    }
+    val data = if (!cosine) transformed else {
+      val nUdf = udf((v: Array[Float]) => VectorOps.normalize(v.clone()))
+      transformed.withColumn("vec", nUdf(col("vec")))
     }
     val n = data.count()
     if (n == 0) return meta

@@ -257,6 +257,7 @@ object KMeansLite {
    */
   def nearestPImi(cents: Array[Array[Float]], imiB: Int, v: Array[Float],
       p: Int): Array[Int] = {
+    if (p <= 0) return Array.emptyIntArray // nearestP's p<=0 contract
     val kh = 1 << imiB
     require(cents.length == kh * kh,
       s"IMI2x$imiB product table must hold ${kh * kh} cells (got ${cents.length})")

@@ -117,6 +117,39 @@ class OpqChainSpec extends AnyFunSuite {
     spark.conf.unset("spark.graft.ann.localExactMaxBytes")
   }
 
+  test("cosine OPQ chain: append encodes identically to the build (rotate THEN normalize)") {
+    // same rows, half built / half appended, must land with identical
+    // cluster+code to a one-shot build — the frozen-transform bit-parity
+    // convention (append used to normalize before rotating, an ulp-level
+    // float-order divergence)
+    val half1 = emb.where(col("vec_id") < 100)
+    val half2 = emb.where(col("vec_id") >= 100 && col("vec_id") < 200)
+    Ann.buildIndexFactory(half1, "embedding", "vec_id", "oc_cos",
+      "OPQ8,IVF4,PQ8", Ann.BuildParams(metric = "cosine", seedK = 16, nprobe = 4))
+    Ann.append(half2, "embedding", "vec_id", "oc_cos")
+    Ann.buildIndexFactory(emb.where(col("vec_id") < 200), "embedding",
+      "vec_id", "oc_cos_full", "OPQ8,IVF4,PQ8",
+      Ann.BuildParams(metric = "cosine", seedK = 16, nprobe = 4))
+    val m1 = IndexCatalog.load(Ann.root(spark), "oc_cos")
+    val m2 = IndexCatalog.load(Ann.root(spark), "oc_cos_full")
+    def rows(m: IndexMeta) = spark.read.parquet(m.sourcePath)
+      .select("id", "cluster", "code").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getAs[Array[Byte]](2).toSeq)))
+      .toMap
+    assert(rows(m1) == rows(m2))
+  }
+
+  test("coarseProbe and its decoded graph are process-cached per file generation") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "oc_cp",
+      "IVF16_HNSW8,Flat", Ann.BuildParams(nprobe = 4))
+    val meta = IndexCatalog.load(Ann.root(spark), "oc_cp")
+    val a = Ann.coarseProbe(spark, meta)
+    val b = Ann.coarseProbe(spark, meta)
+    assert(a eq b) // no per-query file read + decode
+    assert(KMeansLite.nearestPImi(
+      Array.fill(4)(Array.fill(4)(0f)), 1, Array.fill(4)(0f), 0).isEmpty)
+  }
+
   test("PCA32,IVF8,PQ8 reduction chain builds and serves; append rides the frozen fold") {
     Ann.buildIndexFactory(emb.where(col("vec_id") < 150), "embedding",
       "vec_id", "oc_pca", "PCA32,IVF8,PQ8", Ann.BuildParams(nprobe = 8))

@@ -110,5 +110,9 @@ class ReconstructSpec extends AnyFunSuite {
     assert(recon("rc_ref", Seq(9L, 10L)).keySet == Set(10L))
     Ann.buildIndexFactory(emb, "embedding", "vec_id", "rc_lsh", "LSH32")
     intercept[IllegalArgumentException](Ann.reconstruct(spark, "rc_lsh", Seq(0L)))
+    // LSH,RFlat keeps the raw vectors: reconstruct returns them exactly
+    // (the refined arm must win over the unrefined-LSH reject)
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "rc_lshr", "LSH32,RFlat")
+    assert(recon("rc_lshr", Seq(4L))(4L).toSeq == raw(4L).toSeq)
   }
 }
