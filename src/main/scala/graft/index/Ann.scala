@@ -174,10 +174,10 @@ object Ann {
       case IvfHnsw(nlist, m) :: rest
           if rest.isEmpty || (rest.lengthCompare(1) == 0 && rest.head.equalsIgnoreCase("flat")) =>
         base.copy(engine = "ivfflat", nlist = nlist.toInt,
-          coarseHnswM = if (m.isEmpty) HnswIndex.DefaultM else m.toInt)
+          coarseHnswM = coarseHnswMOf(m, desc))
       case IvfHnsw(nlist, m) :: Pq(pm) :: Nil =>
         base.copy(engine = "ivfpq", nlist = nlist.toInt, pqM = pm.toInt,
-          coarseHnswM = if (m.isEmpty) HnswIndex.DefaultM else m.toInt)
+          coarseHnswM = coarseHnswMOf(m, desc))
       case Ivf(nlist) :: rest
           if rest.isEmpty || (rest.lengthCompare(1) == 0 && rest.head.equalsIgnoreCase("flat")) =>
         base.copy(engine = "ivfflat", nlist = nlist.toInt)
@@ -248,8 +248,6 @@ object Ann {
         "',SQ8'/',SQ4'/',SQ6' (diskann or IVF<nlist>) or ',RFlat' " +
         "(PQ/LSH/IVFSQ engines); other transform chains are not implemented")
     }
-    require(p.coarseHnswM == 0 || p.coarseHnswM > 1,
-      s"IVF<n>_HNSW<m> needs graph degree m > 1: '$desc'")
     val p2 = sqSuffix.headOption match {
       // FAISS `IVF<n>,SQ8/SQ4/SQ6` (IndexIVFScalarQuantizer with
       // QT_8bit/QT_4bit/QT_6bit, by_residual=false): inverted lists over
@@ -275,6 +273,18 @@ object Ann {
 
   /** Build from a factory description string (`Flat`, `HNSW32`,
    *  `IVF256,Flat`, `DiskANN64,SQ8`, `PQ8,RFlat`, `IVF64,PQ8,RFlat`). */
+  /** Coarse-graph degree from the `_HNSW<m>` form: an EXPLICIT m must be a
+   *  usable graph degree (m ≥ 2 — same floor HnswIndex itself requires), so
+   *  a user who wrote `IVF64_HNSW0` gets a parse error rather than a
+   *  silently-plain IVF index; bare `_HNSW` takes the default. 0 stays
+   *  reserved for the internal "no coarse graph" state. */
+  private def coarseHnswMOf(m: String, desc: String): Int =
+    if (m.isEmpty) HnswIndex.DefaultM
+    else {
+      require(m.toInt > 1, s"IVF<n>_HNSW<m> needs graph degree m > 1: '$desc'")
+      m.toInt
+    }
+
   def buildIndexFactory(df: DataFrame, column: String, idColumn: String,
       name: String, factory: String,
       base: BuildParams = BuildParams()): IndexMeta =
@@ -1201,21 +1211,32 @@ object Ann {
    *  shared instance serves all task threads. `ef` is the graph beam
    *  width (≥ nprobe; FAISS quantizer efSearch analog). */
   private[graft] final class CoarseProbe(bytes: Array[Byte], ef: Int,
-      fingerprint: String) extends Serializable {
+      path: String, fingerprint: String) extends Serializable {
     @transient private lazy val graph: HnswIndex =
-      coarseGraphCache.computeIfAbsent(fingerprint, _ => HnswFormat.readBytes(bytes))
+      cachedCoarseGraph(path, fingerprint, bytes)
     def select(query: Array[Float], nprobe: Int): Array[Int] =
       graph.search(query, nprobe, math.max(ef, 2 * nprobe))._1
   }
 
-  /** fingerprint → decoded coarse graph, process-wide (bounded: one entry
-   *  per built index generation; coarse.hnsw is frozen with the centroids,
-   *  so the (path, mtime, length) key invalidates exactly on rebuild —
-   *  the PcaCodec.cached / ShardCache pattern). */
+  /** path → (generation fingerprint, decoded coarse graph), process-wide
+   *  and GENERATION-EVICTING: a rebuild changes the (mtime, length)
+   *  fingerprint and the new decode REPLACES the old graph under the same
+   *  path key (the ExactServe per-name replacement pattern), so repeated
+   *  rebuilds — e.g. a streaming maintain loop — hold at most one decoded
+   *  graph (tens of MB at nlist ≈ 10⁵–10⁶) per index, not one per
+   *  generation for the JVM lifetime. */
   private val coarseGraphCache =
-    new java.util.concurrent.ConcurrentHashMap[String, HnswIndex]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, HnswIndex)]()
+  private def cachedCoarseGraph(path: String, fp: String,
+      bytes: Array[Byte]): HnswIndex =
+    coarseGraphCache.compute(path, (_, old) =>
+      if (old != null && old._1 == fp) old else (fp, HnswFormat.readBytes(bytes)))._2
+
+  /** path → (generation fingerprint, ef, probe) — same replacement rule as
+   *  [[coarseGraphCache]]; an ef change (session conf) also replaces, so
+   *  the map holds one entry (one byte image) per index path. */
   private val coarseProbeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, CoarseProbe]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int, CoarseProbe)]()
 
   /** Load the probe-selection accelerator for an index, or null when the
    *  index has none (`coarseHnswM == 0`). Cached per (file generation, ef):
@@ -1233,10 +1254,36 @@ object Ann {
         .map(_.toInt).getOrElse(64)
       val f = new java.io.File(path)
       val graphFp = s"$path:${f.lastModified}:${f.length}"
-      coarseProbeCache.computeIfAbsent(s"$graphFp:ef=$ef", _ =>
-        new CoarseProbe(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), ef, graphFp))
+      coarseProbeCache.compute(path, (_, old) =>
+        if (old != null && old._1 == graphFp && old._2 == ef) old
+        else (graphFp, ef, new CoarseProbe(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), ef, path, graphFp)))._3
     }
+
+  /** path → (probe instance, its Spark broadcast): executor-side batch/ADC
+   *  probe UDFs must NOT capture the CoarseProbe in the task closure — the
+   *  full coarse.hnsw byte image (tens of MB at nlist ≈ 10⁵–10⁶) would ship
+   *  in every stage's task binary, unlike the centroid table broadcast right
+   *  next to it. Keyed on the probe INSTANCE: [[coarseProbe]] replaces its
+   *  cached instance exactly when the generation or ef changes, so a stale
+   *  broadcast is replaced at the same moment (the old one is unreferenced
+   *  and the ContextCleaner reclaims it). */
+  private val coarseProbeBCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (CoarseProbe, org.apache.spark.broadcast.Broadcast[CoarseProbe])]()
+
+  /** [[coarseProbe]] wrapped in a cached Spark broadcast (null when the
+   *  index has no coarse graph) — the executor-UDF form. */
+  private[graft] def coarseProbeBroadcast(spark: SparkSession, meta: IndexMeta)
+      : org.apache.spark.broadcast.Broadcast[CoarseProbe] = {
+    val p = coarseProbe(spark, meta)
+    if (p == null) null
+    else {
+      val path = s"${IndexCatalog.indexDir(root(spark), meta.name)}/coarse.hnsw"
+      coarseProbeBCache.compute(path, (_, old) =>
+        if (old != null && (old._1 eq p)) old
+        else (p, spark.sparkContext.broadcast(p)))._2
+    }
+  }
 
   /** Probe selection for IVF-family serving: plain IVF ranks the centroid
    *  table directly; IMI indexes (imiB > 0) decompose into per-half distance
@@ -1616,6 +1663,23 @@ object Ann {
         tomb.map(x => Long.box(x): Any))))
     }
 
+  /** Inclusion predicate with O(1) plan size at any id count — the positive
+   *  twin of [[notTombstoned]]: a literal `In` below [[TombInlineMax]] (reads
+   *  well in EXPLAIN, pushes to the scan), one hash-set `InSet` expression
+   *  above it (`InSet` is the optimized form Catalyst rewrites `In` to, so
+   *  results are bit-identical across the threshold). Point-lookup surfaces
+   *  that accept caller id lists (reconstruct, refine fetch-back) route
+   *  through this so a 100k-id call cannot blow up analysis/codegen. */
+  private[index] def idIn(idCol: Column, ids: Set[Long]): Column =
+    if (ids.size <= TombInlineMax)
+      idCol.isin(ids.toSeq.sorted.map(java.lang.Long.valueOf): _*)
+    else {
+      import org.apache.spark.sql.catalyst.expressions.InSet
+      import org.apache.spark.sql.graftshim.GraftShim
+      GraftShim.column(InSet(GraftShim.expression(idCol),
+        ids.map(x => Long.box(x): Any)))
+    }
+
   /** Exact scan for flat/ivfflat → (row_id, _distance), sorted, limit fetchK. */
   private def exactScanIds(spark: SparkSession, meta: IndexMeta, query0: Array[Float],
       fetchK: Int, tomb: Set[Long]): DataFrame = {
@@ -1829,7 +1893,7 @@ object Ann {
       IdFilter(pmod(col("id"), lit(m)) === lit(r),
         id => ((id % m) + m) % m == r)
     def inSet(ids: Set[Long]): IdFilter =
-      IdFilter(notTombstoned(col("id"), ids).unary_!, ids.contains)
+      IdFilter(idIn(col("id"), ids), ids.contains)
   }
 
   /** [[IdFilter]] from a SQL predicate string over the column name `id`
@@ -2278,9 +2342,10 @@ object Ann {
           IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
         val np = meta.nprobe
         val imiB = meta.imiB
-        val coarse = coarseProbe(spark, meta)
+        val coarseB = coarseProbeBroadcast(spark, meta)
         val probesUdf = udf((q: Array[Float]) =>
-          selectProbes(centsB.value, imiB, q, np, coarse))
+          selectProbes(centsB.value, imiB, q, np,
+            if (coarseB == null) null else coarseB.value))
         val qprobe = prepped.withColumn("__cluster", explode(probesUdf(col("__q"))))
         base.join(broadcast(qprobe), base("cluster") === qprobe("__cluster"))
       } else base.crossJoin(broadcast(prepped))
@@ -2692,10 +2757,11 @@ object Ann {
         val centsB = spark.sparkContext.broadcast(cents)
         val nprobe = meta.nprobe
         val imiB = meta.imiB
-        val coarse = coarseProbe(spark, meta)
+        val coarseB = coarseProbeBroadcast(spark, meta)
         val token = adcPlanTokens.incrementAndGet()
         val probeUdf = udf((v: Array[Float]) =>
-          selectProbes(centsB.value, imiB, v, nprobe, coarse))
+          selectProbes(centsB.value, imiB, v, nprobe,
+            if (coarseB == null) null else coarseB.value))
         val (frozen, qMapB) = frozenQueries("__q")
         val state = new AdcScoreState(cbB, centsB, qMapB, l2, token)
         val probed = frozen.withColumn("__probe", explode(probeUdf(col("__q"))))
@@ -2718,10 +2784,11 @@ object Ann {
         val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
         val centsB = spark.sparkContext.broadcast(cents)
         val nprobe = meta.nprobe
-        val coarse = coarseProbe(spark, meta)
+        val coarseB = coarseProbeBroadcast(spark, meta)
         val token = adcPlanTokens.incrementAndGet()
         val probeUdf = udf((v: Array[Float]) =>
-          selectProbes(centsB.value, 0, v, nprobe, coarse))
+          selectProbes(centsB.value, 0, v, nprobe,
+            if (coarseB == null) null else coarseB.value))
         val (frozen, qMapB) = frozenQueries("__q")
         val state = new AdcScoreState(cbB, null, qMapB, l2, token, meta.quantBits)
         val probed = frozen.withColumn("__probe", explode(probeUdf(col("__q"))))
@@ -2738,9 +2805,10 @@ object Ann {
         val centsB = spark.sparkContext.broadcast(cents)
         val nprobe = meta.nprobe
         val imiB = meta.imiB
-        val coarse = coarseProbe(spark, meta)
+        val coarseB = coarseProbeBroadcast(spark, meta)
         val probeUdf = udf((v: Array[Float]) =>
-          selectProbes(centsB.value, imiB, v, nprobe, coarse))
+          selectProbes(centsB.value, imiB, v, nprobe,
+            if (coarseB == null) null else coarseB.value))
         val probed = prepped.withColumn("__probe", explode(probeUdf(col("__q"))))
         // per-task work here is sum over the task's clusters of
         // size(cluster) x queries-probing(cluster) — a popularity-weighted
@@ -3080,15 +3148,44 @@ object Ann {
    * driver.
    */
   def reconstruct(spark: SparkSession, name: String, ids: Seq[Long]): DataFrame = {
-    import spark.implicits._
     val meta = IndexCatalog.load(root(spark), name)
     val tomb = IndexCatalog.readTombstones(root(spark), name)
     val want = ids.toSet -- tomb
+    // threshold-gated inclusion (idIn): a reconstruct_n-sized id list (100k+)
+    // must not inline as a literal In — the exact plan-size blowup
+    // notTombstoned solved for tombstones (TombInlineMax)
+    reconstructImpl(spark, meta, idIn(col("id"), want), want.contains)
+  }
+
+  /** FAISS `reconstruct_n(i0, ni)` analog: reconstruct the contiguous id
+   *  range [i0, i0+ni) — the batch-shaped entry point. The range rides TWO
+   *  comparison predicates (pushed to the scan as min/max filters — parquet
+   *  row groups outside the range are never read) at any ni, so a
+   *  100k-vector export never builds a 100k-literal plan. Same per-engine
+   *  decode, tombstone-omission, and transform-chain inverse as
+   *  [[reconstruct]]. */
+  def reconstructN(spark: SparkSession, name: String, i0: Long, ni: Long): DataFrame = {
+    val meta = IndexCatalog.load(root(spark), name)
+    val tomb = IndexCatalog.readTombstones(root(spark), name)
+    val end = i0 + ni
+    val pred0 = col("id") >= i0 && col("id") < end
+    val pred = if (tomb.isEmpty) pred0 else pred0 && notTombstoned(col("id"), tomb)
+    reconstructImpl(spark, meta, pred,
+      id => id >= i0 && id < end && !tomb.contains(id))
+  }
+
+  /** Shared engine arms for [[reconstruct]]/[[reconstructN]]: `pred` filters
+   *  the code/vector table scan (Column form — pushes to parquet); `keep` is
+   *  the same predicate as a closure for the graph-shard arm, which decodes
+   *  outside Catalyst. The two MUST agree (the [[IdFilter]] contract). */
+  private def reconstructImpl(spark: SparkSession, meta: IndexMeta,
+      pred: Column, keep: Long => Boolean): DataFrame = {
+    import spark.implicits._
+    val name = meta.name
     val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
-    val wantCol = want.toSeq.sorted.map(java.lang.Long.valueOf)
     def fromStored(): DataFrame =
       spark.read.parquet(meta.sourcePath)
-        .where(col("id").isin(wantCol: _*))
+        .where(pred)
         .select(col("id").as("row_id"), toFloatVec(col("vec")).as("vector"))
     val out: DataFrame = meta.engine match {
       // RFlat-refined code engines keep the raw vec column — reconstruct
@@ -3100,12 +3197,12 @@ object Ann {
         "(FAISS IndexLSH has no reconstruct)")
       case e if isGraphEngine(e) =>
         val cosine = meta.metricObj eq Metric.Cosine
-        val wantB = spark.sparkContext.broadcast(want)
+        val keepB = spark.sparkContext.broadcast(keep)
         val shards = meta.shards
         spark.sparkContext.parallelize(shards, math.max(shards.size, 1))
           .flatMap { sh =>
             val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
-            val w = wantB.value
+            val w = keepB.value
             loaded.ids.indices.iterator.collect {
               case l if w(loaded.ids(l)) => (loaded.ids(l), loaded.index.vector(l))
             }
@@ -3126,7 +3223,7 @@ object Ann {
           if (rotTB.value == null) y else OpqCodec.rotate(rotTB.value, y)
         })
         spark.read.parquet(meta.sourcePath)
-          .where(col("id").isin(wantCol: _*))
+          .where(pred)
           .select(col("id").as("row_id"), dec(col("code")).as("vector"))
       case "ivfpq" =>
         val cb = PqCodec.read(s"$dirPath/pq.bin")
@@ -3141,7 +3238,7 @@ object Ann {
           r
         })
         spark.read.parquet(meta.sourcePath)
-          .where(col("id").isin(wantCol: _*))
+          .where(pred)
           .select(col("id").as("row_id"),
             dec(col("code"), col("cluster").cast(IntegerType)).as("vector"))
       case "ivfsq" =>
@@ -3150,7 +3247,7 @@ object Ann {
         val cbB = spark.sparkContext.broadcast(cb)
         val dec = udf((code: Array[Byte]) => sqDecode(cbB.value, bits, code))
         spark.read.parquet(meta.sourcePath)
-          .where(col("id").isin(wantCol: _*))
+          .where(pred)
           .select(col("id").as("row_id"), dec(col("code")).as("vector"))
       case other => throw new IllegalArgumentException(
         s"reconstruct: unsupported engine '$other' for index '$name'")

@@ -42,7 +42,6 @@ private[graft] object ExactServe {
       lwcodes: Array[Array[Long]] = null, // lsh >64 bits (⌈nbits/64⌉ words)
       hyps: Array[Array[Float]] = null, // lsh hyperplanes
       lshThr: Array[Double] = null, // lsh trained thresholds (`t` suffix)
-      coarse: Ann.CoarseProbe = null, // IVF_HNSW probe selection (else null)
       rot: Array[Array[Float]] = null) { // plain-pq OPQ rotation (else null)
     /** id → position, built ONCE at load — the refine re-rank needs raw
      *  vectors by id on every query, and rebuilding a boxed map over up to
@@ -148,9 +147,6 @@ private[graft] object ExactServe {
         IndexCatalog.readCentroids(s"$dirPath/hyperplanes.bin") else null,
       lshThr = if (isLsh && meta.lshVariant.contains("t"))
         IndexCatalog.readThresholds(s"$dirPath/thresholds.bin") else null,
-      // the SAME graph selection as the distributed scans — the job-free
-      // route must answer identically to the cluster route at any nprobe
-      coarse = if (hasCluster) Ann.coarseProbe(spark, meta) else null,
       // plain-pq OPQ: codes live in rotated space; the ADC query rotates
       // through the same stored matrix the distributed scan uses (the
       // refine re-rank stays UNROTATED, like refineStage)
@@ -176,8 +172,13 @@ private[graft] object ExactServe {
     val probeSet: Array[Boolean] =
       if (d.clusters != null && nprobe < meta.nlist) {
         val p = new Array[Boolean](math.max(meta.nlist, d.cents.length))
-        Ann.selectProbes(d.cents, meta.imiB, query, nprobe, d.coarse)
-          .foreach(p(_) = true)
+        // the SAME graph selection as the distributed scans — the job-free
+        // route must answer identically to the cluster route at any nprobe.
+        // Resolved PER CALL (Ann.coarseProbe is cached per (generation, ef))
+        // so a mid-session coarseEfSearch change reaches this route exactly
+        // when it reaches the distributed scans, not on the next data change
+        Ann.selectProbes(d.cents, meta.imiB, query, nprobe,
+          Ann.coarseProbe(spark, meta)).foreach(p(_) = true)
         p
       } else null
 

@@ -115,4 +115,45 @@ class ReconstructSpec extends AnyFunSuite {
     Ann.buildIndexFactory(emb, "embedding", "vec_id", "rc_lshr", "LSH32,RFlat")
     assert(recon("rc_lshr", Seq(4L))(4L).toSeq == raw(4L).toSeq)
   }
+
+  test("100k-id reconstruct rides one InSet, not a 100k-literal In; rows identical") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "rc_big", "IVF4,Flat",
+      Ann.BuildParams(nprobe = 4))
+    val present = Seq(0L, 5L, 17L, 23L)
+    val bigIds: Seq[Long] = present ++ (1000000L until 1100000L)
+    val df = Ann.reconstruct(spark, "rc_big", bigIds)
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val collected = df.queryExecution.optimizedPlan
+      .collect { case p => p.expressions }.flatten.flatMap(_.collect {
+        case e: InSet => ("inset", e.hset.size)
+        case e: In => ("in", e.list.size)
+      })
+    assert(collected.exists(_._1 == "inset"),
+      s"expected an InSet node above TombInlineMax, got $collected")
+    assert(!collected.exists(c => c._1 == "in" && c._2 > Ann.TombInlineMax),
+      s"literal In above the inline threshold: $collected")
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val small = recon("rc_big", present).map { case (k, v) => k -> v.toSeq }
+    assert(got == small)
+  }
+
+  test("reconstructN returns the contiguous range, range-pushed, tombstones omitted") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "rc_rn", "IVF4,Flat",
+      Ann.BuildParams(nprobe = 4))
+    val df = Ann.reconstructN(spark, "rc_rn", 5L, 4L)
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(got.keySet == Set(5L, 6L, 7L, 8L))
+    got.foreach { case (id, v) => assert(v == raw(id).toSeq) }
+    // the range reaches the parquet scan as two comparison filters — no
+    // per-id literals at any ni
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(id,5"), plan.take(2000))
+    assert(plan.contains("LessThan(id,9"), plan.take(2000))
+    Ann.delete(spark, "rc_rn", Seq(6L))
+    val after = Ann.reconstructN(spark, "rc_rn", 5L, 4L).collect().map(_.getLong(0))
+    assert(after.toSet == Set(5L, 7L, 8L))
+    // parity with the id-list route over the same surviving range
+    val byIds = recon("rc_rn", Seq(5L, 6L, 7L, 8L))
+    assert(byIds.keySet == Set(5L, 7L, 8L))
+  }
 }
