@@ -114,6 +114,41 @@ class HnswIndexSpec extends AnyFunSuite {
     new java.io.File(path).delete()
   }
 
+  test("addAll: deterministic across runs, recall parity with sequential add") {
+    val vecs = randVecs(6000, 16, seed = 5)
+    def bulk(): HnswIndex = {
+      val ix = new HnswIndex(16, Metric.L2, m = 16, efConstruction = 100)
+      ix.addAll(vecs)
+      ix
+    }
+    val b1 = bulk(); val b2 = bulk()
+    val queries = randVecs(32, 16, seed = 99)
+    // determinism: two builds answer identically on every query (the graph
+    // is a function of (vectors, seed) alone — parallel scheduling must not
+    // leak into link structure)
+    queries.foreach { q =>
+      val (i1, d1) = b1.search(q, 10, 200)
+      val (i2, d2) = b2.search(q, 10, 200)
+      assert(i1.toSeq == i2.toSeq && d1.toSeq == d2.toSeq)
+    }
+    // quality parity: bulk recall vs brute force within 3 points of the
+    // sequential build's recall on the same corpus/queries
+    val seq = new HnswIndex(16, Metric.L2, m = 16, efConstruction = 100)
+    vecs.foreach(seq.add)
+    def recall(ix: HnswIndex): Double = {
+      val per = queries.map { q =>
+        val want = bruteTopK(vecs, q, 10, Metric.L2).toSet
+        (ix.search(q, 10, 200)._1.toSet intersect want).size / 10.0
+      }
+      per.sum / per.length
+    }
+    val (rb, rs) = (recall(b1), recall(seq))
+    assert(rb >= rs - 0.03, s"bulk recall $rb vs sequential $rs")
+    // size/vector integrity
+    assert(b1.size == vecs.length)
+    assert(b1.vector(4321).toSeq == vecs(4321).toSeq)
+  }
+
   test("k > N returns all; empty index returns none") {
     val ix = new HnswIndex(3, Metric.L2)
     assert(ix.search(Array(0f, 0f, 0f), 5, 0)._1.isEmpty)
