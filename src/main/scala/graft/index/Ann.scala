@@ -681,9 +681,9 @@ object Ann {
     // writer task emits a file per cluster it holds (writers x nlist tiny
     // files — 8192 at 1.5M vectors), and the probed scan then pays a file
     // open per fragment (256 uneven scan tasks, 2.3x skew). One file per
-    // cluster keeps the scan's byte-based bin-packing even.
-    withCluster.repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(out)
+    // cluster keeps the scan's byte-based bin-packing even; IMI-sized
+    // nlists flip to the bucketed layout (writeClustered).
+    writeClustered(withCluster, nlist, out, "overwrite")
     val n = spark.read.parquet(out).count()
     // per-cluster max member↔centroid L2 radius (one distributed agg over
     // the freshly written table): lets range queries prune clusters by the
@@ -710,7 +710,10 @@ object Ann {
   private def writeCoarseHnsw(dir: String, cents: Array[Array[Float]],
       dim: Int, m: Int): Unit = if (m > 0) {
     val ix = new HnswIndex(dim, Metric.L2, m)
-    cents.foreach(ix.add)
+    // deterministic batch-parallel bulk build (HnswIndex.addAll): the
+    // sequential insert loop cost 31 s at 65,536 cells — minutes of serial
+    // driver time at the nlist ≈ 10⁶ a 100 TB corpus wants
+    ix.addAll(cents)
     HnswFormat.writeFile(ix, s"$dir/coarse.hnsw")
   }
 
@@ -977,9 +980,8 @@ object Ann {
         col("vec"), col("cluster"))
     val stored = if (params.refine) stored0 else stored0.drop("vec")
     // same cluster co-location as the ivfflat write: one file per cluster,
-    // not writers x nlist fragments
-    stored.repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(out)
+    // not writers x nlist fragments; IMI-sized nlists bucket
+    writeClustered(stored, cents.length, out, "overwrite")
     val n = spark.read.parquet(out).count()
     val meta = IndexMeta(name, "ivfpq", "vec", "id", dim, metric.name,
       maxDegree = params.pqM, buildComplexity = 0, alpha = 0f, quantized = true,
@@ -1099,8 +1101,7 @@ object Ann {
       col("vec"), assignUdf(col("vec")).as("cluster"))
     val stored = if (params.refine) stored0 else stored0.drop("vec")
     // same cluster co-location as the ivfflat write: one file per cluster
-    stored.repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(out)
+    writeClustered(stored, cents.length, out, "overwrite")
     val n = spark.read.parquet(out).count()
     // CODE-SPACE cluster radii (one distributed agg over the written codes):
     // range search on a quantized engine filters distances to the
@@ -1345,8 +1346,7 @@ object Ann {
       if (bits == 8) udf((code: Array[Byte]) => PqCodec.adc(lutB.value, k, code))
       else udf((code: Array[Byte]) =>
         graft.core.SqPackedCodec.adc(lutB.value, bits, dim, code))
-    val scan0 = spark.read.parquet(meta.sourcePath)
-      .where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
+    val scan0 = probeFilter(spark.read.parquet(meta.sourcePath), probes.toSeq)
     val base = extraFilter.fold(scan0)(scan0.where)
       .select(col("id").as("row_id"), adcUdf(col("code")).as("__dd"))
     val filtered = if (tomb.isEmpty) base
@@ -1442,8 +1442,7 @@ object Ann {
       val (t, off) = lutB.value(cluster)
       PqCodec.adc(t, k, code) + off
     })
-    val scan0 = spark.read.parquet(meta.sourcePath)
-      .where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
+    val scan0 = probeFilter(spark.read.parquet(meta.sourcePath), probes.toSeq)
     // filtered search: the id predicate splices BEFORE the ADC projection
     // and top-k, so it pushes to the parquet scan beside the probe pruning
     val base = extraFilter.fold(scan0)(scan0.where)
@@ -1725,11 +1724,60 @@ object Ann {
         val dc = math.sqrt(VectorOps.l2SqDoubleAcc(query, cents(c)))
         dc - radii(c) <= rq + 1e-6 * (1.0 + rq)
       }
-      spark.read.parquet(meta.sourcePath)
-        .where(col("cluster").isin(keep.map(Integer.valueOf): _*))
+      probeFilter(spark.read.parquet(meta.sourcePath), keep)
     } else if (meta.engine == "ivfflat") {
       scanIvfOrFlat(spark, meta, query)
     } else spark.read.parquet(meta.sourcePath)
+  }
+
+  /** Above this nlist the per-cluster `partitionBy("cluster")` layout flips
+   *  to bucketed: IMI2x8's 65,536 cluster DIRECTORIES cost 271 s of write
+   *  commit at 1.5M rows (the many-small-files regime, which only worsens
+   *  at 100 TB — object-store listing is per-prefix). Bucketed tables
+   *  partition on `bucket = cluster % ClusterBuckets` and keep `cluster` as
+   *  a DATA column, sorted within each file so parquet row-group min/max
+   *  stats prune the pushed cluster filter; probes then prune twice —
+   *  directory-level on bucket, row-group-level on cluster. */
+  private[index] val MaxClusterDirs = 4096
+  private[index] val ClusterBuckets = 1024
+
+  /** One write path for every cluster-assigned table (build, append,
+   *  vacuum): per-cluster directories below [[MaxClusterDirs]], bucketed
+   *  above. The layout is a pure function of nlist, so appends/vacuums
+   *  always match the build's layout. */
+  private def writeClustered(stored: DataFrame, nlist: Int, path: String,
+      mode: String): Unit =
+    if (nlist <= MaxClusterDirs)
+      stored.repartition(col("cluster"))
+        .write.mode(mode).partitionBy("cluster").parquet(path)
+    else
+      stored.withColumn("bucket", pmod(col("cluster"), lit(ClusterBuckets)))
+        .repartition(col("bucket")).sortWithinPartitions("cluster")
+        .write.mode(mode).partitionBy("bucket").parquet(path)
+
+  /** Batch-path probe-join condition over either layout: per-cluster tables
+   *  equi-join on the cluster partition column (dynamic partition pruning
+   *  applies); bucketed tables ALSO equi-join on `bucket` so DPP prunes the
+   *  bucket directories — `probeCol % ClusterBuckets` is a plan-side
+   *  expression on the broadcast (small) side. */
+  private def probeJoinCond(scan: DataFrame, probeCol: Column): Column = {
+    val base = scan("cluster") === probeCol
+    if (scan.schema.fieldNames.contains("bucket"))
+      base && scan("bucket") === pmod(probeCol, lit(ClusterBuckets))
+    else base
+  }
+
+  /** Probe pruning over either layout (detected from the read schema, so
+   *  pre-existing per-cluster tables keep working): per-cluster tables
+   *  prune directories with one `cluster IN`, bucketed tables prune
+   *  directories with `bucket IN` (≤ nprobe of [[ClusterBuckets]]) and rows
+   *  with the pushed `cluster IN` over the sorted row groups. */
+  private def probeFilter(df: DataFrame, probes: Seq[Int]): DataFrame = {
+    val pj = probes.map(Integer.valueOf)
+    if (df.schema.fieldNames.contains("bucket")) {
+      val buckets = probes.map(_ % ClusterBuckets).distinct.map(Integer.valueOf)
+      df.where(col("bucket").isin(buckets: _*) && col("cluster").isin(pj: _*))
+    } else df.where(col("cluster").isin(pj: _*))
   }
 
   /** flat: full scan; ivfflat: nprobe-pruned partition scan. */
@@ -1741,7 +1789,7 @@ object Ann {
       val cents = IndexCatalog.readCentroids(
         s"${IndexCatalog.indexDir(root(spark), meta.name)}/centroids.bin")
       val probes = selectProbes(cents, meta.imiB, query, nprobe, coarseProbe(spark, meta))
-      df.where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
+      probeFilter(df, probes.toSeq)
     } else df
   }
 
@@ -2213,12 +2261,12 @@ object Ann {
               val dc = math.sqrt(VectorOps.l2SqDoubleAcc(q, cents(c)))
               dc - radii(c) <= rq + 1e-6 * (1.0 + rq)
             }
-            scan0.where(col("cluster").isin(keep.map(Integer.valueOf): _*))
+            probeFilter(scan0, keep)
           case _ =>
             val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
             val probes = selectProbes(cents, meta.imiB, q, meta.nprobe,
               coarseProbe(spark, meta))
-            scan0.where(col("cluster").isin(probes.map(Integer.valueOf).toSeq: _*))
+            probeFilter(scan0, probes.toSeq)
         }
         val cbB = spark.sparkContext.broadcast(cb)
         val qB = spark.sparkContext.broadcast(q)
@@ -2293,6 +2341,12 @@ object Ann {
    * intersect (triangle inequality) and equi-joins on the cluster column —
    * per-query pruning with EXACT results; other metrics fall back to the
    * nprobe probe set like top-k search.
+   *
+   * Quantized engines (pq/ivfpq/ivfsq) answer in CODE SPACE with the same
+   * double-fold reconstruction distance as single-query [[rangeSearch]]:
+   * ivfsq + L2 prunes per query over the DEQUANTIZED cluster radii (exact
+   * in code space at any nprobe), ivfpq and non-L2 ivfsq use the per-query
+   * nprobe probe set, pq scans all codes.
    */
   def rangeSearchTable(queriesDf: DataFrame, queryVecColumn: String,
       baseDf: DataFrame, idColumn: String, name: String,
@@ -2300,10 +2354,20 @@ object Ann {
     val spark = queriesDf.sparkSession
     val meta = IndexCatalog.load(root(spark), name)
     val tomb = IndexCatalog.readTombstones(root(spark), name)
-    require(meta.engine == "flat" || meta.engine == "ivfflat",
-      s"rangeSearchTable supports exact engines (flat/ivfflat), got ${meta.engine}")
+    require(meta.engine == "flat" || meta.engine == "ivfflat" ||
+      meta.engine == "pq" || meta.engine == "ivfpq" || meta.engine == "ivfsq",
+      s"rangeSearchTable supports flat/ivfflat/pq/ivfpq/ivfsq, got ${meta.engine}")
     requireMetricSpaceRadius(meta, "rangeSearchTable")
     val cosine = meta.metricObj eq Metric.Cosine
+    val l2 = meta.metricObj eq Metric.L2
+    // quantized engines answer in CODE SPACE — the metric distance to the
+    // dequantized reconstruction, double-folded, exactly the single-query
+    // quantized range semantics (rangeSearch scaladoc): ivfsq + L2 prunes
+    // per query over the DEQUANTIZED cluster radii (exact in code space at
+    // any nprobe), ivfpq / non-L2 ivfsq fall back to the nprobe probe set,
+    // pq scans all codes.
+    val quant = meta.engine == "pq" || meta.engine == "ivfpq" ||
+      meta.engine == "ivfsq"
     val prepped = {
       val base0 = queriesDf.withColumn(queryVecColumn, toFloatVec(col(queryVecColumn)))
       // pca indexes: __q maps through the frozen transform (stored vectors
@@ -2313,6 +2377,13 @@ object Ann {
           val pcaB = spark.sparkContext.broadcast(graft.core.PcaCodec.cached(meta.pcaFile))
           val tUdf = udf((v: Array[Float]) => pcaB.value.transform(v))
           tUdf(col(queryVecColumn))
+        } else if (meta.engine == "pq" && meta.opq) {
+          // plain-pq OPQ codes live in rotated space: rotate each query once
+          // (after the cosine normalize, matching prepQuery-then-rotate)
+          val rotB = spark.sparkContext.broadcast(readRotation(spark, meta))
+          val rUdf = udf((v: Array[Float]) => OpqCodec.rotate(rotB.value, v))
+          if (cosine) rUdf(toFloatVec(normalizeCol(col(queryVecColumn))))
+          else rUdf(col(queryVecColumn))
         }
         else if (cosine) toFloatVec(normalizeCol(col(queryVecColumn)))
         else col(queryVecColumn)
@@ -2322,7 +2393,7 @@ object Ann {
     val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
     val radiiPath = s"$dirPath/radii.bin"
     val joined: DataFrame =
-      if (meta.engine == "ivfflat" && (meta.metricObj eq Metric.L2) &&
+      if ((meta.engine == "ivfflat" || meta.engine == "ivfsq") && l2 &&
           java.nio.file.Files.exists(java.nio.file.Paths.get(radiiPath))) {
         val centsB = spark.sparkContext.broadcast(
           IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
@@ -2336,8 +2407,9 @@ object Ann {
           }.toArray
         })
         val qprobe = prepped.withColumn("__cluster", explode(keepUdf(col("__q"))))
-        base.join(broadcast(qprobe), base("cluster") === qprobe("__cluster"))
-      } else if (meta.engine == "ivfflat") {
+        base.join(broadcast(qprobe), probeJoinCond(base, qprobe("__cluster")))
+      } else if (meta.engine == "ivfflat" || meta.engine == "ivfpq" ||
+          meta.engine == "ivfsq") {
         val centsB = spark.sparkContext.broadcast(
           IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
         val np = meta.nprobe
@@ -2347,12 +2419,34 @@ object Ann {
           selectProbes(centsB.value, imiB, q, np,
             if (coarseB == null) null else coarseB.value))
         val qprobe = prepped.withColumn("__cluster", explode(probesUdf(col("__q"))))
-        base.join(broadcast(qprobe), base("cluster") === qprobe("__cluster"))
+        base.join(broadcast(qprobe), probeJoinCond(base, qprobe("__cluster")))
       } else base.crossJoin(broadcast(prepped))
-    val distCol = meta.metricObj match {
-      case Metric.L2 => array_distance_sq(base("vec"), col("__q"))
-      case _ => array_negative_inner_product(base("vec"), col("__q"))
-    }
+    val distCol =
+      if (!quant) meta.metricObj match {
+        case Metric.L2 => array_distance_sq(base("vec"), col("__q"))
+        case _ => array_negative_inner_product(base("vec"), col("__q"))
+      } else {
+        val cbB = spark.sparkContext.broadcast(PqCodec.read(s"$dirPath/pq.bin"))
+        if (meta.engine == "ivfpq") {
+          // reconstruction = centroid + decoded residual in float (stored
+          // code space), then the double fold — rangeSearch's exact kernel
+          val centsB = spark.sparkContext.broadcast(
+            IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
+          val dUdf = udf((code: Array[Byte], cl: Int, q: Array[Float]) => {
+            val vhat = PqCodec.decode(cbB.value, code)
+            val c = centsB.value(cl)
+            var i = 0
+            while (i < vhat.length) { vhat(i) += c(i); i += 1 }
+            doubleFoldDist(vhat, q, l2)
+          })
+          dUdf(base("code"), base("cluster").cast(IntegerType), col("__q"))
+        } else {
+          val bits = if (meta.engine == "ivfsq") meta.quantBits else 8
+          val dUdf = udf((code: Array[Byte], q: Array[Float]) =>
+            doubleFoldDist(sqDecode(cbB.value, bits, code), q, l2))
+          dUdf(base("code"), col("__q"))
+        }
+      }
     val scored = joined
       .withColumn("__dd", distCol)
       .where(col("__dd") <= radius.toDouble)
@@ -2772,7 +2866,7 @@ object Ann {
           graft.functions.mkExpr(col("__qid")),
           graft.functions.mkExpr(col("__probe")),
           graft.functions.mkExpr(stream("code")), state))
-        (stream.join(broadcast(probed), stream("cluster") === probed("__probe")),
+        (stream.join(broadcast(probed), probeJoinCond(stream, probed("__probe"))),
           score, probed, Some(frozen))
       case "ivfsq" =>
         // ivfpq's probe join for cluster pruning, but the score rides the
@@ -2798,7 +2892,7 @@ object Ann {
           graft.functions.mkExpr(col("__qid")),
           graft.functions.mkExpr(lit(-1)),
           graft.functions.mkExpr(stream("code")), state))
-        (stream.join(broadcast(probed), stream("cluster") === probed("__probe")),
+        (stream.join(broadcast(probed), probeJoinCond(stream, probed("__probe"))),
           score, probed, Some(frozen))
       case "ivfflat" if meta.nprobe < meta.nlist =>
         val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
@@ -2820,7 +2914,7 @@ object Ann {
         // the direct scan.
         val stream = if (rebalanceProbedScan(spark, queriesDf, meta.dim))
           base.repartition(spark.sessionState.conf.numShufflePartitions) else base
-        (stream.join(broadcast(probed), stream("cluster") === probed("__probe")),
+        (stream.join(broadcast(probed), probeJoinCond(stream, probed("__probe"))),
           distTo(stream("vec"), col("__q")), probed, None)
       case "lsh" =>
         // batch Hamming rides the FROZEN-query route: queries collect once,
@@ -3389,7 +3483,10 @@ object Ann {
         val centsB = spark.sparkContext.broadcast(cents)
         val assignUdf = udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
         val clustered = data.withColumn("cluster", assignUdf(col("vec")))
-        clustered.write.mode("append").partitionBy("cluster").parquet(meta.sourcePath)
+        // layout is a pure function of nlist (writeClustered), so the
+        // append lands in the same per-cluster or bucketed shape the build
+        // wrote
+        writeClustered(clustered, meta.nlist, meta.sourcePath, "append")
         // appended members may extend a cluster's radius: merge-max the
         // batch's radii into radii.bin so range pruning stays exact
         val radiiPath = s"$dirPath/radii.bin"
@@ -3429,9 +3526,8 @@ object Ann {
         })
         val ipqCols = Seq(col("id"), encodeUdf(col("vec"), col("cluster")).as("code")) ++
           (if (meta.refine) Seq(col("vec")) else Nil) :+ col("cluster")
-        data.withColumn("cluster", assignUdf(col("vec")))
-          .select(ipqCols: _*)
-          .write.mode("append").partitionBy("cluster").parquet(meta.sourcePath)
+        writeClustered(data.withColumn("cluster", assignUdf(col("vec")))
+          .select(ipqCols: _*), meta.nlist, meta.sourcePath, "append")
       case "ivfsq" =>
         // frozen-range append (FAISS add()): new rows quantize against the
         // build's per-dim min/scale from sq.bin — values outside the
@@ -3452,7 +3548,7 @@ object Ann {
           (if (meta.refine) Seq(col("vec")) else Nil) :+ col("cluster")
         val encoded = data.withColumn("cluster", assignUdf(col("vec")))
           .select(isqCols: _*)
-        encoded.write.mode("append").partitionBy("cluster").parquet(meta.sourcePath)
+        writeClustered(encoded, meta.nlist, meta.sourcePath, "append")
         // appended reconstructions may extend a cluster's code-space radius:
         // merge-max the batch's dequantized radii so range pruning stays
         // exact (the ivfflat append's radii contract, over x̂ not v)
@@ -3612,12 +3708,12 @@ object Ann {
       .map(_.toLong).getOrElse(128L << 20)
     val estBytes = dirBytes(new java.io.File(meta.sourcePath))
     val nFiles = math.max(1, math.ceil(estBytes.toDouble / targetBytes).toInt)
-    // ivf: repartition BY cluster so each cluster partition lands in one
-    // task → one file per cluster (plus splits above targetBytes via
-    // maxRecordsPerFile if ever needed); flat/pq: nFiles even splits
-    val arranged = if (ivf) live.repartition(col("cluster")) else live.repartition(nFiles)
-    val writer = arranged.write.mode("overwrite")
-    (if (ivf) writer.partitionBy("cluster") else writer).parquet(newPath)
+    // ivf: writeClustered keeps the build's layout — one file per cluster
+    // partition below MaxClusterDirs, bucketed above (drop the read-back
+    // bucket partition column first; writeClustered re-derives it);
+    // flat/pq: nFiles even splits
+    if (ivf) writeClustered(live.drop("bucket"), meta.nlist, newPath, "overwrite")
+    else live.repartition(nFiles).write.mode("overwrite").parquet(newPath)
     val n = spark.read.parquet(newPath).count()
     // new data dir is complete — publish metadata atomically, then clean up
     val updated = meta.copy(sourcePath = newPath, version = ver,
