@@ -134,6 +134,24 @@ object SparkEntry {
     s"""${sqDequantDistSql(levels)}
        |SELECT vec_id FROM dist WHERE dd <= $radius ORDER BY vec_id""".stripMargin
 
+  /** TABLE variant of the SQ range replay: per-(query, row) dequantized L2
+    * distances for the vec_id < 3 query block, radius-filtered — the
+    * `ann_range_ivfsq` oracle with the query table joined in (row-SET
+    * oracle; per-query radii pruning is exact in code space at any
+    * nprobe, so the probed answer equals this full filter). */
+  private def sqRangeTableOracleSql(levels: Int, radius: String): String =
+    s"""${sqDequantDistSql(levels)},
+       |q AS (
+       |  SELECT vec_id AS qid, unnest(CAST(embedding AS DOUBLE[])) AS qe,
+       |         unnest(range(1, 65)) AS i
+       |  FROM embeddings WHERE vec_id < 3),
+       |pdist AS (
+       |  SELECT q.qid, d.vec_id, sum((d.v - q.qe) * (d.v - q.qe)) AS dd
+       |  FROM deq d JOIN q ON q.i = d.i
+       |  GROUP BY q.qid, d.vec_id)
+       |SELECT qid, vec_id AS rid FROM pdist WHERE dd <= $radius
+       |ORDER BY qid, rid""".stripMargin
+
   /** Read events.parquet robustly across testdata generations. Older fixtures
     * wrote `ts` as parquet TIMESTAMP(NANOS), which Spark can only read as a
     * nanos-as-long LongType (legacy conf); newer fixtures write
@@ -913,6 +931,20 @@ object SparkEntry {
       Ann.rangeSearchTable(queries, "embedding", emb, "vec_id", "v_range_t", 1.5f)
         .select(col("vec_id").as("qid"), col("tbl_vec_id").as("rid"), col("_distance"))
         .orderBy("qid", "_distance", "rid")
+    }),
+
+    // TABLE-input range search over a QUANTIZED engine: per-query
+    // dequantized-radii pruning at nprobe=1 (exact in code space — the
+    // single-query ann_range_ivfsq semantics with the query table joined
+    // in), code-space double-fold distances, row-SET oracle
+    "ann_range_table_ivfsq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_range_tisq",
+        "IVF4,SQ8", Ann.BuildParams(nprobe = 1))
+      val queries = emb.where(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+      Ann.rangeSearchTable(queries, "embedding", emb, "vec_id", "v_range_tisq", 1.5f)
+        .select(col("vec_id").as("qid"), col("tbl_vec_id").as("rid"))
+        .orderBy("qid", "rid")
     }),
 
     // radius query on a graph index: expanding-k beam search (approximate
@@ -2457,6 +2489,7 @@ object SparkEntry {
          |  FROM q CROSS JOIN embeddings e)
          |WHERE __dd <= 1.5
          |ORDER BY qid, _distance, rid""".stripMargin,
+    "ann_range_table_ivfsq" -> sqRangeTableOracleSql(255, "1.5"),
     // row order follows the DOUBLE distance end to end (the engine ranks
     // near-ties by the full double; Ann.search preserves that rank instead
     // of re-sorting by the f32-cast column)

@@ -95,4 +95,72 @@ class RangeQuantizedSpec extends AnyFunSuite {
     val pruned = gotIds("rq_ipq")
     assert(pruned.subsetOf(want))
   }
+
+  /** (qid, rid) pairs from rangeSearchTable over the first 3 rows' vectors. */
+  private def tablePairs(name: String): (Set[(Long, Long)], DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val queries = emb.where(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+    val df = Ann.rangeSearchTable(queries, "embedding", emb, "vec_id", name, radius)
+      .select(col("vec_id").as("qid"), col("tbl_vec_id").as("rid"))
+    (df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet, df)
+  }
+
+  test("rangeSearchTable ivfsq: per-query radii pruning exact at nprobe=1; " +
+      "broadcast-gemm plan") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "rq_tisq", "IVF4,SQ8",
+      Ann.BuildParams(nprobe = 1))
+    val sq = IndexCatalog.readCentroids(s"${dirOf("rq_tisq")}/sq.bin")
+    val (mins, scales) = (sq(0), sq(1))
+    def deq(v: Array[Float]): Array[Float] = {
+      val code = Sq8Codec.encodeRow(v, mins, scales)
+      Array.tabulate(v.length)(d => mins(d) + ((code(d) & 0xff) / 255.0f) * scales(d))
+    }
+    // brute-force code-space ball per query
+    val queries = all.takeWhile(_._1 < 3)
+    val want = (for {
+      (qid, qv) <- queries
+      (rid, v) <- all
+      vhat = deq(v)
+      dd = vhat.indices.foldLeft(0.0)((s, d) =>
+        s + (vhat(d).toDouble - qv(d).toDouble) * (vhat(d).toDouble - qv(d).toDouble))
+      if dd <= radius
+    } yield (qid, rid)).toSet
+    val (got, df) = tablePairs("rq_tisq")
+    assert(got.nonEmpty && got == want)
+    // base side stays partition-parallel with the query table broadcast —
+    // the plan must be a broadcast join (per-query cluster pruning via the
+    // exploded radii probe list), never a shuffled one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+    // saturation parity: nprobe = nlist answers the identical pair set
+    Ann.setNprobe(spark, "rq_tisq", 4)
+    assert(tablePairs("rq_tisq")._1 == want)
+  }
+
+  test("rangeSearchTable ivfpq: saturation equals the residual ball; pruned subset") {
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "rq_tipq", "IVF4,PQ8",
+      Ann.BuildParams(seedK = 16, nprobe = 4))
+    val dir = dirOf("rq_tipq")
+    val cents = IndexCatalog.readCentroids(s"$dir/centroids.bin")
+    val cb = PqCodec.read(s"$dir/pq.bin")
+    def recon(v: Array[Float]): Array[Float] = {
+      val c = cents(KMeansLite.nearest(cents, v))
+      val r = Array.tabulate(v.length)(d => v(d) - c(d))
+      val rhat = PqCodec.decode(cb, PqCodec.encode(cb, r))
+      Array.tabulate(v.length)(d => c(d) + rhat(d))
+    }
+    val queries = all.takeWhile(_._1 < 3)
+    val want = (for {
+      (qid, qv) <- queries
+      (rid, v) <- all
+      vhat = recon(v)
+      dd = vhat.indices.foldLeft(0.0)((s, d) =>
+        s + (vhat(d).toDouble - qv(d).toDouble) * (vhat(d).toDouble - qv(d).toDouble))
+      if dd <= radius
+    } yield (qid, rid)).toSet
+    assert(tablePairs("rq_tipq")._1 == want)
+    Ann.setNprobe(spark, "rq_tipq", 1)
+    assert(tablePairs("rq_tipq")._1.subsetOf(want))
+  }
 }
