@@ -113,7 +113,7 @@ object OpqCodec {
    *  X ← ½·X·(3I − XᵀX) after Frobenius normalization (σmax ≤ 1 < √3, the
    *  iteration's convergence region). Returns null when the result fails the
    *  orthogonality check (singular input). */
-  private[index] def polar(m: Array[Double], d: Int): Array[Array[Float]] = {
+  private[graft] def polar(m: Array[Double], d: Int): Array[Array[Float]] = {
     var fro = 0.0
     var i = 0
     while (i < m.length) { fro += m(i) * m(i); i += 1 }

@@ -77,11 +77,20 @@ object AnnScaleSmoke {
     // SPARK_GRAFT_ANN_SC=512 with SPARK_GRAFT_ANN_REUSE=1 re-scores the
     // same built indexes at a wider beam)
     val serveSc = sys.env.getOrElse("SPARK_GRAFT_ANN_SC", "256").toInt
+    // SPARK_GRAFT_ANN_MODE=aniso: the clustered corpus with ANISOTROPIC
+    // coordinates — per-dim variance decays (information concentrates in
+    // the leading z-dims) and a fixed dense orthogonal mix rotates the
+    // whole space, so no axis-aligned subspace split is natural. This is
+    // the setting OPQ exists for (its rotation re-aligns the PQ split with
+    // the variance structure); the uniform/clustered corpora are isotropic
+    // per-dim, where OPQ reads parity by construction (SCALE.md r17).
     val mode = sys.env.getOrElse("SPARK_GRAFT_ANN_MODE", "uniform")
-    require(mode == "uniform" || mode == "clustered", s"bad mode $mode")
+    require(mode == "uniform" || mode == "clustered" || mode == "aniso",
+      s"bad mode $mode")
     val kClusters = sys.env.getOrElse("SPARK_GRAFT_ANN_CLUSTERS", "1024").toInt
     val workDir =
       if (mode == "clustered") s"target/annscale${nVecs}_cl$kClusters"
+      else if (mode == "aniso") s"target/annscale${nVecs}_an$kClusters"
       else s"target/annscale$nVecs"
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -99,8 +108,42 @@ object AnnScaleSmoke {
     if (!new java.io.File(path).exists()) {
       def u01(seed: org.apache.spark.sql.Column) =
         pmod(xxhash64(seed), lit(100000L)).cast("double") / lit(100000.0)
+      // aniso: clustered z-space with 1/(1 + d/4) per-dim scale, then a
+      // fixed orthogonal mix M·z — distances (hence true neighbors) match
+      // the unmixed corpus exactly, but stored coordinates are correlated
+      // across every axis-aligned subspace. Deterministic: SplitMix64 per
+      // (vec_id, dim) + a seeded polar-orthogonalized mixing matrix.
+      val anisoVec: org.apache.spark.sql.Column = if (mode != "aniso") null else {
+        val mix = {
+          val r = new java.util.Random(42)
+          graft.index.OpqCodec.polar(
+            Array.fill(dim * dim)(r.nextDouble() * 2 - 1), dim)
+        }
+        val mixB = spark.sparkContext.broadcast(mix)
+        val kC = kClusters
+        val dimC = dim
+        val mkVec = udf((id: Long) => {
+          def h(seed: Long): Long = {
+            var z = (seed + 1) * 0x9E3779B97F4A7C15L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          def u(seed: Long): Double =
+            (h(seed) >>> 11).toDouble / 9007199254740992.0
+          val cid = math.floorMod(h(id ^ 0x5eedL), kC.toLong)
+          val zv = Array.tabulate(dimC) { d =>
+            val center = u(cid * dimC + d + 7000000000L)
+            val jit = (u(id * dimC + d) - 0.5) * 0.12
+            ((center + jit) / (1.0 + d * 0.25)).toFloat
+          }
+          graft.index.OpqCodec.rotate(mixB.value, zv)
+        })
+        mkVec(col("vec_id"))
+      }
       val vec =
-        if (mode == "clustered") {
+        if (mode == "aniso") anisoVec
+        else if (mode == "clustered") {
           val cid = pmod(xxhash64(col("vec_id"), lit(0x5eedL)),
             lit(kClusters.toLong))
           transform(sequence(lit(0), lit(dim - 1)), d =>
@@ -200,8 +243,10 @@ object AnnScaleSmoke {
           maxDegree = 48, buildComplexity = 96, buildThreads = buildThreads))
       n
     }
-    val shardBytes = IndexCatalog.load(Ann.root(spark), "as_disk")
-      .shards.map(s => new java.io.File(s.file).length()).max
+    // SPARK_GRAFT_ANN_OPS runs that skip diskann_build have no as_disk —
+    // tolerate it (targeted recall-matrix runs, e.g. the aniso OPQ row)
+    val shardBytes = IndexCatalog.list(Ann.root(spark)).find(_.name == "as_disk")
+      .map(_.shards.map(s => new java.io.File(s.file).length()).max).getOrElse(0L)
     val mmapEngaged = shardBytes >= ShardCache.mmapThreshold
     System.err.println(s"[annscale] max shard $shardBytes bytes, " +
       s"mmap threshold ${ShardCache.mmapThreshold} -> mmap=$mmapEngaged")
@@ -214,7 +259,7 @@ object AnnScaleSmoke {
     // variance (measured: kf16 recall 0.26 at nlist 256 vs the nlist-1024
     // run). The clustered default probes the same 12.5% cell fraction.
     val nlist = sys.env.get("SPARK_GRAFT_ANN_NLIST").map(_.toInt)
-      .getOrElse(if (mode == "clustered") 1024 else 256)
+      .getOrElse(if (mode == "uniform") 256 else 1024)
     val ivfNprobe = sys.env.get("SPARK_GRAFT_ANN_NPROBE").map(_.toInt)
       .getOrElse(8)
     val pqNprobe = math.max(ivfNprobe, 32)
@@ -565,10 +610,10 @@ object AnnScaleSmoke {
     // loop rounds 8-10 ran, with spec-pinned bit-parity (RecallManySpec).
     val sweepNames = ivfSweep.map(np => s"as_ivf_np$np").filter(haveIdx)
     val recallEngines =
-      Seq("as_disk", "as_ivf", "as_sq8", "as_ivfsq", "as_ivfpq", "as_ivfpqr") ++ sweepNames ++
-        (kfSweep.map(kf => s"as_ivfpqr_kf$kf") ++
-          Seq("as_lsh", "as_lshr", "as_lshrt", "as_lsh256", "as_ivfsq4",
-            "as_opqivfpq", "as_imi") :+ "as_hnsw").filter(haveIdx)
+      (Seq("as_disk", "as_ivf", "as_sq8", "as_ivfsq", "as_ivfpq", "as_ivfpqr") ++
+        sweepNames ++ kfSweep.map(kf => s"as_ivfpqr_kf$kf") ++
+        Seq("as_lsh", "as_lshr", "as_lshrt", "as_lsh256", "as_ivfsq4",
+          "as_opqivfpq", "as_imi", "as_hnsw")).filter(haveIdx)
     var recallByName = Map.empty[String, (Double, Double)]
     run("recall_at10_200q_all") {
       val rows = Ann.measureRecallMany(emb, "embedding", "vec_id",
@@ -820,7 +865,7 @@ object AnnScaleSmoke {
     val json = s"""{"metric":"ann_scale_total","value":$total,"unit":"sec",""" +
       s""""heap_gb":${f"$heapGb%.1f"},"serve_sc":$serveSc,""" +
       s""""mode":"$mode","nlist":$nlist,"nprobe":$ivfNprobe,""" +
-      (if (mode == "clustered") s""""clusters":$kClusters,""" else "") +
+      (if (mode != "uniform") s""""clusters":$kClusters,""" else "") +
       s""""ops":$opsJson,"vectors":$n,"dim":$dim,"shards":$shards,""" +
       s""""max_shard_bytes":$shardBytes,"mmap_threshold":${ShardCache.mmapThreshold},""" +
       s""""mmap_engaged":$mmapEngaged,"recall_at10":$recall,"recall_at10_ids":$recallIds,""" +
