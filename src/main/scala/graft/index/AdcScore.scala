@@ -92,3 +92,80 @@ case class PqAdcScore(qid: Expression, probe: Expression, code: Expression,
       newSecond: Expression, newThird: Expression): Expression =
     copy(qid = newFirst, probe = newSecond, code = newThird)
 }
+
+/**
+ * Per-plan executor state for codegen'd quantized RANGE distances: the full
+ * reconstruction's DOUBLE-fold metric distance (range compares the double
+ * fold of the decoded vector against the radius — the float ADC LUT cannot
+ * provide that, so range scoring gets its own kernel instead of
+ * [[AdcScoreState]]). `centsB` is null except for ivfpq (residual codes);
+ * `bits` < 8 marks packed ivfsq rows.
+ */
+final class QuantRangeState(
+    val cbB: Broadcast[PqCodec.Codebook],
+    val centsB: Broadcast[Array[Array[Float]]], // ivfpq only, else null
+    val l2: Boolean,
+    val bits: Int = 8) extends Serializable {
+
+  @transient private lazy val cb: PqCodec.Codebook = cbB.value
+
+  def dist(code: Array[Byte], cluster: Int,
+      q: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val vhat =
+      if (bits < 8) Ann.sqDecode(cb, bits, code)
+      else {
+        val r = PqCodec.decode(cb, code)
+        if (centsB != null && cluster >= 0) {
+          val c = centsB.value(cluster)
+          var i = 0
+          while (i < r.length) { r(i) += c(i); i += 1 }
+        }
+        r
+      }
+    Ann.doubleFoldDist(vhat, q.toFloatArray(), l2)
+  }
+}
+
+/**
+ * `quant_range_dist(code, cluster, query)` — the quantized range filter's
+ * per-row distance as a NATIVE expression: decode (+ centroid for ivfpq),
+ * then the sequential double fold against the query column. The Scala-UDF
+ * formulation broke whole-stage codegen for the probe-pruned scan stage —
+ * this keeps the scan → score → radius-filter span in one generated loop
+ * (the PqAdcScore lesson applied to range search). `cluster` is -1 for
+ * engines whose codes reconstruct without a centroid (pq, ivfsq).
+ */
+case class QuantRangeDist(code: Expression, cluster: Expression,
+    query: Expression, state: QuantRangeState) extends TernaryExpression {
+
+  override def first: Expression = code
+  override def second: Expression = cluster
+  override def third: Expression = query
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (code.dataType, cluster.dataType, query.dataType) match {
+      case (BinaryType, IntegerType,
+          org.apache.spark.sql.types.ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BINARY, INT, ARRAY<FLOAT>), got " +
+          s"${a.catalogString}, ${b.catalogString}, ${c.catalogString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "quant_range_dist"
+
+  override protected def nullSafeEval(c: Any, cl: Any, q: Any): Any =
+    state.dist(c.asInstanceOf[Array[Byte]], cl.asInstanceOf[Int],
+      q.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val st = ctx.addReferenceObj("quantRangeState", state,
+      classOf[QuantRangeState].getName)
+    defineCodeGen(ctx, ev, (c, cl, q) => s"$st.dist($c, $cl, $q)")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(code = newFirst, cluster = newSecond, query = newThird)
+}

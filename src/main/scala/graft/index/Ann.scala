@@ -741,7 +741,7 @@ object Ann {
    *  dimension's level index first (same 16-bit-window extraction the
    *  packed scan uses). Values are exactly the stored dequantization
    *  levels either way. */
-  private def sqDecode(cb: PqCodec.Codebook, bits: Int,
+  private[index] def sqDecode(cb: PqCodec.Codebook, bits: Int,
       code: Array[Byte]): Array[Float] =
     if (bits >= 8) PqCodec.decode(cb, code)
     else {
@@ -1827,7 +1827,7 @@ object Ann {
    *  the Catalyst distance expressions (and ExactServe): squared L2, or the
    *  negated dot for IP/cosine. Used by quantized range search so the
    *  radius decision and the double-replay oracle share one convention. */
-  private def doubleFoldDist(v: Array[Float], q: Array[Float], l2: Boolean): Double = {
+  private[index] def doubleFoldDist(v: Array[Float], q: Array[Float], l2: Boolean): Double = {
     var s = 0.0
     var j = 0
     if (l2) while (j < v.length) {
@@ -2269,29 +2269,24 @@ object Ann {
             probeFilter(scan0, probes.toSeq)
         }
         val cbB = spark.sparkContext.broadcast(cb)
-        val qB = spark.sparkContext.broadcast(q)
-        val scored = if (meta.engine == "ivfpq") {
-          // reconstruction = centroid + decoded residual, in float (the
-          // stored code space), then the double distance fold
-          val centsB = spark.sparkContext.broadcast(
-            IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
-          val distUdf = udf((code: Array[Byte], cl: Int) => {
-            val vhat = PqCodec.decode(cbB.value, code)
-            val c = centsB.value(cl)
-            var i = 0
-            while (i < vhat.length) { vhat(i) += c(i); i += 1 }
-            doubleFoldDist(vhat, qB.value, l2)
-          })
-          scan.select(col("id").as("__ann_id"),
-            distUdf(col("code"), col("cluster").cast(IntegerType)).as("__dd"))
-        } else {
-          // pq decodes through the codebook; ivfsq sub-byte codes extract
-          // their level indices first (sqDecode handles both)
-          val bits = if (meta.engine == "ivfsq") meta.quantBits else 8
-          val distUdf = udf((code: Array[Byte]) =>
-            doubleFoldDist(sqDecode(cbB.value, bits, code), qB.value, l2))
-          scan.select(col("id").as("__ann_id"), distUdf(col("code")).as("__dd"))
-        }
+        // codegen'd reconstruction distance (QuantRangeDist): decode
+        // (+ centroid for ivfpq residuals; sqDecode handles packed sub-byte
+        // ivfsq rows), then the sequential double fold — the UDF
+        // formulation broke the probe-pruned scan's whole-stage span
+        val qCol = graft.functions.floatVec(q.toSeq)
+        val (state, clusterCol) =
+          if (meta.engine == "ivfpq")
+            (new QuantRangeState(cbB, spark.sparkContext.broadcast(
+              IndexCatalog.readCentroids(s"$dirPath/centroids.bin")), l2),
+              col("cluster").cast(IntegerType))
+          else
+            (new QuantRangeState(cbB, null, l2,
+              if (meta.engine == "ivfsq") meta.quantBits else 8), lit(-1))
+        val scored = scan.select(col("id").as("__ann_id"),
+          graft.functions.mkCol(QuantRangeDist(
+            graft.functions.mkExpr(col("code")),
+            graft.functions.mkExpr(clusterCol),
+            graft.functions.mkExpr(qCol), state)).as("__dd"))
         val base = scored.where(col("__dd") <= radius.toDouble)
         val hits = (if (tomb.isEmpty) base
           else base.where(notTombstoned(col("__ann_id"), tomb)))
@@ -2426,26 +2421,22 @@ object Ann {
         case Metric.L2 => array_distance_sq(base("vec"), col("__q"))
         case _ => array_negative_inner_product(base("vec"), col("__q"))
       } else {
+        // codegen'd reconstruction distance against the per-pair query
+        // column — rangeSearch's QuantRangeDist kernel with __q as the
+        // third child, keeping the broadcast-gemm stage in one span
         val cbB = spark.sparkContext.broadcast(PqCodec.read(s"$dirPath/pq.bin"))
-        if (meta.engine == "ivfpq") {
-          // reconstruction = centroid + decoded residual in float (stored
-          // code space), then the double fold — rangeSearch's exact kernel
-          val centsB = spark.sparkContext.broadcast(
-            IndexCatalog.readCentroids(s"$dirPath/centroids.bin"))
-          val dUdf = udf((code: Array[Byte], cl: Int, q: Array[Float]) => {
-            val vhat = PqCodec.decode(cbB.value, code)
-            val c = centsB.value(cl)
-            var i = 0
-            while (i < vhat.length) { vhat(i) += c(i); i += 1 }
-            doubleFoldDist(vhat, q, l2)
-          })
-          dUdf(base("code"), base("cluster").cast(IntegerType), col("__q"))
-        } else {
-          val bits = if (meta.engine == "ivfsq") meta.quantBits else 8
-          val dUdf = udf((code: Array[Byte], q: Array[Float]) =>
-            doubleFoldDist(sqDecode(cbB.value, bits, code), q, l2))
-          dUdf(base("code"), col("__q"))
-        }
+        val (state, clusterCol) =
+          if (meta.engine == "ivfpq")
+            (new QuantRangeState(cbB, spark.sparkContext.broadcast(
+              IndexCatalog.readCentroids(s"$dirPath/centroids.bin")), l2),
+              base("cluster").cast(IntegerType))
+          else
+            (new QuantRangeState(cbB, null, l2,
+              if (meta.engine == "ivfsq") meta.quantBits else 8), lit(-1))
+        graft.functions.mkCol(QuantRangeDist(
+          graft.functions.mkExpr(base("code")),
+          graft.functions.mkExpr(clusterCol),
+          graft.functions.mkExpr(toFloatVec(col("__q"))), state))
       }
     val scored = joined
       .withColumn("__dd", distCol)

@@ -25,6 +25,8 @@ import graft.search.Hybrid
  *   SELECT * FROM hybrid_search('documents', 'docs_idx', 'embedding', 'doc_id',
  *                               array(...), 'query text', 10)
  *   SELECT * FROM ann_list()
+ *   SELECT * FROM ann_reconstruct('docs_idx', array(1, 5, 9))
+ *   SELECT * FROM ann_reconstruct_n('docs_idx', 100, 50)
  *   SELECT * FROM ann_index_info()                                  -- or (name)
  *   SELECT * FROM faiss_gpu_info()
  *   SELECT * FROM ann_create_index('documents', 'embedding', 'doc_id',
@@ -150,6 +152,25 @@ object TableFunctions {
   private def vec(fn: String, e: Expression): Array[Float] = evalLit(fn, e) match {
     case a: ArrayData => a.array.map(num(fn, _))
     case v => err(fn, s"expected an array literal query vector, got: $v")
+  }
+
+  private def lng(fn: String, e: Expression): Long = evalLit(fn, e) match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case v => err(fn, s"expected an integer argument, got: $v")
+  }
+
+  private def longs(fn: String, e: Expression): Array[Long] = evalLit(fn, e) match {
+    case a: ArrayData => a.array.map {
+      case l: Long => l
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case v => err(fn, s"expected an integer id element, got: $v")
+    }
+    case v => err(fn, s"expected an array literal of ids, got: $v")
   }
 
   private def vecs(fn: String, e: Expression): Array[Array[Float]] = evalLit(fn, e) match {
@@ -302,6 +323,22 @@ object TableFunctions {
         vectorCandidates = a.get("vector_candidates").map(int(fn, _)).getOrElse(100),
         indexName = str(fn, a("index")),
         searchComplexity = a.get("search_complexity").map(int(fn, _)).getOrElse(0)))
+    },
+    // FAISS reconstruct / reconstruct_n on the SQL surface (the repo's
+    // "everything callable from SQL" contract): id-list and contiguous-range
+    // forms → (row_id, vector), both threshold-gated against plan blowup
+    // (idIn / two range comparisons — Ann.reconstruct scaladoc)
+    "ann_reconstruct" -> { args =>
+      val fn = "ann_reconstruct"
+      val a = splitArgs(fn, args, Seq("index", "ids"), 2)
+      plan(Ann.reconstruct(spark, str(fn, a("index")),
+        longs(fn, a("ids")).toSeq))
+    },
+    "ann_reconstruct_n" -> { args =>
+      val fn = "ann_reconstruct_n"
+      val a = splitArgs(fn, args, Seq("index", "i0", "ni"), 3)
+      plan(Ann.reconstructN(spark, str(fn, a("index")),
+        lng(fn, a("i0")), lng(fn, a("ni"))))
     },
     "ann_list" -> { args =>
       if (args.nonEmpty) err("ann_list", "takes no arguments")

@@ -217,4 +217,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scoreLines.exists(_.contains("*(")),
       s"pq_adc_score fell out of codegen:\n${scoreLines.mkString("\n")}\n$p")
   }
+
+  test("quantized range distance stays inside whole-stage codegen") {
+    import graft.index.Ann
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "planq_risq", "IVF4,SQ8",
+      Ann.BuildParams(nprobe = 1))
+    val q = emb.orderBy("vec_id").limit(1)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val df = Ann.rangeSearch(emb, "vec_id", "planq_risq", q, 16.5f)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val distLines = p.linesIterator.filter(_.contains("quant_range_dist")).toSeq
+    assert(distLines.nonEmpty, s"expected quant_range_dist in the plan:\n$p")
+    // the scan -> decode-distance -> radius-filter span must be one
+    // generated loop, not an interpreted UDF boundary (PqAdcScore lesson)
+    assert(distLines.exists(_.contains("*(")),
+      s"quant_range_dist fell out of codegen:\n${distLines.mkString("\n")}\n$p")
+  }
 }

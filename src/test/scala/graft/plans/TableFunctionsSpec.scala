@@ -50,6 +50,23 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(rows(0).getFloat(1) == 0.0f) // query is row 0's own vector
   }
 
+  test("pure SQL: ann_reconstruct and ann_reconstruct_n round-trip stored vectors") {
+    spark.sql(
+      "SELECT * FROM ann_create_index('emb', 'embedding', 'vec_id', 'sql_rc', 'Flat')")
+      .collect()
+    val raw = spark.table("emb").where("vec_id IN (2, 5, 9)")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val byIds = spark.sql(
+      "SELECT * FROM ann_reconstruct('sql_rc', array(2, 9, 5)) ORDER BY row_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(byIds == raw)
+    val byRange = spark.sql(
+      "SELECT * FROM ann_reconstruct_n('sql_rc', 5, 1)").collect()
+    assert(byRange.length == 1 && byRange(0).getLong(0) == 5L &&
+      byRange(0).getSeq[Float](1).toSeq == raw(5L))
+  }
+
   test("pure SQL: ann_range_search returns every row inside the radius") {
     val rows = spark.sql(
       s"SELECT * FROM ann_range_search('emb', 'sql_idx', $q0Sql, 1.0)").collect()
