@@ -477,10 +477,11 @@ object AnnScaleSmoke {
     // (KMeansLite.nearestPImi, O(2·2^8) distances) — so the serve pair
     // measures exactly the decomposition's delta, and the probe_select
     // microbench prices selection alone.
-    // Honest scale caveat: at 65,536 cells the parquet partitionBy layout
-    // enters the many-small-files regime (one dir per populated cell); a
-    // 100 TB deployment would cap dirs (~4k) or consolidate lists into
-    // bucketed files — recorded here as a measured build cost, not hidden.
+    // Since r18 the 65,536-cell table lands in the BUCKETED layout
+    // (cluster % 1024 directories, cluster a sorted data column —
+    // Ann.writeClustered), so the build no longer pays a dir-per-cell
+    // write commit (271.3 s in r17) and probes prune via bucket dirs +
+    // pushed row-group cluster filters.
     val imiNprobe = 512 // ~0.8% of cells — fraction, not count, is the knob
     if (!reuse || !haveIdx("as_imi")) run("imi2x8_build") {
       Ann.buildIndexFactory(emb, "embedding", "vec_id", "as_imi", "IMI2x8",
@@ -541,7 +542,9 @@ object AnnScaleSmoke {
         run("ivfhnsw_coarse_build") {
           val ix = new graft.core.HnswIndex(imiCents(0).length,
             graft.core.Metric.L2, 32)
-          imiCents.foreach(ix.add)
+          // batch-parallel deterministic bulk build (HnswIndex.addAll) —
+          // the r17 sequential loop cost 31 s at these 65,536 cells
+          ix.addAll(imiCents)
           graft.core.HnswFormat.writeFile(ix, java.nio.file.Paths.get(
             IndexCatalog.indexDir(Ann.root(spark), "as_ivfhnsw"),
             "coarse.hnsw").toString)
