@@ -118,7 +118,8 @@ object Ann {
    * src/include/faiss_index.hpp:37-113). Supported grammar:
    * `Flat` | `HNSW[m]` | `IVF<nlist>,Flat` | `IVF<nlist>,PQ<m>` |
    * `IVF<nlist>_HNSW<m>[,Flat|,PQ<m>]` (HNSW coarse quantizer) |
-   * `DiskANN[degree]` | `PQ<m>` | `OPQ<m>,PQ<m>` | `LSH[nbits]`, each
+   * `DiskANN[degree]` | `PQ<m>` | `OPQ<m>,PQ<m>` |
+   * `OPQ<m>,IVF<n>[_HNSW<g>],PQ<m>` | `LSH[nbits]`, each
    * optionally suffixed `,SQ8`/`,SQ4`/`,SQ6` (diskann only) or `,RFlat`
    * (code engines: PQ/IVFPQ/LSH).
    */
@@ -160,6 +161,16 @@ object Ann {
       // a PQ-aware learned rotation as a transform chain over the ivfpq
       // terminal (IVF trains/assigns in rotated space, PQ encodes rotated
       // residuals, prepQuery rotates queries through the stored fold)
+      // the chain composes with the HNSW coarse quantizer: the graph is
+      // built over the ROTATED-space centroids (writeCoarseHnsw runs inside
+      // the ivfpq terminal, after the chain transform), and prepQuery
+      // rotates queries before probe selection — so the composition needs
+      // no new serve logic, only this parse arm
+      case Opq(m1) :: IvfHnsw(nlist, g) :: Pq(m2) :: Nil =>
+        require(m1.toInt == m2.toInt,
+          s"OPQ subquantizer count must match PQ (got OPQ$m1,...,PQ$m2)")
+        base.copy(engine = "ivfpq", nlist = nlist.toInt, pqM = m2.toInt,
+          opqChain = true, coarseHnswM = coarseHnswMOf(g, desc))
       case Opq(m1) :: Ivf(nlist) :: Pq(m2) :: Nil =>
         require(m1.toInt == m2.toInt,
           s"OPQ subquantizer count must match PQ (got OPQ$m1,...,PQ$m2)")
@@ -1285,6 +1296,11 @@ object Ann {
         else (p, spark.sparkContext.broadcast(p)))._2
     }
   }
+
+  /** Test hook: (decoded-graph entries, probe entries, broadcast entries) —
+   *  eviction specs assert rebuild loops hold one entry per index path. */
+  private[graft] def coarseCacheSizes: (Int, Int, Int) =
+    (coarseGraphCache.size, coarseProbeCache.size, coarseProbeBCache.size)
 
   /** Probe selection for IVF-family serving: plain IVF ranks the centroid
    *  table directly; IMI indexes (imiB > 0) decompose into per-half distance

@@ -131,4 +131,23 @@ class IvfHnswSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(a == b)
   }
+
+  test("rebuild loops do not strand decoded coarse graphs (generation eviction)") {
+    // a streaming maintain loop rebuilds the same index name repeatedly;
+    // each rebuild changes the coarse.hnsw fingerprint. The caches must
+    // REPLACE per path, not accumulate a graph per generation for the JVM
+    // lifetime (tens of MB each at design-point nlist).
+    val (g0, p0, b0) = Ann.coarseCacheSizes
+    for (_ <- 1 to 3) {
+      Ann.buildIndexFactory(emb, "embedding", "vec_id", "ivfh_evict",
+        "IVF8_HNSW8,Flat", Ann.BuildParams(nprobe = 2))
+      // touch every cache: probe (single-query serve), broadcast (batch)
+      Ann.search(emb, "vec_id", "ivfh_evict", q0, 5).count()
+      Ann.searchBatch(emb, "vec_id", "ivfh_evict", Seq(q0), 5).count()
+    }
+    val (g1, p1, b1) = Ann.coarseCacheSizes
+    assert(g1 - g0 <= 1, s"graph cache grew by ${g1 - g0} over 3 rebuilds")
+    assert(p1 - p0 <= 1, s"probe cache grew by ${p1 - p0} over 3 rebuilds")
+    assert(b1 - b0 <= 1, s"broadcast cache grew by ${b1 - b0} over 3 rebuilds")
+  }
 }

@@ -39,6 +39,35 @@ class OpqChainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,IVF64,PQ4"))
     intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,IVF64"))
     intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,IVF64,SQ8"))
+    // chain x HNSW coarse quantizer composition
+    val ph = Ann.parseFactory("OPQ8,IVF64_HNSW16,PQ8")
+    assert(ph.engine == "ivfpq" && ph.nlist == 64 && ph.pqM == 8 &&
+      ph.opqChain && ph.coarseHnswM == 16)
+    assert(Ann.parseFactory("OPQ8,IVF64_HNSW,PQ8").coarseHnswM ==
+      graft.core.HnswIndex.DefaultM)
+    intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,IVF64_HNSW0,PQ8"))
+  }
+
+  test("OPQ chain over an HNSW coarse quantizer == the plain chain at saturation") {
+    // identical stored contents (assignment is the exact scan either way);
+    // at nprobe = nlist the graph is bypassed, so results must bit-match
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "oc_hnsw",
+      "OPQ8,IVF4_HNSW8,PQ8", Ann.BuildParams(seedK = 16, nprobe = 4))
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "oc_plain",
+      "OPQ8,IVF4,PQ8", Ann.BuildParams(seedK = 16, nprobe = 4))
+    val a = Ann.search(emb, "vec_id", "oc_hnsw", q0, 10)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val b = Ann.search(emb, "vec_id", "oc_plain", q0, 10)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(a == b && a.length == 10)
+    // the coarse graph exists and graph-probed operating points serve
+    val meta = IndexCatalog.load(Ann.root(spark), "oc_hnsw")
+    assert(meta.coarseHnswM == 8 &&
+      new java.io.File(s"${dirOf("oc_hnsw")}/coarse.hnsw").exists())
+    Ann.setNprobe(spark, "oc_hnsw", 1)
+    assert(Ann.search(emb, "vec_id", "oc_hnsw", q0, 5).count() == 5)
   }
 
   test("seeded OPQ chain == plain seeded ivfpq over manually reversed vectors") {
