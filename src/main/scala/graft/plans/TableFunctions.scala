@@ -21,6 +21,7 @@ import graft.search.Hybrid
  *   SELECT * FROM ann_range_search('documents', 'docs_idx', array(0.1, ...), 12.5)
  *   SELECT * FROM ann_search_batch('documents', 'docs_idx', array(array(...), ...), 5)
  *   SELECT * FROM ann_search_table('queries_view', 'documents', 'docs_idx', 5)
+ *   SELECT * FROM ann_range_search_table('queries_view', 'documents', 'docs_idx', 12.5)
  *   SELECT * FROM vector_distances('embeddings', array(...))        -- + optional metric
  *   SELECT * FROM hybrid_search('documents', 'docs_idx', 'embedding', 'doc_id',
  *                               array(...), 'query text', 10)
@@ -292,6 +293,20 @@ object TableFunctions {
       val idCol = IndexCatalog.load(Ann.root(spark), index).idColumn
       plan(Ann.searchTable(spark.table(str(fn, a("queries_table"))),
         spark.table(str(fn, a("base_table"))), idCol, index, int(fn, a("k")), sc))
+    },
+    // TABLE-input range search (the range analog of ann_search_table):
+    // every (query row, base row) pair within the radius; the query-vector
+    // column auto-detects like the reference's TABLE inputs
+    "ann_range_search_table" -> { args =>
+      val fn = "ann_range_search_table"
+      val a = splitArgs(fn, args,
+        Seq("queries_table", "base_table", "index", "radius"), 4)
+      val index = str(fn, a("index"))
+      val idCol = IndexCatalog.load(Ann.root(spark), index).idColumn
+      val qdf = spark.table(str(fn, a("queries_table")))
+      plan(Ann.rangeSearchTable(qdf, Ann.detectVectorColumn(qdf.schema),
+        spark.table(str(fn, a("base_table"))), idCol, index,
+        dbl(fn, a("radius")).toFloat))
     },
     "vector_distances" -> { args =>
       val fn = "vector_distances"

@@ -77,6 +77,23 @@ class TableFunctionsSpec extends AnyFunSuite {
       r.getAs[Float]("_distance") == 0.0f))
   }
 
+  test("pure SQL: ann_range_search_table returns per-query in-radius pairs") {
+    spark.sql(
+      "SELECT * FROM ann_create_index('emb', 'embedding', 'vec_id', 'sql_rt', 'Flat')")
+      .collect()
+    spark.sql("SELECT vec_id, embedding FROM emb WHERE vec_id < 2")
+      .createOrReplaceTempView("sql_rt_queries")
+    val rows = spark.sql(
+      "SELECT * FROM ann_range_search_table('sql_rt_queries', 'emb', 'sql_rt', 1.5)")
+      .collect()
+    assert(rows.nonEmpty)
+    // each query's own row is within any positive radius (distance 0)
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("tbl_vec_id"))).toSet
+    assert(pairs.contains((0L, 0L)) && pairs.contains((1L, 1L)))
+    assert(rows.forall(_.getAs[Float]("_distance") <= 1.5f))
+  }
+
   test("pure SQL: batch + table-input + vector_distances + gpu_info") {
     val batch = spark.sql(
       s"SELECT * FROM ann_search_batch('emb', 'sql_idx', array($q0Sql), 3)").collect()
