@@ -337,7 +337,7 @@ final class HnswIndex(
     val frozenMax = maxLevel
     val chosenAll = new Array[Array[Array[Int]]](batch)
     // per-node parallel stream (not ParChunks: its 2048-wide chunks would
-    // serialize the small early batches of the /4 growth schedule); each
+    // serialize the small early batches of the /8 growth schedule); each
     // index writes only its own chosenAll slot, so scheduling cannot affect
     // the result
     java.util.stream.IntStream.range(0, batch).parallel().forEach { i =>
@@ -672,7 +672,7 @@ object HnswIndex {
   /** [[HnswIndex.addAll]] inserts this many nodes sequentially before
    *  switching to parallel batches. */
   val BulkSeqSeed = 1024
-  /** Batch size = count / this — each parallel round inserts 25% of the
+  /** Batch size = count / this — each parallel round inserts 12.5% of the
    *  current graph size. */
   val BulkGrowthDiv = 8
 }

@@ -1362,7 +1362,8 @@ object Ann {
       if (bits == 8) udf((code: Array[Byte]) => PqCodec.adc(lutB.value, k, code))
       else udf((code: Array[Byte]) =>
         graft.core.SqPackedCodec.adc(lutB.value, bits, dim, code))
-    val scan0 = probeFilter(spark.read.parquet(meta.sourcePath), probes.toSeq)
+    val scan0 = probeFilter(spark.read.parquet(meta.sourcePath), probes.toSeq,
+      cents.length)
     val base = extraFilter.fold(scan0)(scan0.where)
       .select(col("id").as("row_id"), adcUdf(col("code")).as("__dd"))
     val filtered = if (tomb.isEmpty) base
@@ -1458,7 +1459,8 @@ object Ann {
       val (t, off) = lutB.value(cluster)
       PqCodec.adc(t, k, code) + off
     })
-    val scan0 = probeFilter(spark.read.parquet(meta.sourcePath), probes.toSeq)
+    val scan0 = probeFilter(spark.read.parquet(meta.sourcePath), probes.toSeq,
+      cents.length)
     // filtered search: the id predicate splices BEFORE the ADC projection
     // and top-k, so it pushes to the parquet scan beside the probe pruning
     val base = extraFilter.fold(scan0)(scan0.where)
@@ -1740,7 +1742,7 @@ object Ann {
         val dc = math.sqrt(VectorOps.l2SqDoubleAcc(query, cents(c)))
         dc - radii(c) <= rq + 1e-6 * (1.0 + rq)
       }
-      probeFilter(spark.read.parquet(meta.sourcePath), keep)
+      probeFilter(spark.read.parquet(meta.sourcePath), keep, cents.length)
     } else if (meta.engine == "ivfflat") {
       scanIvfOrFlat(spark, meta, query)
     } else spark.read.parquet(meta.sourcePath)
@@ -1759,17 +1761,39 @@ object Ann {
 
   /** One write path for every cluster-assigned table (build, append,
    *  vacuum): per-cluster directories below [[MaxClusterDirs]], bucketed
-   *  above. The layout is a pure function of nlist, so appends/vacuums
-   *  always match the build's layout. */
+   *  above. Fresh writes derive the layout from nlist; APPENDS detect the
+   *  existing table's layout from its read schema and honor it — a table
+   *  built before the bucketed layout existed (large-nlist
+   *  `partitionBy("cluster")` dirs) must keep receiving `cluster=` dirs,
+   *  or the append would plant conflicting `bucket=` partition directories
+   *  inside the same table and break every subsequent read. The read side
+   *  (probeFilter/probeJoinCond) already detects layout per-table, so the
+   *  two sides share one convention: the schema is the truth, nlist is
+   *  only the fresh-write default. */
   private def writeClustered(stored: DataFrame, nlist: Int, path: String,
-      mode: String): Unit =
-    if (nlist <= MaxClusterDirs)
+      mode: String): Unit = {
+    val bucketed =
+      if (mode == "append")
+        existingLayoutBucketed(stored.sparkSession, path)
+          .getOrElse(nlist > MaxClusterDirs)
+      else nlist > MaxClusterDirs
+    if (!bucketed)
       stored.repartition(col("cluster"))
         .write.mode(mode).partitionBy("cluster").parquet(path)
     else
       stored.withColumn("bucket", pmod(col("cluster"), lit(ClusterBuckets)))
         .repartition(col("bucket")).sortWithinPartitions("cluster")
         .write.mode(mode).partitionBy("bucket").parquet(path)
+  }
+
+  /** Whether an existing cluster-assigned table at `path` uses the bucketed
+   *  layout (a `bucket` partition column in its read schema); None if no
+   *  readable table exists there yet (first write — caller falls back to
+   *  the nlist rule). */
+  private def existingLayoutBucketed(spark: SparkSession,
+      path: String): Option[Boolean] =
+    try Some(spark.read.parquet(path).schema.fieldNames.contains("bucket"))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Batch-path probe-join condition over either layout: per-cluster tables
    *  equi-join on the cluster partition column (dynamic partition pruning
@@ -1783,17 +1807,43 @@ object Ann {
     else base
   }
 
+  /** Int-column inclusion predicate with O(1) plan size at any probe count —
+   *  [[idIn]]'s cluster-id twin: a literal `In` below [[TombInlineMax]]
+   *  (readable EXPLAIN, prunes partition dirs / parquet row groups), one
+   *  hash-set `InSet` expression above it. `InSet` is the optimized form
+   *  Catalyst rewrites `In` to, it still prunes partitions (the file index
+   *  evaluates arbitrary predicates over partition values) and still
+   *  translates to a `sources.In` for the parquet scan, so results and
+   *  pruning behavior are identical across the threshold — only the
+   *  analysis/codegen cost stops scaling with nprobe. */
+  private[index] def clusterIn(c: Column, ids: Seq[Int]): Column = {
+    val ds = ids.distinct
+    if (ds.size <= TombInlineMax) c.isin(ds.sorted.map(Integer.valueOf): _*)
+    else {
+      import org.apache.spark.sql.catalyst.expressions.InSet
+      import org.apache.spark.sql.graftshim.GraftShim
+      GraftShim.column(InSet(GraftShim.expression(c),
+        ds.map(x => Int.box(x): Any).toSet))
+    }
+  }
+
   /** Probe pruning over either layout (detected from the read schema, so
    *  pre-existing per-cluster tables keep working): per-cluster tables
-   *  prune directories with one `cluster IN`, bucketed tables prune
-   *  directories with `bucket IN` (≤ nprobe of [[ClusterBuckets]]) and rows
-   *  with the pushed `cluster IN` over the sorted row groups. */
-  private def probeFilter(df: DataFrame, probes: Seq[Int]): DataFrame = {
-    val pj = probes.map(Integer.valueOf)
-    if (df.schema.fieldNames.contains("bucket")) {
-      val buckets = probes.map(_ % ClusterBuckets).distinct.map(Integer.valueOf)
-      df.where(col("bucket").isin(buckets: _*) && col("cluster").isin(pj: _*))
-    } else df.where(col("cluster").isin(pj: _*))
+   *  prune directories with one cluster predicate, bucketed tables prune
+   *  directories on `bucket` (≤ nprobe of [[ClusterBuckets]]) and rows
+   *  with the pushed cluster predicate over the sorted row groups. Plan
+   *  hygiene at IMI-sized nlists: a SATURATING probe set
+   *  (probes ≥ nlist — e.g. the exact-twin oracles at nprobe = 65,536) is a
+   *  semantic no-op, so no filter is planted at all; large-but-partial
+   *  probe lists ride [[clusterIn]]'s `InSet` form instead of a
+   *  multi-thousand-literal `In`. */
+  private def probeFilter(df: DataFrame, probes: Seq[Int], nlist: Int): DataFrame = {
+    val ds = probes.distinct
+    if (nlist > 0 && ds.size >= nlist) df
+    else if (df.schema.fieldNames.contains("bucket")) {
+      val buckets = ds.map(_ % ClusterBuckets).distinct
+      df.where(clusterIn(col("bucket"), buckets) && clusterIn(col("cluster"), ds))
+    } else df.where(clusterIn(col("cluster"), ds))
   }
 
   /** flat: full scan; ivfflat: nprobe-pruned partition scan. */
@@ -1805,7 +1855,7 @@ object Ann {
       val cents = IndexCatalog.readCentroids(
         s"${IndexCatalog.indexDir(root(spark), meta.name)}/centroids.bin")
       val probes = selectProbes(cents, meta.imiB, query, nprobe, coarseProbe(spark, meta))
-      probeFilter(df, probes.toSeq)
+      probeFilter(df, probes.toSeq, cents.length)
     } else df
   }
 
@@ -2277,12 +2327,12 @@ object Ann {
               val dc = math.sqrt(VectorOps.l2SqDoubleAcc(q, cents(c)))
               dc - radii(c) <= rq + 1e-6 * (1.0 + rq)
             }
-            probeFilter(scan0, keep)
+            probeFilter(scan0, keep, cents.length)
           case _ =>
             val cents = IndexCatalog.readCentroids(s"$dirPath/centroids.bin")
             val probes = selectProbes(cents, meta.imiB, q, meta.nprobe,
               coarseProbe(spark, meta))
-            probeFilter(scan0, probes.toSeq)
+            probeFilter(scan0, probes.toSeq, cents.length)
         }
         val cbB = spark.sparkContext.broadcast(cb)
         // codegen'd reconstruction distance (QuantRangeDist): decode
@@ -2381,13 +2431,18 @@ object Ann {
       meta.engine == "ivfsq"
     val prepped = {
       val base0 = queriesDf.withColumn(queryVecColumn, toFloatVec(col(queryVecColumn)))
-      // pca indexes: __q maps through the frozen transform (stored vectors
-      // live in transformed space; pca is L2-only so no normalize interplay)
+      // pca indexes: __q maps through the frozen transform. The PCA engines
+      // are L2-only, but OPQ-CHAIN ivfpq indexes store their rotation as
+      // pca.bin and DO allow cosine — transform FIRST, normalize AFTER,
+      // prepQuery's float order (rotation preserves norms only in exact
+      // arithmetic; the single-query path would otherwise diverge by an ulp
+      // at a cell boundary).
       val qExpr =
         if (meta.pcaFile.nonEmpty) {
           val pcaB = spark.sparkContext.broadcast(graft.core.PcaCodec.cached(meta.pcaFile))
           val tUdf = udf((v: Array[Float]) => pcaB.value.transform(v))
-          tUdf(col(queryVecColumn))
+          if (cosine) toFloatVec(normalizeCol(tUdf(col(queryVecColumn))))
+          else tUdf(col(queryVecColumn))
         } else if (meta.engine == "pq" && meta.opq) {
           // plain-pq OPQ codes live in rotated space: rotate each query once
           // (after the cosine normalize, matching prepQuery-then-rotate)
@@ -2758,15 +2813,17 @@ object Ann {
     val dirPath = IndexCatalog.indexDir(root(spark), meta.name)
     val prepped0 = {
       val base0 = queriesDf.withColumn(queryVecColumn, toFloatVec(col(queryVecColumn)))
-      // pca indexes: __q is the frozen-transformed query (the stored vectors
-      // live in transformed space; the chain is L2-only so no normalization
-      // interaction exists) — the USER's query column stays untouched, it is
-      // part of the output contract
+      // pca indexes: __q is the frozen-transformed query — the USER's query
+      // column stays untouched, it is part of the output contract. The PCA
+      // engines are L2-only, but OPQ-chain ivfpq indexes store their
+      // rotation as pca.bin and DO allow cosine: transform FIRST, normalize
+      // AFTER (prepQuery's float order — see rangeSearchTable's twin note).
       val qExpr =
         if (meta.pcaFile.nonEmpty) {
           val pcaB = spark.sparkContext.broadcast(graft.core.PcaCodec.cached(meta.pcaFile))
           val tUdf = udf((v: Array[Float]) => pcaB.value.transform(v))
-          tUdf(col(queryVecColumn))
+          if (cosine) toFloatVec(normalizeCol(tUdf(col(queryVecColumn))))
+          else tUdf(col(queryVecColumn))
         }
         else if (cosine) toFloatVec(normalizeCol(col(queryVecColumn)))
         else col(queryVecColumn)
@@ -3490,9 +3547,9 @@ object Ann {
         val centsB = spark.sparkContext.broadcast(cents)
         val assignUdf = udf((v: Array[Float]) => KMeansLite.nearest(centsB.value, v))
         val clustered = data.withColumn("cluster", assignUdf(col("vec")))
-        // layout is a pure function of nlist (writeClustered), so the
-        // append lands in the same per-cluster or bucketed shape the build
-        // wrote
+        // writeClustered detects the existing table's layout on append, so
+        // the batch lands in the same per-cluster or bucketed shape the
+        // build wrote — including legacy large-nlist per-cluster tables
         writeClustered(clustered, meta.nlist, meta.sourcePath, "append")
         // appended members may extend a cluster's radius: merge-max the
         // batch's radii into radii.bin so range pruning stays exact

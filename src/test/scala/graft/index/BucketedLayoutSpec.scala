@@ -86,4 +86,46 @@ class BucketedLayoutSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0))
     assert(!got.contains(hit) && got.length == 5)
   }
+
+  test("append honors a LEGACY large-nlist per-cluster table's layout") {
+    // A table built before the bucketed layout existed: nlist > MaxClusterDirs
+    // but partitioned per-cluster on disk. Appends must keep writing
+    // cluster= dirs — deriving the layout from nlist alone would plant
+    // conflicting bucket= partition dirs in the same table and break reads.
+    val meta = Ann.buildIndexFactory(emb, "embedding", "vec_id", "bk_legacy",
+      "IMI2x7,Flat", Ann.BuildParams(seedK = 128, nprobe = 16384))
+    // rewrite the bucketed table to the legacy per-cluster layout in place
+    val legacyTmp = meta.sourcePath + "_legacy"
+    val rows = spark.read.parquet(meta.sourcePath).drop("bucket").cache()
+    rows.count()
+    rows.repartition(4).write.mode("overwrite")
+      .partitionBy("cluster").parquet(legacyTmp)
+    rows.unpersist()
+    def rmRf(p: java.io.File): Unit = {
+      val kids = p.listFiles(); if (kids != null) kids.foreach(rmRf); p.delete()
+    }
+    rmRf(new java.io.File(meta.sourcePath))
+    assert(new java.io.File(legacyTmp).renameTo(new java.io.File(meta.sourcePath)))
+    assert(dirNames(meta.sourcePath).forall(_.startsWith("cluster=")))
+    // append into the legacy table: layout must be detected, not re-derived
+    val extra = emb.select((col("vec_id") + 200000L).as("vec_id"),
+      col("embedding")).limit(20)
+    Ann.append(extra, "embedding", "vec_id", "bk_legacy")
+    val dirs = dirNames(meta.sourcePath)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cluster=")),
+      s"append broke the legacy layout: ${dirs.filterNot(_.startsWith("cluster=")).take(5)}")
+    // and the table stays searchable end-to-end, appended rows included
+    val q = emb.orderBy("vec_id").limit(1)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val all = emb.select("vec_id", "embedding")
+      .union(extra.select(col("vec_id"), col("embedding")))
+    val got = Ann.search(all, "vec_id", "bk_legacy", q, 10)
+      .select("vec_id", "_distance").collect().map(r => (r.getLong(0), r.getFloat(1)))
+    Ann.buildIndex(emb, "embedding", "vec_id", "bk_legacy_flat",
+      Ann.BuildParams(engine = "flat"))
+    Ann.append(extra, "embedding", "vec_id", "bk_legacy_flat")
+    val want = Ann.search(all, "vec_id", "bk_legacy_flat", q, 10)
+      .select("vec_id", "_distance").collect().map(r => (r.getLong(0), r.getFloat(1)))
+    assert(got.toSeq == want.toSeq)
+  }
 }

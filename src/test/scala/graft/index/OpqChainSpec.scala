@@ -168,6 +168,49 @@ class OpqChainSpec extends AnyFunSuite {
     assert(rows(m1) == rows(m2))
   }
 
+  test("cosine OPQ chain: TABLE paths normalize AFTER the stored rotation " +
+      "(parity with the single-query prepQuery order)") {
+    // OPQ-chain ivfpq stores its rotation as pca.bin and allows cosine, so
+    // the table paths' pcaFile branch MUST normalize after the transform —
+    // un-normalized queries (scaled 3x here) would otherwise select probes
+    // and score distances against 3x-scaled vectors, diverging from the
+    // single-query path for both top-k and range.
+    val base = emb.where(col("vec_id") < 200)
+    Ann.buildIndexFactory(base, "embedding", "vec_id", "oc_cos_tbl",
+      "OPQ8,IVF4,PQ8", Ann.BuildParams(metric = "cosine", seedK = 16, nprobe = 2))
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), x => x * lit(3.0f)).as("embedding"))
+    val qArr = queries.select("qid", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // ids must agree exactly; distances to an ulp (the table path
+    // normalizes via the SQL double-division normalizeCol, the single-query
+    // path via the float VectorOps.normalize — the same established
+    // ulp-class divergence the non-pca cosine table path has)
+    val got = Ann.searchTable(queries, "embedding", base, "vec_id",
+        "oc_cos_tbl", 5)
+      .select(col("qid"), col("vec_id"), col("_distance")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getFloat(2))).toMap
+    val want = qArr.flatMap { case (qid, q) =>
+      Ann.search(base, "vec_id", "oc_cos_tbl", q, 5)
+        .select("vec_id", "_distance").collect()
+        .map(x => ((qid, x.getLong(0)), x.getFloat(1)))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, d) => assert(math.abs(d - want(k)) < 1e-5f, k) }
+    // range TABLE parity: same ball per query as single-query rangeSearch
+    val radius = -0.05f // cosine surface: −cos ≤ radius ⇔ cos ≥ 0.05
+    val gotR = Ann.rangeSearchTable(queries, "embedding", base, "vec_id",
+        "oc_cos_tbl", radius)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantR = qArr.flatMap { case (qid, q) =>
+      Ann.rangeSearch(base, "vec_id", "oc_cos_tbl", q, radius)
+        .select("vec_id").collect().map(x => (qid, x.getLong(0)))
+    }.toSet
+    assert(gotR.nonEmpty && gotR == wantR)
+  }
+
   test("coarseProbe and its decoded graph are process-cached per file generation") {
     Ann.buildIndexFactory(emb, "embedding", "vec_id", "oc_cp",
       "IVF16_HNSW8,Flat", Ann.BuildParams(nprobe = 4))
