@@ -947,6 +947,34 @@ object SparkEntry {
         .orderBy("qid", "rid")
     }),
 
+    // TABLE-input range search over a GRAPH engine: the single-query
+    // expanding-k beam run per (query, shard) on the searchTable task grid
+    // (approximate by graph recall → rows-only; exact twin below)
+    "ann_range_table_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_range_tg",
+        Ann.BuildParams(engine = "diskann", numShards = 4))
+      val queries = emb.where(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+      Ann.rangeSearchTable(queries, "embedding", emb, "vec_id", "v_range_tg", 16.5f)
+        .select(col("vec_id").as("qid"), col("tbl_vec_id").as("rid"), col("_distance"))
+        .orderBy("qid", "_distance", "rid")
+    }),
+
+    // graph TABLE-range saturation oracle: beam ≥ shard size makes every
+    // shard's ball exact (the ann_range_graph_exact argument per query row),
+    // so the pair SET equals the brute-force cross-join ball; id-set oracle
+    // because the beam computes float distances and the oracle doubles
+    "ann_range_table_graph_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.buildIndex(emb, "embedding", "vec_id", "v_range_tgx",
+        Ann.BuildParams(engine = "diskann", numShards = 2))
+      val queries = emb.where(col("vec_id") < 3).select(col("vec_id"), col("embedding"))
+      Ann.rangeSearchTable(queries, "embedding", emb, "vec_id", "v_range_tgx",
+          16.5f, searchComplexity = 4096)
+        .select(col("vec_id").as("qid"), col("tbl_vec_id").as("rid"))
+        .orderBy("qid", "rid")
+    }),
+
     // radius query on a graph index: expanding-k beam search (approximate
     // by graph recall → rows-only)
     "ann_range_graph" -> ((s, dir) => {
@@ -2507,6 +2535,13 @@ object SparkEntry {
       s"""SELECT vec_id FROM (
          |  SELECT vec_id, ${d2Sql("embedding", q64Sql)} AS __dd FROM embeddings)
          |WHERE __dd <= 16.5 ORDER BY vec_id""".stripMargin,
+    "ann_range_table_graph_exact" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3)
+         |SELECT qid, rid FROM (
+         |  SELECT q.qid, e.vec_id AS rid,
+         |    ${d2Sql("e.embedding", "q.qv::DOUBLE[]")} AS __dd
+         |  FROM q CROSS JOIN embeddings e)
+         |WHERE __dd <= 16.5 ORDER BY qid, rid""".stripMargin,
     "ann_range_search" ->
       s"""SELECT vec_id, _distance FROM (
          |  SELECT vec_id, CAST(${d2Sql("embedding", q64Sql)} AS FLOAT) AS _distance,

@@ -119,7 +119,8 @@ object Ann {
    * `Flat` | `HNSW[m]` | `IVF<nlist>,Flat` | `IVF<nlist>,PQ<m>` |
    * `IVF<nlist>_HNSW<m>[,Flat|,PQ<m>]` (HNSW coarse quantizer) |
    * `DiskANN[degree]` | `PQ<m>` | `OPQ<m>,PQ<m>` |
-   * `OPQ<m>,IVF<n>[_HNSW<g>],PQ<m>` | `LSH[nbits]`, each
+   * `OPQ<m>,IVF<n>[_HNSW<g>],PQ<m>` | `OPQ<m>,IMI2x<b>,PQ<m>` |
+   * `LSH[nbits]`, each
    * optionally suffixed `,SQ8`/`,SQ4`/`,SQ6` (diskann only) or `,RFlat`
    * (code engines: PQ/IVFPQ/LSH).
    */
@@ -176,9 +177,22 @@ object Ann {
           s"OPQ subquantizer count must match PQ (got OPQ$m1,...,PQ$m2)")
         base.copy(engine = "ivfpq", nlist = nlist.toInt, pqM = m2.toInt,
           opqChain = true)
+      // `OPQ<m>,IMI2x<b>,PQ<m>`: the chain also composes with the
+      // multi-index coarse quantizer — the IMI half-codebooks train and
+      // assign in ROTATED space (the chain transform runs before the ivfpq
+      // terminal, which already handles imiB), and prepQuery rotates
+      // queries before the per-half probe merge, so like the IVF_HNSW
+      // composition this is parse-arm-only
+      case Opq(m1) :: Imi(b) :: Pq(m2) :: Nil =>
+        require(m1.toInt == m2.toInt,
+          s"OPQ subquantizer count must match PQ (got OPQ$m1,...,PQ$m2)")
+        require(b.toInt >= 1 && b.toInt <= 8,
+          s"IMI2x<b> supports b in [1, 8] (${1 << (2 * b.toInt)} cells max): '$desc'")
+        base.copy(engine = "ivfpq", imiB = b.toInt, pqM = m2.toInt,
+          opqChain = true)
       case Opq(_) :: _ => throw new IllegalArgumentException(
-        s"OPQ requires a PQ terminal (e.g. 'OPQ8,PQ8[,RFlat]' or " +
-        s"'OPQ8,IVF256,PQ8'): '$desc'")
+        s"OPQ requires a PQ terminal (e.g. 'OPQ8,PQ8[,RFlat]', " +
+        s"'OPQ8,IVF256,PQ8', or 'OPQ8,IMI2x4,PQ8'): '$desc'")
       case f :: Nil if f.equalsIgnoreCase("flat") => base.copy(engine = "flat")
       // IVF<n>_HNSW<m> must match before plain IVF<n> (the regex prefix of
       // `IVF123_HNSW32` is a valid IVF match)
@@ -252,7 +266,8 @@ object Ann {
         s"unsupported index factory description: '$desc' — supported: " +
         "Flat | HNSW[m] | IVF<nlist>[,Flat] | IVF<nlist>,PQ<m> | " +
         "IVF<nlist>_HNSW<m>[,Flat|,PQ<m>] | PQ<m> | " +
-        "OPQ<m>,PQ<m> | OPQ<m>,IVF<nlist>,PQ<m> | LSH[nbits][r|t|rt] | " +
+        "OPQ<m>,PQ<m> | OPQ<m>,IVF<nlist>[_HNSW<g>],PQ<m> | " +
+        "OPQ<m>,IMI2x<b>,PQ<m> | LSH[nbits][r|t|rt] | " +
         "DiskANN[degree] | " +
         "IMI2x<b>[,Flat] | IMI2x<b>,PQ<m> | PCA<d>,Flat | PCAR<d>/PCAW<d> " +
         "chains | PCA<d>,IVF<nlist>[,Flat|,PQ<m>], optionally suffixed " +
@@ -505,8 +520,25 @@ object Ann {
         else new VamanaIndex(dim, m, maxDeg, bc, alpha)
       val normalize = m eq Metric.Cosine
       var bad = -1L
-      if (engine == "hnsw" || !pilotSeed) {
-        // hnsw: insertion order is handled by its own level structure
+      if (engine == "hnsw") {
+        // deterministic batch-parallel bulk build (HnswIndex.addAll — the
+        // same kernel the coarse-quantizer build uses): labels follow
+        // arrival order exactly like the serial insert loop did, so the
+        // id↔label mapping and the shard's content stay a pure function of
+        // (shard rows, level seed) at any core count. Per-shard
+        // parallelism rides the JVM common pool, so early-finishing shard
+        // tasks donate their cores to still-building shards instead of
+        // idling — the build tail was the 1.5M/32-shard bottleneck.
+        val vs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        it.foreach { case (id, v) =>
+          if (v.length != dim) bad = id
+          else {
+            vs += (if (normalize) VectorOps.normalize(v.clone()) else v)
+            ids += id
+          }
+        }
+        if (bad < 0) ix.asInstanceOf[HnswIndex].addAll(vs.toArray[Array[Float]])
+      } else if (!pilotSeed) {
         it.foreach { case (id, v) =>
           if (v.length != dim) bad = id
           else {
@@ -2411,14 +2443,19 @@ object Ann {
    */
   def rangeSearchTable(queriesDf: DataFrame, queryVecColumn: String,
       baseDf: DataFrame, idColumn: String, name: String,
-      radius: Float): DataFrame = {
+      radius: Float, searchComplexity: Int = 0): DataFrame = {
     val spark = queriesDf.sparkSession
     val meta = IndexCatalog.load(root(spark), name)
     val tomb = IndexCatalog.readTombstones(root(spark), name)
     require(meta.engine == "flat" || meta.engine == "ivfflat" ||
-      meta.engine == "pq" || meta.engine == "ivfpq" || meta.engine == "ivfsq",
-      s"rangeSearchTable supports flat/ivfflat/pq/ivfpq/ivfsq, got ${meta.engine}")
+      meta.engine == "pq" || meta.engine == "ivfpq" || meta.engine == "ivfsq" ||
+      isGraphEngine(meta.engine),
+      s"rangeSearchTable supports flat/ivfflat/pq/ivfpq/ivfsq/diskann/hnsw, " +
+        s"got ${meta.engine}")
     requireMetricSpaceRadius(meta, "rangeSearchTable")
+    if (isGraphEngine(meta.engine))
+      return rangeSearchTableGraph(queriesDf, queryVecColumn, baseDf,
+        idColumn, meta, radius, searchComplexity, tomb)
     val cosine = meta.metricObj eq Metric.Cosine
     val l2 = meta.metricObj eq Metric.L2
     // quantized engines answer in CODE SPACE — the metric distance to the
@@ -2519,6 +2556,104 @@ object Ann {
       Seq(base("id").as("row_id"),
         col("__dd").cast(FloatType).as("_distance")): _*)
     joinBaseWithPrefix(baseDf, idColumn, hits, inCols.toSet)
+  }
+
+  /**
+   * Graph-engine (diskann/hnsw) TABLE-range search: the single-query
+   * expanding-k beam loop ([[rangeSearch]]'s graph branch) run PER
+   * (query, shard) on the same (shard × query-block) task grid as
+   * [[searchTable]] — each cell's queries beam through one executor-cached
+   * shard, growing k geometrically (64, ×4) until the shard-local tail
+   * clears the radius or the shard is exhausted, then keep only in-radius
+   * hits. No per-query driver collect (the single-query path's expanding
+   * loop runs ON the driver once per query — fatal for a query TABLE), no
+   * global top-k heap: the union of shard-local balls IS the answer, so
+   * nothing pools anywhere.
+   *
+   * Completeness contract (same as single-query graph range): results are
+   * a SUBSET of the exact ball — distances are re-checked — with misses
+   * possible exactly where beam traversal would miss them; a saturating
+   * `searchComplexity` ≥ shard size makes each shard's ball exact (the
+   * oracled-twin pattern, docs/ORACLES.md §3). Termination is guaranteed:
+   * k grows geometrically toward the shard size.
+   */
+  private def rangeSearchTableGraph(queriesDf: DataFrame, queryVecColumn: String,
+      baseDf: DataFrame, idColumn: String, meta: IndexMeta, radius: Float,
+      searchComplexity: Int, tomb: Set[Long]): DataFrame = {
+    val spark = queriesDf.sparkSession
+    val inSchema = queriesDf.schema
+    val shardsArr = meta.shards.toArray
+    val outSchema = StructType(inSchema.fields.toSeq :+
+      StructField("row_id", LongType) :+ StructField("_distance", FloatType))
+    if (shardsArr.isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+      return joinBaseWithPrefix(baseDf, idColumn, empty,
+        inSchema.fieldNames.toSet)
+    }
+    val tombB = spark.sparkContext.broadcast(tomb)
+    val cosine = meta.metricObj eq Metric.Cosine
+    val nShards = shardsArr.length
+    val sc0 = searchComplexity
+    val dim = meta.dim
+    val vecIdx = inSchema.fieldIndex(queryVecColumn)
+    val metricName = meta.metric
+    val rad = radius
+    val prepped = queriesDf.withColumn(queryVecColumn,
+      toFloatVec(col(queryVecColumn)))
+    // same stable-id + grid shuffle rationale as searchTable (there the id
+    // keys the per-query top-k re-merge; here it only balances blocks)
+    val qRdd = prepped.rdd.zipWithUniqueId()
+    val nBlocks = math.max(1, spark.sparkContext.defaultParallelism / nShards)
+    val keyed = qRdd.flatMap { case (row, qid) =>
+      val b = (qid % nBlocks).toInt
+      (0 until nShards).iterator.map(si => ((si, b), row))
+    }
+    val gridPartitioner = new org.apache.spark.Partitioner {
+      def numPartitions: Int = nShards * nBlocks
+      def getPartition(key: Any): Int = key match {
+        case (si: Int, b: Int) => si * nBlocks + b
+      }
+    }
+    val hitsRdd = keyed.partitionBy(gridPartitioner).mapPartitions { it =>
+      val cell = it.toArray // one (shard, block) cell per task
+      if (cell.isEmpty) Iterator.empty
+      else {
+        val si = cell(0)._1._1
+        val sh = shardsArr(si)
+        val loaded = ShardCache.get(sh.file, sh.idsFile, cosine)
+        val t = tombB.value
+        val m = Metric.fromName(metricName)
+        val n = loaded.ids.length
+        cell.iterator.map(_._2)
+          .filter(_.getSeq[Float](vecIdx).length == dim)
+          .flatMap { row =>
+            val raw = row.getSeq[Float](vecIdx).toArray
+            val q = if (m eq Metric.Cosine) VectorOps.normalize(raw) else raw
+            var fetch = math.min(math.max(1, n), 64)
+            var out: Seq[(Long, Float)] = Seq.empty
+            var done = n == 0
+            while (!done) {
+              val (labels, dists) = loaded.index.searchSaturationChecked(q,
+                fetch, math.max(sc0, fetch))
+              out = labels.indices.iterator
+                .map(i => (loaded.ids(labels(i)), dists(i)))
+                .filterNot { case (id, _) => t.contains(id) }.toSeq
+              // tail checked on the UNFILTERED beam: the k-th best distance
+              // in the shard clearing the radius bounds everything deeper,
+              // tombstoned or not
+              val tailClear = labels.nonEmpty &&
+                dists(labels.length - 1) > rad
+              if (tailClear || labels.length < fetch || fetch >= n) done = true
+              else fetch = math.min(n, fetch * 4)
+            }
+            out.iterator.filter(_._2 <= rad)
+              .map { case (id, d) => Row.fromSeq(row.toSeq :+ id :+ d) }
+          }
+      }
+    }
+    val hits = spark.createDataFrame(hitsRdd, outSchema)
+    joinBaseWithPrefix(baseDf, idColumn, hits, inSchema.fieldNames.toSet)
   }
 
   private implicit class SeqOps[T](s: Seq[T]) {
@@ -3479,11 +3614,18 @@ object Ann {
         else new VamanaIndex(dim, m, maxDeg, bc, alpha)
       val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
       val normalize = m eq Metric.Cosine
+      // hnsw delta shards ride the same deterministic bulk build as the
+      // main build (addAll == the serial loop below BulkSeqSeed, so
+      // micro-batches are unaffected; big backfill batches parallelize)
+      val vs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
       it.foreach { case (id, v) =>
         require(v.length == dim, s"vector for id $id has dimension ${v.length}, expected $dim")
-        ix.add(if (normalize) VectorOps.normalize(v.clone()) else v)
+        val pv = if (normalize) VectorOps.normalize(v.clone()) else v
+        if (engine == "hnsw") vs += pv else ix.add(pv)
         ids += id
       }
+      if (engine == "hnsw")
+        ix.asInstanceOf[HnswIndex].addAll(vs.toArray[Array[Float]])
       if (ix.size == 0) Iterator.empty
       else {
         val f = f"$dir/shard-$deltaTag-$pid%05d.$ext"
@@ -3705,7 +3847,12 @@ object Ann {
               new HnswIndex(loaded.index.dim, loaded.index.metric, maxDeg, bc)
             else
               new VamanaIndex(loaded.index.dim, loaded.index.metric, maxDeg, bc, alpha)
-          keep.foreach(l => ix.add(loaded.index.vector(l)))
+          ix match {
+            case h: HnswIndex =>
+              // deterministic bulk rebuild — same kernel as the build path
+              h.addAll(keep.map(l => loaded.index.vector(l)).toArray[Array[Float]])
+            case _ => keep.foreach(l => ix.add(loaded.index.vector(l)))
+          }
           val f = f"$dir/shard-$i%05d-v$ver.$ext"
           val idsF = f"$dir/shard-$i%05d-v$ver.ids"
           ix match {

@@ -300,13 +300,15 @@ object TableFunctions {
     "ann_range_search_table" -> { args =>
       val fn = "ann_range_search_table"
       val a = splitArgs(fn, args,
-        Seq("queries_table", "base_table", "index", "radius"), 4)
+        Seq("queries_table", "base_table", "index", "radius",
+          "search_complexity"), 4)
       val index = str(fn, a("index"))
       val idCol = IndexCatalog.load(Ann.root(spark), index).idColumn
       val qdf = spark.table(str(fn, a("queries_table")))
+      val sc = a.get("search_complexity").map(int(fn, _)).getOrElse(0)
       plan(Ann.rangeSearchTable(qdf, Ann.detectVectorColumn(qdf.schema),
         spark.table(str(fn, a("base_table"))), idCol, index,
-        dbl(fn, a("radius")).toFloat))
+        dbl(fn, a("radius")).toFloat, sc))
     },
     "vector_distances" -> { args =>
       val fn = "vector_distances"

@@ -92,6 +92,31 @@ class OpqChainSpec extends AnyFunSuite {
       meta.inputDim == meta.dim)
   }
 
+  test("seeded OPQ,IMI chain == plain IMI2x2,PQ8 over manually reversed vectors") {
+    // the last grammar corner: the chain composes with the multi-index
+    // coarse quantizer — parse-arm-only, the rotation folds into pca.bin
+    // and the ivfpq terminal already handles IMI product cells
+    Ann.buildIndexFactory(emb, "embedding", "vec_id", "oc_imi_chain",
+      "OPQ8,IMI2x2,PQ8", Ann.BuildParams(seedK = 16, nprobe = 16))
+    val rev = emb.withColumn("embedding",
+      reverse(col("embedding")).cast("array<float>"))
+    Ann.buildIndexFactory(rev, "embedding", "vec_id", "oc_imi_manual",
+      "IMI2x2,PQ8", Ann.BuildParams(seedK = 16, nprobe = 16))
+    val a = Ann.search(emb, "vec_id", "oc_imi_chain", q0, 10)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    val b = Ann.search(rev, "vec_id", "oc_imi_manual", q0.reverse, 10)
+      .select("vec_id", "_distance").collect()
+      .map(r => (r.getLong(0), r.getFloat(1))).toSeq
+    assert(a == b && a.length == 10)
+    val meta = IndexCatalog.load(Ann.root(spark), "oc_imi_chain")
+    assert(meta.imiB == 2 && meta.pcaVariant == "q" && meta.pcaFile.nonEmpty)
+    // grammar edges: mismatched m and a missing PQ terminal reject
+    intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,IMI2x2,PQ4"))
+    intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,IMI2x2"))
+    intercept[IllegalArgumentException](Ann.parseFactory("OPQ8,IMI2x9,PQ8"))
+  }
+
   test("trained OPQ chain: stored rotation is orthonormal, mean zero; inverse round-trips") {
     Ann.buildIndexFactory(emb, "embedding", "vec_id", "oc_train",
       "OPQ8,IVF4,PQ8", Ann.BuildParams(nprobe = 4))
