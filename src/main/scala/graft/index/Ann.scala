@@ -520,15 +520,20 @@ object Ann {
         else new VamanaIndex(dim, m, maxDeg, bc, alpha)
       val normalize = m eq Metric.Cosine
       var bad = -1L
-      if (engine == "hnsw") {
+      if (engine == "hnsw" && buildThreads > 1) {
         // deterministic batch-parallel bulk build (HnswIndex.addAll — the
         // same kernel the coarse-quantizer build uses): labels follow
-        // arrival order exactly like the serial insert loop did, so the
-        // id↔label mapping and the shard's content stay a pure function of
-        // (shard rows, level seed) at any core count. Per-shard
-        // parallelism rides the JVM common pool, so early-finishing shard
-        // tasks donate their cores to still-building shards instead of
-        // idling — the build tail was the 1.5M/32-shard bottleneck.
+        // arrival order exactly like the serial insert loop, so the
+        // id↔label mapping stays a pure function of (shard rows, level
+        // seed) at any core count. OPT-IN via buildThreads, the vamana
+        // convention (idle task cores; cluster equivalent:
+        // spark.task.cpus = buildThreads) — running addAll UNGATED inside
+        // every shard task measured 182 s vs 62 s serial at 1.5M/32
+        // shards on 32 cores: with the shard axis already saturating the
+        // host, the common-pool fan-out oversubscribes and refineLayer0's
+        // extra re-search pass has no idle cores to pay for it. A scoped
+        // pool bounds each task to its declared cpus; determinism means
+        // the pool size cannot change the result, only the speed.
         val vs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
         it.foreach { case (id, v) =>
           if (v.length != dim) bad = id
@@ -537,8 +542,17 @@ object Ann {
             ids += id
           }
         }
-        if (bad < 0) ix.asInstanceOf[HnswIndex].addAll(vs.toArray[Array[Float]])
-      } else if (!pilotSeed) {
+        if (bad < 0) {
+          val pool = new java.util.concurrent.ForkJoinPool(buildThreads)
+          try pool.submit(new Runnable {
+            def run(): Unit =
+              ix.asInstanceOf[HnswIndex].addAll(vs.toArray[Array[Float]])
+          }).get()
+          finally pool.shutdown()
+        }
+      } else if (engine == "hnsw" || !pilotSeed) {
+        // hnsw default: serial insertion — at full shard-axis parallelism
+        // there are no idle cores for a per-shard pool to use
         it.foreach { case (id, v) =>
           if (v.length != dim) bad = id
           else {
@@ -3614,18 +3628,11 @@ object Ann {
         else new VamanaIndex(dim, m, maxDeg, bc, alpha)
       val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
       val normalize = m eq Metric.Cosine
-      // hnsw delta shards ride the same deterministic bulk build as the
-      // main build (addAll == the serial loop below BulkSeqSeed, so
-      // micro-batches are unaffected; big backfill batches parallelize)
-      val vs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
       it.foreach { case (id, v) =>
         require(v.length == dim, s"vector for id $id has dimension ${v.length}, expected $dim")
-        val pv = if (normalize) VectorOps.normalize(v.clone()) else v
-        if (engine == "hnsw") vs += pv else ix.add(pv)
+        ix.add(if (normalize) VectorOps.normalize(v.clone()) else v)
         ids += id
       }
-      if (engine == "hnsw")
-        ix.asInstanceOf[HnswIndex].addAll(vs.toArray[Array[Float]])
       if (ix.size == 0) Iterator.empty
       else {
         val f = f"$dir/shard-$deltaTag-$pid%05d.$ext"
@@ -3847,12 +3854,7 @@ object Ann {
               new HnswIndex(loaded.index.dim, loaded.index.metric, maxDeg, bc)
             else
               new VamanaIndex(loaded.index.dim, loaded.index.metric, maxDeg, bc, alpha)
-          ix match {
-            case h: HnswIndex =>
-              // deterministic bulk rebuild — same kernel as the build path
-              h.addAll(keep.map(l => loaded.index.vector(l)).toArray[Array[Float]])
-            case _ => keep.foreach(l => ix.add(loaded.index.vector(l)))
-          }
+          keep.foreach(l => ix.add(loaded.index.vector(l)))
           val f = f"$dir/shard-$i%05d-v$ver.$ext"
           val idsF = f"$dir/shard-$i%05d-v$ver.ids"
           ix match {

@@ -100,6 +100,27 @@ class RangeGraphTableSpec extends AnyFunSuite {
     assert(got == expectPairs.filterNot(p => del.contains(p._2)))
   }
 
+  test("hnsw buildThreads: bulk per-shard build is deterministic across pool sizes") {
+    // opt-in per-shard addAll (buildThreads > 1): the pool size bounds
+    // oversubscription but CANNOT change the result — shard files must be
+    // byte-identical between pool sizes, and match the contract that the
+    // content is a pure function of (shard rows, level seed)
+    def bytesOf(name: String): Seq[Seq[Byte]] = {
+      val meta = IndexCatalog.load(Ann.root(spark), name)
+      meta.shards.map(sh =>
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(sh.file)).toSeq)
+    }
+    Ann.buildIndex(emb, "embedding", "vec_id", "rgt_bt4",
+      Ann.BuildParams(engine = "hnsw", numShards = 2, buildThreads = 4))
+    Ann.buildIndex(emb, "embedding", "vec_id", "rgt_bt8",
+      Ann.BuildParams(engine = "hnsw", numShards = 2, buildThreads = 8))
+    assert(bytesOf("rgt_bt4") == bytesOf("rgt_bt8"))
+    val q = emb.orderBy("vec_id").limit(1).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    assert(Ann.search(emb, "vec_id", "rgt_bt4", q, 5).count() == 5)
+  }
+
   test("realistic beam returns a subset of the exact ball") {
     Ann.buildIndex(emb, "embedding", "vec_id", "rgt_sub",
       Ann.BuildParams(engine = "diskann", numShards = 3, maxDegree = 32,
