@@ -82,16 +82,26 @@ object Hybrid {
     rankOrdered(top, "_bm25_rank")
   }
 
-  /** Rank an ordered (orderBy[.limit]) result by global row position WITHOUT
-   *  a window: sorted output is range-partitioned in ascending partition
-   *  order, so zipWithIndex IS the rank. An unpartitioned Window would log
-   *  WindowExec's move-all-data warning on every serving query (noise that
-   *  buries real regressions in the bench log), and the optimizer folds away
-   *  constant partition keys, so there is no quiet window spelling. */
+  /** Rank an ordered (orderBy.limit(topN)) result by global row position:
+   *  collect the ≤ topN id rows (collect of a sorted plan preserves global
+   *  order) and return a LOCAL relation of (id, rank). Bounded by the
+   *  candidate budget (topN ≤ a few hundred) — the same boundedness as the
+   *  ANN route's collectHits, never corpus-sized. The earlier
+   *  rdd.zipWithIndex spelling executed the whole TakeOrdered scan TWICE
+   *  per downstream action (zipWithIndex runs an eager partition-count job
+   *  at construction, and the ExistingRDD re-runs the scan lineage when the
+   *  fused result executes) and left the fusion join as a SortMergeJoin of
+   *  two RDD-backed 100-row tables behind two exchanges; a LocalRelation
+   *  evaluates the scan once and lets the fusion join plan as a local
+   *  broadcast with no exchange. (An unpartitioned Window would log
+   *  WindowExec's move-all-data warning on every serving query, and the
+   *  optimizer folds away constant partition keys, so there is no quiet
+   *  window spelling.) */
   private def rankOrdered(top: DataFrame, rankName: String): DataFrame = {
     val spark = top.sparkSession
-    val ranked = top.select(col("id")).rdd
-      .zipWithIndex().map { case (r, i) => Row(r.getLong(0), (i + 1).toInt) }
+    val rows = top.select(col("id")).collect()
+    val ranked = java.util.Arrays.asList(rows.zipWithIndex.map {
+      case (r, i) => Row(r.getLong(0), (i + 1).toInt) }: _*)
     spark.createDataFrame(ranked, StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField(rankName, IntegerType, nullable = false))))

@@ -532,9 +532,19 @@ object TextOps {
       .withColumn("bands", bandHashes(col("sig")))
   }
 
-  /** Exploded band table (id, band_idx, band_hash) — the LSH join key. */
+  /** Exploded band table (id, band_idx, band_hash) — the LSH join key.
+   *
+   *  posexplode_OUTER, deliberately: `bands` is a literal NumBands-element
+   *  array (never empty), so outer ≡ inner row-for-row — but the inner
+   *  generate lets Catalyst's InferFiltersFromGenerate plant a
+   *  `size(bands) > 0` filter that pushdown substitutes all the way to the
+   *  parquet scan, re-materializing the full regex→shingle→minhash band
+   *  expression tree in a Filter BELOW the projection that computes it.
+   *  That doubled the per-row signature kernel (the dominant map-side cost
+   *  of every minhash entry) for a filter that can never drop a row; the
+   *  outer generate infers nothing and keeps the kernel evaluated once. */
   def bandTable(sigs: DataFrame): DataFrame =
-    sigs.select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    sigs.select(col("id"), posexplode_outer(col("bands")).as(Seq("band_idx", "band_hash")))
 
   /** Candidate near-dup pairs (id_a < id_b) sharing ≥ 1 LSH band, with the
    *  number of matching bands. The shuffle is on (band_idx, band_hash) —
@@ -748,7 +758,11 @@ object TextOps {
     // only — distinct() on (sha, shb) longs, not rows dragging id arrays
     // through the shuffle; the id lists rejoin after the hamming filter,
     // when only the (few) surviving pairs remain
-    val blocks = groups.select(col("sh"), explode(array(blockCols: _*)).as("blk"))
+    // explode_outer: the block array is a literal nBlocks-element array
+    // (never empty), and the inner generate would infer a useless
+    // size(...)>0 scan filter (see bandTable) re-materializing the block
+    // structs below the aggregation that produces sh
+    val blocks = groups.select(col("sh"), explode_outer(array(blockCols: _*)).as("blk"))
     val a = blocks.as("a"); val b = blocks.as("b")
     val hashPairs = a.join(b, col("a.blk") === col("b.blk") && col("a.sh") < col("b.sh"))
       .select(col("a.sh").as("sha"), col("b.sh").as("shb"))
