@@ -513,6 +513,47 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** [[ChunkSpans]] kernel: sliding `budget`-token windows advancing by
+   *  `budget - overlap`, the final chunk whatever remains. Emits the SAME
+   *  structs as the Column formulation it replaces (
+   *  `transform(sequence(0, nChunks-1), i -> struct(i, i*stride,
+   *   least(budget, n - i*stride), array_join(slice(toks, ...), ' ')))`
+   *  over the `[a-z0-9]+` lowercase tokens) — including the degenerate
+   *  single (0, 0, 0, "") chunk of a token-less document that the caller's
+   *  `n_tok > 0` filter drops. One tokenize pass + direct span joins
+   *  instead of per-element interpreted HOF dispatch. */
+  def chunkSpans(s: UTF8String, budget: Int, overlap: Int): ArrayData = {
+    val stride = budget - overlap
+    val str = s.toLowerCase.toString
+    val (starts, ends, nTok) = tokenSpans(str)
+    val nChunks =
+      if (nTok <= budget) 1
+      else 1 + (nTok - budget + (stride - 1)) / stride
+    val out = new Array[Any](nChunks)
+    val sb = new java.lang.StringBuilder(64)
+    var ci = 0
+    while (ci < nChunks) {
+      val start = ci * stride
+      val len = math.min(budget, nTok - start)
+      sb.setLength(0)
+      var j = start
+      val end = start + len
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(str, starts(j), ends(j))
+        j += 1
+      }
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+      row.setLong(0, ci.toLong)
+      row.setLong(1, start.toLong)
+      row.setLong(2, len.toLong)
+      row.update(3, UTF8String.fromString(sb.toString))
+      out(ci) = row
+      ci += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[WordLines]] kernel. */
   def wordLines(s: UTF8String, k: Int): ArrayData = {
     val str = s.toLowerCase.toString
@@ -977,6 +1018,44 @@ case class WordLines(child: Expression, k: Int)
     if (TextKernels.forceInterpreted) super[CodegenFallback].doGenCode(ctx, ev)
     else defineCodeGen(ctx, ev, c =>
       s"graft.expressions.TextKernels.wordLines($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * `chunk_spans(text, budget, overlap)` — fixed-token-budget training chunks
+ * with overlap in one compiled pass: lower → tokenize (same scanner as
+ * [[NgramsOfText]]) → per-chunk span join. Replaces the
+ * `transform(sequence(...), i -> struct(..., array_join(slice(toks, ...))))`
+ * formulation, whose per-element interpreted HOF dispatch (transform /
+ * slice / array_join are all CodegenFallback) made chunk emission the
+ * dominant per-row cost of `chunk_documents`. Value-identical structs
+ * (TextOpsSpec parity test).
+ */
+case class ChunkSpans(child: Expression, budget: Int, overlap: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(budget > 0 && overlap >= 0 && overlap < budget,
+    s"need 0 <= overlap < budget, got budget=$budget overlap=$overlap")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_idx", LongType, nullable = false),
+    StructField("tok_start", LongType, nullable = false),
+    StructField("n_tok", LongType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "chunk_spans"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.chunkSpans(s.asInstanceOf[UTF8String], budget, overlap)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (TextKernels.forceInterpreted) super[CodegenFallback].doGenCode(ctx, ev)
+    else defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextKernels.chunkSpans($c, $budget, $overlap)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

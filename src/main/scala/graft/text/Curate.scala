@@ -81,12 +81,17 @@ object Curate {
     // one fused kernel pass per row (graft.expressions.GateReason) — the
     // when-chain over langId/quality/repetition re-evaluated the tokenizer
     // per branch (conditional branches are invisible to Catalyst CSE);
-    // CurateSpec pins the kernel ≡ Column-composition verdicts
-    val gated = df
+    // CurateSpec pins the kernel ≡ Column-composition verdicts.
+    // The cache barrier sits on GATED (the full tagged frame), not on the
+    // survivor projection: the final report join consumes `gated` directly,
+    // so caching only pass1 re-ran the gate kernel — the most expensive
+    // per-row pass of the pipeline — a second time for the report branch.
+    // One cache, one kernel pass; pass1 is a filter over the cache.
+    val gated = maybeCache(df
       .withColumn("__gate_reason", TextOps.gateReason(col(textCol),
-        cfg.langs, cfg.minQuality, cfg.maxDupBigramFrac))
-    val pass1 = maybeCache(gated.where(col("__gate_reason").isNull)
-      .select(col(idCol), col(textCol)))
+        cfg.langs, cfg.minQuality, cfg.maxDupBigramFrac)))
+    val pass1 = gated.where(col("__gate_reason").isNull)
+      .select(col(idCol), col(textCol))
     // stage 4: near-dup drop set over gate survivors
     val ndDrop = maybeCache(TextOps.jaccardPairs(pass1, textCol, idCol,
         minJaccard = cfg.minJaccard)

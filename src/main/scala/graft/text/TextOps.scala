@@ -251,22 +251,16 @@ object TextOps {
       budget: Int, overlap: Int = 0): DataFrame = {
     require(budget > 0 && overlap >= 0 && overlap < budget,
       s"need 0 <= overlap < budget, got budget=$budget overlap=$overlap")
-    val stride = budget - overlap
-    val toks = tokens(col(textCol))
-    val n = size(toks).cast(LongType)
-    // 1 chunk when n <= budget, else 1 + ceil((n - budget) / stride).
-    // Column `/` is double division; the truncating cast is exact floor
-    // here (operands are positive token counts, far below 2^52)
-    val nChunks = when(n <= budget, lit(1L))
-      .otherwise(lit(1L) +
-        ((n - budget + (stride - 1)) / stride).cast(LongType))
-    val chunks = transform(sequence(lit(0L), nChunks - 1), i => {
-      val start = i * stride
-      val len = least(lit(budget.toLong), n - start)
-      struct(i.as("chunk_idx"), start.as("tok_start"), len.as("n_tok"),
-        array_join(slice(toks, (start + 1).cast(IntegerType),
-          len.cast(IntegerType)), " ").as("chunk_text"))
-    })
+    // one compiled pass (graft.expressions.ChunkSpans): lower → tokenize →
+    // per-chunk span join. The previous transform(sequence(...),
+    // i -> struct(..., array_join(slice(toks, ...)))) formulation ran
+    // interpreted per element (transform/slice/array_join are
+    // CodegenFallback) and re-sliced the token array per chunk — the
+    // dominant per-row cost of chunk emission. Struct values are
+    // bit-identical (TextOpsSpec parity test), including the degenerate
+    // (0,0,0,"") chunk of a token-less document the filter below drops.
+    val chunks = graft.functions.mkCol(graft.expressions.ChunkSpans(
+      graft.functions.mkExpr(col(textCol)), budget, overlap))
     df.select(col(idCol), explode(chunks).as("__c"))
       .where(col("__c.n_tok") > 0) // a token-less document has no chunks
       .select(col(idCol), col("__c.chunk_idx"), col("__c.tok_start"),
@@ -692,9 +686,18 @@ object TextOps {
   }
 
   /** Candidate pairs with exact n-gram Jaccard (|A∩B| / |A∪B| over distinct
-   *  shingle hashes), keeping pairs ≥ minJaccard. */
+   *  shingle hashes), keeping pairs ≥ minJaccard.
+   *
+   *  `carry` — optional per-row columns to ride the verify joins: each
+   *  (name, expr) surfaces on the output as `<name>_a` / `<name>_b`
+   *  evaluated on the pair's two documents. They travel on the
+   *  one-row-per-doc signature sides (NOT through the 8×-exploded band
+   *  shuffle), so a caller that needs per-side metadata on the emitted
+   *  pairs (dedupVsCorpus's frame flag) gets it for free instead of
+   *  re-joining the corpus onto the pair table afterwards. */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+      shingleK: Int = 3, minJaccard: Double = 0.0,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
     // no .cache() here: a library-held cache can never be safely unpersisted
     // (the returned plan still references it). The three references to sigs
     // below share the aggregation shuffle via ReusedExchange within one
@@ -702,8 +705,15 @@ object TextOps {
     // callers iterating across actions can cache at the call site.
     val sigs = signatures(df, textCol, idCol, shingleK)
     val cands = candidatePairs(sigs)
-    val sa = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val sb = sigs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    // the join sides re-project from df (id, shingles, carry) — the sig and
+    // band columns prune away regardless, so this is the same scan either way
+    val side = df.select(col(idCol).as("id") +:
+      shingleHashes(tokens(col(textCol)), shingleK).as("shingles") +:
+      carry.map { case (n, c) => c.as(n) }: _*)
+    val sa = side.select(col("id").as("id_a") +: col("shingles").as("sh_a") +:
+      carry.map { case (n, _) => col(n).as(s"${n}_a") }: _*)
+    val sb = side.select(col("id").as("id_b") +: col("shingles").as("sh_b") +:
+      carry.map { case (n, _) => col(n).as(s"${n}_b") }: _*)
     // shingle arrays are sorted (ShingleHashes contract): a codegen'd linear
     // merge counts the intersection without array_intersect's per-pair hash
     // set + output array — the former top cost of the whole dedup pipeline
@@ -724,7 +734,8 @@ object TextOps {
       .withColumn("jaccard", col("n_inter").cast(DoubleType) /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast(DoubleType))
       .where(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "n_bands", "jaccard")
+      .select((Seq("id_a", "id_b", "n_bands", "jaccard") ++
+        carry.flatMap { case (n, _) => Seq(s"${n}_a", s"${n}_b") }).map(col): _*)
     joined
   }
 
@@ -1087,15 +1098,15 @@ object TextOps {
     val u = newDf.select(col(idCol), col(textCol)).withColumn("__new", lit(true))
       .unionByName(
         corpusDf.select(col(idCol), col(textCol)).withColumn("__new", lit(false)))
-    val pairs = jaccardPairs(u, textCol, idCol, shingleK, minJaccard)
-    val flags = u.select(col(idCol).cast(LongType).as("__fid"), col("__new"))
+    // the frame flag rides the verify joins' signature sides (jaccardPairs
+    // carry) — the previous shape re-joined the corpus-sized flag table
+    // onto the pair table TWICE (two more exchanges of the corpus) just to
+    // recover which frame each pair member came from
+    val pairs = jaccardPairs(u, textCol, idCol, shingleK, minJaccard,
+      carry = Seq("__new" -> col("__new")))
     val matched = pairs
-      .join(flags.select(col("__fid").as("__ida"), col("__new").as("__na")),
-        col("id_a") === col("__ida"))
-      .join(flags.select(col("__fid").as("__idb"), col("__new").as("__nb")),
-        col("id_b") === col("__idb"))
-      .where(col("__na") =!= col("__nb")) // cross-frame pairs only
-      .select(when(col("__na"), col("id_a")).otherwise(col("id_b"))
+      .where(col("__new_a") =!= col("__new_b")) // cross-frame pairs only
+      .select(when(col("__new_a"), col("id_a")).otherwise(col("id_b"))
         .as("__drop_id"))
       .distinct()
     newDf.join(matched, col(idCol) === col("__drop_id"), "left_anti")

@@ -477,6 +477,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(byDoc(2L).sortBy(_._2).head._5.endsWith("t10"))
   }
 
+  test("ChunkSpans kernel ≡ transform∘sequence∘array_join∘slice formulation") {
+    // the compiled kernel replaced the interpreted HOF chain (r19 opt);
+    // pin value-identity of every struct field across boundary shapes:
+    // empty, single token, exact-budget, one-over, punctuation/unicode
+    val texts = Seq("", "one", (1 to 40).map(i => s"w$i").mkString(" "),
+      (1 to 41).map(i => s"w$i").mkString(" "),
+      (1 to 97).map(i => s"w$i").mkString(", ") + "!!",
+      "Mixed CASE Tokens 123 foo-bar baz_qux",
+      "Übergröße straße ÄÖÜ 42 naïve")
+    val df = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val (budget, overlap) = (10, 4)
+    val kernel = TextOps.chunkDocuments(df, "text", "doc_id", budget, overlap)
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    // the pre-r19 Column formulation, verbatim
+    val stride = budget - overlap
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks).cast("long")
+    val nChunks = when(n <= budget, lit(1L))
+      .otherwise(lit(1L) + ((n - budget + (stride - 1)) / stride).cast("long"))
+    val chunks = transform(sequence(lit(0L), nChunks - 1), i => {
+      val start = i * stride
+      val len = least(lit(budget.toLong), n - start)
+      struct(i.as("chunk_idx"), start.as("tok_start"), len.as("n_tok"),
+        array_join(slice(toks, (start + 1).cast("int"),
+          len.cast("int")), " ").as("chunk_text"))
+    })
+    val legacy = df.select(col("doc_id"), explode(chunks).as("__c"))
+      .where(col("__c.n_tok") > 0)
+      .select(col("doc_id"), col("__c.chunk_idx"), col("__c.tok_start"),
+        col("__c.n_tok"), col("__c.chunk_text"))
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    assert(kernel == legacy)
+  }
+
   test("dsirWeights: absent buckets ratio 1.0; eval/raw counts drive the score") {
     // dim=4 so buckets are dense and hand-checkable via recomputation
     val df = docs(
