@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{toFloatVec, floatVec, array_distance, array_inner_product,
@@ -32,6 +32,20 @@ object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Attach 1-based ranks to an already-bounded (top-k / filtered-hits)
+    * result under a TOTAL order (every call site tiebreaks on vec_id):
+    * row_number over the same ordering — rank-identical to the previous
+    * `.orderBy(...).rdd.zipWithIndex()` spelling, which ran an eager
+    * partition-count job executing the ENTIRE upstream plan (index search +
+    * exact re-rank) and then re-executed it through the ExistingRDD lineage
+    * when the final action ran: every exact-rank entry paid its search twice
+    * per action, off the codegen path. The single-partition window is
+    * bounded — callers feed ≤ top-k rows, never a corpus. */
+  private def rankedBy(order: Column*)(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), row_number().over(Window.orderBy(order: _*))
+        .cast("long").as("rank"))
+      .orderBy("rank")
 
   /** Scalar-quantization saturation oracle at `levels` quantization levels
     * (255 = SQ8, 63 = SQ6, 15 = SQ4): replay the per-dim min/max quantizer
@@ -433,10 +447,7 @@ object SparkEntry {
       import s.implicits._
       Ann.search(emb, "vec_id", "v_sq8_ex", q64Arr, 10, searchComplexity = 1024)
         .select(col("vec_id"), col("_distance"))
-        .orderBy(col("_distance"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("_distance"), col("vec_id")))
     }),
 
     // SQ4/SQ6 packed scalar quantization (FAISS ScalarQuantizer
@@ -452,10 +463,7 @@ object SparkEntry {
       import s.implicits._
       Ann.search(emb, "vec_id", "v_sq4_ex", q64Arr, 10, searchComplexity = 1024)
         .select(col("vec_id"), col("_distance"))
-        .orderBy(col("_distance"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("_distance"), col("vec_id")))
     }),
 
     "ann_sq6_exact" -> ((s, dir) => {
@@ -465,10 +473,7 @@ object SparkEntry {
       import s.implicits._
       Ann.search(emb, "vec_id", "v_sq6_ex", q64Arr, 10, searchComplexity = 1024)
         .select(col("vec_id"), col("_distance"))
-        .orderBy(col("_distance"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("_distance"), col("vec_id")))
     }),
 
     // LSH engine (FAISS IndexLSH analog) through the factory surface
@@ -627,10 +632,7 @@ object SparkEntry {
       Ann.search(emb, "vec_id", "v_pca_ex", q64Arr, 10)
         .select(col("vec_id"),
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
-        .orderBy(col("__dd"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("__dd"), col("vec_id")))
     }),
 
     "ann_pca_topk" -> ((s, dir) => {
@@ -652,10 +654,7 @@ object SparkEntry {
       Ann.search(emb, "vec_id", "v_pcar_ex", q64Arr, 10)
         .select(col("vec_id"),
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
-        .orderBy(col("__dd"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("__dd"), col("vec_id")))
     }),
 
     // PCAW<d> (FAISS eigen_power=-0.5 whitening): rows scaled by 1/sqrt(λ),
@@ -687,10 +686,7 @@ object SparkEntry {
       Ann.search(emb, "vec_id", "v_imi_ex", q64Arr, 10)
         .select(col("vec_id"),
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
-        .orderBy(col("__dd"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("__dd"), col("vec_id")))
     }),
 
     "ann_imi_probe1" -> ((s, dir) => {
@@ -701,10 +697,7 @@ object SparkEntry {
       Ann.search(emb, "vec_id", "v_imi_p1", q64Arr, 10)
         .select(col("vec_id"),
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
-        .orderBy(col("__dd"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("__dd"), col("vec_id")))
     }),
 
     // IMI2x<b>,PQ<m> (FAISS IMI coarse quantizer over PQ residuals): the
@@ -718,10 +711,7 @@ object SparkEntry {
       import s.implicits._
       Ann.search(emb, "vec_id", "v_imipq_ex", q64Arr, 10)
         .select(col("vec_id"), col("_distance"))
-        .orderBy(col("_distance"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("_distance"), col("vec_id")))
     }),
 
     // IVF<n>,SQ8 (FAISS IndexIVFScalarQuantizer, by_residual=false): u8
@@ -737,10 +727,7 @@ object SparkEntry {
       import s.implicits._
       Ann.search(emb, "vec_id", "v_ivfsq_ex", q64Arr, 10)
         .select(col("vec_id"), col("_distance"))
-        .orderBy(col("_distance"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("_distance"), col("vec_id")))
     }),
 
     // FAISS reconstruct/reconstruct_n analog, oracled on the ivfsq engine:
@@ -800,10 +787,7 @@ object SparkEntry {
       import s.implicits._
       Ann.search(emb, "vec_id", "v_ivfsq4_ex", q64Arr, 10)
         .select(col("vec_id"), col("_distance"))
-        .orderBy(col("_distance"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("_distance"), col("vec_id")))
     }),
 
     "ann_ivfsq6_exact" -> ((s, dir) => {
@@ -813,27 +797,18 @@ object SparkEntry {
       import s.implicits._
       Ann.search(emb, "vec_id", "v_ivfsq6_ex", q64Arr, 10)
         .select(col("vec_id"), col("_distance"))
-        .orderBy(col("_distance"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("_distance"), col("vec_id")))
     }),
 
     "ann_ivf_exact" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndex(emb, "embedding", "vec_id", "v_ivf_exact",
         Ann.BuildParams(engine = "ivfflat", nlist = 8, nprobe = 8))
-      // rank by partition-local index over the double-ordered 10 rows (an
-      // unpartitioned Window would spam WindowExec warnings; sorted output
-      // is range-partitioned in order, so zipWithIndex IS the rank)
       import s.implicits._
       Ann.search(emb, "vec_id", "v_ivf_exact", q64Arr, 10)
         .select(col("vec_id"),
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
-        .orderBy(col("__dd"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("__dd"), col("vec_id")))
     }),
 
     // IVF<n>_HNSW<m> (FAISS HNSW coarse quantizer): probe selection walks
@@ -850,10 +825,7 @@ object SparkEntry {
       Ann.search(emb, "vec_id", "v_ivfh_ex", q64Arr, 10)
         .select(col("vec_id"),
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
-        .orderBy(col("__dd"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("__dd"), col("vec_id")))
     }),
 
     // realistic-parameter twin: nprobe 4/16 selected BY THE GRAPH — the
@@ -880,10 +852,7 @@ object SparkEntry {
       Ann.search(emb, "vec_id", "v_mf1", q64Arr, 10)
         .select(col("vec_id"),
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
-        .orderBy(col("__dd"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("__dd"), col("vec_id")))
     }),
 
     "ann_ivf_pruned" -> ((s, dir) => {
@@ -1046,10 +1015,7 @@ object SparkEntry {
       Ann.search(emb, "vec_id", "v_disk_ex", q64Arr, 10, searchComplexity = 4096)
         .select(col("vec_id"),
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
-        .orderBy(col("__dd"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("__dd"), col("vec_id")))
     }),
 
     // graph radius-search saturation oracle: the expanding-k loop at a
@@ -1082,10 +1048,7 @@ object SparkEntry {
       Ann.search(emb, "vec_id", "v_hnsw_ex", q64Arr, 10, searchComplexity = 4096)
         .select(col("vec_id"),
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
-        .orderBy(col("__dd"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("__dd"), col("vec_id")))
     }),
 
     // PQ<m> factory family: 8-byte codes + ADC scan (approximate → rows-only)
@@ -1138,10 +1101,7 @@ object SparkEntry {
       import s.implicits._
       Ann.search(emb, "vec_id", "v_pq_ex", q64Arr, 10)
         .select(col("vec_id"), col("_distance"))
-        .orderBy(col("_distance"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("_distance"), col("vec_id")))
     }),
 
     // OPQ ADC bit oracle: seeded mode uses a deterministic reversal
@@ -1157,10 +1117,7 @@ object SparkEntry {
       import s.implicits._
       Ann.search(emb, "vec_id", "v_opq_ex", q64Arr, 10)
         .select(col("vec_id"), col("_distance"))
-        .orderBy(col("_distance"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("_distance"), col("vec_id")))
     }),
 
     // IVFPQ ADC bit oracle: seeded coarse centroids (4 lowest ids, verbatim)
@@ -1175,10 +1132,7 @@ object SparkEntry {
       import s.implicits._
       Ann.search(emb, "vec_id", "v_ivfpq_ex", q64Arr, 10)
         .select(col("vec_id"), col("_distance"))
-        .orderBy(col("_distance"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("_distance"), col("vec_id")))
     }),
 
     // OPQ,IVF,PQ chain bit oracle (FAISS's canonical billion-scale factory
@@ -1195,10 +1149,7 @@ object SparkEntry {
       import s.implicits._
       Ann.search(emb, "vec_id", "v_opqivf_ex", q64Arr, 10)
         .select(col("vec_id"), col("_distance"))
-        .orderBy(col("_distance"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("_distance"), col("vec_id")))
     }),
 
     // realistic-parameter twin for the reduction chain `PCA<d>,IVF<n>,PQ<m>`
@@ -1626,10 +1577,7 @@ object SparkEntry {
         .join(emb, col("row_id") === col("vec_id"))
         .select(col("vec_id"),
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
-        .orderBy(col("__dd"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("__dd"), col("vec_id")))
     }),
 
     "ann_filtered_flat" -> ((s, dir) => {
@@ -1641,10 +1589,7 @@ object SparkEntry {
         .join(emb, col("row_id") === col("vec_id"))
         .select(col("vec_id"),
           array_distance(toFloatVec(col("embedding")), floatVec(Q64)).as("__dd"))
-        .orderBy(col("__dd"), col("vec_id"))
-        .rdd.zipWithIndex().map { case (r, i) => (r.getLong(0), i + 1L) }
-        .toDF("vec_id", "rank")
-        .orderBy("rank")
+        .transform(rankedBy(col("__dd"), col("vec_id")))
     }),
 
     // graph route, surfaced as a hard recall gate (escalating-overfetch

@@ -44,8 +44,8 @@ object Hybrid {
   def bm25Ranks(df: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], topN: Int): DataFrame = {
     val spark = df.sparkSession
-    if (terms.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    if (terms.isEmpty) // empty LOCAL relation, so rrfFuse's local path applies
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](),
         StructType(Seq(StructField("id", LongType), StructField("_bm25_rank", IntegerType))))
     val toks = TextOps.tokens(col(textCol))
     val base = df.select(col(idCol).cast(LongType).as("id"), toks.as("toks"))
@@ -60,7 +60,7 @@ object Hybrid {
     val statRow = base.agg(statAggs.head, statAggs.tail: _*).head()
     val nDocs = statRow.getLong(0)
     if (nDocs == 0)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](),
         StructType(Seq(StructField("id", LongType), StructField("_bm25_rank", IntegerType))))
     val avgdl = statRow.getDouble(1)
     val dfCounts: Map[String, Long] =
@@ -79,7 +79,7 @@ object Hybrid {
       .where(col("__score") > 0)
       .orderBy(col("__score").desc, col("id"))
       .limit(topN)
-    rankOrdered(top, "_bm25_rank")
+    rankOrdered(top, "_bm25_rank", topN)
   }
 
   /** Rank an ordered (orderBy.limit(topN)) result by global row position:
@@ -92,14 +92,18 @@ object Hybrid {
    *  at construction, and the ExistingRDD re-runs the scan lineage when the
    *  fused result executes) and left the fusion join as a SortMergeJoin of
    *  two RDD-backed 100-row tables behind two exchanges; a LocalRelation
-   *  evaluates the scan once and lets the fusion join plan as a local
-   *  broadcast with no exchange. (An unpartitioned Window would log
+   *  evaluates the scan once and lets rrfFuse's local path skip the fusion
+   *  join entirely. (An unpartitioned Window would log
    *  WindowExec's move-all-data warning on every serving query, and the
    *  optimizer folds away constant partition keys, so there is no quiet
    *  window spelling.) */
-  private def rankOrdered(top: DataFrame, rankName: String): DataFrame = {
+  private def rankOrdered(top: DataFrame, rankName: String, topN: Int): DataFrame = {
     val spark = top.sparkSession
-    val rows = top.select(col("id")).collect()
+    // defensive re-limit: correctness of the collect below relies on the
+    // caller passing an orderBy.limit(topN) plan — a second limit over an
+    // already-limited plan is a no-op, and it bounds the collect even if a
+    // future caller forgets (the invariant was previously only documented)
+    val rows = top.limit(topN).select(col("id")).collect()
     val ranked = java.util.Arrays.asList(rows.zipWithIndex.map {
       case (r, i) => Row(r.getLong(0), (i + 1).toInt) }: _*)
     spark.createDataFrame(ranked, StructType(Seq(
@@ -115,7 +119,7 @@ object Hybrid {
     val top = df.select(col(idCol).cast(LongType).as("id"), dd.as("__dd"))
       .orderBy(col("__dd"), col("id"))
       .limit(topN)
-    rankOrdered(top, "_vector_rank")
+    rankOrdered(top, "_vector_rank", topN)
   }
 
   /** ANN vector ranks via a named index. */
@@ -127,12 +131,50 @@ object Hybrid {
       .toDF("id", "_vector_rank")
   }
 
+  /** (id, rank) pairs when `df` is a bounded, already-materialized LOCAL
+   *  relation (the shape every rank-table builder above returns); None for
+   *  plan-backed inputs. collect() of a LocalRelation launches no job. */
+  private def localRanks(df: DataFrame): Option[Array[(Long, Int)]] =
+    // optimizedPlan, not analyzed: a rank table built via toDF carries a
+    // column-renaming Project that ConvertToLocalRelation folds away
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(df.collect().map(r => (r.getLong(0), r.getInt(1))))
+      case _ => None
+    }
+
   /** RRF fusion of two rank tables → (id, _bm25_rank, _vector_rank,
    *  _rrf_score) desc, top-k. Missing ranks surface as 0 and contribute
    *  nothing (reference :1091-1106). */
   def rrfFuse(bm25: DataFrame, vector: DataFrame, k: Int,
       bm25Weight: Double = DefaultBm25Weight,
       vectorWeight: Double = DefaultVectorWeight): DataFrame = {
+    // both rank tables local (the production shape: every builder above
+    // returns a ≤candidate-budget LocalRelation) → fuse the ≤2·budget rows
+    // at the driver and return a LocalRelation: the fused plan is a single
+    // LocalTableScan, versus a full-outer SortMergeJoin of two ~100-row
+    // tables behind TWO exchanges + a final TakeOrdered. Same double
+    // arithmetic in the same order as the Column formulation below, so the
+    // scores (and the oracle hash) are bit-identical.
+    (localRanks(bm25), localRanks(vector)) match {
+      case (Some(b), Some(v)) =>
+        val bm = b.toMap; val vm = v.toMap
+        val ids = (b.map(_._1) ++ v.map(_._1)).distinct
+        val fused = ids.map { id =>
+          val br = bm.get(id); val vr = vm.get(id)
+          val s = br.map(r => bm25Weight / (RrfK.toDouble + r)).getOrElse(0.0) +
+            vr.map(r => vectorWeight / (RrfK.toDouble + r)).getOrElse(0.0)
+          (id, br.getOrElse(0).toLong, vr.getOrElse(0).toLong, s)
+        }.sortBy { case (id, _, _, s) => (-s, id) }.take(k)
+        val rows = java.util.Arrays.asList(fused.map(t =>
+          Row(t._1, t._2, t._3, t._4)): _*)
+        return bm25.sparkSession.createDataFrame(rows, StructType(Seq(
+          StructField("id", LongType, nullable = true),
+          StructField("_bm25_rank", LongType, nullable = false),
+          StructField("_vector_rank", LongType, nullable = false),
+          StructField("_rrf_score", DoubleType, nullable = false))))
+      case _ => // at least one side is a distributed plan: fuse in-plan
+    }
     val joined = bm25.join(vector, Seq("id"), "full_outer")
     val rrf =
       when(col("_bm25_rank").isNotNull,

@@ -751,8 +751,22 @@ object TextOps {
       maxHamming: Int = 6): DataFrame = {
     require(maxHamming >= 0 && maxHamming < SimHashBits)
     val nBlocks = maxHamming + 1
-    val base = df.select(col(idCol).cast(LongType).as("id"),
-      simhash(tokens(col(textCol))).as("sh"))
+    // text IS NOT NULL first, then KnownNotNull marks sh non-nullable —
+    // true by construction (simhash of a non-null string is never null).
+    // With a NULLABLE sh, InferFiltersFromConstraints derived isnotnull(sh)
+    // from the self-join below and pushdown substituted the whole
+    // tokenize→simhash tree into a Filter at the parquet scan, re-running
+    // the kernel per row BELOW the projection that computes it (the
+    // bandTable pathology via the constraint rule instead of the generate
+    // rule). Null-text rows could never pair across groups anyway — the
+    // hamming predicate, like the oracle's WHERE bit_count(...), rejects
+    // NULL — so dropping them up front only removes the one unreachable
+    // Spark-only artifact (a NULL group's intra pairs the oracle never had).
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"),
+        graft.functions.mkCol(
+          org.apache.spark.sql.catalyst.expressions.KnownNotNull(
+            graft.functions.mkExpr(simhash(tokens(col(textCol)))))).as("sh"))
     // pair over DISTINCT hashes, not docs: clustered corpora have many
     // identical simhashes, and the block join cost is quadratic in bucket
     // population — grouping first makes it quadratic in distinct hashes.
@@ -760,37 +774,48 @@ object TextOps {
     val groups = base.groupBy("sh").agg(sort_array(collect_list(col("id"))).as("ids"))
     // block boundaries: distribute SimHashBits as evenly as possible
     val bounds = (0 to nBlocks).map(i => i * SimHashBits / nBlocks)
-    val blockCols = (0 until nBlocks).map { i =>
-      val lo = bounds(i); val width = bounds(i + 1) - lo
-      val mask = (1L << width) - 1
-      struct(lit(i).as("bi"), (shiftright(col("sh"), lo).bitwiseAND(mask)).as("bv"))
+    def blockVal(sh: Column, i: Int): Column = {
+      val lo = bounds(i); val mask = (1L << (bounds(i + 1) - lo)) - 1
+      shiftright(sh, lo).bitwiseAND(mask)
     }
-    // the block join and its multi-block dedup run over SCALAR hash pairs
-    // only — distinct() on (sha, shb) longs, not rows dragging id arrays
-    // through the shuffle; the id lists rejoin after the hamming filter,
-    // when only the (few) surviving pairs remain
+    val blockCols = (0 until nBlocks).map(i =>
+      struct(lit(i).as("bi"), blockVal(col("sh"), i).as("bv")))
+    // ONE aggregation feeds everything: the id lists ride the (linear)
+    // block table instead of re-joining `groups` onto the pair table twice,
+    // and the intra pairs read block 0 (one row per group) instead of a
+    // fourth/fifth aggregate branch — all three references below share the
+    // same scan+partial-agg exchange, so the simhash kernel pass runs once.
+    // The former shape planned FIVE scan+aggregate branches (sh-only × 2
+    // join sides; (sh, ids) × 2 idList joins + intra) and shuffled the
+    // emitted hash pairs an extra time through distinct().
     // explode_outer: the block array is a literal nBlocks-element array
     // (never empty), and the inner generate would infer a useless
     // size(...)>0 scan filter (see bandTable) re-materializing the block
     // structs below the aggregation that produces sh
-    val blocks = groups.select(col("sh"), explode_outer(array(blockCols: _*)).as("blk"))
+    val blocks = groups.select(col("sh"), col("ids"),
+      explode_outer(array(blockCols: _*)).as("blk"))
     val a = blocks.as("a"); val b = blocks.as("b")
-    val hashPairs = a.join(b, col("a.blk") === col("b.blk") && col("a.sh") < col("b.sh"))
-      .select(col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .distinct() // a group pair can match on several blocks
-      .withColumn("hamming",
-        bit_count(col("sha").bitwiseXOR(col("shb"))).cast(LongType))
-      .where(col("hamming") <= maxHamming)
-    val idLists = groups.select(col("sh"), col("ids"))
-    val inter = hashPairs
-      .join(idLists.select(col("sh").as("sha"), col("ids").as("idsa")), "sha")
-      .join(idLists.select(col("sh").as("shb"), col("ids").as("idsb")), "shb")
-      .select(explode(col("idsa")).as("x"), col("idsb"), col("hamming"))
+    // first-match dedup replaces distinct(): a pair agreeing on several
+    // blocks (hamming < nBlocks−1 guarantees ≥2 matching blocks) is emitted
+    // only from its LOWEST matching block index, decided inside the join
+    // condition from the two sh values — the quadratic join output is never
+    // shuffled for dedup.
+    val firstMatch = (0 until nBlocks).foldRight(lit(-1): Column) { (i, els) =>
+      when(blockVal(col("a.sh"), i) === blockVal(col("b.sh"), i), lit(i))
+        .otherwise(els)
+    }
+    val hamming = bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast(LongType)
+    val inter = a.join(b, col("a.blk") === col("b.blk") &&
+        col("a.sh") < col("b.sh") && hamming <= maxHamming &&
+        col("a.blk.bi") === firstMatch)
+      .select(explode(col("a.ids")).as("x"), col("b.ids").as("idsb"),
+        hamming.as("hamming"))
       .select(col("x"), explode(col("idsb")).as("y"), col("hamming"))
       .select(least(col("x"), col("y")).as("id_a"),
         greatest(col("x"), col("y")).as("id_b"), col("hamming"))
-    // identical-hash docs are hamming-0 pairs by definition
-    val intra = groups.where(size(col("ids")) > 1)
+    // identical-hash docs are hamming-0 pairs by definition; block 0 has
+    // exactly one row per group, so this reuses the blocks subtree
+    val intra = blocks.where(col("blk.bi") === 0 && size(col("ids")) > 1)
       .select(explode(col("ids")).as("x"), col("ids"))
       .select(col("x"), explode(col("ids")).as("y"))
       .where(col("x") < col("y"))

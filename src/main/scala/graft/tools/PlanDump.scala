@@ -25,15 +25,28 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // exec mode (5th arg "exec"): run the query through the noop sink first
+    // and dump the FINAL adaptive plan — the only receipt that shows runtime
+    // exchange/stage reuse (ReusedExchange/ReusedQueryStage), which the
+    // pre-execution formatted plan cannot (AQE decides reuse per stage).
+    val execMode = args.length > 4 && args(4) == "exec"
     val qs = graft.SparkEntry.queries
     names.foreach { name =>
       val fn = qs.getOrElse(name, sys.error(s"unknown query: $name"))
       val df = fn(spark, sfDir)
-      val txt = df.queryExecution.explainString(
+      val txt = if (execMode) {
+        // collect() executes THIS df's QueryExecution (a noop write would
+        // plan its own copy and leave this one isFinalPlan=false); every
+        // dumped entry is a bounded declared query, so the collect is safe
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      } else df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
-      val p = java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt")
+      val p = java.nio.file.Paths.get(outDir,
+        s"${name}_$suffix${if (execMode) "_exec" else ""}.txt")
       java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
       println(s"[plandump] wrote $p (${txt.length} chars)")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -770,4 +770,45 @@ class TextOpsSpec extends AnyFunSuite {
       .collect()
     assert(rep.isEmpty || rep.forall(_.getLong(1) == 0L))
   }
+
+  test("simhashPairs matches brute-force hamming pairs (one-agg shape)") {
+    // Corpus engineered to exercise every route of the restructured
+    // simhashPairs: an identical-text group (intra hamming-0 pairs), a
+    // near-dup family with small hamming (inter pairs that match on
+    // SEVERAL pigeonhole blocks — the first-match join predicate must
+    // dedup them exactly as the old distinct() did), and unrelated docs.
+    val base = "spark shuffle partition join aggregate filter scan " * 4
+    val rows = Seq(
+      1L -> base, 2L -> base, 3L -> base, // identical group
+      4L -> (base + " probe" * 4), // hamming 1 vs base
+      5L -> (base + " codegen" * 4), // hamming 2 vs base
+      6L -> (base + " graph" * 6), // hamming 4 vs base
+      7L -> (base + " extra" * 6), // hamming 6 vs base
+      8L -> "completely different content about bananas apples oranges",
+      9L -> "another unrelated doc mentioning kernels and codegen")
+    val df = docs(rows: _*)
+    for (maxH <- Seq(2, 6)) {
+      val got = TextOps.simhashPairs(df, "text", "doc_id", maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      // brute force over the same simhash column
+      val sh = df.select(col("doc_id"),
+          TextOps.simhash(TextOps.tokens(col("text"))).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (for {
+        a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+        h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= maxH
+      } yield (a, b, h.toLong)).sorted
+      assert(got == want, s"maxHamming=$maxH: got $got, want $want")
+      // multi-block matches must exist for the dedup to be exercised
+      if (maxH == 6)
+        assert(want.exists(p => p._3 > 0), "fixture lost its inter pairs")
+    }
+    // null texts are droppable by contract (the oracle's WHERE
+    // bit_count(...) never passes NULL): no pairs involve a null-text doc
+    val withNulls = docs(1L -> base, 2L -> base, 3L -> null, 4L -> null)
+    val gotN = TextOps.simhashPairs(withNulls, "text", "doc_id", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotN == Seq((1L, 2L)), s"null-text docs must not pair: $gotN")
+  }
 }
