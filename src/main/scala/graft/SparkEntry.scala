@@ -233,7 +233,21 @@ object SparkEntry {
       // only ever moves orders-sized data before lineitem's single pass.
       val okeys = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .select("o_orderkey")
-      l.join(broadcast(okeys), col("l_orderkey") === col("o_orderkey"))
+      // the okeys broadcast is gated on the ORDERS scan size (okeys ⊆
+      // orders, projected to one key column — the base scan's file-backed
+      // stat bounds it above; the okeys plan's own stats are join-inflated):
+      // okeys is scale-proportional, and an unconditional hint would walk
+      // into the 8 GB / 512M-row broadcast cap at large scale factors.
+      // Under the gate (default 256 MB of orders bytes ⇒ key column far
+      // smaller) the hint overrides the planner's file-size estimate, which
+      // otherwise picks LINEITEM — the fact table — as the build side;
+      // above it the hint is dropped and AQE picks the strategy.
+      val bcMax = s.conf.getOption("spark.graft.q3.broadcastMaxBytes")
+        .map(_.toLong).getOrElse(256L << 20)
+      val okeysB =
+        if (o.queryExecution.optimizedPlan.stats.sizeInBytes <= bcMax)
+          broadcast(okeys) else okeys
+      l.join(okeysB, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey")
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
@@ -742,9 +756,13 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Ann.buildIndexFactory(emb, "embedding", "vec_id", "v_recon", "IVF4,SQ8",
         Ann.BuildParams(nprobe = 4))
+      // posexplode_OUTER + null drop ≡ inner posexplode row-for-row: the
+      // inner generate's inferred size(vector) > 0 filter re-ran the decode
+      // UDF inside the scan Filter (2× per row) below the projection
       Ann.reconstruct(s, "v_recon", Seq(0L, 1L, 2L, 3L))
         .select(col("row_id").as("vec_id"),
-          posexplode(col("vector")).as(Seq("pos", "vf")))
+          posexplode_outer(col("vector")).as(Seq("pos", "vf")))
+        .where(col("vf").isNotNull)
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
           col("vf").cast("double").as("v"))
         .orderBy("vec_id", "i")
@@ -1668,10 +1686,14 @@ object SparkEntry {
 
     "multimodal_featurize" -> ((s, dir) => {
       val hUdf = udf((p: Array[Byte]) => graft.multimodal.Multimodal.byteHistogram(p, 16))
+      // posexplode_OUTER + null drop (≡ inner posexplode row-for-row): the
+      // inner generate's inferred size(h) > 0 filter re-ran the histogram
+      // UDF inside the scan Filter (2× per row) below the projection
       t(s, dir, "documents")
         .withColumn("payload", col("text").cast("binary"))
         .select(col("doc_id"), hUdf(col("payload")).as("h"))
-        .select(col("doc_id"), posexplode(col("h")).as(Seq("bin", "cnt")))
+        .select(col("doc_id"), posexplode_outer(col("h")).as(Seq("bin", "cnt")))
+        .where(col("cnt").isNotNull)
         .select(col("doc_id"), col("bin").cast("long").as("bin"), col("cnt"))
         .orderBy("doc_id", "bin")
     }),

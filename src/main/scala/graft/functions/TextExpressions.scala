@@ -156,6 +156,31 @@ object TextHash {
 }
 
 /** `rolling_hash(str)` — codegen'd document fingerprint. */
+/**
+ * `opaque(child)` — value-identical pass-through that REPORTS
+ * nondeterministic, pinning WHERE its child is evaluated. Filter pushdown
+ * refuses to substitute a projection whose fields are not all
+ * deterministic, so wrapping an expensive projected expression stops the
+ * optimizer from re-materializing it inside a scan-level Filter below the
+ * projection that computes it (the §4.4 UDF trick, generalized to
+ * expressions). Codegen and eval are the child's own — zero runtime cost.
+ * Use ONLY where the duplicated evaluation costs more than the skipped
+ * pushdown saves, and never on join/grouping keys.
+ */
+case class Opaque(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def nullable: Boolean = child.nullable
+  override def dataType: DataType = child.dataType
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override def prettyName: String = "opaque"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(newChild)
+}
+
 case class RollingHash(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -23,6 +23,99 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
+  /**
+   * Compiled featurize kernel — `(features, decoded)` in ONE codegen'd
+   * projection. The previous `df.rdd.mapPartitions` + `createDataFrame`
+   * spelling deserialized every row to external `Row` objects and
+   * re-encoded them behind an opaque `ExistingRDD`, which (a) pays a
+   * per-row boxing round-trip and (b) blanks out column pruning /
+   * pushdown / whole-stage codegen for everything above it. The decode
+   * kernels themselves ([[audioFeatures]] / [[imageFeatures]] /
+   * [[videoFeatures]] + the stub fallback) are unchanged.
+   * `kind`: "image" (a = grid), "audio" (a = bands), "video" (a = grid,
+   * b = maxFrames).
+   */
+  private[multimodal] case class FeaturizePayload(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      kind: String, a: Int, b: Int = 0)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+    private def elemType: DataType =
+      if (kind == "video") DoubleType else FloatType
+    override def dataType: DataType = StructType(Seq(
+      StructField("features", ArrayType(elemType, containsNull = false)),
+      StructField("decoded", BooleanType)))
+    override def nullable: Boolean = false
+    override def prettyName: String = s"featurize_$kind"
+
+    def kernel(p: Array[Byte]): InternalRow = {
+      val (arr, decoded): (org.apache.spark.sql.catalyst.util.ArrayData, Boolean) =
+        kind match {
+          case "audio" =>
+            val af = audioFeatures(p, a)
+            val f = if (af != null) af
+              else if (p == null) new Array[Float](a) else stubFeatures(p, a)
+            (new GenericArrayData(f), af != null)
+          case "image" =>
+            val dims = a * a
+            val img = imageFeatures(p, a)
+            val f = if (img != null) img
+              else if (p == null) new Array[Float](dims) else stubFeatures(p, dims)
+            (new GenericArrayData(f), img != null)
+          case "video" =>
+            val dims = 2 * a * a
+            val vf = videoFeatures(p, a, b)
+            val f = if (vf != null) vf
+              else if (p == null) new Array[Double](dims)
+              else stubFeatures(p, dims).map(_.toDouble)
+            (new GenericArrayData(f), vf != null)
+          case other => throw new IllegalArgumentException(s"kind: $other")
+        }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](arr, decoded))
+    }
+
+    override def eval(input: InternalRow): Any =
+      kernel(child.eval(input).asInstanceOf[Array[Byte]])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("featurize", this,
+        classOf[FeaturizePayload].getName)
+      val c = child.genCode(ctx)
+      ev.copy(code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          $ref.kernel(${c.isNull} ? null : ((byte[]) ${c.value}));
+        """, isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression) =
+      copy(child = newChild)
+  }
+
+  /** One-projection featurize: struct column computed once (CollapseProject
+   *  keeps the multi-referenced non-cheap alias in its own Project), fields
+   *  extracted beside the original columns. Opaque pins the kernel HERE:
+   *  callers filter on `decoded` / explode `features`, and without it
+   *  pushdown + InferFiltersFromGenerate substitute the whole decode into
+   *  a scan-level Filter (observed: the audio kernel 3× in one Filter plus
+   *  1× in the Project — the §4.4 expensive-UDF duplication, which the old
+   *  opaque ExistingRDD accidentally prevented). */
+  private def featurized(df: DataFrame, payloadCol: String, kind: String,
+      a: Int, b: Int = 0): DataFrame = {
+    val f = graft.functions.mkCol(graft.expressions.Opaque(FeaturizePayload(
+      graft.functions.mkExpr(col(payloadCol)), kind, a, b)))
+    df.withColumn("__feat", f)
+      .withColumn("features", col("__feat").getField("features"))
+      .withColumn("decoded", col("__feat").getField("decoded"))
+      .drop("__feat")
+  }
+
   /** Metadata struct carried beside every payload column. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -85,24 +178,8 @@ object Multimodal {
    *  [[imageFeatures]]; non-image payloads fall back to the byte-histogram
    *  stub so a mixed binary corpus featurizes in one pass. Adds
    *  `features ARRAY<FLOAT>` (length grid*grid) and `decoded BOOLEAN`. */
-  def featurizeImages(df: DataFrame, payloadCol: String, grid: Int = 4): DataFrame = {
-    val dims = grid * grid
-    val schema = StructType(df.schema.fields ++ Seq(
-      StructField("features", ArrayType(FloatType, containsNull = false)),
-      StructField("decoded", BooleanType)))
-    val idx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]](idx)
-        val img = imageFeatures(payload, grid)
-        val f = if (img != null) img
-          else if (payload == null) new Array[Float](dims)
-          else stubFeatures(payload, dims)
-        Row.fromSeq(r.toSeq ++ Seq(f.toSeq, img != null))
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  def featurizeImages(df: DataFrame, payloadCol: String, grid: Int = 4): DataFrame =
+    featurized(df, payloadCol, "image", grid)
 
   // ------------------------------------------------------- real audio kernel
 
@@ -168,23 +245,8 @@ object Multimodal {
    *  [[audioFeatures]]; non-audio payloads fall back to the byte-histogram
    *  stub so a mixed binary corpus featurizes in one pass. Adds
    *  `features ARRAY<FLOAT>` (length `bands`) and `decoded BOOLEAN`. */
-  def featurizeAudio(df: DataFrame, payloadCol: String, bands: Int = 8): DataFrame = {
-    val schema = StructType(df.schema.fields ++ Seq(
-      StructField("features", ArrayType(FloatType, containsNull = false)),
-      StructField("decoded", BooleanType)))
-    val idx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]](idx)
-        val af = audioFeatures(payload, bands)
-        val f = if (af != null) af
-          else if (payload == null) new Array[Float](bands)
-          else stubFeatures(payload, bands)
-        Row.fromSeq(r.toSeq ++ Seq(f.toSeq, af != null))
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  def featurizeAudio(df: DataFrame, payloadCol: String, bands: Int = 8): DataFrame =
+    featurized(df, payloadCol, "audio", bands)
 
   /** Deterministic 16-bit mono PCM WAV test signal: `bands` segments of
    *  `samplesPerBand` samples, segment `b` a square wave of constant
@@ -372,24 +434,8 @@ object Multimodal {
    *  undecodable payloads. Adds `features ARRAY<DOUBLE>` (length 2·grid²)
    *  and `decoded BOOLEAN`. */
   def featurizeVideo(df: DataFrame, payloadCol: String, grid: Int = 2,
-      maxFrames: Int = 64): DataFrame = {
-    val dims = 2 * grid * grid
-    val schema = StructType(df.schema.fields ++ Seq(
-      StructField("features", ArrayType(DoubleType, containsNull = false)),
-      StructField("decoded", BooleanType)))
-    val idx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]](idx)
-        val vf = videoFeatures(payload, grid, maxFrames)
-        val f = if (vf != null) vf
-          else if (payload == null) new Array[Double](dims)
-          else stubFeatures(payload, dims).map(_.toDouble)
-        Row.fromSeq(r.toSeq ++ Seq(f.toSeq, vf != null))
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+      maxFrames: Int = 64): DataFrame =
+    featurized(df, payloadCol, "video", grid, maxFrames)
 
   /** Deterministic uncompressed-DIB AVI test signal: `frames` solid-gray
    *  8x8 frames, frame `f` at gray level `((seed·13 + f) % 32)·8` — so

@@ -290,8 +290,15 @@ object TextOps {
       g => rollingHash(g) % dim)
     val base = df.select(col(idCol).cast(LongType).as("id"),
       feats.as("__feats"))
+    // explode_OUTER + null drop ≡ inner explode row-for-row, but the inner
+    // generate's inferred size(__feats) > 0 filter pushed the ENTIRE
+    // interpreted ngrams→rollingHash transform tree into a scan-level
+    // Filter below the projection that computes it (the bandTable
+    // pathology) — every row paid the feature kernel twice to pre-drop
+    // rows the explode drops for free
     val flagged = base.select(evalPred(col("id")).as("__ev"),
-      explode(col("__feats")).as("__b"))
+      explode_outer(col("__feats")).as("__b"))
+      .where(col("__b").isNotNull)
     val counts = flagged.groupBy("__b").agg(
       sum(when(col("__ev"), 1L).otherwise(0L)).as("__tc"),
       sum(when(!col("__ev"), 1L).otherwise(0L)).as("__rc"))
@@ -322,8 +329,18 @@ object TextOps {
    */
   def blocklistAntiJoin(df: DataFrame, textCol: String, idCol: String,
       block: DataFrame, blockTextCol: String, fpp: Double = 0.01): DataFrame = {
-    val fpDf = df.withColumn("__fp", rollingHash(col(textCol)))
-    val blockFp = block.select(rollingHash(col(blockTextCol)).as("__bfp"))
+    // Opaque pins __fp's evaluation in THIS projection: the Bloom routing
+    // filters below reference __fp, and pushdown otherwise substitutes
+    // rolling_hash(text) into the scan-level Filter where the UDF's
+    // null-safety wrapper references it twice and FilterExec does no
+    // subexpression elimination — every row hashed its text 2× per branch
+    def opq(c: Column): Column = graft.functions.mkCol(
+      graft.expressions.Opaque(graft.functions.mkExpr(c)))
+    val fpDf = df.withColumn("__fp", opq(rollingHash(col(textCol))))
+    // Opaque on the blocklist side too: the anti-join infers
+    // isnotnull(__bfp), which otherwise re-hashes every blocklist row at
+    // its scan below this projection
+    val blockFp = block.select(opq(rollingHash(col(blockTextCol))).as("__bfp"))
     // an EMPTY blocklist drops nothing — and Spark's bloomFilter aggregate
     // NPEs on zero rows, so the guard is correctness, not just a shortcut
     if (blockFp.isEmpty) return df
@@ -699,10 +716,10 @@ object TextOps {
       shingleK: Int = 3, minJaccard: Double = 0.0,
       carry: Seq[(String, Column)] = Nil): DataFrame = {
     // no .cache() here: a library-held cache can never be safely unpersisted
-    // (the returned plan still references it). The three references to sigs
-    // below share the aggregation shuffle via ReusedExchange within one
-    // plan (measured: dedup got no slower after removing the cache), and
-    // callers iterating across actions can cache at the call site.
+    // (the returned plan still references it). Since the carry refactor,
+    // sigs is a pure projection consumed ONLY by candidatePairs (the join
+    // sides re-project from df below), so there is no shared shuffle to
+    // cache; callers iterating across actions can cache at the call site.
     val sigs = signatures(df, textCol, idCol, shingleK)
     val cands = candidatePairs(sigs)
     // the join sides re-project from df (id, shingles, carry) — the sig and
@@ -1713,10 +1730,16 @@ object TextOps {
       minCount: Long = 2): DataFrame = {
     val base = df.select(col(idCol).cast(LongType).as("__id"),
       tokens(col(textCol)).as("__toks"))
-    val uni = base.select(explode(col("__toks")).as("__w1"))
+    // outer generates + null drops (≡ inner explodes row-for-row): the
+    // inner generates' inferred size(...) > 0 filters pushed the tokenizer
+    // regex / ngram tree into scan-level Filters below the projections
+    // that compute them — the full-text regex ran twice per row per branch
+    val uni = base.select(explode_outer(col("__toks")).as("__w1"))
+      .where(col("__w1").isNotNull)
       .groupBy("__w1").agg(count(lit(1)).as("__cu"))
     val bg = base.select(col("__id"),
-      posexplode(ngramsCol(col("__toks"), 2)).as(Seq("__pos", "__bg")))
+      posexplode_outer(ngramsCol(col("__toks"), 2)).as(Seq("__pos", "__bg")))
+      .where(col("__bg").isNotNull)
     val bgc = bg.groupBy("__bg").agg(count(lit(1)).as("__cb"))
       .where(col("__cb") >= minCount)
     val probs = bg
