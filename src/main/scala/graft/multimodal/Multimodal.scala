@@ -198,12 +198,75 @@ object Multimodal {
    * Returns null when the payload is not decodable audio — callers choose
    * the fallback (featurizeAudio uses the byte-histogram stub).
    */
+  /** Audio file readers resolved ONCE per JVM: `AudioSystem.
+   *  getAudioInputStream` performs a globally SYNCHRONIZED provider-registry
+   *  lookup (JDK13Services.getProviders) on every call, which serialized
+   *  per-row decodes across all scan tasks — 32 threads queueing on one
+   *  lock turned the audio featurize pass effectively single-threaded at
+   *  scale. The providers themselves (WaveFileReader et al.) are stateless
+   *  and thread-safe. */
+  @transient private lazy val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    // MIDI readers LAST: SoftMidiAudioFileReader funnels every probe
+    // through MidiSystem.getSequence, which takes a global monitor —
+    // thread dumps showed all 32 scan tasks BLOCKED on it when the
+    // ServiceLoader happened to order it before the WAV reader. The
+    // openAudio magic gate below keeps non-MIDI payloads away from it
+    // entirely.
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toArray
+      .sortBy(r => if (r.getClass.getName.contains("Midi")) 1 else 0)
+  }
+
+  private def isMidiMagic(p: Array[Byte]): Boolean =
+    p.length >= 4 && p(0) == 'M' && p(1) == 'T' && p(2) == 'h' && p(3) == 'd'
+  @transient private lazy val audioConverters: Array[javax.sound.sampled.spi.FormatConversionProvider] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.FormatConversionProvider])
+      .iterator().asScala.toArray
+  }
+
+  /** Open `payload` with the cached readers (AudioSystem fallback only if
+   *  the ServiceLoader found none); null when no reader accepts it. */
+  private def openAudio(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    if (audioReaders.isEmpty)
+      return try {
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+      } catch { case scala.util.control.NonFatal(_) => null }
+    var i = 0
+    while (i < audioReaders.length) {
+      val r = audioReaders(i)
+      val skip = r.getClass.getName.contains("Midi") && !isMidiMagic(payload)
+      if (!skip) {
+        try return r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** PCM conversion via the cached providers (same registry-lock story). */
+  private def convertAudio(target: javax.sound.sampled.AudioFormat,
+      in: javax.sound.sampled.AudioInputStream): javax.sound.sampled.AudioInputStream = {
+    if (audioConverters.isEmpty)
+      return javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+    var i = 0
+    while (i < audioConverters.length) {
+      if (audioConverters(i).isConversionSupported(target, in.getFormat))
+        return audioConverters(i).getAudioInputStream(target, in)
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"unsupported audio conversion to $target")
+  }
+
   def audioFeatures(payload: Array[Byte], bands: Int = 8): Array[Float] = {
     if (payload == null || payload.length == 0) return null
-    import javax.sound.sampled.{AudioSystem, AudioFormat}
-    val in = try {
-      AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-    } catch { case scala.util.control.NonFatal(_) => return null }
+    import javax.sound.sampled.AudioFormat
+    val in = openAudio(payload)
+    if (in == null) return null
     // The conversion stream wraps `in`; closing it closes both. Track it so
     // the finally releases whichever stream is outermost.
     var pcm: javax.sound.sampled.AudioInputStream = in
@@ -212,7 +275,7 @@ object Multimodal {
       val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
         base.getSampleRate, 16, base.getChannels, base.getChannels * 2,
         base.getSampleRate, false)
-      if (!base.matches(target)) pcm = AudioSystem.getAudioInputStream(target, in)
+      if (!base.matches(target)) pcm = convertAudio(target, in)
       val bytes = pcm.readAllBytes()
       val ch = base.getChannels
       val nFrames = bytes.length / (2 * ch)
@@ -255,7 +318,6 @@ object Multimodal {
    *  SQL (the `multimodal_audio` oracle). Also the fixture MultimodalSpec
    *  decodes. */
   def synthWav(seed: Long, bands: Int, samplesPerBand: Int): Array[Byte] = {
-    import javax.sound.sampled.{AudioSystem, AudioFormat, AudioInputStream, AudioFileFormat}
     val n = bands * samplesPerBand
     val raw = new Array[Byte](n * 2)
     var i = 0
@@ -268,11 +330,26 @@ object Multimodal {
       raw(i * 2 + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new AudioFormat(8000f, 16, 1, true, false)
-    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    wavBytes(raw, sampleRateHz = 8000, channels = 1)
+  }
+
+  /** Canonical 44-byte RIFF/WAVE container around 16-bit PCM LE frames —
+   *  byte-identical to `AudioSystem.write`'s PCM WAVE output (pinned in
+   *  MultimodalSpec), without the JDK sound registry's global synchronized
+   *  writer lookup, which serialized every per-row synthWav across tasks. */
+  private def wavBytes(raw: Array[Byte], sampleRateHz: Int, channels: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + raw.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + raw.length)
+      .put("WAVE".getBytes(ascii))
+      .put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(channels.toShort) // PCM, channels
+      .putInt(sampleRateHz).putInt(sampleRateHz * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16) // block align, bits
+      .put("data".getBytes(ascii)).putInt(raw.length)
+      .put(raw)
+    bb.array()
   }
 
   // ------------------------------------------------------- real video kernel

@@ -128,6 +128,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioFeatures(Array.emptyByteArray, bands) == null)
   }
 
+  test("synthWav container is byte-identical to AudioSystem.write WAVE output") {
+    import javax.sound.sampled.{AudioSystem, AudioFileFormat}
+    for (seed <- Seq(0L, 1L, 7L, 12345L)) {
+      val got = Multimodal.synthWav(seed, 4, 64)
+      // round-trip through the JDK's own reader+writer: if our hand-rolled
+      // 44-byte RIFF header is canonical, re-writing the decoded stream
+      // reproduces the same bytes
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(got))
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      assert(java.util.Arrays.equals(got, out.toByteArray),
+        s"seed=$seed: hand-rolled WAV differs from AudioSystem.write")
+    }
+  }
+
   test("featurizeAudio: real decode for WAVs, stub fallback for blobs") {
     import spark.implicits._
     val rows = (0 until 8).map(i =>
