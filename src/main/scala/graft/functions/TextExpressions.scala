@@ -25,7 +25,64 @@ object TextHash {
   /** Char-level polynomial rolling hash over codepoints: h ← (h·B + cp) % P.
    *  Matches aggregate(transform(split(s,''), ascii), ...) and DuckDB
    *  list_reduce over unicode(ch). */
-  def rollingHash(s: UTF8String): Long = rollingHashString(s.toString)
+  def rollingHash(s: UTF8String): Long = extendU(0L, s)
+
+  /** Extend a rolling hash across a UTF8String WITHOUT materializing a java
+   *  String: an ASCII byte is its own codepoint, and the `[a-z0-9]+`
+   *  tokenizer's tokens are always ASCII, so the dedup-stack hot paths
+   *  (shingle/simhash kernels) never leave the byte loop — the previous
+   *  per-token `.toString` paid a char[] copy + UTF-16 decode per token per
+   *  row. The first non-ASCII byte falls back to the exact codepoint loop
+   *  over the whole string (value-identical; h only ever accumulated the
+   *  ASCII prefix, which the fallback recomputes from h0). */
+  @inline def extendU(h0: Long, s: UTF8String): Long = {
+    val n = s.numBytes
+    var h = h0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < 0) return extend(h0, s.toString)
+      h = (h * Base + b) % Mod
+      i += 1
+    }
+    h
+  }
+
+  /** [[shingleHashes]] over UTF8String tokens — same values, no per-token
+   *  String materialization (see [[extendU]]). */
+  def shingleHashes(toks: Array[UTF8String], k: Int): Array[Long] = {
+    val n = toks.length
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n < k) {
+      var h = 0L
+      var i = 0
+      while (i < n) {
+        if (i > 0) h = (h * Base + ' '.toInt) % Mod
+        h = extendU(h, toks(i))
+        i += 1
+      }
+      seen.add(h)
+    } else {
+      var start = 0
+      while (start + k <= n) {
+        var h = 0L
+        var j = start
+        while (j < start + k) {
+          if (j > start) h = (h * Base + ' '.toInt) % Mod
+          h = extendU(h, toks(j))
+          j += 1
+        }
+        seen.add(h)
+        start += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
 
   def rollingHashString(str: String): Long = {
     var h = 0L
@@ -224,8 +281,8 @@ case class SimHash(child: Expression, bits: Int)
     val sums = new Array[Long](bits)
     var i = 0
     while (i < n) {
-      val tok = if (a.isNullAt(i)) "" else a.getUTF8String(i).toString
-      val h = TextHash.rollingHashString(tok)
+      val h = TextHash.rollingHash(
+        if (a.isNullAt(i)) UTF8String.EMPTY_UTF8 else a.getUTF8String(i))
       var b = 0
       while (b < bits) {
         sums(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
@@ -717,10 +774,10 @@ case class ShingleHashes(child: Expression, k: Int)
   override protected def nullSafeEval(arr: Any): Any = {
     val a = arr.asInstanceOf[ArrayData]
     val n = a.numElements()
-    val toks = new Array[String](n)
+    val toks = new Array[UTF8String](n)
     var i = 0
     while (i < n) {
-      toks(i) = if (a.isNullAt(i)) "" else a.getUTF8String(i).toString
+      toks(i) = if (a.isNullAt(i)) UTF8String.EMPTY_UTF8 else a.getUTF8String(i)
       i += 1
     }
     new GenericArrayData(TextHash.shingleHashes(toks, k))
